@@ -14,8 +14,13 @@ import graft.operators._
   */
 object SparkEntry {
 
+  import org.apache.spark.sql.functions.col
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    tbl(s, dir, "documents")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -33,6 +38,61 @@ object SparkEntry {
       TfIdfOps.idf(TfIdfOps.tf(d), TfIdfOps.corpusSize(d))
     }),
     "q6_tfidf" -> ((s, dir) => TfIdfOps.tfIdfPipeline(docs(s, dir))),
+
+    // --- text analysis (north-star) ---
+    "text_stats" -> ((s, dir) => TextStats.stats(docs(s, dir))),
+    "text_langid" -> ((s, dir) => TextStats.langId(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
+
+    // --- deduplication (north-star) ---
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(docs(s, dir))),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(tbl(s, dir, "embeddings"))),
+
+    // --- similarity search (north-star) ---
+    "sim_topk_brute" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteTopK(e.filter(col("vec_id") % 50 === 0), e)
+    }),
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e)
+    }),
+
+    // --- relational coverage over the TPC-H-ish tables ---
+    "rel_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(tbl(s, dir, "lineitem"))),
+    "rel_revenue_nation" -> ((s, dir) =>
+      Relational.revenueByNation(tbl(s, dir, "lineitem"),
+        tbl(s, dir, "supplier"), tbl(s, dir, "nation"),
+        tbl(s, dir, "region"))),
+    "rel_top_customers" -> ((s, dir) =>
+      Relational.topCustomersBySegment(tbl(s, dir, "orders"),
+        tbl(s, dir, "customer"))),
+    "rel_rollup" -> ((s, dir) =>
+      Relational.customerRollup(tbl(s, dir, "customer"),
+        tbl(s, dir, "nation"), tbl(s, dir, "region"))),
+    "rel_order_history" -> ((s, dir) =>
+      Relational.customerOrderHistory(tbl(s, dir, "orders"))),
+    "rel_events_hourly" -> ((s, dir) =>
+      Relational.eventsHourly(tbl(s, dir, "events"))),
+    "rel_sessionize" -> ((s, dir) =>
+      Relational.sessionize(tbl(s, dir, "events"))),
+    "rel_event_props" -> ((s, dir) =>
+      Relational.eventProps(tbl(s, dir, "events"))),
+
+    // --- structured streaming ---
+    "stream_events_hourly" -> ((s, dir) =>
+      graft.streaming.EventsStream.hourlyCounts(s, dir)),
+
+    // --- multimodal plumbing (decode step stubbed; see Multimodal) ---
+    "mm_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.withPayload(docs(s, dir))).toDF()),
   )
 
   // Shared DuckDB CTE chain mirroring WikiText.tokens / TfIdfOps over the
@@ -89,8 +149,59 @@ object SparkEntry {
       |        ORDER BY cnt DESC, word ASC LIMIT 5000)
       |)""".stripMargin
 
+  // Whitespace tokens (leading/trailing empties removed) — the TextStats
+  // tokenizer's DuckDB twin.
+  private val wsToksCte: String =
+    """wtoks AS (
+      |  SELECT *, list_filter(regexp_split_to_array(text, '\s+'),
+      |                        t -> t != '') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  private def listLit(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // Distinct word-3-gram shingles + exact Jaccard pairs >= 0.8 — oracle
+  // for BOTH dedup_ngram_jaccard (exact) and dedup_minhash_lsh (whose
+  // LSH candidates are exact-verified; miss probability at the planted
+  // jac≈0.98 pairs is ~1e-13, and the next-highest pair sits at 0.07).
+  private val jaccardSql: String =
+    """WITH sh0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(t) - 2, 1)),
+      |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+      |  FROM sh0
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), com AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), jc AS (
+      |  SELECT doc_a, doc_b, common / (x.n + y.n - common) AS jac
+      |  FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |)
+      |SELECT doc_a, doc_b, jac FROM jc WHERE jac >= 0.8""".stripMargin
+
+  // Double-precision vector pipeline over embeddings: element-wise ops in
+  // the same order as Similarity.dot/l2norm.
+  private val vecCtes: String =
+    """vecs AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), normed AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+      |  FROM vecs
+      |)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted (weaker rows-only check):
+    * dedup_simhash + sim_topk_lsh (engine-specific xxhash64 / recall<1 by
+    * design — both unit-tested against exact twins instead) and
+    * mm_features (stubbed binary decode). */
   def oracleSql: Map[String, String] = Map(
     "q1_tokens" ->
       s"WITH $tokenCtes SELECT doc_id, word FROM tokens",
@@ -110,5 +221,214 @@ object SparkEntry {
          |SELECT t.doc_id, t.word, t.cnt, t.tf,
          |       floor(t.tf * i.idf * 100 + 0.5) / 100 AS tf_idf
          |FROM tf t JOIN idf i USING (word)""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH $wsToksCte, c AS (
+         |  SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+         |    len(regexp_extract_all(text,
+         |        '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+         |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+         |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars,
+         |    length(regexp_replace(text, '[^ ]', '', 'g')) AS space_chars,
+         |    length(array_to_string(toks, '')) AS tok_chars,
+         |    len(list_filter(toks, t -> list_contains(
+         |        ${listLit(operators.TextStats.EnStopwords)}, lower(t))))
+         |      AS stop_toks
+         |  FROM wtoks
+         |), r AS (
+         |  SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+         |    alpha_chars / n_chars AS alpha_ratio,
+         |    digit_chars / n_chars AS digit_ratio,
+         |    punct_chars / n_chars AS punct_ratio,
+         |    space_chars / n_chars AS space_ratio,
+         |    tok_chars / n_tokens AS mean_token_len,
+         |    stop_toks / n_tokens AS stopword_ratio
+         |  FROM c
+         |)
+         |SELECT *,
+         |  CAST(0.25 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |      n_tokens / CAST(100.0 AS DOUBLE))
+         |  + CAST(0.25 AS DOUBLE) * alpha_ratio
+         |  + CAST(0.25 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+         |  + CAST(0.25 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |      stopword_ratio * CAST(4.0 AS DOUBLE)) AS quality_score
+         |FROM r""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $wsToksCte, h AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t)))) AS en_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.DeStopwords)}, lower(t)))) AS de_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EsStopwords)}, lower(t)))) AS es_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.FrStopwords)}, lower(t)))) AS fr_hits
+         |  FROM wtoks
+         |)
+         |SELECT *,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |            AND en_hits >= fr_hits THEN 'en'
+         |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |       WHEN es_hits >= fr_hits THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM h""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, md5(norm) AS fp_md5, string_split(norm, ' ') AS tk
+        |  FROM n
+        |)
+        |SELECT doc_id, fp_md5,
+        |  list_min(list_transform(
+        |    generate_series(1, greatest(len(tk) - 4, 1)),
+        |    i -> md5(array_to_string(tk[i:i+4], ' ')))) AS fp_shingle
+        |FROM t""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents
+        |)
+        |SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM n GROUP BY fp""".stripMargin,
+
+    "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_minhash_lsh" -> jaccardSql,
+
+    "dedup_embedding" ->
+      s"""WITH $vecCtes
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+         |        i -> a.v[i] * b.v[i])) / (a.norm * b.norm)
+         |      >= 0.5""".stripMargin,
+
+    "sim_topk_brute" ->
+      s"""WITH $vecCtes, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM normed WHERE vec_id % 50 = 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
+         |FROM s
+         |QUALIFY "rank" <= 10""".stripMargin,
+
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_revenue_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "rel_top_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_mktsegment,
+        |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY revenue DESC, c_custkey ASC) AS BIGINT) AS rnk,
+        |  c_custkey, c_name, revenue
+        |FROM customer JOIN rev ON c_custkey = o_custkey
+        |QUALIFY rnk <= 3""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "rel_order_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS BIGINT) AS order_idx,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)"""
+        .stripMargin,
+
+    "rel_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour,
+        |  event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "rel_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+        |    AS duration_sec
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "rel_event_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "stream_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour,
+        |  event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

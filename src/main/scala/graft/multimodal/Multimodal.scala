@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batched decode / feature-extract
+  * operators.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment) with a deterministic fake decoder — but the Spark-side
+  * plumbing is real: schema (binary payload + metadata struct), typed
+  * Dataset boundary, partition-level batched processing (the same shape
+  * a Pandas-UDF/Arrow batch pipeline has), and feature output as
+  * Array[Float] ready for the Similarity operators.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, data: Array[Byte], format: String,
+                      width: Int, height: Int)
+  case class FeatureRow(doc_id: Long, width: Int, height: Int,
+                        n_bytes: Long, features: Array[Float])
+
+  /** Attach a synthetic media payload to each document: the text bytes
+    * as the opaque binary column plus deterministic metadata (stands in
+    * for real image bytes; the pipeline treats it as opaque either way).
+    * Output: (doc_id, data binary, format, width, height).
+    */
+  def withPayload(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("data"),
+      when(col(idCol) % 3 === 0, "png").when(col(idCol) % 3 === 1, "jpeg")
+        .otherwise("webp").as("format"),
+      (pmod(crc32(encode(col(textCol), "UTF-8")), lit(512)) + 64)
+        .cast("int").as("width"),
+      (pmod(crc32(reverse(col(textCol)).cast("binary")), lit(512)) + 64)
+        .cast("int").as("height"))
+
+  /** STUB decoder: deterministic 8-dim "feature vector" from the payload
+    * bytes via a rolling polynomial hash per stripe. A real implementation
+    * would decode pixels and run a visual encoder here; everything around
+    * it (typed boundary, per-partition batching, output schema) is the
+    * real production shape.
+    */
+  private[multimodal] def fakeDecodeFeatures(data: Array[Byte],
+                                             dims: Int = 8): Array[Float] = {
+    val acc = new Array[Long](dims)
+    var i = 0
+    while (i < data.length) {
+      val d = i % dims
+      acc(d) = acc(d) * 31 + (data(i) & 0xff)
+      i += 1
+    }
+    acc.map(v => ((v % 1000003L).toFloat) / 1000003.0f)
+  }
+
+  /** Batched feature extraction over the media payloads. Processes each
+    * partition in fixed-size batches (the Arrow/Pandas-UDF batch shape) —
+    * with a real codec the batch is where you'd amortize model setup.
+    * Output: Dataset[FeatureRow].
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[FeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "data", "format", "width", "height")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch "model" setup would go here
+          batch.iterator.map { m =>
+            FeatureRow(m.doc_id, m.width, m.height, m.data.length.toLong,
+              fakeDecodeFeatures(m.data))
+          }
+        }
+      }
+  }
+
+  /** Deterministic frame sampling for a (fake) video payload: emits every
+    * `stride`-th 16-byte "frame" with its index — the explode/posexplode
+    * shape of a real frame sampler. Output: (doc_id, frame_idx, frame).
+    */
+  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
+    val frames = sequence(lit(0),
+      greatest((length(col("data")) / 16 - 1).cast("int"), lit(0)),
+      lit(stride))
+    media.select(col("doc_id"),
+        explode(frames).as("frame_idx"),
+        col("data"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("substring(data, frame_idx * 16 + 1, 16)").as("frame"))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), exact n-gram Jaccard, MinHash+LSH near-dup,
+  * SimHash near-dup, and embedding-cosine near-dup.
+  *
+  * Scale posture: everything is keyed aggregation + equi-join — no
+  * driver-side state. The MinHash path is the 100 TB route (candidates
+  * via band buckets, exact Jaccard verification only on candidates);
+  * the all-pairs shingle join is the small/exact route and the oracle
+  * for the approximate one.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5 of normalized text, keep the smallest id.
+    * Output: (fp, keep_id, dup_count).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.select(md5(TextStats.normalized(col(textCol))).as("fp"),
+        col(idCol).as("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-gram shingles per document.
+    * Output: (doc_id, s). Shorter-than-n docs yield one whole-text shingle
+    * (greatest(...,1) guard — also keeps Spark's `sequence` from running
+    * backwards when size-n+1 < 1).
+    */
+  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(t, i, lit(n)))))).as("s"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: all-pairs via shingle equi-join.
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|); emits doc_a < doc_b with
+    * jaccard >= threshold.
+    * Output: (doc_a, doc_b, jac).
+    *
+    * This is quadratic in co-shingled docs — correct-but-exact baseline;
+    * at scale use [[minHashLsh]], which produces the same pairs for any
+    * threshold with a comfortable margin (verified candidates).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+                        n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    jaccardOnPairs(sh, candidatesFromShingles(sh), threshold)
+  }
+
+  private def candidatesFromShingles(sh: DataFrame): DataFrame = {
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for a given candidate-pair set, from shingle sets. */
+  private def jaccardOnPairs(sh: DataFrame, pairs: DataFrame,
+                             threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("za.n") + col("zb.n") - col("common")))
+          .as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs — the at-scale path.
+    *
+    * numPerm permutations approximated by seeded xxhash64 family
+    * h_p(s) = xxhash64(p, s); signature = per-p minimum over the doc's
+    * shingles. LSH: `bands` bands of numPerm/bands rows each; docs
+    * sharing any (band, band-signature) bucket become candidates; each
+    * candidate pair is then verified with EXACT Jaccard over its shingle
+    * sets, so false positives are eliminated and the only approximation
+    * is a vanishing miss probability (for jac≈threshold pairs:
+    * (1-t^r)^b; at t=0.9, r=8, b=16 ≈ 1e-13).
+    * Output: (doc_a, doc_b, jac) — same surface as [[ngramJaccardPairs]],
+    * which is its oracle.
+    */
+  def minHashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                 numPerm: Int = 128, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val sh = shingles(docs, n)
+    // (doc, p) -> min over shingles of h_p(s)
+    val mins = sh
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), lit(numPerm - 1))).as("p"))
+      .groupBy("doc_id", "p")
+      .agg(min(xxhash64(col("p"), col("s"))).as("h"))
+    // band signature = hash of the band's row-mins in p order
+    val bandSigs = mins
+      .withColumn("band", (col("p") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(array_sort(collect_list(struct(col("p"), col("h")))))
+        .as("sig"))
+    val l = bandSigs.as("l")
+    val r = bandSigs.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    jaccardOnPairs(sh, candidates, threshold)
+  }
+
+  /** SimHash near-dup pairs. 64-bit signature: bit j is the sign of the
+    * count-weighted sum of (±1 per token, + when bit j of xxhash64(token)
+    * is set). Pairs within `maxHamming` found via 4×16-bit band join
+    * (a pair within hamming distance 3 must agree exactly on at least one
+    * of the 4 bands — pigeonhole), then verified with bit_count(xor).
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sigs = simHash(docs, idCol, textCol)
+    val nBands = 4
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("chunk",
+        expr("shiftrightunsigned(simhash, band * 16) & 65535"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.chunk") === col("r.chunk") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash signature per document over normalized word unigrams.
+    * Output: (doc_id, simhash).
+    */
+  def simHash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = WikiText.tokens(docs, idCol, textCol)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    toks
+      .select(col("doc_id"), col("cnt"), xxhash64(col("word")).as("h"),
+        explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("contrib",
+        when(expr("shiftrightunsigned(h, j) & 1") === 1L, col("cnt"))
+          .otherwise(-col("cnt")))
+      .groupBy("doc_id", "j").agg(sum("contrib").as("w"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "case when w > 0 then shiftleft(cast(1 as bigint), j) " +
+          "else cast(0 as bigint) end")).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs over (vec_id, embedding float[]).
+    * Cosine computed in double precision; all-pairs join with vec_a <
+    * vec_b (at scale, prune with [[Similarity.signBuckets]]-style LSH
+    * first). Output: (vec_a, vec_b).
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.5,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val n = Similarity.withNorm(emb, idCol, vecCol)
+    val a = n.as("a")
+    val b = n.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (Similarity.dot(col("a.vec"), col("b.vec"))
+          / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage over the TPC-H-ish testdata tables: aggregation,
+  * multi-way joins, window functions, rollup, and event analytics.
+  *
+  * Numeric determinism: double sums are NOT associative, so any summed
+  * money amount is cast to DECIMAL first (exact, order-independent) and
+  * the final result cast back to double — bit-identical across Spark
+  * partitions AND vs the DuckDB oracle. Inputs are exact 2-dp doubles,
+  * so the decimal casts are lossless.
+  */
+object Relational {
+
+  private def dec(c: Column, scale: Int = 2): Column =
+    c.cast(s"decimal(18,$scale)")
+
+  /** TPC-H Q1-flavored pricing summary over lineitem. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  /** Revenue per nation: lineitem ⋈ supplier ⋈ nation ⋈ region.
+    * Dimension tables are broadcast (they are tiny at every scale). */
+  def revenueByNation(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Top-3 customers by order revenue within each market segment —
+    * join + window rank. */
+  def topCustomersBySegment(orders: DataFrame, customer: DataFrame,
+                            k: Int = 3): DataFrame = {
+    val rev = orders.groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+    customer.join(rev, col("c_custkey") === col("o_custkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("c_mktsegment", "rnk", "c_custkey", "c_name", "revenue")
+  }
+
+  /** Rollup over region/nation of customer counts + balance.
+    * Routed through a temp view + SQL ROLLUP: the DataFrame `.rollup`
+    * API trips Spark 4's ambiguous-self-join false positive on
+    * join-derived grouping columns (the Expand node re-tags them);
+    * SQL resolution sidesteps it with the identical plan. */
+  def customerRollup(customer: DataFrame, nation: DataFrame,
+                     region: DataFrame): DataFrame = {
+    val joined = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+    val view = s"graft_rollup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.createOrReplaceTempView(view)
+    joined.sparkSession.sql(
+      s"""SELECT r_name, n_name, count(*) AS n_customers,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_acctbal
+         |FROM $view GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  /** Orders with a running per-customer order index and revenue total —
+    * window functions over event-time order. */
+  def customerOrderHistory(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("order_idx", row_number().over(w).cast("long"))
+      .withColumn("running_total",
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .drop("o_orderdate")
+  }
+
+  /** Hourly tumbling-window event rollup (batch twin of the streaming
+    * query). Window start kept as a formatted string so Spark (µs) and
+    * DuckDB (ns) timestamps compare identically. */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+
+  /** Sessionization: a session breaks after a >30-minute gap per user;
+    * emits per-session row via lag + cumulative-sum session ids. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc,
+      col("event_id").asc)
+    val withGap = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+  }
+
+  /** Event-type shares via JSON props extraction + conditional agg —
+    * exercises get_json_object / semi-structured access. */
+  def eventProps(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("n_even_k"))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]). Dot products / norms as `zip_with` + `aggregate`
+  * higher-order functions in double precision — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a float-array column, in double precision. */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** (vec_id, vec, norm) projection used by the similarity operators. */
+  def withNorm(emb: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      l2norm(col(vecCol)).as("norm"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * candidates by cosine (ties broken by vec_id asc; self-match
+    * excluded). The query side is broadcast — at 100 TB the candidate
+    * scan stays fully parallel, no shuffle of the big side; the per-query
+    * ranking is the only exchange (scored rows, Q×N of them — use
+    * [[lshTopK]] when Q is large).
+    * Output: (query_id, neighbor_id, rank).
+    */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol)
+      .withColumnsRenamed(Map("vec_id" -> "query_id", "vec" -> "qvec",
+        "norm" -> "qnorm"))
+    val c = withNorm(candidates, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Sign-bucket LSH top-k — the scale path. Buckets vectors by the sign
+    * pattern of `nBits` fixed coordinates (a degenerate random-hyperplane
+    * LSH with axis-aligned planes — deterministic, no RNG); each query
+    * searches only its own bucket plus Hamming-1 neighbor buckets.
+    * Recall < 1 by construction; pair with [[bruteTopK]] as the oracle
+    * at test scale. Output: (query_id, neighbor_id, rank).
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
+              nBits: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    def bucket(vec: Column): Column =
+      (0 until nBits).map { i =>
+        when(get(vec, lit(i)) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    // probe set: own bucket + all Hamming-1 flips
+    def probes(vec: Column): Column = {
+      val own = bucket(vec)
+      array((own +: (0 until nBits).map(i =>
+        own.bitwiseXOR(lit(1 << i)))): _*)
+    }
+    val q = withNorm(queries, idCol, vecCol)
+      .withColumn("bucket", explode(probes(col("vec"))))
+      .withColumnsRenamed(Map("vec_id" -> "query_id", "vec" -> "qvec",
+        "norm" -> "qnorm"))
+    val c = withNorm(candidates, idCol, vecCol)
+      .withColumn("bucket", bucket(col("vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")))
+          .as("cos"))
+      .distinct() // a (query, candidate) pair can meet in several probes
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+}

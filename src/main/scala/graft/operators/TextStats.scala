@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * All pure `functions._` compositions (whole-stage codegen, no UDFs),
+  * deterministic, and expressed so the DuckDB oracle computes the exact
+  * same IEEE-754 doubles.
+  */
+object TextStats {
+
+  /** Whitespace tokens with leading/trailing-empty artifacts removed. */
+  private def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** GPT-2-ish tokenizer approximation: letter runs, single digits,
+    * single non-alphanumeric marks. A real BPE would subdivide letter
+    * runs further; this regex matches its pre-tokenization pass. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+  private def charClassCount(text: Column, keepClassRe: String): Column =
+    length(regexp_replace(text, keepClassRe, ""))
+
+  /** Per-document statistics + a composite quality score.
+    * Output: (doc_id, n_chars, n_tokens, n_bpe_tokens, alpha_ratio,
+    * digit_ratio, punct_ratio, space_ratio, mean_token_len,
+    * stopword_ratio, quality_score).
+    */
+  def stats(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = wsTokens(text)
+    val stop = array(EnStopwords.map(lit): _*)
+    docs.select(
+        col(idCol).as("doc_id"),
+        length(text).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        charClassCount(text, "[^a-zA-Z]").as("alpha_chars"),
+        charClassCount(text, "[^0-9]").as("digit_chars"),
+        charClassCount(text, "[a-zA-Z0-9 ]").as("punct_chars"),
+        charClassCount(text, "[^ ]").as("space_chars"),
+        length(array_join(toks, "")).as("tok_chars"),
+        size(filter(toks, t => array_contains(stop, lower(t))))
+          .cast("long").as("stop_toks"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_bpe_tokens"),
+        (col("alpha_chars") / col("n_chars")).as("alpha_ratio"),
+        (col("digit_chars") / col("n_chars")).as("digit_ratio"),
+        (col("punct_chars") / col("n_chars")).as("punct_ratio"),
+        (col("space_chars") / col("n_chars")).as("space_ratio"),
+        (col("tok_chars") / col("n_tokens")).as("mean_token_len"),
+        (col("stop_toks") / col("n_tokens")).as("stopword_ratio"))
+      .withColumn("quality_score",
+        lit(0.25) * least(lit(1.0), col("n_tokens") / 100.0) +
+        lit(0.25) * col("alpha_ratio") +
+        lit(0.25) * (lit(1.0) - col("punct_ratio")) +
+        lit(0.25) * least(lit(1.0), col("stopword_ratio") * 4.0))
+  }
+
+  // Tiny per-language marker-word lists for the n-gram/stopword language
+  // heuristic. ASCII-only on purpose (regex/charset parity with the oracle).
+  val EnStopwords = Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for")
+  val DeStopwords = Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "den")
+  val EsStopwords = Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no")
+  val FrStopwords = Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est")
+
+  /** Marker-word language ID. Scores each language by stopword hits over
+    * lowercased whitespace tokens; argmax with fixed precedence
+    * en > de > es > fr on ties (deterministic).
+    * Output: (doc_id, en_hits, de_hits, es_hits, fr_hits, lang_pred).
+    */
+  def langId(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    def hits(words: Seq[String]): Column = {
+      val set = array(words.map(lit): _*)
+      size(filter(wsTokens(col(textCol)), t => array_contains(set, lower(t))))
+        .cast("long")
+    }
+    docs.select(col(idCol).as("doc_id"),
+        hits(EnStopwords).as("en_hits"), hits(DeStopwords).as("de_hits"),
+        hits(EsStopwords).as("es_hits"), hits(FrStopwords).as("fr_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") &&
+             col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") &&
+                col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+  }
+
+  /** Whitespace-normalized lowercase text — the dedup canonical form. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Document fingerprints:
+    *  - fp_md5: md5 of the normalized text (exact-dup key);
+    *  - fp_shingle: winnowing-style minimum over md5 hashes of 5-word
+    *    shingles of the normalized text — robust to local edits, portable
+    *    across engines (md5 + lexicographic min are engine-independent,
+    *    unlike xxhash64).
+    * Output: (doc_id, fp_md5, fp_shingle).
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val norm = normalized(col(textCol))
+    val t = split(norm, " ")
+    val nsh = greatest(size(t) - 4, lit(1))
+    docs.select(col(idCol).as("doc_id"),
+      md5(norm).as("fp_md5"),
+      array_min(transform(sequence(lit(1), nsh),
+        i => md5(concat_ws(" ", slice(t, i, lit(5)))))).as("fp_shingle"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming coverage over the `events` table: tumbling-window
+  * aggregation with a watermark, executed with Trigger.AvailableNow for
+  * deterministic batch-equivalent results (the batch twin is
+  * Relational.eventsHourly, which shares the oracle).
+  */
+object EventsStream {
+
+  /** Hourly tumbling-window event counts as a stream job. Reads the
+    * events parquet as a file stream, aggregates into 1-hour windows
+    * (1h watermark), drains with AvailableNow into a memory sink, and
+    * returns the final complete result.
+    * Output: (hour string, event_type, n_events).
+    */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet") // the source wants a dir
+        .parquet(dir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"))
+    val name = s"graft_stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Per-user running event counts via flatMapGroupsWithState-style
+    * stateful streaming is covered in tests; batch twin:
+    * Relational.sessionize. */
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.multimodal.Multimodal
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("theta", "THETA")), // near-dup of 1 (one word差)
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "totally different words completely unrelated content here now"),
+    (5L, base), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("dedup_exact groups identical normalized text") {
+    // normalized() lowercases, so docs 1, 2 (THETA→theta), 5 all collapse
+    val r = Dedup.exact(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.exists { case (_, keep, n) => keep == 1L && n == 3L })
+    assert(r.length == 3) // 3 distinct normalized texts
+  }
+
+  test("ngram jaccard and minhash-lsh find the same near-dup pairs") {
+    val exact = rows(Dedup.ngramJaccardPairs(docs, threshold = 0.5))
+    val approx = rows(Dedup.minHashLsh(docs, threshold = 0.5))
+    assert(exact == approx)
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // exact dup: jac = 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 5L))) // near-dup
+  }
+
+  test("simhash: near-dups close in hamming, unrelated docs far") {
+    val sigs = Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(5L)) == 0) // identical text
+    assert(ham(sigs(1L), sigs(2L)) <= 8) // one-token difference
+    assert(ham(sigs(1L), sigs(4L)) > 8) // unrelated
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("embedding near-dup + brute topk agree with hand math") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // ~cos 0.995 with 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (50L, Array(1.0f, 0.05f, 0.0f)), // query; nearest = 0 or 1
+    ).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDup(emb, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)) && nd.contains((0L, 50L)) &&
+      nd.contains((1L, 50L)))
+    val topk = Similarity.bruteTopK(
+      emb.filter($"vec_id" === 50L), emb, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // cos(q,0)=1/1.00125≈0.99875 beats cos(q,1)=0.995/0.99628≈0.99872
+    assert(topk.toSeq.sortBy(_._2).map(_._1) == Seq(0L, 1L))
+  }
+
+  test("lsh topk returns a subset consistent with brute force") {
+    val emb = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(q, emb, k = 5, nBits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH searches own + hamming-1 buckets: recall<1 but nonempty and
+    // every hit must be a real vector; spot-check overlap is substantial
+    assert(lsh.nonEmpty)
+    assert(lsh.intersect(brute).size >= lsh.size / 2)
+  }
+
+  test("text stats: ratios bounded, quality in [0,1]") {
+    val r = TextStats.stats(docs).collect()
+    assert(r.length == 5)
+    r.foreach { x =>
+      val q = x.getDouble(x.fieldIndex("quality_score"))
+      assert(q >= 0.0 && q <= 1.0)
+      assert(x.getDouble(x.fieldIndex("alpha_ratio")) <= 1.0)
+    }
+  }
+
+  test("langid picks en for English-stopword text") {
+    val d = Seq((1L, "the cat and the dog in the house of it"),
+      (2L, "el perro y la casa de la que no se")).toDF("doc_id", "text")
+    val m = TextStats.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("lang_pred"))).toMap
+    assert(m(1L) == "en")
+    assert(m(2L) == "es")
+  }
+
+  test("fingerprint: identical docs share both fingerprints") {
+    val fp = TextStats.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fp(1L) == fp(5L))
+    assert(fp(1L) != fp(4L))
+    // shingle fingerprint is robust to a single-word edit when the min
+    // shingle is elsewhere — at minimum it stays a valid md5
+    assert(fp(2L)._2.matches("[0-9a-f]{32}"))
+  }
+
+  test("multimodal: payload schema + deterministic stub features") {
+    val media = Multimodal.withPayload(docs)
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("doc_id", "data", "format", "width", "height"))
+    val feats = Multimodal.extractFeatures(media, batchSize = 2).collect()
+    assert(feats.length == 5)
+    val f1 = feats.find(_.doc_id == 1L).get
+    val f5 = feats.find(_.doc_id == 5L).get
+    assert(f1.features.toSeq == f5.features.toSeq) // same bytes → same feats
+    assert(f1.features.length == 8)
+    assert(f1.n_bytes == base.length)
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+  }
+
+  test("streaming hourly == batch hourly on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = rows(graft.streaming.EventsStream.hourlyCounts(spark, dir))
+    val batch = rows(Relational.eventsHourly(Tables.load(spark, dir, "events"))
+      .select("hour", "event_type", "n_events"))
+    assert(streamed == batch)
+  }
+}
