@@ -50,7 +50,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
+    // consumed 5× (candidate join ×2, sizes, verify ×2) — materialize once
+    val sh = shingles(docs, n).persist()
     jaccardOnPairs(sh, candidatesFromShingles(sh), threshold)
   }
 
@@ -98,19 +99,23 @@ object Dedup {
                  numPerm: Int = 128, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val sh = shingles(docs, n)
-    // (doc, p) -> min over shingles of h_p(s)
-    val mins = sh
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(0), lit(numPerm - 1))).as("p"))
-      .groupBy("doc_id", "p")
-      .agg(min(xxhash64(col("p"), col("s"))).as("h"))
-    // band signature = hash of the band's row-mins in p order
-    val bandSigs = mins
-      .withColumn("band", (col("p") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(array_sort(collect_list(struct(col("p"), col("h")))))
-        .as("sig"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // consumed 4× (signatures, sizes, verify ×2) — materialize once
+    val sh = shingles(docs, n).persist()
+    // one-pass signatures: (doc) -> Array[Long](numPerm) of per-perm mins
+    val sigs = sh.select(col("doc_id").cast("long"), col("s"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.MinHashAgg(numPerm).toColumn.name("sig"))
+      .toDF("doc_id", "sig")
+    // band signature = hash of the band's slice of the signature
+    val bandSigs = sigs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand))).as("sig"))
     val l = bandSigs.as("l")
     val r = bandSigs.as("r")
     val candidates = l.join(r,

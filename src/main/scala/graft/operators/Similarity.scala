@@ -3,27 +3,28 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecExpressions
+
 /** Approximate-nearest-neighbor search over an embedding column
-  * (Array[Float]). Dot products / norms as `zip_with` + `aggregate`
-  * higher-order functions in double precision — codegen'd, no UDFs.
+  * (Array[Float]). Dot products / norms via the native codegen'd
+  * [[graft.functions.VecDotF]] expression in double precision — no UDFs,
+  * no per-row array materialization.
   */
 object Similarity {
 
   /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VecExpressions.vecDot(a, b)
 
   /** L2 norm of a float-array column, in double precision. */
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** (vec_id, vec, norm) projection used by the similarity operators. */
   def withNorm(emb: DataFrame, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame =
+               vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(emb.sparkSession)
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       l2norm(col(vecCol)).as("norm"))
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates by cosine (ties broken by vec_id asc; self-match
