@@ -46,9 +46,14 @@ object WikiText {
   def tokensWithRawLen(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame =
     docs
+      // raw_len is projected BELOW the explode on purpose: fused into the
+      // same select, Catalyst places the size(split(...)) above Generate,
+      // re-splitting the text once per token row (O(tokens × doc_len)).
       .select(col(idCol).as("doc_id"),
         rawTokenCount(col(textCol)).as("raw_len"),
-        explode(split(col(textCol), " ", -1)).as("tok"))
+        col(textCol).as("_graft_text"))
+      .select(col("doc_id"), col("raw_len"),
+        explode(split(col("_graft_text"), " ", -1)).as("tok"))
       .select(col("doc_id"), col("raw_len"),
         normalizeToken(col("tok")).as("word"))
       .filter(length(col("word")) > 0)

@@ -1,0 +1,21 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Prints formatted physical plans for the headline queries so plan
+  * regressions (lost pushdown, surprise sort-merge joins, broken
+  * codegen spans) are visible in review. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("explain-audit", 4)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q4_tf", "q6_tfidf", "rel_pricing_summary",
+        "rel_revenue_nation", "sim_topk_brute", "dedup_minhash_lsh")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
