@@ -84,10 +84,15 @@ object SparkEntry {
       Relational.sessionize(tbl(s, dir, "events"))),
     "rel_event_props" -> ((s, dir) =>
       Relational.eventProps(tbl(s, dir, "events"))),
+    "rel_asof_join" -> ((s, dir) =>
+      Relational.eventsAsofOrders(tbl(s, dir, "events"),
+        tbl(s, dir, "orders"))),
 
     // --- structured streaming ---
     "stream_events_hourly" -> ((s, dir) =>
       graft.streaming.EventsStream.hourlyCounts(s, dir)),
+    "stream_user_counts" -> ((s, dir) =>
+      graft.streaming.EventsStream.userCountsStateful(s, dir)),
 
     // --- multimodal plumbing (decode step stubbed; see Multimodal) ---
     "mm_features" -> ((s, dir) =>
@@ -430,5 +435,25 @@ object SparkEntry {
         |    AS hour,
         |  event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_user_counts" ->
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+
+    "rel_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders)
+        |  WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ets,
+        |  o.o_orderkey, o.o_totalprice,
+        |  strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+        |FROM events e ASOF JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""
+        .stripMargin,
   )
 }

@@ -127,6 +127,67 @@ object Relational {
           .as("duration_sec"))
   }
 
+  /** As-of join: for each left row, the single latest right row with
+    * `rightTime <= leftTime` and matching key (inner: unmatched left rows
+    * drop). Spark has no ASOF JOIN; the scalable formulation is a tagged
+    * UNION + one running `last(ignoreNulls)` window — ONE shuffle on the
+    * key, no range-join row explosion (a naive join-then-filter is
+    * O(left × right-per-key)). Right rows sort before left rows at equal
+    * timestamps so `>=` matches same-instant rows.
+    *
+    * `right` must be unique per (key, time) — pre-dedupe with a
+    * deterministic rule; [[eventsAsofOrders]] shows the pattern.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val rightPayload = right.columns.filterNot(c =>
+      c == rightKey || c == rightTime).toSeq
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
+      .withColumn("_is_left", lit(1))
+      .withColumn("_rt", lit(null).cast(right.schema(rightTime).dataType))
+    val lPadded = rightPayload.foldLeft(l)((d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val r0 = right
+      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
+      .withColumn("_is_left", lit(0)).withColumn("_rt", col(rightTime))
+    val rPadded = leftCols.foldLeft(r0)((d, c) =>
+      if (rightPayload.contains(c) || c == "_k" || c == "_t") d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val cols = Seq("_k", "_t", "_is_left", "_rt") ++ leftCols ++ rightPayload
+    val unioned = lPadded.select(cols.map(col): _*)
+      .unionByName(rPadded.select(cols.map(col): _*))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = (rightPayload :+ "_rt").foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("_is_left") === 1 && col("_rt").isNotNull)
+      .select((leftCols ++ rightPayload).map(col) :+
+        col("_rt").as(rightTime): _*)
+  }
+
+  /** Events as-of joined to the customer's latest preceding order.
+    * Orders deduped to one per (custkey, orderdate) by max orderkey —
+    * the same rule the oracle applies, so ASOF tie semantics are pinned. */
+  def eventsAsofOrders(events: DataFrame, orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val dedupedOrders = orders
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+    val e = events.select(col("event_id"), col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ets"), col("ts"))
+    asofJoin(e, dedupedOrders, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ets"),
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("order_date"))
+  }
+
   /** Event-type shares via JSON props extraction + conditional agg —
     * exercises get_json_object / semi-structured access. */
   def eventProps(events: DataFrame): DataFrame =

@@ -40,7 +40,39 @@ object EventsStream {
     spark.table(name)
   }
 
-  /** Per-user running event counts via flatMapGroupsWithState-style
-    * stateful streaming is covered in tests; batch twin:
-    * Relational.sessionize. */
+  /** Per-user event totals via stateful streaming
+    * (mapGroupsWithState, update mode): each micro-batch folds its rows
+    * into a per-user running count held in GroupState. The memory sink
+    * accumulates one updated row per (batch, user); the final
+    * `max(n_events)` per user collapses them to the totals (counts are
+    * monotone), so the result is batch-equivalent regardless of how the
+    * input was split into micro-batches.
+    * Output: (user_id, n_events).
+    */
+  def userCountsStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val counts = stream.select($"user_id".as[Long])
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (uid, n)
+      }
+    val name = s"graft_stream_counts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = counts.toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"))
+  }
 }

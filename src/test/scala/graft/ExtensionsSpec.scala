@@ -126,6 +126,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(frames.nonEmpty)
   }
 
+  test("asof join: latest right row at or before left time, per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq( // (key, time, px)
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:05"), 101.0),
+      (1L, ts("2024-01-01 10:00:09"), 102.0),
+      (2L, ts("2024-01-01 10:00:02"), 200.0),
+    ).toDF("qkey", "qts", "px")
+    val trades = Seq( // (key, time, qty)
+      (1L, ts("2024-01-01 10:00:05"), 10L), // equal ts → matches 101
+      (1L, ts("2024-01-01 10:00:07"), 20L), // between → matches 101
+      (1L, ts("2024-01-01 09:59:00"), 30L), // before any quote → dropped
+      (2L, ts("2024-01-01 11:00:00"), 40L), // after → matches 200
+      (3L, ts("2024-01-01 10:00:00"), 50L), // no key → dropped
+    ).toDF("tkey", "tts", "qty")
+    val r = Relational.asofJoin(trades, quotes, "tkey", "qkey", "tts", "qts")
+      .select("qty", "px").collect().map(x => (x.getLong(0), x.getDouble(1)))
+      .toSet
+    assert(r == Set((10L, 101.0), (20L, 101.0), (40L, 200.0)))
+  }
+
+  test("stateful streaming user counts == batch counts on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = rows(
+      graft.streaming.EventsStream.userCountsStateful(spark, dir))
+    val batch = rows(Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events")))
+    assert(streamed == batch)
+  }
+
   test("streaming hourly == batch hourly on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val streamed = rows(graft.streaming.EventsStream.hourlyCounts(spark, dir))
