@@ -87,6 +87,7 @@ object SparkEntry {
     "rel_asof_join" -> ((s, dir) =>
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
+    "rel_set_ops" -> ((s, dir) => Relational.setOps(tbl(s, dir, "orders"))),
 
     // --- structured streaming ---
     "stream_events_hourly" -> ((s, dir) =>
@@ -438,6 +439,16 @@ object SparkEntry {
 
     "stream_user_counts" ->
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+
+    "rel_set_ops" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0"""
+        .stripMargin,
 
     "rel_asof_join" ->
       """WITH o AS (

@@ -154,24 +154,21 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit SimHash signature per document over normalized word unigrams.
+  /** 64-bit SimHash signature per document over normalized word unigrams,
+    * via the one-pass [[graft.functions.SimHashAgg]] (no 64× explode).
     * Output: (doc_id, simhash).
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val toks = WikiText.tokens(docs, idCol, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    WikiText.tokens(docs, idCol, textCol)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    toks
-      .select(col("doc_id"), col("cnt"), xxhash64(col("word")).as("h"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .withColumn("contrib",
-        when(expr("shiftrightunsigned(h, j) & 1") === 1L, col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy("doc_id", "j").agg(sum("contrib").as("w"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        "case when w > 0 then shiftleft(cast(1 as bigint), j) " +
-          "else cast(0 as bigint) end")).as("simhash"))
+      .select(col("doc_id").cast("long"), col("word"), col("cnt"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.SimHashAgg().toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
   }
 
   /** Embedding-cosine near-dup pairs over (vec_id, embedding float[]).

@@ -188,6 +188,17 @@ object Relational {
           .as("order_date"))
   }
 
+  /** Set operations: customers who ordered in both eras (INTERSECT)
+    * minus the very large spenders (EXCEPT). */
+  def setOps(orders: DataFrame): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val early = orders.filter(col("o_orderdate") < cut).select("o_custkey")
+    val late = orders.filter(col("o_orderdate") >= cut).select("o_custkey")
+    val big = orders.filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey")
+    early.intersect(late).except(big)
+  }
+
   /** Event-type shares via JSON props extraction + conditional agg —
     * exercises get_json_object / semi-structured access. */
   def eventProps(events: DataFrame): DataFrame =
