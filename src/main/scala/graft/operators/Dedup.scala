@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline:
@@ -39,27 +40,50 @@ object Dedup {
           i => concat_ws(" ", slice(t, i, lit(n)))))).as("s"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs: all-pairs via shingle equi-join.
-    * jaccard = |A∩B| / (|A|+|B|-|A∩B|); emits doc_a < doc_b with
-    * jaccard >= threshold.
+  /** Exact n-gram Jaccard near-dup pairs with PREFIX FILTERING
+    * (ppjoin-style): jaccard = |A∩B| / (|A|+|B|-|A∩B|); emits
+    * doc_a < doc_b with jaccard >= threshold.
     * Output: (doc_a, doc_b, jac).
     *
-    * This is quadratic in co-shingled docs — correct-but-exact baseline;
-    * at scale use [[minHashLsh]], which produces the same pairs for any
-    * threshold with a comfortable margin (verified candidates).
+    * Exactness-preserving pruning: any pair with jac >= t must
+    *  (1) satisfy the size filter t·|A| <= |B| <= |A|/t, and
+    *  (2) share at least one shingle within each side's prefix — the
+    *      floor((1-t)·n)+1 globally-RAREST shingles of the doc (from
+    *      jac >= t follows |A∩B| >= ceil(t·|A|), so the complement of
+    *      the intersection cannot cover A's whole prefix).
+    * Candidates therefore join only on prefix shingles (rare by
+    * construction — hot shingles never generate candidate pairs), and
+    * every candidate is then verified with the full exact Jaccard.
+    * Same output as the naive all-pairs join, orders of magnitude fewer
+    * join rows on skewed shingle distributions.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         n: Int = 3): DataFrame = {
     // consumed 5× (candidate join ×2, sizes, verify ×2) — materialize once
     val sh = shingles(docs, n).persist()
-    jaccardOnPairs(sh, candidatesFromShingles(sh), threshold)
+    jaccardOnPairs(sh, candidatesByPrefix(sh, threshold), threshold)
   }
 
-  private def candidatesFromShingles(sh: DataFrame): DataFrame = {
-    val a = sh.as("a")
-    val b = sh.as("b")
+  /** Prefix-filtered candidate pairs (see [[ngramJaccardPairs]]). */
+  private def candidatesByPrefix(sh: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("s_df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("s_df").asc, col("s").asc)
+    val prefixes = sh
+      .join(dfreq, "s")
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        floor((lit(1.0) - threshold) * col("n")).cast("int") + 1)
+      .select("doc_id", "s", "n")
+    val a = prefixes.as("a")
+    val b = prefixes.as("b")
     a.join(b, col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
+        col("a.n") >= ceil(lit(threshold) * col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
