@@ -71,19 +71,25 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("s_df").asc, col("s").asc)
+    // Epsilon guard: t*n in binary fp can land just above the exact
+    // product (0.8*10 = 8.000000000000002), shaving one element off the
+    // prefix / wrongly failing the >= size check for pairs at exactly
+    // jac == t. 1e-6 absolute slack is far above fp error for any real
+    // shingle count and far below the next integer.
+    val eps = 1e-6
     val prefixes = sh
       .join(dfreq, "s")
       .join(sizes, "doc_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
-        floor((lit(1.0) - threshold) * col("n")).cast("int") + 1)
+        col("n") - ceil(lit(threshold) * col("n") - eps) + 1)
       .select("doc_id", "s", "n")
     val a = prefixes.as("a")
     val b = prefixes.as("b")
     a.join(b, col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id") &&
-        col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
-        col("a.n") >= ceil(lit(threshold) * col("b.n")))
+        col("b.n") >= lit(threshold) * col("a.n") - eps &&
+        col("a.n") >= lit(threshold) * col("b.n") - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }

@@ -37,6 +37,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 5L))) // near-dup
   }
 
+  test("ngram jaccard keeps pairs at exactly the threshold (fp boundary)") {
+    // A's 8 shingles ⊂ B's 10 → jac = 8/10 = exactly 0.8; the prefix and
+    // size filters must not drop it (regression: ceil(0.8*10) fp slop)
+    val words = (1 to 12).map(i => s"w$i")
+    val d = Seq(
+      (1L, words.take(10).mkString(" ")), // 8 distinct trigram shingles
+      (2L, words.mkString(" ")), // 10 shingles, superset
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 0.8)))
+  }
+
   test("simhash: near-dups close in hamming, unrelated docs far") {
     val sigs = Dedup.simHash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
