@@ -28,29 +28,36 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates by cosine (ties broken by vec_id asc; self-match
-    * excluded). The query side is broadcast — at 100 TB the candidate
-    * scan stays fully parallel, no shuffle of the big side; the per-query
-    * ranking is the only exchange (scored rows, Q×N of them — use
-    * [[lshTopK]] when Q is large).
+    * excluded). The query side is broadcast — the candidate scan stays
+    * fully parallel with no shuffle of the big side — and the ranking
+    * uses the bounded-heap [[graft.functions.TopKAgg]], which partially
+    * aggregates map-side: only k rows per (partition, query) cross the
+    * shuffle, vs every scored row under a window row_number (the
+    * difference between k·Q and N·Q shuffled rows at 100 TB).
     * Output: (query_id, neighbor_id, rank).
     */
   def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val q = withNorm(queries, idCol, vecCol)
       .withColumnsRenamed(Map("vec_id" -> "query_id", "vec" -> "qvec",
         "norm" -> "qnorm"))
     val c = withNorm(candidates, idCol, vecCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")))
           .as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    scored.select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Sign-bucket LSH top-k — the scale path. Buckets vectors by the sign
