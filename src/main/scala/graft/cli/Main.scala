@@ -19,7 +19,8 @@ import graft.operators._
   *
   * Jobs: tokens | dictionary | task1 | tf | idf | tfidf |
   *       dedup-exact | dedup-jaccard | dedup-minhash | dedup-simhash |
-  *       text-stats | lang-id | fingerprint
+  *       text-stats | lang-id | fingerprint |
+  *       sim-topk | dedup-embedding   (input: embeddings parquet)
   *
   * `--input` accepts a `.parquet` documents table (doc_id, text) or a
   * text file of `<doc id=..>body</doc>` lines (wikiextractor format).
@@ -42,8 +43,17 @@ object Main {
       sys.error("--input required: " + usage))
     val output = opts.getOrElse("output",
       sys.error("--output required: " + usage))
-    val docs = readDocs(spark, input)
+    lazy val docs = readDocs(spark, input)
+    lazy val emb = spark.read.parquet(input) // embeddings jobs
     val result: DataFrame = job match {
+      case "sim-topk" =>
+        Similarity.bruteTopK(
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") %
+            opts.getOrElse("query-every", "50").toInt === 0), emb,
+          k = opts.getOrElse("k", "10").toInt)
+      case "dedup-embedding" =>
+        Dedup.embeddingNearDup(emb,
+          threshold = opts.getOrElse("threshold", "0.5").toDouble)
       case "tokens" => WikiText.tokens(docs)
       case "dictionary" => TfIdfOps.dictionary(docs)
       case "task1" => TfIdfOps.task1(docs)
