@@ -94,6 +94,10 @@ object SparkEntry {
       graft.streaming.EventsStream.hourlyCounts(s, dir)),
     "stream_user_counts" -> ((s, dir) =>
       graft.streaming.EventsStream.userCountsStateful(s, dir)),
+    "stream_events_sliding" -> ((s, dir) =>
+      graft.streaming.EventsStream.slidingCounts(s, dir)),
+    "rel_approx_users" -> ((s, dir) =>
+      Relational.approxUsers(tbl(s, dir, "events"))),
 
     // --- multimodal plumbing (decode step stubbed; see Multimodal) ---
     "mm_features" -> ((s, dir) =>
@@ -439,6 +443,20 @@ object SparkEntry {
 
     "stream_user_counts" ->
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+
+    // 1h windows sliding every 30m: an event at t is in the windows
+    // starting at bucket30(t) and bucket30(t) - 30m
+    "stream_events_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts)
+        |              - INTERVAL '30 minutes']) AS wstart
+        |  FROM events
+        |)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "rel_set_ops" ->
       """SELECT o_custkey FROM orders

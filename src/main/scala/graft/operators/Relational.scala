@@ -188,6 +188,17 @@ object Relational {
           .as("order_date"))
   }
 
+  /** Distinct-user cardinalities per event type: exact countDistinct
+    * next to approx_count_distinct (HyperLogLog++) — the sketch is the
+    * 100 TB path (mergeable, fixed memory); exact is its small-scale
+    * check. No cross-engine oracle (HLL implementations differ);
+    * accuracy is unit-tested instead.
+    */
+  def approxUsers(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+
   /** Set operations: customers who ordered in both eras (INTERSECT)
     * minus the very large spenders (EXCEPT). */
   def setOps(orders: DataFrame): DataFrame = {

@@ -40,6 +40,33 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Sliding-window event counts (1-hour windows every 30 minutes —
+    * each event lands in two windows), watermarked, AvailableNow.
+    * Output: (hour string, event_type, n_events).
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"))
+    val name = s"graft_stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Per-user event totals via stateful streaming
     * (mapGroupsWithState, update mode): each micro-batch folds its rows
     * into a per-user running count held in GroupState. The memory sink
