@@ -88,6 +88,9 @@ object SparkEntry {
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
     "rel_set_ops" -> ((s, dir) => Relational.setOps(tbl(s, dir, "orders"))),
+    "rel_anti_join" -> ((s, dir) =>
+      Relational.customersWithoutOrders(tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"))),
 
     // --- structured streaming ---
     "stream_events_hourly" -> ((s, dir) =>
@@ -457,6 +460,14 @@ object SparkEntry {
         |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')"""
+        .stripMargin,
 
     "rel_set_ops" ->
       """SELECT o_custkey FROM orders

@@ -199,6 +199,16 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users_exact"),
         approx_count_distinct(col("user_id")).as("n_users_approx"))
 
+  /** Customers with no recent orders — left-anti join (the Spark-native
+    * form of the reference's sink-existence resume check, SURVEY §2.5 J2).
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             since: String = "2000-01-01"): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderdate") >= lit(since).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
   /** Set operations: customers who ordered in both eras (INTERSECT)
     * minus the very large spenders (EXCEPT). */
   def setOps(orders: DataFrame): DataFrame = {

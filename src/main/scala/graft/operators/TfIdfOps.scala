@@ -110,10 +110,15 @@ object TfIdfOps {
       .withColumn("tf_idf", round2(col("tf") * col("idf")))
       .select("doc_id", "word", "cnt", "tf", "tf_idf")
 
-  /** Full Task-3 pipeline over a (doc_id, text) corpus. */
+  /** Full Task-3 pipeline over a (doc_id, text) corpus.
+    * The TF table feeds both the join probe side and the IDF branch;
+    * column pruning makes the two subtrees non-identical so Spark's
+    * ReuseExchange can NOT dedupe them (verified: 5 exchanges, 0 reused)
+    * — persist it once instead of scanning+tokenizing+aggregating twice.
+    */
   def tfIdfPipeline(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val tfT = tf(docs, idCol, textCol)
+    val tfT = tf(docs, idCol, textCol).persist()
     tfIdf(tfT, idf(tfT, corpusSize(docs.select(col(idCol)))))
   }
 }

@@ -170,6 +170,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("multimodal features feed the similarity operators end-to-end") {
+    val media = Multimodal.withPayload(docs)
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val topk = Similarity.bruteTopK(
+      feats.filter(col("vec_id") === 1L), feats, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    // doc 5 is byte-identical to doc 1 → identical features → cosine 1,
+    // tie broken by id → rank 1
+    assert(topk.head == (5L, 1L))
+  }
+
   test("streaming hourly == batch hourly on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val streamed = rows(graft.streaming.EventsStream.hourlyCounts(spark, dir))
