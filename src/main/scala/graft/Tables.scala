@@ -7,9 +7,29 @@ import org.apache.spark.sql.types.LongType
 /** Table loaders for the testdata layout (one parquet per table). */
 object Tables {
 
+  /** Tables whose downstream pipelines are CPU-heavy per row (tokenize,
+    * shingle, md5, vector math) — worth spreading across cores even when
+    * the input arrives as one split. */
+  private val CpuHeavy = Set("documents", "embeddings")
+
   def load(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    val spread =
+      if (CpuHeavy(name)) spreadSmallScan(s, df) else df
+    if (name == "events") normalizeTs(spread) else spread
+  }
+
+  /** The testdata files are single-row-group parquet → Spark scans them
+    * as ONE partition, serializing every narrow CPU-heavy stage onto one
+    * thread. Re-spread cheap small scans across the cores; on a real
+    * multi-split 100 TB input the partition count already exceeds the
+    * threshold and this is a no-op.
+    */
+  private def spreadSmallScan(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(target / 2, 2))
+      df.repartition(target)
+    else df
   }
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
