@@ -72,6 +72,44 @@ class CliAndPropertiesSpec extends SparkSpec {
     }.toDF("doc_id", "text")
   }
 
+  test("WikiText.parse: malformed lines degrade without crashing") {
+    val lines = Seq(
+      "no angle brackets at all",
+      "<doc id=\"9\" url=\"u\" title=\"T\">", // no body, no second '>'
+      "", // empty line
+      "<notadoc>body here</notadoc>",
+    ).toDF("value")
+    val parsed = WikiText.parse(lines)
+    // must not throw; malformed rows produce empty/null fields
+    val n = parsed.count()
+    assert(n == 4)
+    val toks = WikiText.tokens(parsed, "doc_id", "body")
+    // only the <notadoc> line yields tokens ("body here")
+    assert(rows(toks).forall(_.split('|')(1).matches("[a-z]+")))
+  }
+
+  test("property: minhash-lsh == exact jaccard on random near-dup corpora") {
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(50)(i => s"tok$i")
+      val originals = (1L to 30L).map { id =>
+        (id, Seq.fill(30 + rnd.nextInt(30))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant near-dups: copy with one word replaced
+      val dups = originals.take(8).map { case (id, text) =>
+        val w = text.split(" ")
+        w(rnd.nextInt(w.length)) = "mutated"
+        (id + 1000L, w.mkString(" "))
+      }
+      val corpus = (originals ++ dups).toDF("doc_id", "text")
+      val exact = rows(Dedup.ngramJaccardPairs(corpus, threshold = 0.6))
+      val approx = rows(Dedup.minHashLsh(corpus, threshold = 0.6))
+      assert(exact == approx, s"seed $seed")
+      assert(exact.nonEmpty, s"seed $seed planted dups not found")
+    }
+  }
+
   test("property: tokens are always non-empty lowercase letters") {
     val toks = WikiText.tokens(randomCorpus).collect().map(_.getString(1))
     assert(toks.nonEmpty)
