@@ -101,6 +101,11 @@ object SparkEntry {
       graft.streaming.EventsStream.slidingCounts(s, dir)),
     "rel_approx_users" -> ((s, dir) =>
       Relational.approxUsers(tbl(s, dir, "events"))),
+    "rel_cube" -> ((s, dir) => Relational.orderCube(tbl(s, dir, "orders"))),
+    "rel_window_funcs" -> ((s, dir) =>
+      Relational.orderWindowFuncs(tbl(s, dir, "orders"))),
+    "stream_dedup_pairs" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupPairs(s, dir)),
 
     // --- multimodal plumbing (decode step stubbed; see Multimodal) ---
     "mm_features" -> ((s, dir) =>
@@ -460,6 +465,28 @@ object SparkEntry {
         |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+        .stripMargin,
+
+    "rel_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)"""
+        .stripMargin,
+
+    "stream_dedup_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "rel_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

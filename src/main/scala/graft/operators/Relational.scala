@@ -79,6 +79,35 @@ object Relational {
          |FROM $view GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
+  /** CUBE over (status, priority): all grouping-set combinations.
+    * Same temp-view SQL route as [[customerRollup]] (Spark 4 Dataset
+    * rollup/cube ambiguity false positive on join-derived columns does
+    * not bite here, but one consistent route is simpler). */
+  def orderCube(orders: DataFrame): DataFrame = {
+    val view = s"graft_cube_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView(view)
+    orders.sparkSession.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $view GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+        .stripMargin)
+  }
+
+  /** Window-function breadth over per-customer order history: rank,
+    * dense_rank, lag, lead, ntile — all over a fully-pinned ordering. */
+  def orderWindowFuncs(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+  }
+
   /** Orders with a running per-customer order index and revenue total —
     * window functions over event-time order. */
   def customerOrderHistory(orders: DataFrame): DataFrame = {

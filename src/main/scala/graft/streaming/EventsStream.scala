@@ -67,6 +67,29 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Streaming deduplication: distinct (user_id, event_type) pairs seen
+    * on the stream (dropDuplicates keeps first-arrival state per key;
+    * emitting only the key columns makes the result order-independent).
+    * Output: (user_id, event_type).
+    */
+  def dedupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val deduped = stream.select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    val name = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Per-user event totals via stateful streaming
     * (mapGroupsWithState, update mode): each micro-batch folds its rows
     * into a per-user running count held in GroupState. The memory sink
