@@ -8,24 +8,25 @@ import org.apache.spark.unsafe.Platform
 
 /** One-pass MinHash signature aggregator: for each document, the
   * per-permutation minimum over its shingles of the hash family
-  * h_p(s) = xxh64(xxh64(bytes(s), seed=42), seed=p).
+  * h_p(s) = xxh64(h0(s), seed=p), where h0 is Spark's codegen'd
+  * `xxhash64(s)` computed in the DataFrame BEFORE the shuffle — the
+  * aggregator's input is the 8-byte shingle hash, not the string, so
+  * the exchange ships (long, long) rows only.
   *
   * Replaces the explode(numPerm)×shuffle formulation — the shingle rows
-  * never fan out; each input row does one string hash + numPerm cheap
-  * long hashes into a fixed Array[Long] buffer (ObjectHashAggregate),
-  * cutting the shuffle volume by numPerm×. The LSH candidates it feeds
-  * are exact-Jaccard-verified downstream, so any well-mixed hash family
+  * never fan out; each input row does numPerm cheap long hashes into a
+  * fixed Array[Long] buffer (ObjectHashAggregate), cutting the shuffle
+  * volume by numPerm×. The LSH candidates it feeds are
+  * exact-Jaccard-verified downstream, so any well-mixed hash family
   * yields the identical final pair set.
   */
 class MinHashAgg(numPerm: Int)
-    extends Aggregator[(Long, String), Array[Long], Array[Long]] {
+    extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
 
   override def zero: Array[Long] = Array.fill(numPerm)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], in: (Long, String)): Array[Long] = {
-    val bytes = in._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val h0 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-      bytes.length, 42L)
+  override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+    val h0 = in._2
     var p = 0
     while (p < numPerm) {
       val h = XXH64.hashLong(h0, p.toLong)

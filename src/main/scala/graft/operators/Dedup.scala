@@ -133,9 +133,12 @@ object Dedup {
     import spark.implicits._
     // consumed 4× (signatures, sizes, verify ×2) — materialize once
     val sh = shingles(docs, n).persist()
-    // one-pass signatures: (doc) -> Array[Long](numPerm) of per-perm mins
-    val sigs = sh.select(col("doc_id").cast("long"), col("s"))
-      .as[(Long, String)]
+    // one-pass signatures: (doc) -> Array[Long](numPerm) of per-perm mins;
+    // shingles pre-hashed to longs with codegen'd xxhash64 so the
+    // aggregation exchange carries 16-byte rows, not strings
+    val sigs = sh.select(col("doc_id").cast("long"),
+        xxhash64(col("s")).as("h0"))
+      .as[(Long, Long)]
       .groupByKey(_._1)
       .agg(new graft.functions.MinHashAgg(numPerm).toColumn.name("sig"))
       .toDF("doc_id", "sig")

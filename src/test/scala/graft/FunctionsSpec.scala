@@ -74,15 +74,20 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("MinHashAgg: identical shingle sets → identical signatures") {
+    def h0(s: String): Long = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
     val agg = new MinHashAgg(16)
-    val s1 = Seq("a b c", "b c d", "c d e")
+    val s1 = Seq("a b c", "b c d", "c d e").map(h0)
     val b1 = s1.foldLeft(agg.zero)((b, s) => agg.reduce(b.clone(), (1L, s)))
     val b2 = s1.reverse.foldLeft(agg.zero)((b, s) =>
       agg.reduce(b.clone(), (2L, s)))
     assert(b1.toSeq == b2.toSeq) // order-independent
-    val b3 = agg.merge(agg.reduce(agg.zero, (1L, "a b c")),
-      agg.reduce(agg.zero, (1L, "x y z")))
-    assert(b3.toSeq == Seq("a b c", "x y z")
+    val b3 = agg.merge(agg.reduce(agg.zero, (1L, h0("a b c"))),
+      agg.reduce(agg.zero, (1L, h0("x y z"))))
+    assert(b3.toSeq == Seq(h0("a b c"), h0("x y z"))
       .foldLeft(agg.zero)((b, s) => agg.reduce(b, (1L, s))).toSeq)
   }
 }
