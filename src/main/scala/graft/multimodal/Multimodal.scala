@@ -77,6 +77,23 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: scales the metadata dimensions and subsamples the
+    * payload bytes by the same factor (a real implementation decodes,
+    * rescales pixels, re-encodes). Keeps the (doc_id, data, format,
+    * width, height) schema so resized media flows through the same
+    * pipeline. */
+  def resize(media: DataFrame, maxDim: Int = 128): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height")))
+    media.select(
+      col("doc_id"),
+      expr(s"substring(data, 1, greatest(int(length(data) * " +
+        s"least(1.0, $maxDim / greatest(width, height))), 1))").as("data"),
+      col("format"),
+      ceil(col("width") * scale).cast("int").as("width"),
+      ceil(col("height") * scale).cast("int").as("height"))
+  }
+
   /** Deterministic frame sampling for a (fake) video payload: emits every
     * `stride`-th 16-byte "frame" with its index — the explode/posexplode
     * shape of a real frame sampler. Output: (doc_id, frame_idx, frame).

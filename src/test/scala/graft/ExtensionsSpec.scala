@@ -137,6 +137,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(f1.n_bytes == base.length)
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.nonEmpty)
+    val resized = Multimodal.resize(media, maxDim = 128).collect()
+    resized.foreach { r =>
+      assert(r.getInt(3) <= 128 && r.getInt(4) <= 128)
+      assert(r.getAs[Array[Byte]](1).nonEmpty)
+    }
+    // resized media still feeds the feature extractor
+    assert(Multimodal.extractFeatures(
+      Multimodal.resize(media)).count() == 5)
   }
 
   test("asof join: latest right row at or before left time, per key") {
@@ -159,6 +167,35 @@ class ExtensionsSpec extends SparkSpec {
       .select("qty", "px").collect().map(x => (x.getLong(0), x.getDouble(1)))
       .toSet
     assert(r == Set((10L, 101.0), (20L, 101.0), (40L, 200.0)))
+  }
+
+  test("asof join == naive join-then-latest on random data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(99)
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, t(rnd.nextInt(500))))
+      .toDF("lid", "k", "lt")
+    val right = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, t(rnd.nextInt(500)), rnd.nextInt(1000)))
+      .toDF("rid", "k", "rt", "payload")
+      // unique per (k, rt): keep max rid (same rule as asofJoin contract)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("k", "rt").orderBy(col("rid").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val got = rows(Relational.asofJoin(
+        left, right.withColumnRenamed("k", "rk"), "k", "rk", "lt", "rt")
+      .select("lid", "rid"))
+    // naive: all-pairs filter + pick latest rt (tie impossible: unique rt)
+    val naive = left.join(right, left("k") === right("k") &&
+        col("rt") <= col("lt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lid").orderBy(col("rt").desc, col("rid").desc)))
+      .filter(col("rn") === 1)
+    assert(got == rows(naive.select("lid", "rid")))
+    assert(got.nonEmpty)
   }
 
   test("stateful streaming user counts == batch counts on sf0.001") {
