@@ -43,6 +43,8 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextStats.stats(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextStats.langId(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
+    // rows-only (xxhash64 bucketing is engine-specific; unit-tested e2e)
+    "text_hash_embed" -> ((s, dir) => TextStats.hashEmbed(docs(s, dir))),
 
     // --- deduplication (north-star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),

@@ -93,6 +93,38 @@ object TextStats {
           .otherwise("fr"))
   }
 
+  /** Feature-hashing text embedding: each normalized token hashes to one
+    * of `dims` buckets with a ±1 sign bit (hashing trick); the bucket
+    * sums form a doc vector, L2-normalized, emitted as Array[Float] —
+    * directly consumable by the Similarity/Dedup embedding operators.
+    * Pure `functions._` (map_from_entries + transform), no UDFs.
+    * Output: (doc_id, embedding array<float>).
+    */
+  def hashEmbed(docs: DataFrame, dims: Int = 64, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = WikiText.tokens(docs, idCol, textCol)
+    val contrib = toks
+      .select(col("doc_id"),
+        pmod(xxhash64(col("word")), lit(dims)).cast("int").as("j"),
+        when(expr("shiftrightunsigned(xxhash64(word, 7), 7) & 1") === 1L,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "j").agg(sum("sgn").as("w"))
+    val asMap = contrib.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("j"), col("w"))))
+        .as("m"))
+    val vec = transform(sequence(lit(0), lit(dims - 1)),
+      // try_element_at: ANSI element_at raises on missing map keys
+      i => coalesce(try_element_at(col("m"), i), lit(0L)).cast("double"))
+    asMap
+      .withColumn("v", vec)
+      .withColumn("norm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .filter(col("norm") > 0)
+      .select(col("doc_id"),
+        transform(col("v"), x => (x / col("norm")).cast("float"))
+          .as("embedding"))
+  }
+
   /** Whitespace-normalized lowercase text — the dedup canonical form. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

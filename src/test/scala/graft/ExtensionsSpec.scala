@@ -207,6 +207,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("hashEmbed: unit vectors, dup docs identical, text→near-dup e2e") {
+    val emb = TextStats.hashEmbed(docs, dims = 32)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.values.forall(_.length == 32))
+    vecs.values.foreach { v =>
+      val n = v.map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(n - 1.0) < 1e-5) // L2-normalized
+    }
+    assert(vecs(1L) == vecs(5L)) // identical text → identical embedding
+    // end-to-end: text → embedding → cosine near-dup finds the dup pair
+    val nd = Dedup.embeddingNearDup(
+      emb.withColumnRenamed("doc_id", "vec_id"), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 5L)))
+    assert(!nd.contains((1L, 4L))) // unrelated text stays apart
+  }
+
   test("multimodal features feed the similarity operators end-to-end") {
     val media = Multimodal.withPayload(docs)
     val feats = Multimodal.extractFeatures(media).toDF()
