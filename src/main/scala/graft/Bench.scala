@@ -22,7 +22,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      Housekeeping.release(spark)
+      dt
     }
 
     // JVM/codegen warmup on the smallest sf so the first measured query

@@ -79,13 +79,16 @@ object Main {
     }
   }
 
-  /** Reference column orders for the ref-csv format (FIXTURES.md §A). */
+  /** Reference column orders for the ref-csv format (FIXTURES.md §A).
+    * Per-doc queries carry doc_id: as the partition directory under
+    * --per-doc (CompatIo drops it from the row body), as a leading row
+    * column otherwise — single-table rows must stay attributable. */
   private def refCols(job: String, df: DataFrame): Seq[String] = job match {
     case "task1" => Seq("word", "rank", "cnt") // task1.csv: WORD, rank, count
     case "dictionary" => Seq("word", "rank", "cnt")
-    case "tf" => Seq("word", "cnt", "tf") // docs/<id>.csv: word, count, tf
+    case "tf" => Seq("doc_id", "word", "cnt", "tf") // docs/<id>.csv rows
     case "idf" => Seq("word", "idf") // idf.csv
-    case "tfidf" => Seq("word", "cnt", "tf", "tf_idf") // TF-IDF-Docs/<id>.csv
+    case "tfidf" => Seq("doc_id", "word", "cnt", "tf", "tf_idf")
     case _ => df.columns.toSeq
   }
 

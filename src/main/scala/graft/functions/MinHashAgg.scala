@@ -1,10 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.unsafe.Platform
 
 /** One-pass MinHash signature aggregator: for each document, the
   * per-permutation minimum over its shingles of the hash family

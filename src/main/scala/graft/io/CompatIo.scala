@@ -21,12 +21,14 @@ object CompatIo {
 
   /** Write `cols` of `df` as reference-style `", "`-joined text rows.
     * Ordering: count-desc, word-asc within each doc (T4 order
-    * preservation, tie pinned). */
+    * preservation, tie pinned). Under `perDoc`, doc_id becomes the
+    * partition directory and is dropped from the row body. */
   def writeRefCsv(df: DataFrame, cols: Seq[String], outDir: String,
                   perDoc: Boolean = false): Unit = {
     val hasDoc = df.columns.contains("doc_id")
     val hasCnt = df.columns.contains("cnt")
-    val body = concat_ws(RefDelimiter, cols.map(c => col(c).cast("string")): _*)
+    def body(cs: Seq[String]) =
+      concat_ws(RefDelimiter, cs.map(c => col(c).cast("string")): _*)
     if (perDoc && hasDoc) {
       val sorted =
         if (hasCnt)
@@ -34,17 +36,20 @@ object CompatIo {
             .sortWithinPartitions(col("doc_id"), col("cnt").desc,
               col("word").asc)
         else df.repartition(col("doc_id"))
-      sorted.select(col("doc_id"), body.as("value"))
+      sorted
+        .select(col("doc_id"), body(cols.filterNot(_ == "doc_id")).as("value"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("doc_id").text(outDir)
     } else {
+      // co-locate + order each doc's rows even in the single-table layout
       val sorted =
         if (hasDoc && hasCnt)
-          df.sortWithinPartitions(col("doc_id"), col("cnt").desc,
-            col("word").asc)
-        else if (hasCnt) df.orderBy(col("cnt").desc)
+          df.repartition(col("doc_id"))
+            .sortWithinPartitions(col("doc_id"), col("cnt").desc,
+              col("word").asc)
+        else if (hasCnt) df.orderBy(col("cnt").desc, col("word").asc)
         else df
-      sorted.select(body.as("value"))
+      sorted.select(body(cols).as("value"))
         .write.mode(SaveMode.Overwrite).text(outDir)
     }
   }

@@ -94,7 +94,8 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         (dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")))
           .as("cos"))
-      .distinct() // a (query, candidate) pair can meet in several probes
+      // no distinct needed: a candidate has exactly one bucket and the
+      // probe set is distinct values, so each pair meets at most once
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))

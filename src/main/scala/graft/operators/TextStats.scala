@@ -48,12 +48,21 @@ object TextStats {
           .cast("long").as("stop_toks"))
       .select(
         col("doc_id"), col("n_chars"), col("n_tokens"), col("n_bpe_tokens"),
-        (col("alpha_chars") / col("n_chars")).as("alpha_ratio"),
-        (col("digit_chars") / col("n_chars")).as("digit_ratio"),
-        (col("punct_chars") / col("n_chars")).as("punct_ratio"),
-        (col("space_chars") / col("n_chars")).as("space_ratio"),
-        (col("tok_chars") / col("n_tokens")).as("mean_token_len"),
-        (col("stop_toks") / col("n_tokens")).as("stopword_ratio"))
+        // nullif guards: ANSI mode errors on x/0 while the DuckDB oracle
+        // yields NULL — null denominators make both engines emit NULL for
+        // empty/whitespace-only documents
+        (col("alpha_chars") / nullif(col("n_chars"), lit(0L)))
+          .as("alpha_ratio"),
+        (col("digit_chars") / nullif(col("n_chars"), lit(0L)))
+          .as("digit_ratio"),
+        (col("punct_chars") / nullif(col("n_chars"), lit(0L)))
+          .as("punct_ratio"),
+        (col("space_chars") / nullif(col("n_chars"), lit(0L)))
+          .as("space_ratio"),
+        (col("tok_chars") / nullif(col("n_tokens"), lit(0L)))
+          .as("mean_token_len"),
+        (col("stop_toks") / nullif(col("n_tokens"), lit(0L)))
+          .as("stopword_ratio"))
       .withColumn("quality_score",
         lit(0.25) * least(lit(1.0), col("n_tokens") / 100.0) +
         lit(0.25) * col("alpha_ratio") +

@@ -60,8 +60,7 @@ object TfIdfOps {
       .select(upper(col("word")).as("word"), col("rank"), col("cnt"))
 
   /** Q4: per-document TF table (reference Code/DocInfo.java:31-51).
-    * Output: (doc_id, raw_len, word, cnt, tf) — raw_len kept so idf/tfidf
-    * can chain without recomputing; project it away at the API edge.
+    * Output: (doc_id, word, cnt, tf).
     */
   def tf(docs: DataFrame, idCol: String = "doc_id",
          textCol: String = "text", perDocK: Int = 20000): DataFrame = {
