@@ -108,6 +108,10 @@ object SparkEntry {
       Relational.orderWindowFuncs(tbl(s, dir, "orders"))),
     "stream_dedup_pairs" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupPairs(s, dir)),
+    "stream_events_by_segment" -> ((s, dir) =>
+      graft.streaming.EventsStream.eventsBySegment(s, dir)),
+    "rel_scalar_funcs" -> ((s, dir) =>
+      Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
     // --- multimodal plumbing (decode step stubbed; see Multimodal) ---
     "mm_features" -> ((s, dir) =>
@@ -489,6 +493,30 @@ object SparkEntry {
 
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_events_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
+        |  strftime(o_orderdate, '%Y-%m') AS o_ym,
+        |  upper(o_orderstatus) AS status_u,
+        |  lower(o_orderpriority) AS prio_l,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS status_prio,
+        |  reverse(o_orderstatus) AS status_rev,
+        |  abs(o_totalprice - 100000.0) AS price_dist,
+        |  greatest(o_totalprice, CAST(250000.0 AS DOUBLE)) AS price_floor,
+        |  least(o_totalprice, CAST(250000.0 AS DOUBLE)) AS price_cap,
+        |  sqrt(o_totalprice) AS price_sqrt,
+        |  o_orderkey % 7 AS key_mod
+        |FROM orders""".stripMargin,
 
     "rel_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

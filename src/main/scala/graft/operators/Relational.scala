@@ -238,6 +238,29 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
 
+  /** Scalar-function breadth over orders: date parts, string functions,
+    * math — every expression chosen for bit-identical cross-engine
+    * semantics (no rounding-mode or locale dependence). */
+  def scalarFuncs(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+      upper(col("o_orderstatus")).as("status_u"),
+      lower(col("o_orderpriority")).as("prio_l"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      length(col("o_orderpriority")).cast("long").as("prio_len"),
+      concat_ws("#", col("o_orderstatus"), col("o_orderpriority"))
+        .as("status_prio"),
+      reverse(col("o_orderstatus")).as("status_rev"),
+      abs(col("o_totalprice") - 100000.0).as("price_dist"),
+      greatest(col("o_totalprice"), lit(250000.0)).as("price_floor"),
+      least(col("o_totalprice"), lit(250000.0)).as("price_cap"),
+      sqrt(col("o_totalprice")).as("price_sqrt"),
+      (col("o_orderkey") % 7).as("key_mod"))
+
   /** Set operations: customers who ordered in both eras (INTERSECT)
     * minus the very large spenders (EXCEPT). */
   def setOps(orders: DataFrame): DataFrame = {

@@ -67,6 +67,32 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Stream-static join: the event stream enriched against the static
+    * customer dimension (broadcast per micro-batch), aggregated to
+    * per-segment event counts. Output: (c_mktsegment, n_events).
+    */
+  def eventsBySegment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val agg = stream
+      .join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"graft_stream_segment_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming deduplication: distinct (user_id, event_type) pairs seen
     * on the stream (dropDuplicates keeps first-arrival state per key;
     * emitting only the key columns makes the result order-independent).
