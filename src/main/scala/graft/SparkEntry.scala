@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(docs(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"))),
+    "dedup_assign" -> ((s, dir) => Dedup.assignCanonical(docs(s, dir))),
 
     // --- similarity search (north-star) ---
     "sim_topk_brute" -> ((s, dir) => {
@@ -326,6 +327,45 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+
+    // naive definition of the canonical assignment: connected components
+    // (min reachable id) over jaccard>=0.8 edges on NORMALIZED-text
+    // shingles — exact clones are jaccard-1 edges, so the engine's
+    // exact-collapse-first optimization provably yields the same
+    // components
+    "dedup_assign" ->
+      """WITH RECURSIVE nrm AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, string_split(t, ' ') AS tk FROM nrm
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
+        |  FROM sh0
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), com AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jpairs AS (
+        |  SELECT da, db FROM com
+        |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE c / (x.n + y.n - c) >= 0.8
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM jpairs
+        |  UNION ALL SELECT db, da FROM jpairs
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
+        |    ON e.a = reach.id
+        |)
+        |SELECT id AS doc_id, min(r) AS canonical_id
+        |FROM reach GROUP BY id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH $vecCtes

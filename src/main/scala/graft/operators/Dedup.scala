@@ -204,6 +204,67 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
+  /** Full dedup ASSIGNMENT pipeline — the 100 TB shape. Emitting all
+    * near-dup pairs is quadratic in the clone multiplicity (10× cloning
+    * → 45× the pairs; measured 64s vs 3s in tools/ScaleProbe), so
+    * production pipelines assign every doc a canonical id instead:
+    *
+    *  1. exact-collapse: md5(normalized text) groups → one representative
+    *     per clone set (kills the quadratic blowup before it exists);
+    *  2. near-dup edges among representatives only (MinHash+LSH,
+    *     exact-verified);
+    *  3. connected components over those edges via iterative min-label
+    *     propagation (clusters are tiny — converges in a few rounds);
+    *  4. every doc inherits its representative's component label.
+    *
+    * Shingles here are over the NORMALIZED text, so exact clones have
+    * identical shingle sets and collapsing them first provably preserves
+    * the components of the naive all-docs graph.
+    * Output: (doc_id, canonical_id) — canonical_id = min doc_id of the
+    * doc's (exact ∪ near-dup) connected component.
+    */
+  def assignCanonical(docs: DataFrame, threshold: Double = 0.8,
+                      n: Int = 3, maxIter: Int = 20): DataFrame = {
+    val normed = docs.select(col("doc_id"),
+      TextStats.normalized(col("text")).as("text"))
+    val fp = normed.select(col("doc_id"), md5(col("text")).as("fp"))
+    val repExact = fp.groupBy("fp").agg(min("doc_id").as("rep"))
+    val docRep = fp.join(repExact, "fp").select("doc_id", "rep").persist()
+    val repDocs = normed.join(
+      docRep.filter(col("doc_id") === col("rep")).select("rep"),
+      col("doc_id") === col("rep")).select("doc_id", "text")
+    val pairs = minHashLsh(repDocs, threshold, n)
+      .select(col("doc_a"), col("doc_b"))
+    // symmetric edge list for label propagation
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = docRep.select(col("rep").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    // labels only ever decrease, so the label sum is a strictly
+    // decreasing convergence measure — no self-join needed
+    var prevSum = labels.agg(sum("label")).first().getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, col("doc_b") === col("id"))
+        .groupBy(col("doc_a")).agg(min("label").as("nmin"))
+      labels = labels
+        .join(neighborMin, col("id") === col("doc_a"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist()
+      val s = labels.agg(sum("label")).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    docRep.join(labels, col("rep") === col("id"))
+      .select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Embedding-cosine near-dup pairs over (vec_id, embedding float[]).
     * Cosine computed in double precision; all-pairs join with vec_a <
     * vec_b (at scale, prune with [[Similarity.signBuckets]]-style LSH

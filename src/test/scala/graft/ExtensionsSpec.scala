@@ -50,6 +50,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0.8)))
   }
 
+  test("assignCanonical: clones + transitive near-dup chains collapse") {
+    // chain: c1 ~ c2 (one-word edit), c2 ~ c3 (another edit) — c1 and c3
+    // differ by two words but must share a component (transitivity);
+    // 40 is an exact clone of 10 (case only); 30 stands alone
+    val words = (1 to 30).map(i => s"w$i")
+    def edit(at: Int, v: String) = words.updated(at, v).mkString(" ")
+    val d = Seq(
+      (10L, words.mkString(" ")),
+      (11L, edit(5, "xx")), // near-dup of 10
+      (12L, edit(5, "xx").replace("w20", "yy")), // near-dup of 11
+      (30L, (1 to 30).map(i => s"z$i").mkString(" ")),
+      (40L, words.mkString(" ").toUpperCase), // exact clone of 10 (norm.)
+    ).toDF("doc_id", "text")
+    val got = Dedup.assignCanonical(d, threshold = 0.6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 10L && got(40L) == 10L) // clone joins 10
+    assert(got(11L) == 10L && got(12L) == 10L) // transitive chain
+    assert(got(30L) == 30L) // singleton keeps itself
+  }
+
   test("simhash: near-dups close in hamming, unrelated docs far") {
     val sigs = Dedup.simHash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
