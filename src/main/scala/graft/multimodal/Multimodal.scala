@@ -83,12 +83,15 @@ object Multimodal {
     * width, height) schema so resized media flows through the same
     * pipeline. */
   def resize(media: DataFrame, maxDim: Int = 128): DataFrame = {
+    // one scale definition feeds both the metadata and the payload
+    // subsample; greatest(...,1) guards degenerate zero-dim metadata
     val scale = least(lit(1.0),
-      lit(maxDim) / greatest(col("width"), col("height")))
+      lit(maxDim) / greatest(col("width"), col("height"), lit(1)))
     media.select(
       col("doc_id"),
-      expr(s"substring(data, 1, greatest(int(length(data) * " +
-        s"least(1.0, $maxDim / greatest(width, height))), 1))").as("data"),
+      col("data").substr(lit(1),
+        greatest((length(col("data")) * scale).cast("int"), lit(1)))
+        .as("data"),
       col("format"),
       ceil(col("width") * scale).cast("int").as("width"),
       ceil(col("height") * scale).cast("int").as("height"))

@@ -224,43 +224,62 @@ object Dedup {
     * doc's (exact ∪ near-dup) connected component.
     */
   def assignCanonical(docs: DataFrame, threshold: Double = 0.8,
-                      n: Int = 3, maxIter: Int = 20): DataFrame = {
+                      n: Int = 3, maxIter: Int = 20,
+                      exactEdges: Boolean = true): DataFrame = {
     val normed = docs.select(col("doc_id"),
       TextStats.normalized(col("text")).as("text"))
     val fp = normed.select(col("doc_id"), md5(col("text")).as("fp"))
-    val repExact = fp.groupBy("fp").agg(min("doc_id").as("rep"))
-    val docRep = fp.join(repExact, "fp").select("doc_id", "rep").persist()
-    val repDocs = normed.join(
-      docRep.filter(col("doc_id") === col("rep")).select("rep"),
+    val repExact = fp.groupBy("fp").agg(min("doc_id").as("rep")).persist()
+    val docRep = fp.join(repExact, "fp").select("doc_id", "rep")
+    val repDocs = normed.join(repExact.select(col("rep")),
       col("doc_id") === col("rep")).select("doc_id", "text")
-    val pairs = minHashLsh(repDocs, threshold, n)
+    // edges among representatives: exact prefix-filtered Jaccard by
+    // default (deterministic — an LSH miss here would sever a whole
+    // component, not just drop one pair); pass exactEdges=false for the
+    // MinHash candidate path at corpus sizes where exact is infeasible
+    val pairs = (if (exactEdges) ngramJaccardPairs(repDocs, threshold, n)
+                 else minHashLsh(repDocs, threshold, n))
       .select(col("doc_a"), col("doc_b"))
     // symmetric edge list for label propagation
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = docRep.select(col("rep").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    // labels only ever decrease, so the label sum is a strictly
-    // decreasing convergence measure — no self-join needed
-    var prevSum = labels.agg(sum("label")).first().getLong(0)
+    // localCheckpoint (not persist): the pointer-jump step references
+    // `labels` twice, so lineage would DOUBLE per iteration — the logical
+    // plan alone OOMs after ~20 rounds; checkpointing truncates it.
+    var labels = repExact.select(col("rep").as("id"))
+      .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val neighborMin = edges
         .join(labels, col("doc_b") === col("id"))
         .groupBy(col("doc_a")).agg(min("label").as("nmin"))
-      labels = labels
+      val hopped = labels
         .join(neighborMin, col("id") === col("doc_a"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .persist()
-      val s = labels.agg(sum("label")).first().getLong(0)
-      converged = s == prevSum
-      prevSum = s
+      // pointer jumping: label := label(label) — doubles the effective
+      // propagation distance per round, so convergence is O(log diameter)
+      // rather than O(diameter)
+      val l2 = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = hopped
+        .join(l2, col("label") === col("jid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("label"), coalesce(col("jlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      // changed-row count as the convergence test: overflow-free
+      // (a label SUM overflows Long under ANSI at ~1e9 large ids)
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
+    if (!converged && iter == maxIter)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"assignCanonical: label propagation hit maxIter=$maxIter before " +
+          "convergence — canonical ids may split oversized components")
     docRep.join(labels, col("rep") === col("id"))
       .select(col("doc_id"), col("label").as("canonical_id"))
   }

@@ -11,6 +11,33 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventsStream {
 
+  /** The events parquet as a normalized file stream (the source needs a
+    * directory path, hence the glob filter). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  /** Drain a streaming frame into a fresh memory sink with AvailableNow
+    * and return the materialized table. Names carry the graft_stream_
+    * prefix so Housekeeping.release can drop them. */
+  private def runToMemory(df: DataFrame, prefix: String,
+                          mode: String): DataFrame = {
+    val name = s"graft_stream_${prefix}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+
   /** Hourly tumbling-window event counts as a stream job. Reads the
     * events parquet as a file stream, aggregates into 1-hour windows
     * (1h watermark), drains with AvailableNow into a memory sink, and
@@ -18,26 +45,14 @@ object EventsStream {
     * Output: (hour string, event_type, n_events).
     */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet") // the source wants a dir
-        .parquet(dir))
-    val agg = stream
+    val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"))
-    val name = s"graft_stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(agg, "hourly", "complete")
   }
 
   /** Sliding-window event counts (1-hour windows every 30 minutes —
@@ -45,26 +60,14 @@ object EventsStream {
     * Output: (hour string, event_type, n_events).
     */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-    val agg = stream
+    val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"))
-    val name = s"graft_stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(agg, "sliding", "complete")
   }
 
   /** Stream-static join: the event stream enriched against the static
@@ -72,25 +75,12 @@ object EventsStream {
     * per-segment event counts. Output: (c_mktsegment, n_events).
     */
   def eventsBySegment(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
     val customer = spark.read.parquet(s"$dir/customer.parquet")
-    val agg = stream
+    val agg = eventsStream(spark, dir)
       .join(broadcast(customer), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_events"))
-    val name = s"graft_stream_segment_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(agg, "segment", "complete")
   }
 
   /** Streaming deduplication: distinct (user_id, event_type) pairs seen
@@ -99,21 +89,10 @@ object EventsStream {
     * Output: (user_id, event_type).
     */
   def dedupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-    val deduped = stream.select("user_id", "event_type")
+    val deduped = eventsStream(spark, dir)
+      .select("user_id", "event_type")
       .dropDuplicates("user_id", "event_type")
-    val name = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = deduped.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(deduped, "dedup", "append")
   }
 
   /** Per-user event totals via stateful streaming
@@ -128,12 +107,7 @@ object EventsStream {
   def userCountsStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-    val counts = stream.select($"user_id".as[Long])
+    val counts = eventsStream(spark, dir).select($"user_id".as[Long])
       .groupByKey(identity)
       .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
         case (uid, rows, state) =>
@@ -141,14 +115,8 @@ object EventsStream {
           state.update(n)
           (uid, n)
       }
-    val name = s"graft_stream_counts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = counts.toDF("user_id", "n_events")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).groupBy("user_id")
+    runToMemory(counts.toDF("user_id", "n_events"), "counts", "update")
+      .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"))
   }
 }

@@ -70,6 +70,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(30L) == 30L) // singleton keeps itself
   }
 
+  test("assignCanonical: 25-hop chain converges (pointer jumping)") {
+    // doc_i differs from doc_{i-1} by one word — a 25-link chain whose
+    // min label must travel 24 hops; pointer jumping makes that
+    // O(log n) rounds, well inside maxIter
+    val base = (1 to 30).map(i => s"c$i").toVector
+    val texts = (0 until 25).scanLeft(base) { (w, i) =>
+      w.updated(i % w.size, s"m$i")
+    }.tail
+    val d = texts.zipWithIndex
+      .map { case (w, i) => (100L + i, w.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Dedup.assignCanonical(d, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(100L), s"components split: $got")
+  }
+
   test("simhash: near-dups close in hamming, unrelated docs far") {
     val sigs = Dedup.simHash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
