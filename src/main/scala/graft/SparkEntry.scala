@@ -111,6 +111,8 @@ object SparkEntry {
       graft.streaming.EventsStream.dedupPairs(s, dir)),
     "stream_events_by_segment" -> ((s, dir) =>
       graft.streaming.EventsStream.eventsBySegment(s, dir)),
+    "stream_stream_join" -> ((s, dir) =>
+      graft.streaming.EventsStream.signupToPurchase(s, dir)),
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
@@ -538,6 +540,15 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+        |  s.user_id
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'"""
+        .stripMargin,
 
     "rel_scalar_funcs" ->
       """SELECT o_orderkey,

@@ -95,6 +95,32 @@ object EventsStream {
     runToMemory(deduped, "dedup", "append")
   }
 
+  /** Stream-stream inner join with event-time range: signups joined to
+    * the same user's purchases within the following hour. Both sides are
+    * watermarked and the join condition carries the time bounds, so
+    * Spark can expire join state; with AvailableNow the result equals
+    * the batch self-join. Output: (signup_id, purchase_id, user_id).
+    */
+  def signupToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val signups = eventsStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+        col("s_user") === col("p_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("purchase_id"),
+        col("s_user").as("user_id"))
+    runToMemory(joined, "sjoin", "append")
+  }
+
   /** Per-user event totals via stateful streaming
     * (mapGroupsWithState, update mode): each micro-batch folds its rows
     * into a per-user running count held in GroupState. The memory sink
