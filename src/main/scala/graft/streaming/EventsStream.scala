@@ -28,13 +28,23 @@ object EventsStream {
                           mode: String): DataFrame = {
     val name = s"graft_stream_${prefix}_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // Stateful streaming pays per (partition × state store × batch) —
+    // e.g. a stream-stream join maintains 2 stores per partition. Scope
+    // the stream's shuffle parallelism down: the streaming state here is
+    // far smaller than the batch workloads the session default is sized
+    // for. (On a real cluster this would be sized to state volume.)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
 
