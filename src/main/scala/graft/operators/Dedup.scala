@@ -249,9 +249,15 @@ object Dedup {
     // plan alone OOMs after ~20 rounds; checkpointing truncates it.
     var labels = repExact.select(col("rep").as("id"))
       .withColumn("label", col("id")).localCheckpoint()
+    // the label table is tiny relative to the corpus (one row per
+    // representative); the loop's joins don't deserve batch-sized
+    // shuffle parallelism — iteration overhead dominates otherwise
+    val spark = docs.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
+    var converged = edges.isEmpty // no near-dup edges → labels are final
+    try while (iter < maxIter && !converged) {
       val neighborMin = edges
         .join(labels, col("doc_b") === col("id"))
         .groupBy(col("doc_a")).agg(min("label").as("nmin"))
@@ -275,7 +281,7 @@ object Dedup {
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select("id", "label")
       iter += 1
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     if (!converged && iter == maxIter)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"assignCanonical: label propagation hit maxIter=$maxIter before " +
