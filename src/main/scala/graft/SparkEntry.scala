@@ -45,6 +45,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
     // rows-only (xxhash64 bucketing is engine-specific; unit-tested e2e)
     "text_hash_embed" -> ((s, dir) => TextStats.hashEmbed(docs(s, dir))),
+    "text_lm_score" -> ((s, dir) => TextStats.lmScore(docs(s, dir))),
 
     // --- deduplication (north-star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -317,6 +318,29 @@ object SparkEntry {
         |    generate_series(1, greatest(len(tk) - 4, 1)),
         |    i -> md5(array_to_string(tk[i:i+4], ' ')))) AS fp_shingle
         |FROM t""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+        |  FROM nrm
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
+        |  WHERE t[i+1] IS NOT NULL
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(log10(c2.c2 / c1.c1) AS DECIMAL(20,12)))
+        |       AS DOUBLE) / count(*) AS lm_score
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """WITH n AS (

@@ -134,6 +134,38 @@ object TextStats {
           .as("embedding"))
   }
 
+  /** Bigram language-model quality score: builds a corpus bigram model
+    * over normalized tokens and scores each document by the mean
+    * log10 P(w2|w1) of its bigram occurrences (MLE — every doc bigram is
+    * in the corpus by construction, so no smoothing needed). Low scores
+    * flag un-language-like token sequences — the perplexity-style
+    * quality signal of a training-data pipeline.
+    *
+    * The per-doc mean sums log-probabilities through DECIMAL(20,12) so
+    * the result is partition-order-independent (double sums are not).
+    * Output: (doc_id, n_bigrams, lm_score).
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val t = split(normalized(col(textCol)), " ")
+    val bigrams = docs.select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
+          i => struct(get(t, i - 1).as("w1"), get(t, i).as("w2"))))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w2").isNotNull) // single-token docs have no bigram
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        log10(col("c2") / col("c1")).cast("decimal(20,12)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
+  }
+
   /** Whitespace-normalized lowercase text — the dedup canonical form. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

@@ -261,6 +261,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(!nd.contains((1L, 4L))) // unrelated text stays apart
   }
 
+  test("lm score: predictable sequences beat unique-bigram soup") {
+    val d = Seq(
+      (1L, "a b a b a b a b a b"), // every bigram fully predictable
+      (2L, "q w e r t y u i o p"), // successors split 50/50 with doc 3
+      (3L, "q x e x t x u x o x"),
+    ).toDF("doc_id", "text")
+    val m = TextStats.lmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) == 0.0) // P = 1 throughout → mean log10 = 0
+    assert(m(2L) < 0.0 && m(1L) > m(2L))
+  }
+
   test("multimodal features feed the similarity operators end-to-end") {
     val media = Multimodal.withPayload(docs)
     val feats = Multimodal.extractFeatures(media).toDF()
