@@ -64,6 +64,31 @@ object Dedup {
     jaccardOnPairs(sh, candidatesByPrefix(sh, threshold), threshold)
   }
 
+  /** Union-find over an edge list; returns id → min-id-of-component for
+    * every id that appears in an edge (isolated ids map to themselves
+    * and are omitted). */
+  private def unionFindMinLabels(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(id => id -> find(id)).toMap
+  }
+
   /** Prefix-filtered candidate pairs (see [[ngramJaccardPairs]]). */
   private def candidatesByPrefix(sh: DataFrame,
                                  threshold: Double): DataFrame = {
@@ -225,7 +250,8 @@ object Dedup {
     */
   def assignCanonical(docs: DataFrame, threshold: Double = 0.8,
                       n: Int = 3, maxIter: Int = 20,
-                      exactEdges: Boolean = true): DataFrame = {
+                      exactEdges: Boolean = true,
+                      driverCcMaxEdges: Long = 1000000L): DataFrame = {
     val normed = docs.select(col("doc_id"),
       TextStats.normalized(col("text")).as("text"))
     val fp = normed.select(col("doc_id"), md5(col("text")).as("fp"))
@@ -240,9 +266,30 @@ object Dedup {
     val pairs = (if (exactEdges) ngramJaccardPairs(repDocs, threshold, n)
                  else minHashLsh(repDocs, threshold, n))
       .select(col("doc_a"), col("doc_b"))
+    // Near-dup components are tiny even on huge corpora — when the edge
+    // set is bounded, a driver-side union-find beats the distributed
+    // iteration outright (the edge LIST is small even when the corpus
+    // isn't; this is the same small-side reasoning as a broadcast join).
+    val pairsPersisted = pairs.persist()
+    val pairCount = pairsPersisted.count()
+    if (pairCount <= driverCcMaxEdges) {
+      val remap = unionFindMinLabels(pairsPersisted.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      val spark0 = docs.sparkSession
+      import spark0.implicits._
+      val remapDf =
+        if (remap.isEmpty)
+          Seq.empty[(Long, Long)].toDF("rid", "rlabel")
+        else remap.toSeq.toDF("rid", "rlabel")
+      return docRep
+        .join(broadcast(remapDf), col("rep") === col("rid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rlabel"), col("rep")).as("canonical_id"))
+    }
     // symmetric edge list for label propagation
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = pairsPersisted.unionByName(
+      pairsPersisted.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
       .persist()
     // localCheckpoint (not persist): the pointer-jump step references
     // `labels` twice, so lineage would DOUBLE per iteration — the logical

@@ -81,9 +81,15 @@ class ExtensionsSpec extends SparkSpec {
     val d = texts.zipWithIndex
       .map { case (w, i) => (100L + i, w.mkString(" ")) }
       .toDF("doc_id", "text")
-    val got = Dedup.assignCanonical(d, threshold = 0.5).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.values.toSet == Set(100L), s"components split: $got")
+    // exercise BOTH component engines: driver union-find (default) and
+    // the distributed pointer-jumping loop (forced via maxEdges = 0)
+    for (maxEdges <- Seq(1000000L, 0L)) {
+      val got = Dedup.assignCanonical(d, threshold = 0.5,
+        driverCcMaxEdges = maxEdges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.values.toSet == Set(100L),
+        s"components split (maxEdges=$maxEdges): $got")
+    }
   }
 
   test("simhash: near-dups close in hamming, unrelated docs far") {
