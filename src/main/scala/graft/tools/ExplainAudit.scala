@@ -11,7 +11,8 @@ object ExplainAudit {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q4_tf", "q6_tfidf", "rel_pricing_summary",
-        "rel_revenue_nation", "sim_topk_brute", "dedup_minhash_lsh")
+        "rel_revenue_nation", "sim_topk_brute", "dedup_minhash_lsh",
+        "rel_asof_join", "text_lm_score")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -50,6 +50,35 @@ class CliAndPropertiesSpec extends SparkSpec {
     assert(rows.length == 5)
   }
 
+  test("CLI: flat ref-csv tf output carries doc_id, ordered per doc") {
+    val wiki = Files.createTempFile("wiki2", ".txt")
+    Files.write(wiki, java.util.Arrays.asList(
+      """<doc id="5" url="u" title="A">b b b a a c</doc>""",
+      """<doc id="6" url="u" title="B">z z y</doc>"""))
+    val out = tmpDir("tf_flat")
+    cli.Main.run(spark, "tf", Map(
+      "input" -> wiki.toString, "output" -> out, "format" -> "ref-csv"))
+    val rows = spark.read.text(out).collect().map(_.getString(0))
+    // every row attributable: leading doc_id field
+    assert(rows.forall(r => r.startsWith("5, ") || r.startsWith("6, ")))
+    // per-doc count-descending within each file's doc run
+    val byDoc = rows.groupBy(_.split(", ")(0))
+    byDoc.values.foreach { rs =>
+      val counts = rs.map(_.split(", ")(2).toLong)
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("CLI: dedup-embedding job over embeddings parquet") {
+    val out = tmpDir("cli_emb")
+    cli.Main.run(spark, "dedup-embedding", Map(
+      "input" -> "/root/testdata/sf0.001/embeddings.parquet",
+      "output" -> out, "threshold" -> "0.4"))
+    val r = spark.read.parquet(out)
+    assert(r.columns.toSeq == Seq("vec_a", "vec_b"))
+    assert(r.count() >= 1) // the planted 0.51-cosine pair passes 0.4
+  }
+
   test("CLI: parquet documents input + parquet output") {
     val out = tmpDir("dict_out")
     cli.Main.run(spark, "dictionary", Map(
