@@ -154,11 +154,13 @@ object TextStats {
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w2").isNotNull) // single-token docs have no bigram
+    // c1(w1) = Σ_w2 c2(w1,w2): a window over the (small) distinct-bigram
+    // table, so the (large) occurrence table joins the model ONCE
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .withColumn("c1", sum("c2").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
     bigrams
       .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
       .select(col("doc_id"),
         log10(col("c2") / col("c1")).cast("decimal(20,12)").as("lp"))
       .groupBy("doc_id")
