@@ -18,13 +18,16 @@ object Bench {
     // prune projections a user would actually consume).
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       Housekeeping.release(spark)
-      dt
+      // a failed query must not look FAST — surface it as a penalty
+      if (ok) dt else 9999.0
     }
 
     // JVM/codegen warmup on the smallest sf so the first measured query

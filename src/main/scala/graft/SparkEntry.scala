@@ -181,7 +181,7 @@ object SparkEntry {
   // tokenizer's DuckDB twin.
   private val wsToksCte: String =
     """wtoks AS (
-      |  SELECT *, list_filter(regexp_split_to_array(text, '\s+'),
+      |  SELECT *, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
       |                        t -> t != '') AS toks
       |  FROM documents
       |)""".stripMargin
@@ -307,7 +307,7 @@ object SparkEntry {
     "text_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |         lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS norm
         |  FROM documents
         |), t AS (
         |  SELECT doc_id, md5(norm) AS fp_md5, string_split(norm, ' ') AS tk
@@ -322,7 +322,7 @@ object SparkEntry {
     "text_lm_score" ->
       """WITH nrm AS (
         |  SELECT doc_id, string_split(
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS t
         |  FROM documents
         |), idx AS (
         |  SELECT doc_id, t,
@@ -345,7 +345,7 @@ object SparkEntry {
     "dedup_exact" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS fp
         |  FROM documents
         |)
         |SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_count
@@ -362,7 +362,7 @@ object SparkEntry {
     "dedup_assign" ->
       """WITH RECURSIVE nrm AS (
         |  SELECT doc_id,
-        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |         lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS t
         |  FROM documents
         |), sh0 AS (
         |  SELECT doc_id, string_split(t, ' ') AS tk FROM nrm

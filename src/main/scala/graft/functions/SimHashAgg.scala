@@ -13,12 +13,12 @@ import org.apache.spark.unsafe.Platform
   * Replaces a 64× explode + two extra shuffles with a single
   * ObjectHashAggregate pass.
   */
-class SimHashAgg extends Aggregator[(Long, String, Long), Array[Long], Long] {
+class SimHashAgg extends Aggregator[(String, String, Long), Array[Long], Long] {
 
   override def zero: Array[Long] = new Array[Long](64)
 
   override def reduce(buf: Array[Long],
-                      in: (Long, String, Long)): Array[Long] = {
+                      in: (String, String, Long)): Array[Long] = {
     val bytes = in._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
       bytes.length, 42L)

@@ -18,8 +18,14 @@ class TopKAgg(k: Int)
     extends Aggregator[(Long, Double), Array[(Double, Long)],
       Array[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare gives a TOTAL order (NaN greatest — the
+  // same NaN-ranks-first semantics Spark and DuckDB use in ORDER BY
+  // DESC); naive `>` is non-transitive on NaN, which both corrupts the
+  // eviction logic and can make sortWith throw
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Array[(Double, Long)],
                      x: (Double, Long)): Array[(Double, Long)] =

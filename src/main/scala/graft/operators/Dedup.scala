@@ -145,13 +145,16 @@ object Dedup {
     * sharing any (band, band-signature) bucket become candidates; each
     * candidate pair is then verified with EXACT Jaccard over its shingle
     * sets, so false positives are eliminated and the only approximation
-    * is a vanishing miss probability (for jac≈threshold pairs:
-    * (1-t^r)^b; at t=0.9, r=8, b=16 ≈ 1e-13).
+    * is the candidate miss probability (1-j^r)^b for a pair at jaccard
+    * j. Defaults r=4, b=32: ≈5e-8 at j=0.8, ≈2e-13 at j=0.9 — narrow
+    * bands keep pairs AT the threshold reliable (r=8 would miss a
+    * j=0.8 pair ~5% of the time); the extra false-positive candidates
+    * narrower bands admit are discarded by the exact verification.
     * Output: (doc_a, doc_b, jac) — same surface as [[ngramJaccardPairs]],
     * which is its oracle.
     */
   def minHashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
-                 numPerm: Int = 128, bands: Int = 16): DataFrame = {
+                 numPerm: Int = 128, bands: Int = 32): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     val spark = docs.sparkSession
@@ -160,13 +163,18 @@ object Dedup {
     val sh = shingles(docs, n).persist()
     // one-pass signatures: (doc) -> Array[Long](numPerm) of per-perm mins;
     // shingles pre-hashed to longs with codegen'd xxhash64 so the
-    // aggregation exchange carries 16-byte rows, not strings
-    val sigs = sh.select(col("doc_id").cast("long"),
+    // aggregation exchange carries the hash, not the string. Keys travel
+    // as strings (doc_id can be any type — ANSI long-casts would throw
+    // on wikitext string ids) and map back to the original ids after.
+    val sigsByKey = sh.select(col("doc_id").cast("string").as("k"),
         xxhash64(col("s")).as("h0"))
-      .as[(Long, Long)]
+      .as[(String, Long)]
       .groupByKey(_._1)
       .agg(new graft.functions.MinHashAgg(numPerm).toColumn.name("sig"))
-      .toDF("doc_id", "sig")
+      .toDF("k", "sig")
+    val ids = sh.select(col("doc_id")).distinct()
+      .withColumn("k", col("doc_id").cast("string"))
+    val sigs = sigsByKey.join(ids, "k").select("doc_id", "sig")
     // band signature = hash of the band's slice of the signature
     val bandSigs = sigs
       .select(col("doc_id"),
@@ -194,12 +202,26 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63, "maxHamming in [0, 62]")
     val sigs = simHash(docs, idCol, textCol)
-    val nBands = 4
+    // pigeonhole: maxHamming differing bits cannot touch all
+    // maxHamming+1 bands, so a qualifying pair agrees exactly on >= 1
+    // band. Band widths divide the 64 bits as evenly as possible.
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val bands = (0 until nBands).scanLeft((0, 0)) { case ((off, w), b) =>
+      (off + w, base + (if (b < rem) 1 else 0))
+    }.tail // (offset, width) per band
+    val bandCols = bands.zipWithIndex.map { case ((off, w), b) =>
+      struct(lit(b).as("band"),
+        expr(s"shiftrightunsigned(simhash, $off) & ${(1L << w) - 1}")
+          .as("chunk"))
+    }
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("chunk",
-        expr("shiftrightunsigned(simhash, band * 16) & 65535"))
+      explode(array(bandCols: _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") &&
@@ -220,13 +242,18 @@ object Dedup {
               textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    WikiText.tokens(docs, idCol, textCol)
+    val counts = WikiText.tokens(docs, idCol, textCol)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id").cast("long"), col("word"), col("cnt"))
-      .as[(Long, String, Long)]
+    // string-keyed for id-type generality (see minHashLsh)
+    val byKey = counts
+      .select(col("doc_id").cast("string").as("k"), col("word"), col("cnt"))
+      .as[(String, String, Long)]
       .groupByKey(_._1)
       .agg(new graft.functions.SimHashAgg().toColumn.name("simhash"))
-      .toDF("doc_id", "simhash")
+      .toDF("k", "simhash")
+    val ids = counts.select(col("doc_id")).distinct()
+      .withColumn("k", col("doc_id").cast("string"))
+    byKey.join(ids, "k").select("doc_id", "simhash")
   }
 
   /** Full dedup ASSIGNMENT pipeline — the 100 TB shape. Emitting all

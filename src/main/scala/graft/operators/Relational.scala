@@ -173,29 +173,36 @@ object Relational {
     val rightPayload = right.columns.filterNot(c =>
       c == rightKey || c == rightTime).toSeq
     val leftCols = left.columns.toSeq
-    val l = left
+    // the whole right row travels as ONE struct, so the running
+    // last(ignoreNulls) fill is atomic — per-column fills would tear
+    // rows when a matched right row carries a NULL payload value
+    val payloadStruct = struct(
+      (col(rightTime).as("_rt") +: rightPayload.map(col)): _*)
+    // NULL join keys never match (SQL semantics; window partitioning
+    // would otherwise group NULL with NULL)
+    val r0 = right.filter(col(rightKey).isNotNull)
+      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
+      .withColumn("_is_left", lit(0))
+      .withColumn("_p", payloadStruct)
+    val lPadded = left.filter(col(leftKey).isNotNull)
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_is_left", lit(1))
-      .withColumn("_rt", lit(null).cast(right.schema(rightTime).dataType))
-    val lPadded = rightPayload.foldLeft(l)((d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-    val r0 = right
-      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
-      .withColumn("_is_left", lit(0)).withColumn("_rt", col(rightTime))
+      .withColumn("_p", lit(null).cast(r0.schema("_p").dataType))
     val rPadded = leftCols.foldLeft(r0)((d, c) =>
-      if (rightPayload.contains(c) || c == "_k" || c == "_t") d
+      if (c == "_k" || c == "_t") d
       else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val cols = Seq("_k", "_t", "_is_left", "_rt") ++ leftCols ++ rightPayload
+    val cols = Seq("_k", "_t", "_is_left", "_p") ++ leftCols
     val unioned = lPadded.select(cols.map(col): _*)
       .unionByName(rPadded.select(cols.map(col): _*))
     val w = Window.partitionBy("_k")
       .orderBy(col("_t").asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = (rightPayload :+ "_rt").foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("_is_left") === 1 && col("_rt").isNotNull)
-      .select((leftCols ++ rightPayload).map(col) :+
-        col("_rt").as(rightTime): _*)
+    val filled = unioned
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    filled.filter(col("_is_left") === 1 && col("_p").isNotNull)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"_p.$c").as(c)) :+
+        col("_p._rt").as(rightTime): _*)
   }
 
   /** Events as-of joined to the customer's latest preceding order.

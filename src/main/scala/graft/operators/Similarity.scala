@@ -89,7 +89,10 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
+    // no broadcast hint: the scale path exists for LARGE query sets —
+    // let the planner pick (shuffle-hash on bucket when q outgrows the
+    // broadcast threshold)
+    c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")))

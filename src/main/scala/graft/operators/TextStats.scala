@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  // RE2-compatible whitespace class: Java's \s additionally matches
+  // U+000B (vertical tab), which DuckDB's RE2 \s does not — spell the
+  // class out so both engines split identically
+  private val WsRe = "[ \\t\\n\\f\\r]+"
+
   /** Whitespace tokens with leading/trailing-empty artifacts removed. */
   private def wsTokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    filter(split(text, WsRe), t => t =!= "")
 
   /** GPT-2-ish tokenizer approximation: letter runs, single digits,
     * single non-alphanumeric marks. A real BPE would subdivide letter
@@ -170,7 +175,7 @@ object TextStats {
 
   /** Whitespace-normalized lowercase text — the dedup canonical form. */
   def normalized(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+    lower(trim(regexp_replace(text, WsRe, " ")))
 
   /** Document fingerprints:
     *  - fp_md5: md5 of the normalized text (exact-dup key);
