@@ -211,6 +211,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == Set((10L, 101.0), (20L, 101.0), (40L, 200.0)))
   }
 
+  test("asof join: NULL payloads stay atomic, NULL keys never match") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val right = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), Some(10.0)),
+      (Some(1L), ts("2024-01-01 11:00:00"), None), // matched row, NULL px
+      (None, ts("2024-01-01 09:00:00"), Some(99.0)), // NULL key
+    ).toDF("rk", "rt", "px")
+    val left = Seq(
+      (Some(1L), ts("2024-01-01 12:00:00"), 100L),
+      (Option.empty[Long], ts("2024-01-01 12:00:00"), 200L), // NULL key
+    ).toDF("lk", "lt", "lid")
+    val r = Relational.asofJoin(left, right, "lk", "rk", "lt", "rt")
+      .collect()
+    // exactly one match: lid=100 → the 11:00 row with its real NULL px
+    // (NOT 10.0 torn from the earlier row); NULL-key rows drop entirely
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("lid") == 100L)
+    assert(r(0).isNullAt(r(0).fieldIndex("px")))
+    assert(r(0).getAs[Timestamp]("rt") == ts("2024-01-01 11:00:00"))
+  }
+
   test("asof join == naive join-then-latest on random data") {
     import java.sql.Timestamp
     val rnd = new scala.util.Random(99)

@@ -73,6 +73,17 @@ class FunctionsSpec extends SparkSpec {
     assert(byQuery(2L).map(_._2).toSeq == Seq(20L))
   }
 
+  test("TopKAgg: NaN scores rank first (engine ORDER BY semantics), never stick") {
+    val agg = new TopKAgg(2)
+    // NaN enters a non-full buffer, then two real scores arrive: one
+    // must evict the other real score, not be blocked by the NaN slot
+    val buf = Seq((1L, Double.NaN), (2L, 0.5), (3L, 0.9))
+      .foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    val top = agg.finish(buf)
+    // total order: NaN > 0.9 > 0.5 — NaN first, then the best real score
+    assert(top.map(_._2).toSeq == Seq(1L, 3L))
+  }
+
   test("MinHashAgg: identical shingle sets → identical signatures") {
     def h0(s: String): Long = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
