@@ -14,13 +14,20 @@ import graft.operators._
   */
 object SparkEntry {
 
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, get, lit}
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
+
+  /** Task-1 probe set for the gate queries — words that exist in every
+    * testdata documents vocabulary (all three SFs share the same 31-word
+    * vocab), so q3_task1 exercises P6/P12/J4 on real rows instead of
+    * hash-matching an empty set. */
+  val TestProbeWords: Seq[String] =
+    Seq("join", "scan", "window", "merge", "order")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -31,7 +38,12 @@ object SparkEntry {
     // --- core reference surface (SURVEY.md §2.6 Q1–Q6) ---
     "q1_tokens" -> ((s, dir) => WikiText.tokens(docs(s, dir))),
     "q2_dictionary" -> ((s, dir) => TfIdfOps.dictionary(docs(s, dir))),
-    "q3_task1" -> ((s, dir) => TfIdfOps.task1(docs(s, dir))),
+    // probe words parameterized to terms present in the synthetic corpus
+    // vocabulary (the reference's literal 5 words appear in no testdata
+    // doc, which made the probe filter pass vacuously on 0 rows); the
+    // reference defaults stay on TfIdfOps.ProbeWords / the CLI
+    "q3_task1" -> ((s, dir) =>
+      TfIdfOps.task1(docs(s, dir), probes = TestProbeWords)),
     "q4_tf" -> ((s, dir) => TfIdfOps.tf(docs(s, dir))),
     "q5_idf" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -43,8 +55,11 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextStats.stats(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextStats.langId(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
-    // rows-only (xxhash64 bucketing is engine-specific; unit-tested e2e)
-    "text_hash_embed" -> ((s, dir) => TextStats.hashEmbed(docs(s, dir))),
+    // rows-only (xxhash64 bucketing is engine-specific; unit-tested e2e).
+    // Gate surface = the sparse integer bucket sums, NOT the dense float
+    // vector: scalar rows are hashable by the harness, and the dense
+    // embedding is a pure per-row transform of exactly these rows.
+    "text_hash_embed" -> ((s, dir) => TextStats.hashEmbedBuckets(docs(s, dir))),
     "text_lm_score" -> ((s, dir) => TextStats.lmScore(docs(s, dir))),
 
     // --- deduplication (north-star) ---
@@ -92,6 +107,9 @@ object SparkEntry {
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
     "rel_set_ops" -> ((s, dir) => Relational.setOps(tbl(s, dir, "orders"))),
+    "rel_promo_revenue" -> ((s, dir) =>
+      Relational.promoRevenue(tbl(s, dir, "lineitem"),
+        tbl(s, dir, "part"))),
     "rel_anti_join" -> ((s, dir) =>
       Relational.customersWithoutOrders(tbl(s, dir, "customer"),
         tbl(s, dir, "orders"))),
@@ -118,9 +136,17 @@ object SparkEntry {
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
     // --- multimodal plumbing (decode step stubbed; see Multimodal) ---
-    "mm_features" -> ((s, dir) =>
-      graft.multimodal.Multimodal.extractFeatures(
-        graft.multimodal.Multimodal.withPayload(docs(s, dir))).toDF()),
+    // Gate surface: the fixed-width feature vector flattened to scalar
+    // columns f0..f7 (the array<float> column itself is un-hashable by
+    // a row-compare harness); rows-only by design (stubbed codec).
+    "mm_features" -> ((s, dir) => {
+      val feats = graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.withPayload(docs(s, dir))).toDF()
+      val dims = 0 until 8
+      feats.select(
+        (Seq("doc_id", "width", "height", "n_bytes").map(col) ++
+          dims.map(i => get(col("features"), lit(i)).as(s"f$i"))): _*)
+    }),
   )
 
   // Shared DuckDB CTE chain mirroring WikiText.tokens / TfIdfOps over the
@@ -128,7 +154,7 @@ object SparkEntry {
   // any semantic change must land in BOTH places.
   private val tokenCtes: String =
     """toks AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS raw_len,
+      |  SELECT doc_id, len(string_split(trim(text), ' ')) AS raw_len,
       |         unnest(string_split(text, ' ')) AS tok
       |  FROM documents
       |), tokens AS (
@@ -238,7 +264,7 @@ object SparkEntry {
     "q3_task1" ->
       s"""WITH $dictCtes
          |SELECT upper(word) AS word, "rank", cnt FROM dict
-         |WHERE word IN ('during', 'and', 'time', 'protein', 'car')"""
+         |WHERE word IN (${TestProbeWords.map(w => s"'$w'").mkString(", ")})"""
         .stripMargin,
     "q4_tf" ->
       s"WITH $tfCtes SELECT doc_id, word, cnt, tf FROM tf",
@@ -592,6 +618,23 @@ object SparkEntry {
         |  sqrt(o_totalprice) AS price_sqrt,
         |  o_orderkey % 7 AS key_mod
         |FROM orders""".stripMargin,
+
+    "rel_promo_revenue" ->
+      """WITH m AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS o_ym,
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |      AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |)
+        |SELECT o_ym, promo_revenue, total_revenue,
+        |  floor(100.0 * promo_revenue / total_revenue * 100 + 0.5) / 100
+        |    AS promo_share
+        |FROM m""".stripMargin,
 
     "rel_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -19,12 +19,21 @@ object Fns {
   def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
 
   /** Raw token count of the reference's TF denominator: the length of the
-    * single-space split BEFORE normalization / empty-filtering
-    * (reference Code/DocInfo.java:26,89). Trailing empty fields are kept
-    * (limit = -1) so Spark `split` and DuckDB `string_split` agree.
+    * single-space split of the TRIMMED text, BEFORE normalization /
+    * empty-filtering (reference Code/DocInfo.java:26,89 —
+    * `.trim().split(" ")`). The trim matters: Java `split(" ")` (limit 0)
+    * drops trailing empty fields, and `trim()` removes the leading ones,
+    * so a body like `"before "` (realizable via the literal-'>'
+    * truncation quirk) counts 1 word, not 2. After trimming, a limit=-1
+    * split has no leading/trailing empties left, so Spark `split` and
+    * DuckDB `string_split(trim(text))` agree exactly (empty text → one
+    * empty field → count 1, same as Java `"".split(" ")`).
+    * Caveat: Java trim strips all control chars <= U+0020; `trim` here is
+    * space-only (bodies are single-line, and only spaces create empty
+    * split fields).
     */
   def rawTokenCount(text: Column): Column =
-    size(split(text, " ", -1)).cast("long")
+    size(split(trim(text), " ", -1)).cast("long")
 
   /** Reference token normalization: strip non-letters, lowercase
     * (reference Code/Main.java:85, Code/DocInfo.java:33). */

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference-compatible output formats.
@@ -53,4 +53,41 @@ object CompatIo {
         .write.mode(SaveMode.Overwrite).text(outDir)
     }
   }
+
+  /** Read-side of the reference's staged-CSV surface (SURVEY §2.1 S6):
+    * positional parse of `", "`-delimited rows back into a typed frame,
+    * the way the reference re-reads its own staging files
+    * (reference Code/TF_IDFWorker.java:22-39 — `line.split(", ")` with
+    * fixed field positions; Code/DocInfo.java:62 writes them).
+    *
+    * `cols` maps each positional field to (name, castType) in file
+    * order. Rows with fewer fields yield NULLs (the reference would
+    * throw; a declarative source must stay total). Works on any text
+    * layout Spark can list — a single file (idf.csv), a directory of
+    * part files, or [[writeRefCsv]]'s perDoc `doc_id=<id>/` layout
+    * (where doc_id arrives as an auto-discovered partition column).
+    */
+  def readRefCsv(spark: SparkSession, path: String,
+                 cols: Seq[(String, String)]): DataFrame = {
+    val raw = spark.read.text(path)
+    val parts = split(col("value"), java.util.regex.Pattern.quote(RefDelimiter))
+    val keep = raw.columns.filter(_ != "value").map(col).toSeq // partition cols
+    raw.select(keep ++ cols.zipWithIndex.map { case ((name, tpe), i) =>
+      get(parts, lit(i)).cast(tpe).as(name)
+    }: _*)
+  }
+
+  /** Reference-native per-doc layout reader: a directory of
+    * `<docID>.csv` files (the reference's staging bucket / TF-IDF-Docs
+    * layout), doc_id recovered from the file name. One Spark task per
+    * file split — at 100 TB this layout is exactly the small-files
+    * problem the engine's columnar default avoids, but reading it back
+    * is part of the compatibility surface.
+    */
+  def readRefDocsDir(spark: SparkSession, dir: String,
+                     cols: Seq[(String, String)]): DataFrame =
+    readRefCsv(spark, dir, cols)
+      .withColumn("doc_id",
+        regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1))
+      .select((col("doc_id") +: cols.map { case (name, _) => col(name) }): _*)
 }

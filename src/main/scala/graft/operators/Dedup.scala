@@ -66,11 +66,13 @@ object Dedup {
 
   /** Union-find over an edge list; returns id → min-id-of-component for
     * every id that appears in an edge (isolated ids map to themselves
-    * and are omitted). */
-  private def unionFindMinLabels(
-      edges: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
+    * and are omitted). Generic in the id type: `lt` must agree with
+    * Spark's `min()` ordering for that type (it defines which member
+    * becomes the component label). */
+  private def unionFindMinLabels(edges: Array[(Any, Any)])
+                                (lt: (Any, Any) => Boolean): Map[Any, Any] = {
+    val parent = scala.collection.mutable.Map.empty[Any, Any]
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x // path compression
@@ -84,9 +86,30 @@ object Dedup {
       parent.getOrElseUpdate(b, b)
       val ra = find(a)
       val rb = find(b)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      if (ra != rb) {
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
     }
     parent.keys.map(id => id -> find(id)).toMap
+  }
+
+  /** `<` matching Spark's `min()` ordering for the id types the driver
+    * union-find supports; None → unsupported type, use the distributed
+    * label-propagation path (whose min() defines the ordering natively).
+    * String comparison is by UTF-16 code unit — identical to Spark's
+    * binary-collation min for the ASCII ids in play. */
+  private def idLessThan(
+      t: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Boolean] = {
+    import org.apache.spark.sql.types._
+    t match {
+      case LongType => Some((a, b) =>
+        a.asInstanceOf[Long] < b.asInstanceOf[Long])
+      case IntegerType => Some((a, b) =>
+        a.asInstanceOf[Int] < b.asInstanceOf[Int])
+      case StringType => Some((a, b) =>
+        a.asInstanceOf[String] < b.asInstanceOf[String])
+      case _ => None
+    }
   }
 
   /** Prefix-filtered candidate pairs (see [[ngramJaccardPairs]]). */
@@ -214,9 +237,14 @@ object Dedup {
       (off + w, base + (if (b < rem) 1 else 0))
     }.tail // (offset, width) per band
     val bandCols = bands.zipWithIndex.map { case ((off, w), b) =>
+      // (1L << 64) wraps to 1 in Scala, so a full-width band (maxHamming
+      // = 0 → one 64-bit band) needs the all-bits mask spelled as -1L —
+      // the wrap would otherwise mask every chunk to 0 and degrade the
+      // candidate join to all-pairs (correct output via the bit_count
+      // verify, but the pruning silently lost)
+      val mask = if (w == 64) -1L else (1L << w) - 1
       struct(lit(b).as("band"),
-        expr(s"shiftrightunsigned(simhash, $off) & ${(1L << w) - 1}")
-          .as("chunk"))
+        expr(s"shiftrightunsigned(simhash, $off) & $mask").as("chunk"))
     }
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bc"))
@@ -277,7 +305,7 @@ object Dedup {
     */
   def assignCanonical(docs: DataFrame, threshold: Double = 0.8,
                       n: Int = 3, maxIter: Int = 20,
-                      exactEdges: Boolean = true,
+                      exactEdges: Boolean = false,
                       driverCcMaxEdges: Long = 1000000L): DataFrame = {
     val normed = docs.select(col("doc_id"),
       TextStats.normalized(col("text")).as("text"))
@@ -286,10 +314,13 @@ object Dedup {
     val docRep = fp.join(repExact, "fp").select("doc_id", "rep")
     val repDocs = normed.join(repExact.select(col("rep")),
       col("doc_id") === col("rep")).select("doc_id", "text")
-    // edges among representatives: exact prefix-filtered Jaccard by
-    // default (deterministic — an LSH miss here would sever a whole
-    // component, not just drop one pair); pass exactEdges=false for the
-    // MinHash candidate path at corpus sizes where exact is infeasible
+    // Edges among representatives: MinHash+LSH candidates by default —
+    // candidates are exact-Jaccard-verified, so the only approximation is
+    // the candidate miss probability, ~5e-8 for a pair AT j=0.8 and
+    // ~1e-13 at j≈0.98 (the regime clone clusters live in). The exact
+    // prefix-filtered ppjoin remains available (exactEdges=true) as the
+    // deterministic twin, but it is 3-4× the cost at equal output — the
+    // measured cost center of the whole pipeline.
     val pairs = (if (exactEdges) ngramJaccardPairs(repDocs, threshold, n)
                  else minHashLsh(repDocs, threshold, n))
       .select(col("doc_a"), col("doc_b"))
@@ -297,41 +328,56 @@ object Dedup {
     // set is bounded, a driver-side union-find beats the distributed
     // iteration outright (the edge LIST is small even when the corpus
     // isn't; this is the same small-side reasoning as a broadcast join).
+    // 1M edges ≈ 16 MB of id pairs on the driver — broadcast-sized.
     val pairsPersisted = pairs.persist()
     val pairCount = pairsPersisted.count()
-    if (pairCount <= driverCcMaxEdges) {
+    val idType = docRep.schema("rep").dataType
+    val lt = idLessThan(idType)
+    if (pairCount <= driverCcMaxEdges && lt.isDefined) {
       val remap = unionFindMinLabels(pairsPersisted.collect()
-        .map(r => (r.getLong(0), r.getLong(1))))
+        .map(r => (r.get(0), r.get(1))))(lt.get)
       val spark0 = docs.sparkSession
-      import spark0.implicits._
-      val remapDf =
-        if (remap.isEmpty)
-          Seq.empty[(Long, Long)].toDF("rid", "rlabel")
-        else remap.toSeq.toDF("rid", "rlabel")
+      val remapSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rid", idType),
+        org.apache.spark.sql.types.StructField("rlabel", idType)))
+      val remapRows = remap.toSeq.map { case (a, b) =>
+        org.apache.spark.sql.Row(a, b)
+      }
+      import scala.jdk.CollectionConverters._
+      val remapDf = spark0.createDataFrame(remapRows.asJava, remapSchema)
       return docRep
         .join(broadcast(remapDf), col("rep") === col("rid"), "left")
         .select(col("doc_id"),
           coalesce(col("rlabel"), col("rep")).as("canonical_id"))
     }
+    // Distributed min-label propagation fallback (unbounded edge sets or
+    // id types without a driver-side ordering). The loop runs on a
+    // CLONED session scoped to 8 shuffle partitions: the label table is
+    // tiny relative to the corpus (one row per representative), so
+    // batch-sized shuffle parallelism would make iteration overhead
+    // dominate — and mutating the shared session's conf (the previous
+    // approach) races against concurrent queries on the same session.
+    val parentSession = docs.sparkSession
+    val cc = parentSession.newSession()
+    cc.conf.set("spark.sql.shuffle.partitions", "8")
+    // re-bind the (already materialized) small frames to the scoped
+    // session via their RDDs — RDDs are context-level, not session-level
+    def rebind(df: DataFrame): DataFrame =
+      cc.createDataFrame(df.rdd, df.schema)
     // symmetric edge list for label propagation
-    val edges = pairsPersisted.unionByName(
+    val edgesParent = pairsPersisted.unionByName(
       pairsPersisted.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
-      .persist()
+    val edges = rebind(edgesParent).persist()
     // localCheckpoint (not persist): the pointer-jump step references
     // `labels` twice, so lineage would DOUBLE per iteration — the logical
     // plan alone OOMs after ~20 rounds; checkpointing truncates it.
-    var labels = repExact.select(col("rep").as("id"))
+    var labels = rebind(repExact.select(col("rep")))
+      .select(col("rep").as("id"))
       .withColumn("label", col("id")).localCheckpoint()
-    // the label table is tiny relative to the corpus (one row per
-    // representative); the loop's joins don't deserve batch-sized
-    // shuffle parallelism — iteration overhead dominates otherwise
-    val spark = docs.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     var iter = 0
     var converged = edges.isEmpty // no near-dup edges → labels are final
-    try while (iter < maxIter && !converged) {
+    while (iter < maxIter && !converged) {
       val neighborMin = edges
         .join(labels, col("doc_b") === col("id"))
         .groupBy(col("doc_a")).agg(min("label").as("nmin"))
@@ -355,31 +401,107 @@ object Dedup {
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select("id", "label")
       iter += 1
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     if (!converged && iter == maxIter)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"assignCanonical: label propagation hit maxIter=$maxIter before " +
           "convergence — canonical ids may split oversized components")
-    docRep.join(labels, col("rep") === col("id"))
+    // the final label table is small — hand it back to the parent
+    // session so the caller's plan is single-session
+    val labelsParent = parentSession.createDataFrame(labels.rdd,
+      labels.schema)
+    docRep.join(labelsParent, col("rep") === col("id"))
       .select(col("doc_id"), col("label").as("canonical_id"))
   }
 
   /** Embedding-cosine near-dup pairs over (vec_id, embedding float[]).
-    * Cosine computed in double precision; all-pairs join with vec_a <
-    * vec_b (at scale, prune with [[Similarity.signBuckets]]-style LSH
-    * first). Output: (vec_a, vec_b).
+    * Cosine computed in double precision. Output: (vec_a, vec_b).
+    *
+    * Default path — the 100 TB shape: banded random-hyperplane LSH
+    * candidates (equi-join on (band, band-signature) buckets; every
+    * shuffle is keyed, no BroadcastNestedLoopJoin anywhere), then exact
+    * cosine verification of candidates only — the same
+    * candidates-then-verify pattern as [[minHashLsh]]. The only
+    * approximation is the candidate miss probability
+    * (1 - p^r)^(nPlanes/r) with p = 1 - acos(cos)/π; rows-per-band r is
+    * chosen from the threshold so a pair AT the threshold is missed with
+    * probability < 1e-8 (t=0.5 → r=2, b=32 → 6.6e-9; higher pairs are
+    * exponentially safer). Hyperplanes are a fixed seeded Gaussian
+    * family — fully deterministic, no runtime RNG.
+    *
+    * `allPairs = true` keeps the exact quadratic twin (test-scale oracle
+    * for the LSH path — its join is non-equi and does NOT scale).
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.5,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       allPairs: Boolean = false,
+                       nPlanes: Int = 64): DataFrame = {
     val n = Similarity.withNorm(emb, idCol, vecCol)
-    val a = n.as("a")
-    val b = n.as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (Similarity.dot(col("a.vec"), col("b.vec"))
-          / (col("a.norm") * col("b.norm"))).as("cos"))
+    val verify = (pairs: DataFrame) => pairs
+      .join(n.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(n.as("y"), col("vec_b") === col("y.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("x.vec"), col("y.vec"))
+          / (col("x.norm") * col("y.norm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
+    if (allPairs) {
+      val a = n.as("a")
+      val b = n.as("b")
+      return a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (Similarity.dot(col("a.vec"), col("b.vec"))
+            / (col("a.norm") * col("b.norm"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    }
+    // rows-per-band from the threshold: largest r (dividing nPlanes)
+    // whose miss probability at the threshold stays under 1e-8 — bigger
+    // r prunes harder, smaller r recalls better
+    val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val r = Seq(16, 8, 4, 2, 1).filter(nPlanes % _ == 0).find { rr =>
+      math.pow(1.0 - math.pow(p, rr), nPlanes.toDouble / rr) < 1e-8
+    }.getOrElse(1)
+    val banded = hyperplaneBands(n, nPlanes, r)
+    val l = banded.as("l")
+    val rr = banded.as("r")
+    val candidates = l.join(rr,
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+    verify(candidates)
+  }
+
+  /** (vec_id, band, sig) rows: `nPlanes` random-hyperplane sign bits,
+    * packed `rowsPerBand` bits per band. Hyperplanes come from a fixed
+    * seeded Gaussian so the signature family is deterministic across
+    * runs and engines; sign-of-dot-product is the classic SRP-LSH
+    * family (collision prob 1 - θ/π per bit). Dot products via the
+    * codegen'd [[graft.functions.VecDotF]]. */
+  private def hyperplaneBands(withNorm: DataFrame, nPlanes: Int,
+                              rowsPerBand: Int): DataFrame = {
+    // one-row metadata lookup (vector dimensionality isn't in the
+    // schema); an empty input yields dims=1, whose empty band frame is
+    // still correct
+    val dims = withNorm.select(size(col("vec"))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val rng = new scala.util.Random(0x5eed5eedL)
+    val planes = Array.fill(nPlanes)(
+      Array.fill(dims)(rng.nextGaussian().toFloat).toSeq)
+    val bits = planes.map(pl =>
+      when(Similarity.dot(col("vec"), typedLit(pl)) > 0, 1L).otherwise(0L))
+    val nBands = nPlanes / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val sig = (0 until rowsPerBand)
+        .map(i => bits(b * rowsPerBand + i) * (1L << i))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    withNorm.select(col("vec_id"),
+        explode(array(bandCols: _*)).as("bc"))
+      .select(col("vec_id"), col("bc.band").as("band"),
+        col("bc.sig").as("sig"))
   }
 }

@@ -199,10 +199,16 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    // the emitted right-time column is renamed when it would collide
+    // with a left column (e.g. both sides named "ts") — an unqualified
+    // duplicate name would make every downstream select(rightTime)
+    // ambiguous
+    val rightTimeOut =
+      if (leftCols.contains(rightTime)) s"${rightTime}_right" else rightTime
     filled.filter(col("_is_left") === 1 && col("_p").isNotNull)
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"_p.$c").as(c)) :+
-        col("_p._rt").as(rightTime): _*)
+        col("_p._rt").as(rightTimeOut): _*)
   }
 
   /** Events as-of joined to the customer's latest preceding order.
@@ -222,6 +228,29 @@ object Relational {
         col("o_orderkey"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
           .as("order_date"))
+  }
+
+  /** TPC-H Q14-flavored promo revenue share: lineitem ⋈ part on partkey,
+    * monthly revenue split by whether the part is a promo type.
+    * The join is a plain equi-join — part is a fraction of lineitem but
+    * NOT broadcast-hinted: at 100 TB part outgrows any broadcast
+    * threshold, and AQE promotes the join to broadcast automatically
+    * whenever the scanned part side is actually small.
+    * Output: (o_ym, promo_revenue, total_revenue, promo_share).
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    lineitem
+      .join(part.select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("o_ym"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(dec(lit(0), 4))).cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        graft.functions.Fns.round2(
+          lit(100.0) * col("promo_revenue") / col("total_revenue")))
   }
 
   /** Distinct-user cardinalities per event type: exact countDistinct

@@ -70,6 +70,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
               nBits: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     def bucket(vec: Column): Column =
       (0 until nBits).map { i =>
         when(get(vec, lit(i)) > 0, lit(1 << i)).otherwise(lit(0))
@@ -86,21 +88,26 @@ object Similarity {
         "norm" -> "qnorm"))
     val c = withNorm(candidates, idCol, vecCol)
       .withColumn("bucket", bucket(col("vec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
     // no broadcast hint: the scale path exists for LARGE query sets —
     // let the planner pick (shuffle-hash on bucket when q outgrows the
     // broadcast threshold)
-    c.join(q, Seq("bucket"))
+    val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")))
           .as("cos"))
-      // no distinct needed: a candidate has exactly one bucket and the
-      // probe set is distinct values, so each pair meets at most once
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    // no distinct needed before ranking: a candidate has exactly one
+    // bucket and the probe set is distinct values, so each (query,
+    // candidate) pair meets at most once. Ranking via the map-side
+    // bounded-heap TopKAgg, same as bruteTopK — k rows per (partition,
+    // query) cross the shuffle instead of every scored candidate.
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

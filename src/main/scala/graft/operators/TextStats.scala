@@ -116,14 +116,8 @@ object TextStats {
     */
   def hashEmbed(docs: DataFrame, dims: Int = 64, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val toks = WikiText.tokens(docs, idCol, textCol)
-    val contrib = toks
-      .select(col("doc_id"),
-        pmod(xxhash64(col("word")), lit(dims)).cast("int").as("j"),
-        when(expr("shiftrightunsigned(xxhash64(word, 7), 7) & 1") === 1L,
-          lit(1L)).otherwise(lit(-1L)).as("sgn"))
-      .groupBy("doc_id", "j").agg(sum("sgn").as("w"))
-    val asMap = contrib.groupBy("doc_id")
+    val asMap = hashEmbedBuckets(docs, dims, idCol, textCol)
+      .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("j"), col("w"))))
         .as("m"))
     val vec = transform(sequence(lit(0), lit(dims - 1)),
@@ -138,6 +132,25 @@ object TextStats {
         transform(col("v"), x => (x / col("norm")).cast("float"))
           .as("embedding"))
   }
+
+  /** The sparse pre-normalization form of [[hashEmbed]]: per-(doc,
+    * bucket) signed token-count sums — exact integers, so this surface
+    * is hashable/comparable row-by-row (the dense float vector is not:
+    * array columns crash a row-hash harness, and float normalization is
+    * engine-specific). The dense embedding is derived from exactly these
+    * rows, so a green check here covers the whole aggregation; only the
+    * (purely per-row, unit-tested) normalize step sits outside it.
+    * Output: (doc_id, j, w) — bucket index and signed sum, longs.
+    */
+  def hashEmbedBuckets(docs: DataFrame, dims: Int = 64,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    WikiText.tokens(docs, idCol, textCol)
+      .select(col("doc_id"),
+        pmod(xxhash64(col("word")), lit(dims)).cast("int").as("j"),
+        when(expr("shiftrightunsigned(xxhash64(word, 7), 7) & 1") === 1L,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "j").agg(sum("sgn").as("w"))
 
   /** Bigram language-model quality score: builds a corpus bigram model
     * over normalized tokens and scores each document by the mean

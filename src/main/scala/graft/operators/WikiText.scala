@@ -18,13 +18,16 @@ import graft.functions.Fns._
   */
 object WikiText {
 
-  /** P1+P2: parse raw dump lines (column `value`) → (doc_id, body). */
+  /** P1+P2: parse raw dump lines (column `value`) → (doc_id, body).
+    * The body is trimmed after tag-stripping, exactly like the reference
+    * (Code/DocInfo.java:26 `.replaceAll(...).trim()`) — the trim defines
+    * the TF denominator via [[graft.functions.Fns.rawTokenCount]]. */
   def parse(lines: DataFrame, valueCol: String = "value"): DataFrame =
     lines.select(
       regexp_extract(col(valueCol), "<doc id=\"([^\"]+)\" url=\"", 1)
         .as("doc_id"),
-      regexp_replace(get(split(col(valueCol), ">"), lit(1)), "<[^>]+>", "")
-        .as("body"))
+      trim(regexp_replace(get(split(col(valueCol), ">"), lit(1)),
+        "<[^>]+>", "")).as("body"))
 
   /** P3–P5: tokenize + normalize + drop empties.
     * Input: any (idCol, textCol) frame. Output: (doc_id, word) rows.

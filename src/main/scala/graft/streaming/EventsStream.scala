@@ -21,32 +21,46 @@ object EventsStream {
         .parquet(dir))
   }
 
-  /** Drain a streaming frame into a fresh memory sink with AvailableNow
-    * and return the materialized table. Names carry the graft_stream_
-    * prefix so Housekeeping.release can drop them. */
-  private def runToMemory(df: DataFrame, prefix: String,
-                          mode: String): DataFrame = {
+  /** Build the streaming frame against a CLONED session scoped to 8
+    * shuffle partitions, drain it into a fresh memory sink with
+    * AvailableNow, and return the materialized table.
+    *
+    * Why a cloned session: stateful streaming pays per (partition ×
+    * state store × batch) — e.g. a stream-stream join maintains 2 stores
+    * per partition — so the stream's shuffle parallelism is scoped far
+    * below the batch default. Mutating the SHARED session's conf for the
+    * duration (the previous approach) races against concurrent queries
+    * on the same session; `newSession()` shares the SparkContext but
+    * owns its SQLConf, so the parent session's conf is never touched.
+    * (On a real cluster the scoped value would be sized to state
+    * volume.) The memory-sink temp view lives in the scoped session's
+    * catalog and is dropped once drained — the returned frame is bound
+    * to the parent session.
+    */
+  private def runToMemory(spark: SparkSession,
+                          build: SparkSession => DataFrame,
+                          prefix: String, mode: String): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
     val name = s"graft_stream_${prefix}_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val spark = df.sparkSession
-    // Stateful streaming pays per (partition × state store × batch) —
-    // e.g. a stream-stream join maintains 2 stores per partition. Scope
-    // the stream's shuffle parallelism down: the streaming state here is
-    // far smaller than the batch workloads the session default is sized
-    // for. (On a real cluster this would be sized to state volume.)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream
-        .format("memory").queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    val q = build(scoped).writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // hand the (small, fully materialized) sink table back to the parent
+    // session so downstream plans are single-session and the scoped
+    // session holds no live references
+    val drained = scoped.table(name)
+    val result = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        drained.collect().toSeq).asJava,
+      drained.schema)
+    scoped.catalog.dropTempView(name)
+    result
   }
-
 
   /** Hourly tumbling-window event counts as a stream job. Reads the
     * events parquet as a file stream, aggregates into 1-hour windows
@@ -54,56 +68,53 @@ object EventsStream {
     * returns the final complete result.
     * Output: (hour string, event_type, n_events).
     */
-  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, s => eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n_events"))
-    runToMemory(agg, "hourly", "complete")
-  }
+        col("event_type"), col("n_events")),
+      "hourly", "complete")
 
   /** Sliding-window event counts (1-hour windows every 30 minutes —
     * each event lands in two windows), watermarked, AvailableNow.
     * Output: (hour string, event_type, n_events).
     */
-  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, s => eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n_events"))
-    runToMemory(agg, "sliding", "complete")
-  }
+        col("event_type"), col("n_events")),
+      "sliding", "complete")
 
   /** Stream-static join: the event stream enriched against the static
     * customer dimension (broadcast per micro-batch), aggregated to
     * per-segment event counts. Output: (c_mktsegment, n_events).
     */
-  def eventsBySegment(spark: SparkSession, dir: String): DataFrame = {
-    val customer = spark.read.parquet(s"$dir/customer.parquet")
-    val agg = eventsStream(spark, dir)
-      .join(broadcast(customer), col("user_id") === col("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_events"))
-    runToMemory(agg, "segment", "complete")
-  }
+  def eventsBySegment(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, s => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      eventsStream(s, dir)
+        .join(broadcast(customer), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"))
+    }, "segment", "complete")
 
   /** Streaming deduplication: distinct (user_id, event_type) pairs seen
     * on the stream (dropDuplicates keeps first-arrival state per key;
     * emitting only the key columns makes the result order-independent).
     * Output: (user_id, event_type).
     */
-  def dedupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = eventsStream(spark, dir)
+  def dedupPairs(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, s => eventsStream(s, dir)
       .select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
-    runToMemory(deduped, "dedup", "append")
-  }
+      .dropDuplicates("user_id", "event_type"),
+      "dedup", "append")
 
   /** Stream-stream inner join with event-time range: signups joined to
     * the same user's purchases within the following hour. Both sides are
@@ -111,25 +122,25 @@ object EventsStream {
     * Spark can expire join state; with AvailableNow the result equals
     * the batch self-join. Output: (signup_id, purchase_id, user_id).
     */
-  def signupToPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val signups = eventsStream(spark, dir)
-      .filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"),
-        col("user_id").as("s_user"), col("ts").as("s_ts"))
-      .withWatermark("s_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = signups.join(purchases,
-        col("s_user") === col("p_user") &&
-          col("p_ts") >= col("s_ts") &&
-          col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("signup_id"), col("purchase_id"),
-        col("s_user").as("user_id"))
-    runToMemory(joined, "sjoin", "append")
-  }
+  def signupToPurchase(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, s => {
+      val signups = eventsStream(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("user_id").as("s_user"), col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      signups.join(purchases,
+          col("s_user") === col("p_user") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("signup_id"), col("purchase_id"),
+          col("s_user").as("user_id"))
+    }, "sjoin", "append")
 
   /** Per-user event totals via stateful streaming
     * (mapGroupsWithState, update mode): each micro-batch folds its rows
@@ -141,18 +152,20 @@ object EventsStream {
     * Output: (user_id, n_events).
     */
   def userCountsStateful(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.GroupStateTimeout
-    val counts = eventsStream(spark, dir).select($"user_id".as[Long])
-      .groupByKey(identity)
-      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
-        case (uid, rows, state) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          (uid, n)
-      }
-    runToMemory(counts.toDF("user_id", "n_events"), "counts", "update")
-      .groupBy("user_id")
+    val updates = runToMemory(spark, s => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      eventsStream(s, dir).select($"user_id".as[Long])
+        .groupByKey(identity)
+        .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            (uid, n)
+        }
+        .toDF("user_id", "n_events")
+    }, "counts", "update")
+    updates.groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"))
   }
 }

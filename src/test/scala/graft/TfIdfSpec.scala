@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators._
 
 /** Hand-computed micro-corpus golden test (FIXTURES.md §A6) plus the
@@ -91,7 +93,14 @@ class TfIdfSpec extends SparkSpec {
     val parsed = WikiText.parse(lines).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(parsed("418298") == "Some words include</doc")
-    assert(parsed("1") == "before ") // literal '>' truncates the body
+    // literal '>' truncates the body; the trailing space is trimmed
+    // exactly like the reference (Code/DocInfo.java:26 `.trim()`), so
+    // "before" counts as ONE raw token in the TF denominator, not two
+    assert(parsed("1") == "before")
+    assert(rows(WikiText.parse(lines)
+      .select(col("doc_id"),
+        graft.functions.Fns.rawTokenCount(col("body")).cast("string")
+          .as("n"))).contains("1|1"))
     // end-to-end: the fused token fingerprint (SURVEY.md §5)
     val toks = rows(WikiText.tokens(WikiText.parse(lines), "doc_id", "body"))
     assert(toks.contains("418298|includedoc"))
