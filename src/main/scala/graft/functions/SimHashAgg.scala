@@ -2,16 +2,38 @@ package graft.functions
 
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.unsafe.Platform
+
+object SimHashAgg {
+  // MessageDigest is stateful and not thread-safe; one per executor
+  // thread. (An object member is never serialized into the task binary —
+  // each JVM materializes its own pool.)
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit hash basis of a token: the first 8 bytes of md5(utf8(word)),
+    * big-endian — i.e. the first 16 hex chars of the standard md5 string
+    * parsed as an unsigned 64-bit integer. md5 (unlike xxhash64) exists
+    * in every engine, so the SimHash signature family is reproducible in
+    * a DuckDB/Trino/Postgres twin: bit j of the basis is
+    * `(('0x' || substr(md5(word),1,16))::UBIGINT >> j) & 1`.
+    */
+  def wordBasis(word: String): Long = {
+    val md = Md5.get()
+    md.reset()
+    val digest = md.digest(word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(digest, 0, 8).getLong
+  }
+}
 
 /** One-pass 64-bit SimHash aggregator over (word, count) pairs: bit j of
-  * the signature is the sign of Σ(±count), + when bit j of
-  * xxh64(bytes(word), seed=42) is set — the same hash family as Spark's
-  * xxhash64 expression, so signatures equal the explode-formulation's.
-  * Replaces a 64× explode + two extra shuffles with a single
-  * ObjectHashAggregate pass.
+  * the signature is the sign of Σ(±count), + when bit j of the md5-based
+  * [[SimHashAgg.wordBasis]] is set. The md5 basis makes signatures
+  * portable across engines (the DuckDB oracle recomputes them exactly);
+  * a single ObjectHashAggregate pass replaces a 64× explode + two extra
+  * shuffles.
   */
 class SimHashAgg extends Aggregator[(String, String, Long), Array[Long], Long] {
 
@@ -19,9 +41,7 @@ class SimHashAgg extends Aggregator[(String, String, Long), Array[Long], Long] {
 
   override def reduce(buf: Array[Long],
                       in: (String, String, Long)): Array[Long] = {
-    val bytes = in._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-      bytes.length, 42L)
+    val h = SimHashAgg.wordBasis(in._2)
     val cnt = in._3
     var j = 0
     while (j < 64) {

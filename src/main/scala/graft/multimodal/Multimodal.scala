@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Width of the stub decoder's feature vector — the single source of
+    * truth for every surface that projects the features to scalar
+    * columns (e.g. the mm_features gate query). */
+  val FeatureDims: Int = 8
+
   case class MediaRow(doc_id: Long, data: Array[Byte], format: String,
                       width: Int, height: Int)
   case class FeatureRow(doc_id: Long, width: Int, height: Int,
@@ -44,8 +49,8 @@ object Multimodal {
     * it (typed boundary, per-partition batching, output schema) is the
     * real production shape.
     */
-  private[multimodal] def fakeDecodeFeatures(data: Array[Byte],
-                                             dims: Int = 8): Array[Float] = {
+  private[multimodal] def fakeDecodeFeatures(
+      data: Array[Byte], dims: Int = FeatureDims): Array[Float] = {
     val acc = new Array[Long](dims)
     var i = 0
     while (i < data.length) {

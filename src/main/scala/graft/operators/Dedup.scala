@@ -96,18 +96,22 @@ object Dedup {
   /** `<` matching Spark's `min()` ordering for the id types the driver
     * union-find supports; None → unsupported type, use the distributed
     * label-propagation path (whose min() defines the ordering natively).
-    * String comparison is by UTF-16 code unit — identical to Spark's
-    * binary-collation min for the ASCII ids in play. */
+    * Strings compare through Spark's own UTF8String (UTF-8 byte order):
+    * Java's UTF-16 `<` diverges for supplementary-plane code points
+    * (U+10000+) mixed with U+E000–U+FFFF, which would let the driver
+    * path pick a different canonical label than a distributed min(). */
   private def idLessThan(
       t: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Boolean] = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
     t match {
       case LongType => Some((a, b) =>
         a.asInstanceOf[Long] < b.asInstanceOf[Long])
       case IntegerType => Some((a, b) =>
         a.asInstanceOf[Int] < b.asInstanceOf[Int])
       case StringType => Some((a, b) =>
-        a.asInstanceOf[String] < b.asInstanceOf[String])
+        UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(UTF8String.fromString(b.asInstanceOf[String])) < 0)
       case _ => None
     }
   }
@@ -216,8 +220,10 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs. 64-bit signature: bit j is the sign of the
-    * count-weighted sum of (±1 per token, + when bit j of xxhash64(token)
-    * is set). Pairs within `maxHamming` found via 4×16-bit band join
+    * count-weighted sum of (±1 per token, + when bit j of the md5-based
+    * [[graft.functions.SimHashAgg.wordBasis]] is set — engine-portable,
+    * so a SQL oracle recomputes identical signatures).
+    * Pairs within `maxHamming` found via 4×16-bit band join
     * (a pair within hamming distance 3 must agree exactly on at least one
     * of the 4 bands — pigeonhole), then verified with bit_count(xor).
     * Output: (doc_a, doc_b, hamming).
@@ -492,12 +498,23 @@ object Dedup {
       Array.fill(dims)(rng.nextGaussian().toFloat).toSeq)
     val bits = planes.map(pl =>
       when(Similarity.dot(col("vec"), typedLit(pl)) > 0, 1L).otherwise(0L))
+    // uniformity guard: `dims` was sampled from ONE row, and a vector of
+    // any other length would silently mismatch the hyperplane family and
+    // degrade recall in a way the exact verify cannot recover (missed
+    // candidates are never scored). Raising beats silence; folded into
+    // band 0's signature so column pruning cannot drop the check (one
+    // size() compare per row, stays in codegen).
+    val chk = when(size(col("vec")) === dims, lit(0L))
+      .otherwise(raise_error(concat(
+        lit(s"embeddingNearDup: non-uniform embedding dims (expected $dims, got "),
+        size(col("vec")).cast("string"), lit(")"))).cast("long"))
     val nBands = nPlanes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val sig = (0 until rowsPerBand)
         .map(i => bits(b * rowsPerBand + i) * (1L << i))
         .reduce(_ + _)
-      struct(lit(b).as("band"), sig.as("sig"))
+      struct(lit(b).as("band"),
+        (if (b == 0) sig + chk else sig).as("sig"))
     }
     withNorm.select(col("vec_id"),
         explode(array(bandCols: _*)).as("bc"))

@@ -199,16 +199,16 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
-    // the emitted right-time column is renamed when it would collide
-    // with a left column (e.g. both sides named "ts") — an unqualified
-    // duplicate name would make every downstream select(rightTime)
-    // ambiguous
-    val rightTimeOut =
-      if (leftCols.contains(rightTime)) s"${rightTime}_right" else rightTime
+    // every emitted right-side column (time AND payload) is renamed with
+    // a _right suffix when it would collide with a left column (e.g.
+    // both sides carrying "v") — an unqualified duplicate name would
+    // make every downstream select(name) ambiguous
+    def rightOut(c: String): String =
+      if (leftCols.contains(c)) s"${c}_right" else c
     filled.filter(col("_is_left") === 1 && col("_p").isNotNull)
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col(s"_p.$c").as(c)) :+
-        col("_p._rt").as(rightTimeOut): _*)
+        rightPayload.map(c => col(s"_p.$c").as(rightOut(c))) :+
+        col("_p._rt").as(rightOut(rightTime)): _*)
   }
 
   /** Events as-of joined to the customer's latest preceding order.

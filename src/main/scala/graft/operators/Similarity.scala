@@ -26,6 +26,22 @@ object Similarity {
       l2norm(col(vecCol)).as("norm"))
   }
 
+  /** The top-k rankers key their bounded-heap aggregator by Long, so ids
+    * must be integral (int/long upcast transparently). Non-integral ids
+    * (e.g. string doc ids) fail here with a clear message instead of at
+    * encoder analysis — hash or dense-rank such ids to longs first. */
+  private def requireIntegralIds(df: DataFrame, idCol: String,
+                                 op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op requires an integral id column (TopKAgg is Long-keyed); " +
+          s"got $idCol: ${other.simpleString}. Map non-integral ids to " +
+          "longs first (e.g. xxhash64 or a dense-rank dictionary).")
+    }
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates by cosine (ties broken by vec_id asc; self-match
     * excluded). The query side is broadcast — the candidate scan stays
@@ -39,6 +55,8 @@ object Similarity {
   def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, idCol, "bruteTopK")
+    requireIntegralIds(candidates, idCol, "bruteTopK")
     val spark = queries.sparkSession
     import spark.implicits._
     val q = withNorm(queries, idCol, vecCol)
@@ -70,6 +88,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
               nBits: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, idCol, "lshTopK")
+    requireIntegralIds(candidates, idCol, "lshTopK")
     val spark = queries.sparkSession
     import spark.implicits._
     def bucket(vec: Column): Column =

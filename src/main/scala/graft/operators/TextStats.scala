@@ -140,16 +140,25 @@ object TextStats {
     * engine-specific). The dense embedding is derived from exactly these
     * rows, so a green check here covers the whole aggregation; only the
     * (purely per-row, unit-tested) normalize step sits outside it.
-    * Output: (doc_id, j, w) — bucket index and signed sum, longs.
+    *
+    * Hash basis is md5 (NOT xxhash64) so the bucketing is reproducible
+    * in any engine: bucket = (hex chars 29–32 of md5(word) as int) mod
+    * dims, sign = parity of hex char 1 — in DuckDB,
+    * `('0x' || substr(md5(word),29,4))::BIGINT % dims` and
+    * `('0x' || substr(md5(word),1,1))::BIGINT % 2`. Both stay in
+    * whole-stage codegen (md5 + conv are native expressions).
+    * Output: (doc_id, j, w) — bucket index (int) and signed sum (long).
     */
   def hashEmbedBuckets(docs: DataFrame, dims: Int = 64,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame =
     WikiText.tokens(docs, idCol, textCol)
+      .select(col("doc_id"), md5(col("word")).as("h"))
       .select(col("doc_id"),
-        pmod(xxhash64(col("word")), lit(dims)).cast("int").as("j"),
-        when(expr("shiftrightunsigned(xxhash64(word, 7), 7) & 1") === 1L,
-          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+        (conv(substring(col("h"), 29, 4), 16, 10).cast("long") % dims)
+          .cast("int").as("j"),
+        when(conv(substring(col("h"), 1, 1), 16, 10).cast("long") % 2
+            === 1L, lit(1L)).otherwise(lit(-1L)).as("sgn"))
       .groupBy("doc_id", "j").agg(sum("sgn").as("w"))
 
   /** Bigram language-model quality score: builds a corpus bigram model

@@ -50,14 +50,14 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // hand the (small, fully materialized) sink table back to the parent
-    // session so downstream plans are single-session and the scoped
-    // session holds no live references
+    // hand the sink table back to the parent session by re-binding its
+    // RDD (RDDs are context-level, not session-level — same pattern as
+    // Dedup.assignCanonical's cross-session rebind). No driver
+    // collect(): the memory sink is already driver-resident by harness
+    // construction, but the rows flow to the parent plan as partitions,
+    // not a second driver materialization.
     val drained = scoped.table(name)
-    val result = spark.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(
-        drained.collect().toSeq).asJava,
-      drained.schema)
+    val result = spark.createDataFrame(drained.rdd, drained.schema)
     scoped.catalog.dropTempView(name)
     result
   }
