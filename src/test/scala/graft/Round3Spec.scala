@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Round-3 behavior pins: md5-based (engine-portable) simhash /
+  * hash-embed bases, UTF-8 canonical-id ordering for non-ASCII string
+  * ids, the asof payload-collision rename, and the embedding-dims
+  * uniformity guard. */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("SimHashAgg.wordBasis == first 16 hex chars of Spark's md5 as u64") {
+    val words = Seq("hello", "alpha", "Ω-word", "", "𐍈𐍈𐍈", "tail")
+    val fromSpark = words.toDF("w")
+      .select(col("w"), md5(col("w")).as("h"))
+      .collect()
+      .map(r => r.getString(0) ->
+        java.lang.Long.parseUnsignedLong(r.getString(1).take(16), 16))
+      .toMap
+    for (w <- words)
+      assert(graft.functions.SimHashAgg.wordBasis(w) == fromSpark(w),
+        s"basis mismatch for '$w'")
+  }
+
+  test("hashEmbedBuckets: bucket/sign derived from md5 hex (portable)") {
+    val docs = Seq((1L, "alpha beta beta gamma")).toDF("doc_id", "text")
+    val got = TextStats.hashEmbedBuckets(docs, dims = 64).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(w: String): Int =
+      (java.lang.Long.parseLong(md5hex(w).substring(28, 32), 16) % 64).toInt
+    def sgn(w: String): Long =
+      if (java.lang.Long.parseLong(md5hex(w).substring(0, 1), 16) % 2 == 1)
+        1L else -1L
+    val expected = Seq("alpha" -> 1L, "beta" -> 2L, "gamma" -> 1L)
+      .groupBy { case (w, _) => bucket(w) }
+      .view.mapValues(_.map { case (w, c) => sgn(w) * c }.sum)
+      .filter(_._2 != 0).toMap
+    assert(got == expected)
+  }
+
+  test("canonical ids: driver union-find agrees with distributed min() " +
+    "for supplementary-plane string ids") {
+    // UTF-16 code-unit order: "�" (U+FFFD) > "𐀀" (U+10000
+    // as a surrogate pair starting 0xD800); UTF-8 byte order (= Spark's
+    // min()): U+FFFD (ef bf bd) < U+10000 (f0 90 80 80). A UTF-16-ordered
+    // driver comparator would label the component differently from the
+    // distributed path.
+    val idHigh = "doc𐀀" // U+10000
+    val idLow = "doc�"        // U+FFFD — UTF-8-smaller, UTF-16-larger
+    val docs = Seq(
+      (idHigh, "alpha beta gamma delta epsilon"),
+      (idLow, "alpha beta gamma delta epsilon"),
+      ("docZ", "completely unrelated content lives here"),
+    ).toDF("doc_id", "text")
+    val expectMin = docs.agg(min(when(col("doc_id") =!= "docZ",
+      col("doc_id")))).collect().head.getString(0)
+    assert(expectMin == idLow) // pin Spark's own ordering first
+    for (maxEdges <- Seq(1000000L, 0L)) { // driver path, distributed path
+      val got = Dedup.assignCanonical(docs, threshold = 0.5,
+        driverCcMaxEdges = maxEdges).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got(idHigh) == idLow && got(idLow) == idLow &&
+        got("docZ") == "docZ", s"maxEdges=$maxEdges: $got")
+    }
+  }
+
+  test("asofJoin renames colliding right PAYLOAD columns too") {
+    val left = Seq((1L, 10L, 2.0)).toDF("k", "ts", "v")
+    val right = Seq((1L, 5L, 7.5, "x")).toDF("k2", "ts", "v", "tag")
+    val out = Relational.asofJoin(left, right, "k", "k2", "ts", "ts")
+    assert(out.columns.toSeq ==
+      Seq("k", "ts", "v", "v_right", "tag", "ts_right"))
+    val r = out.collect().head
+    assert(r.getDouble(out.columns.indexOf("v")) == 2.0 &&
+      r.getDouble(out.columns.indexOf("v_right")) == 7.5 &&
+      r.getLong(out.columns.indexOf("ts_right")) == 5L)
+  }
+
+  test("embeddingNearDup raises on non-uniform embedding dims") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)), // shorter vector — must raise, not miss
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Dedup.embeddingNearDup(emb, threshold = 0.5).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-uniform embedding dims")), e)
+  }
+
+  test("top-k rankers reject non-integral id columns with a clear error") {
+    val emb = Seq(("a", Array(1.0f)), ("b", Array(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, emb)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
+  test("streaming memory-sink handback preserves rows (no collect path)") {
+    val got = graft.streaming.EventsStream.eventsBySegment(spark,
+      "/root/testdata/sf0.001")
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val expect = events.join(customer, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_events"))
+    assert(rows(got) == rows(expect))
+  }
+}
