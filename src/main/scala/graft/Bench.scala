@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Quiet-machine seconds for the calibration job (recorded alongside
+    * BASELINE.md's bench table; re-stamp when the constant or hardware
+    * changes). */
+  val CalibrationRefSec: Double = 1.9
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,6 +35,20 @@ object Bench {
       if (ok) dt else 9999.0
     }
 
+    // Machine-load sentinel: a fixed CPU-bound job (no I/O, no shuffle,
+    // SF-independent) timed against a recorded quiet-machine constant.
+    // A contended run — the cause of the BENCH_r02 2×-regression
+    // artifact — then self-identifies via load_ratio >> 1 instead of
+    // masquerading as a code regression. Run AFTER warmup, twice,
+    // best-of-2 (same methodology as the queries).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("sum(sqrt(id * 1.0) * sin(id * 1.0)) AS s")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // JVM/codegen warmup on the smallest sf so the first measured query
     // isn't charged for JIT + first-job setup.
     val warmDir = "/root/testdata/sf0.001"
@@ -39,6 +58,12 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
+    // the calibration expression needs its OWN JIT warmup (measured:
+    // ~10 s first two runs, ~2 s steady-state) — one untimed run, then
+    // best-of-2 timed, so the sentinel reads machine load, not JIT tiering
+    calibrate()
+    val calSec = math.min(calibrate(), calibrate())
+
     // best-of-2: one repeat absorbs residual JIT/page-cache variance so
     // round-over-round comparisons track plan changes, not noise
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
@@ -47,7 +72,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // CalibrationRefSec: quiet-machine constant recorded in BASELINE.md;
+    // load_ratio ≈ 1 on an idle box, >> 1 under external contention.
+    val loadRatio = calSec / CalibrationRefSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":$calSec,"calibration_ref_sec":$CalibrationRefSec,"load_ratio":$loadRatio}""")
     spark.stop()
   }
 }

@@ -423,10 +423,13 @@ object Dedup {
   /** Embedding-cosine near-dup pairs over (vec_id, embedding float[]).
     * Cosine computed in double precision. Output: (vec_a, vec_b).
     *
-    * Default path — the 100 TB shape: banded random-hyperplane LSH
-    * candidates (equi-join on (band, band-signature) buckets; every
-    * shuffle is keyed, no BroadcastNestedLoopJoin anywhere), then exact
-    * cosine verification of candidates only — the same
+    * Default path — the 100 TB shape: byte-equal vectors collapse to
+    * one representative first (exact-collapse-first, as in
+    * [[assignCanonical]] — candidate volume scales with distinct
+    * vectors, not rows), then banded random-hyperplane LSH candidates
+    * (equi-join on (band, band-signature) buckets; every shuffle is
+    * keyed, no BroadcastNestedLoopJoin anywhere), then exact cosine
+    * verification of candidates only — the same
     * candidates-then-verify pattern as [[minHashLsh]]. The only
     * approximation is the candidate miss probability
     * (1 - p^r)^(nPlanes/r) with p = 1 - acos(cos)/π; rows-per-band r is
@@ -442,32 +445,45 @@ object Dedup {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        allPairs: Boolean = false,
-                       nPlanes: Int = 64): DataFrame = {
-    val n = Similarity.withNorm(emb, idCol, vecCol)
-    val verify = (pairs: DataFrame) => pairs
-      .join(n.as("x"), col("vec_a") === col("x.vec_id"))
-      .join(n.as("y"), col("vec_b") === col("y.vec_id"))
-      .select(col("vec_a"), col("vec_b"),
-        (Similarity.dot(col("x.vec"), col("y.vec"))
-          / (col("x.norm") * col("y.norm"))).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select("vec_a", "vec_b")
+                       nPlanes: Int = 64,
+                       bandMissProb: Double = 1e-8): DataFrame = {
     if (allPairs) {
+      val n = Similarity.withNorm(emb, idCol, vecCol)
       val a = n.as("a")
       val b = n.as("b")
       return a.join(b, col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           (Similarity.dot(col("a.vec"), col("b.vec"))
-            / (col("a.norm") * col("b.norm"))).as("cos"))
+            / nullif(col("a.norm") * col("b.norm"), lit(0.0))).as("cos"))
         .filter(col("cos") >= threshold)
         .select("vec_a", "vec_b")
     }
+    // EXACT-COLLAPSE-FIRST (same insight as assignCanonical): identical
+    // vectors are cosine-1 duplicates for every threshold ≤ 1, so
+    // byte-equal clones collapse to one representative BEFORE the LSH —
+    // the candidate/verify volume then scales with DISTINCT vectors,
+    // not rows (clone-heavy corpora are the norm in dedup workloads;
+    // K× cloning would otherwise multiply candidate pairs by K²).
+    // Emitted pair count is still quadratic in clone multiplicity —
+    // inherent to pair EMISSION; assignCanonical is the linear-output
+    // 100 TB surface.
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val rep = base.groupBy("vec").agg(min("vec_id").as("rep"))
+    val withRep = base.join(rep, "vec") // (vec, vec_id, rep) — keyed join
+    val reps = withRep.filter(col("vec_id") === col("rep"))
+      .select("vec_id", "vec")
+    val n = Similarity.withNorm(reps, "vec_id", "vec")
     // rows-per-band from the threshold: largest r (dividing nPlanes)
-    // whose miss probability at the threshold stays under 1e-8 — bigger
-    // r prunes harder, smaller r recalls better
+    // whose miss probability for a pair AT the threshold stays under
+    // bandMissProb — bigger r prunes harder, smaller r recalls better.
+    // The default budget (1e-8) forces r=2 at t=0.5, whose per-band
+    // random-pair collision rate (~2^-2) admits most DISTINCT pairs as
+    // candidates — the price of near-exactness at a 60° threshold, paid
+    // only on distinct vectors thanks to the collapse; production
+    // dedup at t≥0.85 with a 1e-3 budget gets r=8+ and real pruning.
     val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
     val r = Seq(16, 8, 4, 2, 1).filter(nPlanes % _ == 0).find { rr =>
-      math.pow(1.0 - math.pow(p, rr), nPlanes.toDouble / rr) < 1e-8
+      math.pow(1.0 - math.pow(p, rr), nPlanes.toDouble / rr) < bandMissProb
     }.getOrElse(1)
     val banded = hyperplaneBands(n, nPlanes, r)
     val l = banded.as("l")
@@ -477,7 +493,33 @@ object Dedup {
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
       .distinct()
-    verify(candidates)
+    val repPairs = candidates
+      .join(n.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(n.as("y"), col("vec_b") === col("y.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("x.vec"), col("y.vec"))
+          / nullif(col("x.norm") * col("y.norm"), lit(0.0))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b")
+    // expansion back to member ids. Intra-group: every id pair sharing a
+    // vector qualifies — EXCEPT zero vectors, whose cosine is NaN and
+    // fails `>= threshold` on the all-pairs path (0/0); the same rows
+    // must stay excluded here. Inter-group: a qualifying rep pair
+    // qualifies every cross pair (identical cosine); member ids may
+    // interleave across groups, hence least/greatest.
+    val nz = withRep.filter(Similarity.dot(col("vec"), col("vec")) > 0)
+      .select("rep", "vec_id")
+    val intra = nz.as("ia").join(nz.as("ib"),
+        col("ia.rep") === col("ib.rep") &&
+          col("ia.vec_id") < col("ib.vec_id"))
+      .select(col("ia.vec_id").as("vec_a"), col("ib.vec_id").as("vec_b"))
+    val members = withRep.select("rep", "vec_id")
+    val inter = repPairs
+      .join(members.as("ma"), col("vec_a") === col("ma.rep"))
+      .join(members.as("mb"), col("vec_b") === col("mb.rep"))
+      .select(least(col("ma.vec_id"), col("mb.vec_id")).as("vec_a"),
+        greatest(col("ma.vec_id"), col("mb.vec_id")).as("vec_b"))
+    intra.unionByName(inter)
   }
 
   /** (vec_id, band, sig) rows: `nPlanes` random-hyperplane sign bits,

@@ -65,9 +65,14 @@ object Similarity {
     val c = withNorm(candidates, idCol, vecCol)
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")))
+        // nullif: ANSI mode raises on the 0/0 of a zero vector; NULL
+        // cosine instead ranks/filters it out (oracle parity: DuckDB
+        // also yields NULL there)
+        (dot(col("qvec"), col("vec"))
+          / nullif(col("qnorm") * col("norm"), lit(0.0)))
           .as("cos"))
     scored.select(col("query_id"), col("vec_id"), col("cos"))
+      .filter(col("cos").isNotNull) // zero vectors: no defined ranking
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
@@ -114,14 +119,19 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")))
+        // nullif: ANSI mode raises on the 0/0 of a zero vector; NULL
+        // cosine instead ranks/filters it out (oracle parity: DuckDB
+        // also yields NULL there)
+        (dot(col("qvec"), col("vec"))
+          / nullif(col("qnorm") * col("norm"), lit(0.0)))
           .as("cos"))
     // no distinct needed before ranking: a candidate has exactly one
     // bucket and the probe set is distinct values, so each (query,
     // candidate) pair meets at most once. Ranking via the map-side
     // bounded-heap TopKAgg, same as bruteTopK — k rows per (partition,
     // query) cross the shuffle instead of every scored candidate.
-    scored.as[(Long, Long, Double)]
+    scored.filter(col("cos").isNotNull) // zero vectors: no defined ranking
+      .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
       .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))

@@ -22,17 +22,40 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .repartition(64).persist()
     println(s"PROBE docs=${big.count()}")
-    def time(name: String)(f: => Long): Unit = {
+    // release() drops EVERY cached frame (operator-local persists);
+    // re-cache just the probe's input so the next op isn't charged for
+    // re-reading it
+    def time(keep: org.apache.spark.sql.DataFrame)(name: String)
+            (f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"PROBE $name rows=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       graft.Housekeeping.release(spark)
-      big.persist().count() // keep only the input cached
+      keep.persist().count()
     }
-    time("q6_tfidf")(TfIdfOps.tfIdfPipeline(big).count())
-    time("dedup_minhash")(Dedup.minHashLsh(big).count())
-    time("dedup_assign")(Dedup.assignCanonical(big).count())
-    time("text_stats")(TextStats.stats(big).count())
+    time(big)("q6_tfidf")(TfIdfOps.tfIdfPipeline(big).count())
+    time(big)("dedup_minhash")(Dedup.minHashLsh(big).count())
+    time(big)("dedup_assign")(Dedup.assignCanonical(big).count())
+    time(big)("text_stats")(TextStats.stats(big).count())
+
+    // The embedding paths (round-2 plan changes): replicate the sf0.1
+    // embeddings K× with shifted ids — every vector gains K-1 exact
+    // clones, a dense near-dup workload for the banded SRP-LSH plan
+    // (pair OUTPUT grows ~K²/2 per base vector; the probe shows the
+    // candidate join stays keyed, no BNLJ blowup), and a K×-both-sides
+    // load for the sign-bucket top-k (output is linear: k rows per
+    // query).
+    val embBase = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val embBig = (0 until k).map(i =>
+        embBase.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+      .repartition(64).persist()
+    println(s"PROBE vectors=${embBig.count()}")
+    time(embBig)("dedup_embedding")(Dedup.embeddingNearDup(embBig).count())
+    time(embBig)("sim_topk_lsh")(Similarity.lshTopK(
+      embBig.filter(col("vec_id") % 50 === 0), embBig).count())
     spark.stop()
   }
 }

@@ -96,6 +96,28 @@ class Round3Spec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-uniform embedding dims")), e)
   }
 
+  test("embeddingNearDup exact-collapse == all-pairs on clone-heavy input") {
+    // 3 base vectors, each cloned 3× (9 rows); bases 0/1 are near-dups,
+    // base 2 is orthogonal; plus a zero-vector clone pair that must stay
+    // excluded (cosine undefined on the all-pairs path)
+    val bases = Seq(
+      Array(1.0f, 0.0f, 0.0f), Array(0.99f, 0.1f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f))
+    val rows = (for {
+      (v, b) <- bases.zipWithIndex
+      c <- 0 until 3
+    } yield (b * 10L + c, v)) ++
+      Seq((90L, Array(0.0f, 0.0f, 0.0f)), (91L, Array(0.0f, 0.0f, 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDup(emb, threshold = 0.9)
+    val exact = Dedup.embeddingNearDup(emb, threshold = 0.9,
+      allPairs = true)
+    assert(rows.nonEmpty)
+    assert(super.rows(lsh) == super.rows(exact))
+    // 6 clone pairs per base ×3 + 9 cross pairs between bases 0 and 1
+    assert(lsh.count() == 3 * 3 + 9)
+  }
+
   test("top-k rankers reject non-integral id columns with a clear error") {
     val emb = Seq(("a", Array(1.0f)), ("b", Array(0.5f)))
       .toDF("vec_id", "embedding")
