@@ -29,6 +29,13 @@ object SparkEntry {
   val TestProbeWords: Seq[String] =
     Seq("join", "scan", "window", "merge", "order")
 
+  /** Split weights / stratified fractions for the sampling gate queries
+    * (shared by the Spark plan and the oracle twin). */
+  val SplitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  val StratFractions: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     TfIdfOps.tfIdfPipeline(docs(spark, "/root/testdata/sf0.001"))
@@ -145,6 +152,44 @@ object SparkEntry {
       graft.streaming.EventsStream.signupToPurchase(s, dir)),
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
+
+    // --- deterministic sampling (north-star; see operators.Sampling) ---
+    "samp_hash" -> ((s, dir) =>
+      Sampling.hashSample(docs(s, dir), 0.25)
+        .select("doc_id", "lang", "n_chars")),
+    "samp_split" -> ((s, dir) =>
+      Sampling.splitByHash(docs(s, dir), SplitWeights)
+        .select("doc_id", "split")),
+    "samp_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), StratFractions,
+          defaultFraction = 0.25)
+        .select("doc_id", "lang")),
+
+    // --- PII scrub (north-star) ---
+    // The synthetic corpus carries no PII, so the gate injects a
+    // deterministic email/URL/digit-run per row (same injection in the
+    // oracle) — the redaction provably fires on every document instead
+    // of passing vacuously.
+    "text_redact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.concat
+      TextStats.redactPii(docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com see https://data.example.com/d/"),
+          col("doc_id"), lit(" ref 20260812"), col("doc_id"))
+          .as("text")))
+    }),
+
+    // --- embedding quantization (north-star) ---
+    // Gate surface: the quantized values exploded to scalar rows (array
+    // columns are un-hashable by a row-compare harness); scale rides
+    // along per row.
+    "sim_quantize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.posexplode
+      Similarity.quantizeInt8(tbl(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"), posexplode(col("qvec")))
+        .select(col("vec_id"), col("scale"),
+          col("pos").cast("int").as("j"), col("col").as("q"))
+    }),
 
     // --- multimodal plumbing (decode step stubbed; see Multimodal) ---
     // Gate surface: the fixed-width feature vector flattened to scalar
@@ -500,6 +545,75 @@ object SparkEntry {
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
          |FROM s
          |QUALIFY "rank" <= 10""".stripMargin,
+
+    // Deterministic hash sampling twins: identical md5-hex thresholds,
+    // thresholds/bounds interpolated from the SAME Scala constants the
+    // Spark plans use.
+    "samp_hash" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ('0x' || substr(md5('graft' || '|' ||
+         |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |  < ${operators.Sampling.thresholdFor(0.25)}""".stripMargin,
+
+    "samp_split" ->
+      s"""SELECT doc_id,
+         |  ${operators.Sampling.splitCaseSql(SplitWeights, "doc_id", "graft")}
+         |    AS split
+         |FROM documents""".stripMargin,
+
+    "samp_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substr(md5('graft' || '|' ||
+         |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+         |  CASE ${StratFractions.toSeq.sortBy(_._1).map { case (l, p) =>
+             s"WHEN lang = '$l' THEN ${operators.Sampling.thresholdFor(p)}"
+           }.mkString(" ")}
+         |  ELSE ${operators.Sampling.thresholdFor(0.25)} END"""
+        .stripMargin,
+
+    // Injected-PII redaction twin (same injection, same patterns — the
+    // regexes are vals shared with TextStats.redactPii).
+    "text_redact" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com see https://data.example.com/d/'
+         |      || CAST(doc_id AS VARCHAR)
+         |      || ' ref 20260812' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${operators.TextStats.EmailRe}', '<EMAIL>', 'g'),
+         |    '${operators.TextStats.UrlRe}', '<URL>', 'g'),
+         |    '${operators.TextStats.DigitRunRe}', '<NUM>', 'g')
+         |    AS clean_text,
+         |  len(regexp_extract_all(text, '${operators.TextStats.EmailRe}'))
+         |    AS n_emails,
+         |  len(regexp_extract_all(text, '${operators.TextStats.UrlRe}'))
+         |    AS n_urls,
+         |  len(regexp_extract_all(text, '${operators.TextStats.DigitRunRe}'))
+         |    AS n_digit_runs
+         |FROM inj""".stripMargin,
+
+    // Int8 quantization twin: same double-precision max-abs scale and
+    // half-up integer mapping, exploded to (vec_id, j, q) scalars.
+    "sim_quantize" ->
+      """WITH q0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+        |  FROM q0
+        |), e AS (
+        |  SELECT vec_id, nullif(m, 0) / 127 AS scale, v, m,
+        |         unnest(generate_series(1, len(v))) AS i
+        |  FROM m
+        |)
+        |SELECT vec_id, scale, CAST(i - 1 AS INTEGER) AS j,
+        |  CAST(floor(v[i] * 127 / nullif(m, 0) + 0.5) AS INTEGER) AS q
+        |FROM e""".stripMargin,
 
     // Full twin of the sign-bucket LSH: bucket = sign bits of the first
     // 8 coordinates, probe set = own bucket + all Hamming-1 flips (xor),

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-based sampling for a large-scale training-data
+  * pipeline. Random sampling (`df.sample`) is non-reproducible across
+  * runs, partitionings, and engines; hash sampling decides per ROW from
+  * a stable key, so the same (key, salt, fraction) always draws the
+  * same rows — on this engine, on a 1000-executor cluster, and in a
+  * SQL twin. It is also a pure per-row filter: no shuffle, pushes to
+  * the scan, trivially parallel at 100 TB.
+  *
+  * Hash basis: the first 8 hex chars of md5(salt || '|' || key) as a
+  * 32-bit value in [0, 2^32) — engine-portable (DuckDB:
+  * `('0x' || substr(md5(salt || '|' || key), 1, 8))::BIGINT`), uniform,
+  * and independent draws for different salts.
+  */
+object Sampling {
+
+  /** 2^32 — the hash-value range. */
+  private val HashRange = 4294967296.0
+
+  /** The 32-bit hash of (salt, key) both engines compute. */
+  def hashValue(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws("|", lit(salt), key.cast("string"))),
+      1, 8), 16, 10).cast("long")
+
+  /** The integer threshold a fraction maps to (rows with hash below it
+    * are kept): floor(p · 2^32), exact for p in [0, 1]. */
+  def thresholdFor(p: Double): Long = {
+    require(p >= 0.0 && p <= 1.0, s"fraction out of [0,1]: $p")
+    math.floor(p * HashRange).toLong
+  }
+
+  /** Deterministic Bernoulli(p) sample keyed on `keyCol`. */
+  def hashSample(df: DataFrame, p: Double, keyCol: String = "doc_id",
+                 salt: String = "graft"): DataFrame =
+    df.filter(hashValue(col(keyCol), salt) < thresholdFor(p))
+
+  /** Deterministic train/val/test-style assignment: buckets the key
+    * hash into 10,000 slots and labels each row by cumulative split
+    * weight (weights need not sum to 1 — they are normalized). Every
+    * row gets EXACTLY one split, disjoint by construction; adding a
+    * column, not filtering, so downstream can materialize all splits
+    * in one pass. Output: input columns + `split`.
+    */
+  def splitByHash(df: DataFrame, splits: Seq[(String, Double)],
+                  keyCol: String = "doc_id",
+                  salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    // cumulative integer bucket bounds; the last split absorbs any
+    // rounding residue so all 10,000 buckets are covered
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w / total * 10000.0)
+    }.tail.dropRight(1)
+    val bucket = hashValue(col(keyCol), salt) % 10000L
+    val split = splits.map(_._1).zip(bounds :+ Long.MaxValue)
+      .foldRight(null: Column) { case ((name, bound), rest) =>
+        if (rest == null) lit(name)
+        else when(bucket < bound, name).otherwise(rest)
+      }
+    df.withColumn("split", split)
+  }
+
+  /** SQL bucket expression + bounds for [[splitByHash]]'s oracle twin —
+    * kept next to the implementation so the two stay in lockstep. */
+  def splitCaseSql(splits: Seq[(String, Double)], keyCol: String,
+                   salt: String): String = {
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w / total * 10000.0)
+    }.tail.dropRight(1)
+    val bucket = s"(('0x' || substr(md5('$salt' || '|' || " +
+      s"CAST($keyCol AS VARCHAR)), 1, 8))::BIGINT % 10000)"
+    val whens = splits.map(_._1).zip(bounds)
+      .map { case (name, b) => s"WHEN $bucket < $b THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${splits.last._1}' END"
+  }
+
+  /** Deterministic stratified sample: per-stratum fractions, keyed on
+    * `keyCol`. Strata missing from `fractions` use `defaultFraction`.
+    * The fraction map is a literal when/otherwise chain (stays in
+    * codegen — no join; stratum cardinality is config-sized).
+    */
+  def stratifiedSample(df: DataFrame, fractions: Map[String, Double],
+                       stratumCol: String = "lang",
+                       defaultFraction: Double = 0.0,
+                       keyCol: String = "doc_id",
+                       salt: String = "graft"): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(thresholdFor(defaultFraction))) {
+        case ((stratum, p), rest) =>
+          when(col(stratumCol) === stratum, lit(thresholdFor(p)))
+            .otherwise(rest)
+      }
+    df.filter(hashValue(col(keyCol), salt) < threshold)
+  }
+}

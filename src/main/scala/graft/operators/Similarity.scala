@@ -83,6 +83,28 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage/
+    * bandwidth lever of a 100 TB vector corpus (4× smaller than float32,
+    * SIMD-friendly dot products downstream). Per-vector scale =
+    * max|x|/127; q_i = floor(x_i·127/max|x| + 0.5) ∈ [-127, 127]
+    * (half-up, identical arithmetic in any engine — no round()
+    * half-even ambiguity). Zero vectors quantize to NULL scale/values
+    * (nullif guard; ANSI-safe). Pure codegen'd array transforms.
+    * Output: (vec_id, scale double, qvec array<int>); dequantize as
+    * q_i · scale.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val maxAbs = array_max(transform(vd, x => abs(x)))
+    emb.select(col(idCol).as("vec_id"), vd.as("v"), maxAbs.as("m"))
+      .select(col("vec_id"),
+        (nullif(col("m"), lit(0.0)) / 127.0).as("scale"),
+        transform(col("v"),
+          x => floor(x * 127.0 / nullif(col("m"), lit(0.0)) + 0.5)
+            .cast("int")).as("qvec"))
+  }
+
   /** Sign-bucket LSH top-k — the scale path. Buckets vectors by the sign
     * pattern of `nBits` fixed coordinates (a degenerate random-hyperplane
     * LSH with axis-aligned planes — deterministic, no RNG); each query

@@ -195,6 +195,40 @@ object TextStats {
         (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
   }
 
+  // PII-shaped patterns, chosen to parse identically under Java regex
+  // (Spark) and RE2 (DuckDB): no backrefs, no lookaround, explicit
+  // classes. Deliberately high-recall/simple — a production scrubber
+  // would extend the pattern set, not the plumbing.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val DigitRunRe = "[0-9]{7,}"
+
+  /** PII redaction — the scrub pass of a training-data pipeline: counts
+    * then replaces email addresses, URLs, and long digit runs
+    * (phone/id-shaped) with typed placeholder tokens. Replacement order
+    * matters and is fixed: emails first (so their digit runs don't
+    * half-match), then URLs, then digit runs. Pure codegen'd
+    * regexp_replace/regexp_extract_all — no UDFs.
+    * Output: (doc_id, clean_text, n_emails, n_urls, n_digit_runs).
+    */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        DigitRunRe, "<NUM>").as("clean_text"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(UrlRe), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(text, lit(DigitRunRe), lit(0)))
+        .cast("long").as("n_digit_runs"))
+  }
+
   /** Whitespace-normalized lowercase text — the dedup canonical form. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, WsRe, " ")))

@@ -127,6 +127,77 @@ class Round3Spec extends SparkSpec {
     assert(e.getMessage.contains("integral id column"))
   }
 
+  test("hashSample: deterministic, salt-independent draws, ~p fraction") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = Sampling.hashSample(docs, 0.25)
+    val b = Sampling.hashSample(docs, 0.25)
+    assert(rows(a) == rows(b)) // same (key, salt, p) → same rows, always
+    val n = docs.count().toDouble
+    val frac = a.count() / n
+    assert(math.abs(frac - 0.25) < 0.15, s"fraction $frac far from p")
+    // different salt → a different (near-independent) draw
+    val c = Sampling.hashSample(docs, 0.25, salt = "other")
+    assert(rows(a) != rows(c))
+    // p is monotone: the p=0.25 sample is a subset of the p=0.5 one
+    // (same salt ⇒ same hash; only the threshold moves)
+    val half = rows(Sampling.hashSample(docs, 0.5))
+    assert(rows(a).forall(half.contains))
+  }
+
+  test("splitByHash: exhaustive, disjoint, ~weights") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val split = Sampling.splitByHash(docs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.count() == docs.count()) // adds a column, drops nothing
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") &&
+      byName("train") > byName("test"))
+  }
+
+  test("stratifiedSample honors per-stratum fractions") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Sampling.stratifiedSample(docs,
+      Map("en" -> 1.0, "zh" -> 0.0), defaultFraction = 0.0)
+    val langs = got.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(langs == Set("en")) // de/es/fr via default 0, zh explicit 0
+    assert(got.count() ==
+      docs.filter(col("lang") === "en").count()) // fraction 1.0 = all
+  }
+
+  test("redactPii replaces emails, urls, digit runs in fixed order") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-site.org or https://x.io/p?q=1 id 1234567"),
+      (2L, "no pii here, just 123 and a word"),
+    ).toDF("doc_id", "text")
+    val got = TextStats.redactPii(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) ==
+      ("mail me at <EMAIL> or <URL> id <NUM>", 1L, 1L, 1L))
+    assert(got(2L) == ("no pii here, just 123 and a word", 0L, 0L, 0L))
+  }
+
+  test("quantizeInt8: values bounded, dequantization error <= scale/2") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.quantizeInt8(emb)
+    val joined = emb.join(q, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("scale"), col("qvec"))
+      .collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      val xs = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val qs = r.getSeq[Int](3)
+      assert(qs.forall(v => v >= -127 && v <= 127))
+      xs.zip(qs).foreach { case (x, v) =>
+        assert(math.abs(x.toDouble - v * scale) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("streaming memory-sink handback preserves rows (no collect path)") {
     val got = graft.streaming.EventsStream.eventsBySegment(spark,
       "/root/testdata/sf0.001")
