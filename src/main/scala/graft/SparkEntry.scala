@@ -153,6 +153,22 @@ object SparkEntry {
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
+    // --- repetition quality signals (north-star) ---
+    "text_repetition" -> ((s, dir) => TextStats.repetition(docs(s, dir))),
+
+    // --- benchmark decontamination (north-star) ---
+    // Deterministic synthetic benchmark: every 20th doc; the corpus side
+    // is everything else. 4-gram granularity flags ~10% of the corpus at
+    // sf0.01 (49 docs) — a non-vacuous, selective check.
+    "dedup_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), n = 4)
+    }),
+
+    // --- composed curation pipeline (north-star) ---
+    "pipe_curate" -> ((s, dir) => Curate.curate(docs(s, dir))),
+
     // --- deterministic sampling (north-star; see operators.Sampling) ---
     "samp_hash" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), 0.25)
@@ -545,6 +561,122 @@ object SparkEntry {
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
          |FROM s
          |QUALIFY "rank" <= 10""".stripMargin,
+
+    "text_repetition" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM nrm) GROUP BY doc_id, w
+        |), u AS (
+        |  SELECT doc_id, max(c) AS top_c, sum(c) AS n_tokens
+        |  FROM uni GROUP BY doc_id
+        |), tg AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        |        FROM nrm)
+        |), tri AS (
+        |  SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS d3
+        |  FROM tg GROUP BY doc_id
+        |)
+        |SELECT u.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  top_c / n_tokens AS top_unigram_share,
+        |  1.0 - d3 / n3 AS dup_trigram_frac
+        |FROM u JOIN tri USING (doc_id)""".stripMargin,
+
+    // 4-gram contamination vs the every-20th-doc benchmark split
+    "dedup_decontam" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 3, 1)),
+        |    i -> array_to_string(t[i:i+3], ' ')))) AS s
+        |  FROM sh0
+        |), bench AS (
+        |  SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
+        |), corp AS (
+        |  SELECT doc_id, s FROM sh WHERE doc_id % 20 != 0
+        |)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM corp JOIN bench USING (s)
+        |GROUP BY doc_id""".stripMargin,
+
+    // The composed curation twin: langid + quality + recursive canonical
+    // components + the hash-sample predicate, assembled from the same
+    // building blocks as the individual oracles.
+    "pipe_curate" ->
+      s"""WITH RECURSIVE $wsToksCte, qc AS (
+         |  SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+         |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t)))) AS stop_toks,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.DeStopwords)}, lower(t)))) AS de_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EsStopwords)}, lower(t)))) AS es_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.FrStopwords)}, lower(t)))) AS fr_hits
+         |  FROM wtoks
+         |), q AS (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(0.25 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |        n_tokens / CAST(100.0 AS DOUBLE))
+         |    + CAST(0.25 AS DOUBLE) * (alpha_chars / n_chars)
+         |    + CAST(0.25 AS DOUBLE)
+         |        * (CAST(1.0 AS DOUBLE) - punct_chars / n_chars)
+         |    + CAST(0.25 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |        (stop_toks / n_tokens) * CAST(4.0 AS DOUBLE))
+         |      AS quality_score,
+         |    CASE WHEN stop_toks >= de_hits AND stop_toks >= es_hits
+         |              AND stop_toks >= fr_hits THEN 'en'
+         |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |         WHEN es_hits >= fr_hits THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM qc
+         |), nrm AS (
+         |  SELECT doc_id,
+         |         lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS t
+         |  FROM documents
+         |), sh0 AS (
+         |  SELECT doc_id, string_split(t, ' ') AS tk FROM nrm
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - 2, 1)),
+         |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
+         |  FROM sh0
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), com AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), jpairs AS (
+         |  SELECT da, db FROM com
+         |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |  WHERE c / (x.n + y.n - c) >= 0.8
+         |), edges AS (
+         |  SELECT da AS a, db AS b FROM jpairs
+         |  UNION ALL SELECT db, da FROM jpairs
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
+         |    ON e.a = reach.id
+         |), canon AS (
+         |  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+         |)
+         |SELECT q.doc_id, lang_pred, n_tokens, quality_score
+         |FROM q JOIN canon USING (doc_id)
+         |WHERE lang_pred = 'en' AND quality_score >= 0.5
+         |  AND doc_id = canonical_id
+         |  AND ('0x' || substr(md5('graft' || '|' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      < ${operators.Sampling.thresholdFor(0.5)}""".stripMargin,
 
     // Deterministic hash sampling twins: identical md5-hex thresholds,
     // thresholds/bounds interpolated from the SAME Scala constants the

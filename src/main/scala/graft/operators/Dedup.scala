@@ -290,6 +290,21 @@ object Dedup {
     byKey.join(ids, "k").select("doc_id", "simhash")
   }
 
+  /** Benchmark decontamination — the eval-leak check of a training-data
+    * pipeline: flags every corpus document sharing at least one distinct
+    * word n-gram with any benchmark document. Pure keyed equi-join on
+    * the shingle (the benchmark shingle set is DISTINCT and usually
+    * broadcast-sized; the corpus side streams) — no all-pairs anything,
+    * the 100 TB shape. Output: (doc_id, n_shared) — flagged docs only,
+    * with the count of distinct contaminated n-grams.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    n: Int = 5): DataFrame =
+    shingles(docs, n)
+      .join(shingles(benchmark, n).select("s").distinct(), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+
   /** Full dedup ASSIGNMENT pipeline — the 100 TB shape. Emitting all
     * near-dup pairs is quadratic in the clone multiplicity (10× cloning
     * → 45× the pairs; measured 64s vs 3s in tools/ScaleProbe), so

@@ -195,6 +195,33 @@ object TextStats {
         (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
   }
 
+  /** Repetition signals (Gopher/C4-style quality filters): share of the
+    * most frequent unigram, and the duplicate-trigram fraction
+    * (1 − distinct/total), over normalized tokens. High values flag
+    * boilerplate/spam-like documents. Short docs (<3 tokens) contribute
+    * one whole-text gram (same guard as the shingle ops).
+    * Output: (doc_id, n_tokens, top_unigram_share, dup_trigram_frac).
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val t = split(normalized(col(textCol)), " ")
+    val base = docs.select(col(idCol).as("doc_id"), t.as("toks"))
+    val uni = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_c"), sum("c").as("n_tokens"))
+    val tri = base.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("d3"))
+    uni.join(tri, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_c") / col("n_tokens")).as("top_unigram_share"),
+        (lit(1.0) - col("d3") / col("n3")).as("dup_trigram_frac"))
+  }
+
   // PII-shaped patterns, chosen to parse identically under Java regex
   // (Spark) and RE2 (DuckDB): no backrefs, no lookaround, explicit
   // classes. Deliberately high-recall/simple — a production scrubber

@@ -198,6 +198,47 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("repetition: hand-checked shares on a fixed doc") {
+    val docs = Seq(
+      (1L, "a a a b"),           // top1 = 3/4; trigrams: aaa,aab distinct
+      (2L, "x y x y x y"),       // top1 = 3/6; xyx,yxy,xyx,yxy → 2/4 dup
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetition(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 0.75, 0.0)))
+    assert(got(2L) == ((6L, 0.5, 0.5)))
+  }
+
+  test("decontaminate flags exactly docs sharing an n-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // shares the benchmark 3-gram
+      (2L, "epsilon zeta eta theta"), // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "x alpha beta gamma y")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+  }
+
+  test("curate: every surviving row passes all four gates") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Curate.curate(d)
+    val survivors = out.collect()
+    assert(survivors.nonEmpty) // non-vacuous on the test corpus
+    assert(survivors.forall(_.getDouble(3) >= 0.5)) // quality floor
+    assert(survivors.forall(_.getString(1) == "en")) // lang gate
+    // dedup gate: every survivor is its own canonical id
+    val canon = Dedup.assignCanonical(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(survivors.forall(r => canon(r.getLong(0)) == r.getLong(0)))
+    // sample gate: survivors are exactly the kept hash draws
+    val ids = survivors.map(_.getLong(0)).toSet
+    val keptIds = Sampling.hashSample(d, 0.5).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keptIds))
+  }
+
   test("streaming memory-sink handback preserves rows (no collect path)") {
     val got = graft.streaming.EventsStream.eventsBySegment(spark,
       "/root/testdata/sf0.001")
