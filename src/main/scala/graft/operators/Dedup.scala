@@ -484,10 +484,15 @@ object Dedup {
     // 100 TB surface.
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val rep = base.groupBy("vec").agg(min("vec_id").as("rep"))
-    val withRep = base.join(rep, "vec") // (vec, vec_id, rep) — keyed join
+    // consumed 3× (intra self-join, inter expansion ×2) and feeds the
+    // 4×-consumed rep subtree below — materialize once, or every
+    // consumer re-runs the groupBy + array-key join shuffles
+    // (measured 4× the query time at sf0.1 without these persists)
+    val withRep = base.join(rep, "vec").persist() // (vec, vec_id, rep)
     val reps = withRep.filter(col("vec_id") === col("rep"))
       .select("vec_id", "vec")
-    val n = Similarity.withNorm(reps, "vec_id", "vec")
+    // consumed 4× (banding self-join l/r, verify x/y)
+    val n = Similarity.withNorm(reps, "vec_id", "vec").persist()
     // rows-per-band from the threshold: largest r (dividing nPlanes)
     // whose miss probability for a pair AT the threshold stays under
     // bandMissProb — bigger r prunes harder, smaller r recalls better.
