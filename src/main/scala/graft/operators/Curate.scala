@@ -25,11 +25,14 @@ object Curate {
              minQuality: Double = 0.5, sampleP: Double = 0.5,
              dedupThreshold: Double = 0.8,
              salt: String = "graft"): DataFrame = {
-    val quality = TextStats.stats(docs)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val langs = TextStats.langId(docs).select("doc_id", "lang_pred")
+    // stats + langId fused into ONE per-row projection (signals): the
+    // two are independent functions of the same text — a join would
+    // cost a second scan + shuffle for no information
+    val sig = TextStats.signals(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("lang_pred"))
     val canon = Dedup.assignCanonical(docs, dedupThreshold)
-    val kept = quality.join(langs, "doc_id").join(canon, "doc_id")
+    val kept = sig.join(canon, "doc_id")
       .filter(col("lang_pred") === lang &&
         col("quality_score") >= minQuality &&
         col("doc_id") === col("canonical_id"))

@@ -34,10 +34,27 @@ object TextStats {
     * stopword_ratio, quality_score).
     */
   def stats(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text"): DataFrame =
+    statsAndLang(docs, idCol, textCol)
+      .drop("en_hits", "de_hits", "es_hits", "fr_hits", "lang_pred")
+
+  /** One-pass fusion of [[stats]] and [[langId]] for pipeline
+    * composition (e.g. [[Curate]]): both are per-row projections of the
+    * same text, so computing them together costs one scan and no join.
+    * Output: [[stats]] columns + (en/de/es/fr)_hits + lang_pred.
+    */
+  def signals(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    statsAndLang(docs, idCol, textCol)
+
+  private def statsAndLang(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
     val text = col(textCol)
     val toks = wsTokens(text)
-    val stop = array(EnStopwords.map(lit): _*)
+    def hits(words: Seq[String]): Column = {
+      val set = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(set, lower(t)))).cast("long")
+    }
     docs.select(
         col(idCol).as("doc_id"),
         length(text).cast("long").as("n_chars"),
@@ -49,8 +66,12 @@ object TextStats {
         charClassCount(text, "[a-zA-Z0-9 ]").as("punct_chars"),
         charClassCount(text, "[^ ]").as("space_chars"),
         length(array_join(toks, "")).as("tok_chars"),
-        size(filter(toks, t => array_contains(stop, lower(t))))
-          .cast("long").as("stop_toks"))
+        // en stopword hits double as the stopword-ratio numerator and
+        // the langId en score — identical definitions by construction
+        hits(EnStopwords).as("stop_toks"),
+        hits(DeStopwords).as("de_hits"),
+        hits(EsStopwords).as("es_hits"),
+        hits(FrStopwords).as("fr_hits"))
       .select(
         col("doc_id"), col("n_chars"), col("n_tokens"), col("n_bpe_tokens"),
         // nullif guards: ANSI mode errors on x/0 while the DuckDB oracle
@@ -67,12 +88,22 @@ object TextStats {
         (col("tok_chars") / nullif(col("n_tokens"), lit(0L)))
           .as("mean_token_len"),
         (col("stop_toks") / nullif(col("n_tokens"), lit(0L)))
-          .as("stopword_ratio"))
+          .as("stopword_ratio"),
+        col("stop_toks").as("en_hits"), col("de_hits"),
+        col("es_hits"), col("fr_hits"))
       .withColumn("quality_score",
         lit(0.25) * least(lit(1.0), col("n_tokens") / 100.0) +
         lit(0.25) * col("alpha_ratio") +
         lit(0.25) * (lit(1.0) - col("punct_ratio")) +
         lit(0.25) * least(lit(1.0), col("stopword_ratio") * 4.0))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") &&
+             col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") &&
+                col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
   }
 
   // Tiny per-language marker-word lists for the n-gram/stopword language
