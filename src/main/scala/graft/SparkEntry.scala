@@ -89,6 +89,12 @@ object SparkEntry {
       Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e)
     }),
 
+    // --- embedding label-purity eval (north-star; uses the labels) ---
+    "sim_label_eval" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.labelEval(e.filter(col("vec_id") % 50 === 0), e)
+    }),
+
     // --- relational coverage over the TPC-H-ish tables ---
     "rel_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(tbl(s, dir, "lineitem"))),
@@ -793,6 +799,31 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Label-purity eval twin: the brute top-k CTE + label joins.
+    "sim_label_eval" ->
+      s"""WITH $vecCtes, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM normed WHERE vec_id % 50 = 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |), top AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 10
+         |)
+         |SELECT query_id, ql.label AS query_label,
+         |  count(*) AS n_neighbors,
+         |  sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+         |    / count(*) AS frac_same_label
+         |FROM top
+         |JOIN embeddings ql ON query_id = ql.vec_id
+         |JOIN embeddings nl ON neighbor_id = nl.vec_id
+         |GROUP BY query_id, ql.label""".stripMargin,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -83,6 +83,29 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Label-purity evaluation of an embedding space — the standard
+    * "do neighbors share my label" quality check run before training on
+    * learned embeddings: for each query, the fraction of its top-k
+    * cosine neighbors carrying the query's label. Builds on
+    * [[bruteTopK]] (exact ranking — this is an EVAL, measure against
+    * truth); label lookups are keyed joins, query side broadcast.
+    * Output: (query_id, query_label, n_neighbors, frac_same_label).
+    */
+  def labelEval(queries: DataFrame, candidates: DataFrame, k: Int = 10,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                labelCol: String = "label"): DataFrame = {
+    val topk = bruteTopK(queries, candidates, k, idCol, vecCol)
+    val ql = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"))
+    val cl = candidates.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    topk.join(broadcast(ql), "query_id").join(cl, "neighbor_id")
+      .groupBy("query_id", "query_label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        (sum(when(col("neighbor_label") === col("query_label"), 1L)
+          .otherwise(0L)) / count(lit(1))).as("frac_same_label"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage/
     * bandwidth lever of a 100 TB vector corpus (4× smaller than float32,
     * SIMD-friendly dot products downstream). Per-vector scale =

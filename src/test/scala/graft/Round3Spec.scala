@@ -239,6 +239,20 @@ class Round3Spec extends SparkSpec {
     assert(ids.subsetOf(keptIds))
   }
 
+  test("labelEval: purity fractions match hand math on a planted space") {
+    // two tight clusters with distinct labels + one mislabeled point
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.99f, 0.05f), 1),
+      (2L, Array(0.98f, 0.08f), 2), // intruder in cluster A
+      (10L, Array(0.0f, 1.0f), 2), (11L, Array(0.05f, 0.99f), 2),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelEval(emb.filter($"vec_id" === 0L), emb,
+      k = 2).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // query 0's two nearest are 1 (label 1) and 2 (label 2) → 1/2
+    assert(got.toSeq == Seq((0L, 1, 2L, 0.5)))
+  }
+
   test("streaming memory-sink handback preserves rows (no collect path)") {
     val got = graft.streaming.EventsStream.eventsBySegment(spark,
       "/root/testdata/sf0.001")
