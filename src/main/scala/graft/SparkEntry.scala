@@ -156,6 +156,8 @@ object SparkEntry {
       graft.streaming.EventsStream.eventsBySegment(s, dir)),
     "stream_stream_join" -> ((s, dir) =>
       graft.streaming.EventsStream.signupToPurchase(s, dir)),
+    "stream_session_window" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionWindows(s, dir)),
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
@@ -967,6 +969,28 @@ object SparkEntry {
 
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // session_window twin: break at gap >= 30 min (session_window's
+    // [ts, ts+gap) extension is end-EXCLUSIVE — see sessionWindows)
+    "stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "stream_events_by_segment" ->
       """SELECT c_mktsegment, count(*) AS n_events

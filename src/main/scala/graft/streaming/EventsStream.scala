@@ -142,6 +142,27 @@ object EventsStream {
           col("s_user").as("user_id"))
     }, "sjoin", "append")
 
+  /** Native session-window aggregation: Spark's `session_window` merges
+    * an event into the current session while it falls strictly inside
+    * the previous event's [ts, ts+gap) extension — i.e. a gap of
+    * EXACTLY 30 minutes starts a new session (the batch twin's break
+    * condition is therefore `diff >= gap`, not `>`). Complete mode
+    * (session windows reject update mode; append would withhold
+    * sessions newer than the final watermark) + AvailableNow = the
+    * final table holds every merged session.
+    * Output: (user_id, session_start string, n_events).
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, s => eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events")),
+      "sessionwin", "complete")
+
   /** Per-user event totals via stateful streaming
     * (mapGroupsWithState, update mode): each micro-batch folds its rows
     * into a per-user running count held in GroupState. The memory sink
