@@ -12,7 +12,10 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q4_tf", "q6_tfidf", "rel_pricing_summary",
         "rel_revenue_nation", "sim_topk_brute", "dedup_minhash_lsh",
-        "rel_asof_join", "text_lm_score")
+        "rel_asof_join", "text_lm_score",
+        // round-3 surface
+        "dedup_embedding", "dedup_decontam", "pipe_curate",
+        "samp_hash", "sim_quantize", "sim_label_eval")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
