@@ -19,8 +19,13 @@ import graft.operators._
   *
   * Jobs: tokens | dictionary | task1 | tf | idf | tfidf |
   *       dedup-exact | dedup-jaccard | dedup-minhash | dedup-simhash |
-  *       text-stats | lang-id | fingerprint |
-  *       sim-topk | dedup-embedding   (input: embeddings parquet)
+  *       dedup-assign | decontam (--benchmark <path>) |
+  *       text-stats | lang-id | fingerprint | repetition | redact |
+  *       sample (--fraction) | split (--weights train:0.8,val:0.1,...) |
+  *       stratified-sample (--fractions en:0.5,de:1.0 [--stratum lang]) |
+  *       curate (--lang --min-quality --sample-p) |
+  *       sim-topk | dedup-embedding | quantize | label-eval
+  *         (input: embeddings parquet)
   *
   * `--input` accepts a `.parquet` documents table (doc_id, text) or a
   * text file of `<doc id=..>body</doc>` lines (wikiextractor format).
@@ -65,9 +70,39 @@ object Main {
       case "dedup-jaccard" => Dedup.ngramJaccardPairs(docs)
       case "dedup-minhash" => Dedup.minHashLsh(docs)
       case "dedup-simhash" => Dedup.simHashPairs(docs)
+      case "dedup-assign" => Dedup.assignCanonical(docs,
+        threshold = opts.getOrElse("threshold", "0.8").toDouble)
+      case "decontam" => Dedup.decontaminate(docs,
+        readDocs(spark, opts.getOrElse("benchmark",
+          sys.error("--benchmark required for decontam"))),
+        n = opts.getOrElse("n", "5").toInt)
       case "text-stats" => TextStats.stats(docs)
       case "lang-id" => TextStats.langId(docs)
       case "fingerprint" => TextStats.fingerprint(docs)
+      case "repetition" => TextStats.repetition(docs)
+      case "redact" => TextStats.redactPii(docs)
+      case "sample" => Sampling.hashSample(docs,
+        opts.getOrElse("fraction", "0.25").toDouble,
+        salt = opts.getOrElse("salt", "graft"))
+      case "split" => Sampling.splitByHash(docs,
+        parseWeights(opts.getOrElse("weights",
+          "train:0.8,val:0.1,test:0.1")),
+        salt = opts.getOrElse("salt", "graft"))
+      case "stratified-sample" => Sampling.stratifiedSample(docs,
+        parseWeights(opts.getOrElse("fractions",
+          sys.error("--fractions required, e.g. en:0.5,de:1.0"))).toMap,
+        stratumCol = opts.getOrElse("stratum", "lang"),
+        salt = opts.getOrElse("salt", "graft"))
+      case "curate" => Curate.curate(docs,
+        lang = opts.getOrElse("lang", "en"),
+        minQuality = opts.getOrElse("min-quality", "0.5").toDouble,
+        sampleP = opts.getOrElse("sample-p", "0.5").toDouble)
+      case "quantize" => Similarity.quantizeInt8(emb)
+      case "label-eval" =>
+        Similarity.labelEval(
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") %
+            opts.getOrElse("query-every", "50").toInt === 0), emb,
+          k = opts.getOrElse("k", "10").toInt)
       case other => sys.error(s"unknown job '$other'. " + usage)
     }
     opts.getOrElse("format", "parquet") match {
@@ -99,6 +134,14 @@ object Main {
     else {
       val parsed = WikiText.parse(spark.read.text(input))
       parsed.select(parsed("doc_id"), parsed("body").as("text"))
+    }
+
+  /** "train:0.8,val:0.1" → Seq(("train", 0.8), ("val", 0.1)); order
+    * preserved (split bucket bounds are cumulative). */
+  private def parseWeights(s: String): Seq[(String, Double)] =
+    s.split(",").toSeq.map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim -> v.trim.toDouble
     }
 
   private def parseOpts(args: Array[String]): Map[String, String] = {

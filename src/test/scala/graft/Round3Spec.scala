@@ -253,6 +253,29 @@ class Round3Spec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1, 2L, 0.5)))
   }
 
+  test("CLI: round-3 jobs dispatch end-to-end (sample, redact, curate)") {
+    val out = java.nio.file.Files.createTempDirectory("cli_r3").toString
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    for ((job, extra) <- Seq(
+        "sample" -> Map("fraction" -> "0.5"),
+        "split" -> Map.empty[String, String],
+        "redact" -> Map.empty[String, String],
+        "repetition" -> Map.empty[String, String],
+        "stratified-sample" -> Map("fractions" -> "en:1.0"),
+        "curate" -> Map.empty[String, String])) {
+      val dir = s"$out/$job"
+      graft.cli.Main.run(spark, job,
+        Map("input" -> in, "output" -> dir) ++ extra)
+      assert(spark.read.parquet(dir).count() > 0, job)
+    }
+    val embIn = "/root/testdata/sf0.001/embeddings.parquet"
+    for (job <- Seq("quantize", "label-eval")) {
+      val dir = s"$out/$job"
+      graft.cli.Main.run(spark, job, Map("input" -> embIn, "output" -> dir))
+      assert(spark.read.parquet(dir).count() > 0, job)
+    }
+  }
+
   test("streaming memory-sink handback preserves rows (no collect path)") {
     val got = graft.streaming.EventsStream.eventsBySegment(spark,
       "/root/testdata/sf0.001")
