@@ -89,6 +89,11 @@ object SparkEntry {
       Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e)
     }),
 
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e)
+    }),
+
     // --- embedding label-purity eval (north-star; uses the labels) ---
     "sim_label_eval" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -801,6 +806,52 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // IVF twin: deterministic 16-centroid codebook (lowest-id vectors),
+    // nearest-list assignment and 4-probe query routing with (cos desc,
+    // cid asc) ties — replays Similarity.ivfTopK exactly.
+    "sim_topk_ivf" ->
+      s"""WITH $vecCtes, nz AS (
+         |  SELECT vec_id, v, norm FROM normed WHERE norm > 0
+         |), cent AS (
+         |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nz
+         |  ORDER BY vec_id ASC LIMIT 16
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT z.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(z.v)),
+         |          i -> z.v[i] * c.cv[i])) / (z.norm * c.cnorm) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM nz z CROSS JOIN cent c)
+         |  WHERE rn = 1
+         |), qs AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM nz WHERE vec_id % 50 = 0
+         |), probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT qq.query_id, c.cid,
+         |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(qq.qv)),
+         |          i -> qq.qv[i] * c.cv[i])) / (qq.qnorm * c.cnorm) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM qs qq CROSS JOIN cent c)
+         |  WHERE rn <= 4
+         |), s AS (
+         |  SELECT qq.query_id, a.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qq.qv)),
+         |      i -> qq.qv[i] * z.v[i])) / (qq.qnorm * z.norm) AS cos
+         |  FROM probes p
+         |  JOIN qs qq ON p.query_id = qq.query_id
+         |  JOIN assign a ON a.cid = p.cid
+         |  JOIN nz z ON z.vec_id = a.vec_id
+         |  WHERE a.vec_id != qq.query_id
+         |)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
+         |FROM s
+         |QUALIFY "rank" <= 10""".stripMargin,
 
     // Label-purity eval twin: the brute top-k CTE + label joins.
     "sim_label_eval" ->

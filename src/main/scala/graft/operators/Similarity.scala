@@ -106,6 +106,81 @@ object Similarity {
           .otherwise(0L)) / count(lit(1))).as("frac_same_label"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the industry-standard coarse
+    * quantization scale path: candidates are assigned to their nearest
+    * of `nCentroids` centroid lists; each query scores only the lists
+    * of its `nProbe` nearest centroids. All joins are keyed equi-joins
+    * on the centroid id; the only cross product is against the
+    * `nCentroids`-row broadcast codebook (a constant).
+    *
+    * The codebook here is the `nCentroids` lowest-id candidate vectors —
+    * a fixed, engine-reproducible stand-in for a k-means codebook (which
+    * production would train offline and broadcast the same way; the
+    * plumbing is identical). Deterministic ties: (cos desc, centroid id
+    * asc). Zero vectors are excluded (no defined cosine). Recall < 1 by
+    * design; [[bruteTopK]] is the oracle at test scale, and the whole
+    * operator is plain SQL, so an external twin can replay it exactly.
+    * Output: (query_id, neighbor_id, rank).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, idCol, "ivfTopK")
+    requireIntegralIds(candidates, idCol, "ivfTopK")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = withNorm(candidates, idCol, vecCol)
+      .filter(col("norm") > 0)
+    val cent = cand.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"),
+        col("norm").as("cnorm"))
+    def centCos(vec: Column, norm: Column): Column =
+      dot(vec, col("cvec")) / (norm * col("cnorm"))
+    // nearest centroid per candidate: struct-max picks (max cos, then
+    // min cid via the negated id) — one map-side-combined aggregation,
+    // no window over the N×C cross rows
+    val assigned = cand.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("vec"), col("norm"), col("cid"),
+        struct(centCos(col("vec"), col("norm")).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("vec")).as("vec"), first(col("norm")).as("norm"),
+        max(col("sc")).as("best"))
+      .select(col("vec_id"), col("vec"), col("norm"),
+        (-col("best.ncid")).as("cid"))
+    // nProbe nearest centroids per query, via the same bounded-heap
+    // ranking as the final top-k
+    val q = withNorm(queries, idCol, vecCol).filter(col("norm") > 0)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        centCos(col("vec"), col("norm")).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(nProbe).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), explode(col("top")).as("pc"))
+      .select(col("query_id"), col("pc._2").as("cid"))
+    val qr = q.withColumnsRenamed(Map("vec_id" -> "query_id",
+      "vec" -> "qvec", "norm" -> "qnorm"))
+    val scored = probes.join(broadcast(qr), "query_id")
+      .join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qvec"), col("vec"))
+          / nullif(col("qnorm") * col("norm"), lit(0.0))).as("cos"))
+    scored.filter(col("cos").isNotNull)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage/
     * bandwidth lever of a 100 TB vector corpus (4× smaller than float32,
     * SIMD-friendly dot products downstream). Per-vector scale =

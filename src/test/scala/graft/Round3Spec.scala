@@ -239,6 +239,21 @@ class Round3Spec extends SparkSpec {
     assert(ids.subsetOf(keptIds))
   }
 
+  test("ivfTopK: high recall vs brute on the test embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(q, emb, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(q, emb, k = 5))
+    // probing 4/16 lists: every IVF hit is brute-valid is NOT guaranteed
+    // (ivf ranks within probed lists), but overlap must be substantial
+    // and the operator deterministic
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    assert(ivf == pairs(Similarity.ivfTopK(q, emb, k = 5))) // deterministic
+  }
+
   test("labelEval: purity fractions match hand math on a planted space") {
     // two tight clusters with distinct labels + one mislabeled point
     val emb = Seq(
