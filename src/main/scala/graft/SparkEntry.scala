@@ -163,6 +163,13 @@ object SparkEntry {
       graft.streaming.EventsStream.signupToPurchase(s, dir)),
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(s, dir)),
+    // foreachBatch file-sink pattern; result read back from the files
+    // it wrote, so the gate checks the SINK, not just the aggregation
+    "stream_foreach_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_fbsink").toString
+      graft.streaming.EventsStream.hourlyViaForeachBatch(s, dir, out)
+    }),
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
@@ -984,6 +991,12 @@ object SparkEntry {
 
     "stream_user_counts" ->
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+
+    "stream_foreach_sink" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour,
+        |  event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // 1h windows sliding every 30m: an event at t is in the windows
     // starting at bucket30(t) and bucket30(t) - 30m

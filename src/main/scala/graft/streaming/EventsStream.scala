@@ -163,6 +163,45 @@ object EventsStream {
         col("n_events")),
       "sessionwin", "complete")
 
+  /** foreachBatch sink — the production pattern for landing a stream in
+    * a batch-format table: each micro-batch is written through the
+    * ordinary batch writer, partitioned by the batch id so replays
+    * OVERWRITE their own partition (idempotent under retries — the
+    * exactly-once recipe for file sinks). Complete mode: each batch
+    * rewrites the whole aggregate; reading back only the LAST batch id
+    * yields the final table. Returns the read-back result.
+    * Output: (hour string, event_type, n_events) — same surface/oracle
+    * as [[hourlyCounts]].
+    */
+  def hourlyViaForeachBatch(spark: SparkSession, dir: String,
+                            outDir: String): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val agg = eventsStream(scoped, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    val all = spark.read.parquet(outDir)
+    // partition-column type is INFERRED on read (int for small ids)
+    val last = all.agg(max(col("batch_id")).cast("long")).head().getLong(0)
+    all.filter(col("batch_id") === last).drop("batch_id")
+  }
+
   /** Per-user event totals via stateful streaming
     * (mapGroupsWithState, update mode): each micro-batch folds its rows
     * into a per-user running count held in GroupState. The memory sink

@@ -291,6 +291,40 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("plans: column pruning and filter pushdown reach the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // q1_tokens projects only (doc_id, text) from the 5-column table
+    val p1 = planOf(SparkEntry.queries("q1_tokens")(spark, dir))
+    assert(p1.contains("ReadSchema") &&
+      p1.contains("doc_id") && p1.contains("text") &&
+      !p1.contains("n_chars"), p1.linesIterator.toSeq.takeRight(5))
+    // rel_anti_join pushes the orderdate filter into the orders scan
+    val p2 = planOf(SparkEntry.queries("rel_anti_join")(spark, dir))
+    assert(p2.contains("PushedFilters: [IsNotNull(o_custkey)") ||
+      p2.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p2.contains("GreaterThanOrEqual(o_orderdate"), p2)
+    // dedup_embedding must stay BNLJ-free (spec-pinned plan shape)
+    val p3 = planOf(SparkEntry.queries("dedup_embedding")(spark, dir))
+    assert(!p3.contains("BroadcastNestedLoopJoin"), "BNLJ in embedding dedup")
+  }
+
+  test("foreachBatch sink lands the stream and reads back batch-consistent") {
+    val out = java.nio.file.Files.createTempDirectory("fbsink_spec").toString
+    val got = graft.streaming.EventsStream.hourlyViaForeachBatch(spark,
+      "/root/testdata/sf0.001", out)
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val expect = events.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(rows(got) == rows(expect))
+    // the sink wrote real files, partitioned by batch id
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("batch_id=")))
+  }
+
   test("streaming memory-sink handback preserves rows (no collect path)") {
     val got = graft.streaming.EventsStream.eventsBySegment(spark,
       "/root/testdata/sf0.001")
