@@ -35,6 +35,8 @@ object SparkEntry {
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   val StratFractions: Map[String, Double] =
     Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)
+  val MixTargets: Map[String, Double] =
+    Map("en" -> 0.4, "de" -> 0.3, "zh" -> 0.3)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -199,6 +201,12 @@ object SparkEntry {
     "samp_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), StratFractions,
           defaultFraction = 0.25)
+        .select("doc_id", "lang")),
+    "samp_cap" -> ((s, dir) =>
+      Sampling.capPerStratum(docs(s, dir), maxPerStratum = 10)
+        .select("doc_id", "source")),
+    "samp_mix" -> ((s, dir) =>
+      Sampling.mixtureSample(docs(s, dir), MixTargets)
         .select("doc_id", "lang")),
 
     // --- PII scrub (north-star) ---
@@ -722,6 +730,39 @@ object SparkEntry {
            }.mkString(" ")}
          |  ELSE ${operators.Sampling.thresholdFor(0.25)} END"""
         .stripMargin,
+
+    "samp_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5('graft' || '|' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+        |      doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+
+    // Mixture twin: identical fraction derivation (w·T*/count with
+    // T* = min(count/w)) and the same left-associative double
+    // arithmetic, so thresholds agree bit-for-bit.
+    "samp_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+         |), w AS (
+         |  SELECT lang, c,
+         |    CASE ${SparkEntry.MixTargets.toSeq.sortBy(_._1).map {
+               case (l, p) => s"WHEN lang = '$l' THEN $p"
+             }.mkString(" ")} ELSE 0.0 END AS w
+         |  FROM cnt
+         |), t AS (
+         |  SELECT min(c / w) AS tstar FROM w WHERE w > 0
+         |), f AS (
+         |  SELECT lang, CAST(floor(w * tstar / c * 4294967296.0)
+         |    AS BIGINT) AS thr
+         |  FROM w, t WHERE w > 0
+         |)
+         |SELECT doc_id, lang FROM documents JOIN f USING (lang)
+         |WHERE ('0x' || substr(md5('graft' || '|' ||
+         |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
 
     // Injected-PII redaction twin (same injection, same patterns — the
     // regexes are vals shared with TextStats.redactPii).

@@ -23,6 +23,8 @@ import graft.operators._
   *       text-stats | lang-id | fingerprint | repetition | redact |
   *       sample (--fraction) | split (--weights train:0.8,val:0.1,...) |
   *       stratified-sample (--fractions en:0.5,de:1.0 [--stratum lang]) |
+  *       cap (--max-per-stratum [--stratum source]) |
+  *       mix (--targets en:0.4,de:0.3 [--stratum lang]) |
   *       curate (--lang --min-quality --sample-p) |
   *       sim-topk | dedup-embedding | quantize | label-eval
   *         (input: embeddings parquet)
@@ -91,6 +93,15 @@ object Main {
       case "stratified-sample" => Sampling.stratifiedSample(docs,
         parseWeights(opts.getOrElse("fractions",
           sys.error("--fractions required, e.g. en:0.5,de:1.0"))).toMap,
+        stratumCol = opts.getOrElse("stratum", "lang"),
+        salt = opts.getOrElse("salt", "graft"))
+      case "cap" => Sampling.capPerStratum(docs,
+        opts.getOrElse("max-per-stratum", "1000").toInt,
+        stratumCol = opts.getOrElse("stratum", "source"),
+        salt = opts.getOrElse("salt", "graft"))
+      case "mix" => Sampling.mixtureSample(docs,
+        parseWeights(opts.getOrElse("targets",
+          sys.error("--targets required, e.g. en:0.4,de:0.3"))).toMap,
         stratumCol = opts.getOrElse("stratum", "lang"),
         salt = opts.getOrElse("salt", "graft"))
       case "curate" => Curate.curate(docs,

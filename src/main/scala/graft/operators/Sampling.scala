@@ -81,6 +81,56 @@ object Sampling {
     s"CASE $whens ELSE '${splits.last._1}' END"
   }
 
+  /** Per-stratum cap — the "domain cap" of corpus mixing: keeps at most
+    * `maxPerStratum` rows per stratum, chosen deterministically by hash
+    * order (not arrival/partition order, so the kept set is stable
+    * across runs and engines). Uses a per-stratum window; for caps in
+    * the multi-million range, prefer [[stratifiedSample]] with a
+    * fraction (a window sorts each stratum).
+    */
+  def capPerStratum(df: DataFrame, maxPerStratum: Int,
+                    stratumCol: String = "source",
+                    keyCol: String = "doc_id",
+                    salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashValue(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerStratum)
+      .drop("_rn")
+  }
+
+  /** Mixture resampling — rebalance a corpus to target stratum shares
+    * (e.g. language rebalancing before training): each stratum s with
+    * target weight w_s is down-sampled by fraction w_s·T* / count_s where
+    * T* = min_s(count_s/w_s) is the LARGEST total at which every
+    * stratum can meet its share exactly (no stratum is ever
+    * up-sampled). Strata absent from `targets` are dropped. Fractions
+    * are computed IN-PLAN (counts → broadcast threshold table — no
+    * driver collect) and applied as deterministic hash thresholds.
+    */
+  def mixtureSample(df: DataFrame, targets: Map[String, Double],
+                    stratumCol: String = "lang",
+                    keyCol: String = "doc_id",
+                    salt: String = "graft"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive weights")
+    val wExpr = targets.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0)) { case ((s, w), rest) =>
+        when(col(stratumCol) === s, lit(w)).otherwise(rest)
+      }
+    val withW = df.groupBy(stratumCol).agg(count(lit(1)).as("_c"))
+      .withColumn("_w", wExpr).filter(col("_w") > 0)
+    val tstar = withW.agg(min(col("_c") / col("_w")).as("_tstar"))
+    val thresholds = withW.crossJoin(broadcast(tstar))
+      .select(col(stratumCol),
+        floor(col("_w") * col("_tstar") / col("_c") * lit(HashRange))
+          .cast("long").as("_thr"))
+    df.join(broadcast(thresholds), stratumCol)
+      .filter(hashValue(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Deterministic stratified sample: per-stratum fractions, keyed on
     * `keyCol`. Strata missing from `fractions` use `defaultFraction`.
     * The fraction map is a literal when/otherwise chain (stays in

@@ -86,6 +86,39 @@ class PropertySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("capPerStratum: caps respected, deterministic, subset-stable") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val capped = Sampling.capPerStratum(docs, 3)
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(bySource.nonEmpty && bySource.forall(_._2 <= 3))
+    // deterministic: same draw every run
+    assert(rows(capped) == rows(Sampling.capPerStratum(docs, 3)))
+    // cap-3 selection is a prefix of cap-5 per stratum (hash order)
+    val ids3 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids5 = Sampling.capPerStratum(docs, 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids3.subsetOf(ids5))
+  }
+
+  test("mixtureSample: post-sample shares approach targets, none upsampled") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val targets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+    val out = Sampling.mixtureSample(docs, targets)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(targets.keySet)) // others dropped
+    val pre = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, n) <- got) assert(n <= pre(l)) // never upsampled
+    // the scarcest stratum relative to its target keeps ~everything,
+    // and realized shares track targets within sampling noise
+    val total = got.values.sum.toDouble
+    for ((l, w) <- targets if got.contains(l))
+      assert(math.abs(got(l) / total - w) < 0.15,
+        s"$l share ${got(l) / total} vs target $w")
+  }
+
   test("splitByHash: random positive weights always label every row") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val rng = new scala.util.Random(13)
