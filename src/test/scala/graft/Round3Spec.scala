@@ -277,6 +277,8 @@ class Round3Spec extends SparkSpec {
         "redact" -> Map.empty[String, String],
         "repetition" -> Map.empty[String, String],
         "stratified-sample" -> Map("fractions" -> "en:1.0"),
+        "cap" -> Map("max-per-stratum" -> "5"),
+        "mix" -> Map("targets" -> "en:0.5,de:0.5"),
         "curate" -> Map.empty[String, String])) {
       val dir = s"$out/$job"
       graft.cli.Main.run(spark, job,
