@@ -125,16 +125,24 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              codebook: Option[DataFrame] = None): DataFrame = {
     requireIntegralIds(queries, idCol, "ivfTopK")
     requireIntegralIds(candidates, idCol, "ivfTopK")
     val spark = queries.sparkSession
     import spark.implicits._
     val cand = withNorm(candidates, idCol, vecCol)
       .filter(col("norm") > 0)
-    val cent = cand.orderBy(col("vec_id").asc).limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("vec").as("cvec"),
-        col("norm").as("cnorm"))
+    // codebook override: (cid long, centroid array<float>) — e.g. from
+    // [[trainCodebook]]; default = the nCentroids lowest-id vectors
+    val cent = codebook match {
+      case Some(cb) => cb
+        .select(col("cid"), col("centroid").as("cvec"),
+          l2norm(col("centroid")).as("cnorm"))
+      case None => cand.orderBy(col("vec_id").asc).limit(nCentroids)
+        .select(col("vec_id").as("cid"), col("vec").as("cvec"),
+          col("norm").as("cnorm"))
+    }
     def centCos(vec: Column, norm: Column): Column =
       dot(vec, col("cvec")) / (norm * col("cnorm"))
     // nearest centroid per candidate: struct-max picks (max cos, then
@@ -179,6 +187,67 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col._2").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Deterministic spherical k-means codebook trainer for [[ivfTopK]]:
+    * seeded with the k lowest-id vectors, a FIXED number of Lloyd
+    * iterations (no convergence test — determinism over optimality),
+    * assignment by max cosine with ties to the lowest centroid index,
+    * empty clusters keep their previous centroid. Per iteration the
+    * k×dims codebook round-trips through the driver — it is a MODEL
+    * artifact (the same "small broadcast table" shape every production
+    * IVF index uses), not row data; the heavy work (assignment + the
+    * per-dimension means) is distributed.
+    * Output: (cid long, centroid array<float>) — unit-normalized.
+    */
+  def trainCodebook(emb: DataFrame, k: Int = 16, iters: Int = 5,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val n = withNorm(emb, idCol, vecCol).filter(col("norm") > 0)
+      .select(col("vec_id"),
+        transform(col("vec"), x => (x.cast("double") / col("norm")))
+          .as("unit"))
+      .persist()
+    var code: Array[Seq[Double]] = n.orderBy(col("vec_id").asc).limit(k)
+      .collect().map(_.getSeq[Double](1))
+    for (_ <- 1 to iters) {
+      val sims = code.zipWithIndex.map { case (c, i) =>
+        aggregate(zip_with(col("unit"), typedLit(c), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as(s"s$i")
+      }
+      // argmax over the k similarity columns, ties to the lowest index
+      val best = (0 until k).map(i =>
+        struct(col(s"s$i").as("s"), lit(-i).as("ni")))
+        .reduce((a, b) => when(a >= b, a).otherwise(b))
+      val means = n.select(col("unit") +: sims: _*)
+        .withColumn("c", (-best.getField("ni")).cast("int"))
+        .select(col("c"), posexplode(col("unit")))
+        .groupBy("c", "pos").agg(avg("col").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byC = means.groupBy(_._1)
+      code = code.zipWithIndex.map { case (prev, i) =>
+        byC.get(i) match {
+          case None => prev // empty cluster: keep the previous centroid
+          case Some(rows) =>
+            val m = rows.sortBy(_._2).map(_._3)
+            val nrm = math.sqrt(m.map(x => x * x).sum)
+            if (nrm == 0) prev else m.map(_ / nrm).toSeq
+        }
+      }
+    }
+    n.unpersist()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      code.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i.toLong, c.map(_.toFloat))
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
   }
 
   /** Symmetric int8 quantization of an embedding column — the storage/

@@ -254,6 +254,28 @@ class Round3Spec extends SparkSpec {
     assert(ivf == pairs(Similarity.ivfTopK(q, emb, k = 5))) // deterministic
   }
 
+  test("trainCodebook: deterministic, unit-norm, and usable by ivfTopK") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb1 = Similarity.trainCodebook(emb, k = 8, iters = 3)
+    val cb2 = Similarity.trainCodebook(emb, k = 8, iters = 3)
+    assert(rows(cb1) == rows(cb2)) // no RNG, fixed iterations
+    val cents = cb1.collect().map(_.getSeq[Float](1))
+    assert(cents.length == 8)
+    for (c <- cents) {
+      val nrm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-3, s"norm $nrm")
+    }
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val out = Similarity.ivfTopK(q, emb, k = 5, nProbe = 3,
+      codebook = Some(cb1))
+    assert(out.count() > 0)
+    // trained codebook should not collapse recall vs brute
+    val brute = Similarity.bruteTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((brute & ivf).size.toDouble / brute.size >= 0.4)
+  }
+
   test("labelEval: purity fractions match hand math on a planted space") {
     // two tight clusters with distinct labels + one mislabeled point
     val emb = Seq(
