@@ -43,7 +43,7 @@ object Bench {
     // best-of-2 (same methodology as the queries).
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 400000000L, 1L, 32)
+      spark.range(0L, 400000000L, 1L, cpus.toInt)
         .selectExpr("sum(sqrt(id * 1.0) * sin(id * 1.0)) AS s")
         .collect()
       (System.nanoTime() - t0) / 1e9
@@ -72,10 +72,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // CalibrationRefSec: quiet-machine constant recorded in BASELINE.md;
-    // load_ratio ≈ 1 on an idle box, >> 1 under external contention.
-    val loadRatio = calSec / CalibrationRefSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":$calSec,"calibration_ref_sec":$CalibrationRefSec,"load_ratio":$loadRatio}""")
+    // CalibrationRefSec: quiet-machine constant recorded in BASELINE.md
+    // at 32 cores; the job is CPU-bound and embarrassingly parallel, so
+    // the expected time scales as 32/cores when SPARK_GRAFT_CPUS
+    // overrides the default. load_ratio ≈ 1 on an idle box, >> 1 under
+    // external contention.
+    val refSec = CalibrationRefSec * 32.0 / cpus.toInt
+    val loadRatio = calSec / refSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":$calSec,"calibration_ref_sec":$refSec,"load_ratio":$loadRatio}""")
     spark.stop()
   }
 }

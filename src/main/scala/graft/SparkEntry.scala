@@ -166,10 +166,21 @@ object SparkEntry {
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(s, dir)),
     // foreachBatch file-sink pattern; result read back from the files
-    // it wrote, so the gate checks the SINK, not just the aggregation
+    // it wrote, so the gate checks the SINK, not just the aggregation.
+    // Prior invocations' sink dirs are reaped first (their frames were
+    // consumed when that invocation materialized) — repeated bench/
+    // verify runs must not accumulate parquet copies in /tmp.
     "stream_foreach_sink" -> ((s, dir) => {
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_fbsink")
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      java.nio.file.Files.createDirectories(root)
       val out = java.nio.file.Files
-        .createTempDirectory("graft_fbsink").toString
+        .createTempDirectory(root, "run").toString
       graft.streaming.EventsStream.hourlyViaForeachBatch(s, dir, out)
     }),
     "rel_scalar_funcs" -> ((s, dir) =>
@@ -574,15 +585,19 @@ object SparkEntry {
          |        i -> a.v[i] * b.v[i])) / (a.norm * b.norm)
          |      >= 0.5""".stripMargin,
 
+    // norm > 0 on both sides: the Spark rankers exclude zero vectors
+    // (NULL cosine filtered before the heap); the twin must not rank
+    // their all-NULL rows either
     "sim_topk_brute" ->
       s"""WITH $vecCtes, q AS (
          |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
-         |  FROM normed WHERE vec_id % 50 = 0
+         |  FROM normed WHERE vec_id % 50 = 0 AND norm > 0
          |), s AS (
          |  SELECT query_id, c.vec_id,
          |    list_sum(list_transform(generate_series(1, len(qv)),
          |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
          |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |              AND c.norm > 0
          |)
          |SELECT query_id, vec_id AS neighbor_id,
          |  CAST(row_number() OVER (PARTITION BY query_id
@@ -823,7 +838,7 @@ object SparkEntry {
          |     + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END
          |     + CASE WHEN v[7] > 0 THEN 64 ELSE 0 END
          |     + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
-         |  FROM normed
+         |  FROM normed WHERE norm > 0
          |), q AS (
          |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
          |         bucket AS qb
@@ -905,12 +920,13 @@ object SparkEntry {
     "sim_label_eval" ->
       s"""WITH $vecCtes, q AS (
          |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
-         |  FROM normed WHERE vec_id % 50 = 0
+         |  FROM normed WHERE vec_id % 50 = 0 AND norm > 0
          |), s AS (
          |  SELECT query_id, c.vec_id,
          |    list_sum(list_transform(generate_series(1, len(qv)),
          |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
          |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |              AND c.norm > 0
          |), top AS (
          |  SELECT query_id, vec_id AS neighbor_id
          |  FROM s

@@ -21,9 +21,12 @@ object Sampling {
   /** 2^32 — the hash-value range. */
   private val HashRange = 4294967296.0
 
-  /** The 32-bit hash of (salt, key) both engines compute. */
+  /** The 32-bit hash of (salt, key) both engines compute. `concat`
+    * (NOT concat_ws, which silently skips NULLs): a NULL key hashes to
+    * NULL, the threshold comparison is NULL, and the row drops — the
+    * same semantics as the SQL twins' `salt || '|' || key`. */
   def hashValue(key: Column, salt: String): Column =
-    conv(substring(md5(concat_ws("|", lit(salt), key.cast("string"))),
+    conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))),
       1, 8), 16, 10).cast("long")
 
   /** The integer threshold a fraction maps to (rows with hash below it
@@ -45,17 +48,37 @@ object Sampling {
     * column, not filtering, so downstream can materialize all splits
     * in one pass. Output: input columns + `split`.
     */
-  def splitByHash(df: DataFrame, splits: Seq[(String, Double)],
-                  keyCol: String = "doc_id",
-                  salt: String = "graft"): DataFrame = {
+  /** Cumulative 10,000-bucket bounds for a weight list — the ONE
+    * definition both [[splitByHash]] and its SQL twin derive from.
+    * Rejects any split whose weight rounds to zero buckets: a silently
+    * empty split (e.g. a 0.004% holdout) is a data bug, not a choice. */
+  private def bucketBounds(splits: Seq[(String, Double)]): Seq[Long] = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "splits must be non-empty with positive weights")
     val total = splits.map(_._2).sum
-    // cumulative integer bucket bounds; the last split absorbs any
-    // rounding residue so all 10,000 buckets are covered
     val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w / total * 10000.0)
-    }.tail.dropRight(1)
+    }.tail
+    val widths = (0L +: bounds).sliding(2).map(p => p(1) - p(0)).toSeq
+    splits.zip(widths).foreach { case ((name, w), buckets) =>
+      require(buckets >= 1,
+        s"split '$name' (weight $w) rounds to zero of the 10000 hash " +
+          "buckets — increase its weight or rescale")
+    }
+    bounds.dropRight(1) // the last split absorbs the rounding residue
+  }
+
+  /** Deterministic train/val/test-style assignment: buckets the key
+    * hash into 10,000 slots and labels each row by cumulative split
+    * weight (weights need not sum to 1 — they are normalized). Every
+    * non-NULL-key row gets EXACTLY one split, disjoint by construction;
+    * adding a column, not filtering, so downstream can materialize all
+    * splits in one pass. Output: input columns + `split`.
+    */
+  def splitByHash(df: DataFrame, splits: Seq[(String, Double)],
+                  keyCol: String = "doc_id",
+                  salt: String = "graft"): DataFrame = {
+    val bounds = bucketBounds(splits)
     val bucket = hashValue(col(keyCol), salt) % 10000L
     val split = splits.map(_._1).zip(bounds :+ Long.MaxValue)
       .foldRight(null: Column) { case ((name, bound), rest) =>
@@ -65,14 +88,11 @@ object Sampling {
     df.withColumn("split", split)
   }
 
-  /** SQL bucket expression + bounds for [[splitByHash]]'s oracle twin —
-    * kept next to the implementation so the two stay in lockstep. */
+  /** SQL bucket expression for [[splitByHash]]'s oracle twin — derived
+    * from the SAME [[bucketBounds]], so the two cannot drift. */
   def splitCaseSql(splits: Seq[(String, Double)], keyCol: String,
                    salt: String): String = {
-    val total = splits.map(_._2).sum
-    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
-      acc + math.round(w / total * 10000.0)
-    }.tail.dropRight(1)
+    val bounds = bucketBounds(splits)
     val bucket = s"(('0x' || substr(md5('$salt' || '|' || " +
       s"CAST($keyCol AS VARCHAR)), 1, 8))::BIGINT % 10000)"
     val whens = splits.map(_._1).zip(bounds)

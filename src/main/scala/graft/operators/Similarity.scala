@@ -134,15 +134,17 @@ object Similarity {
     val cand = withNorm(candidates, idCol, vecCol)
       .filter(col("norm") > 0)
     // codebook override: (cid long, centroid array<float>) — e.g. from
-    // [[trainCodebook]]; default = the nCentroids lowest-id vectors
-    val cent = codebook match {
+    // [[trainCodebook]]; default = the nCentroids lowest-id vectors.
+    // Zero-norm centroids (dead clusters from an external trainer) are
+    // dropped rather than raising DIVIDE_BY_ZERO in the assignment.
+    val cent = (codebook match {
       case Some(cb) => cb
         .select(col("cid"), col("centroid").as("cvec"),
           l2norm(col("centroid")).as("cnorm"))
       case None => cand.orderBy(col("vec_id").asc).limit(nCentroids)
         .select(col("vec_id").as("cid"), col("vec").as("cvec"),
           col("norm").as("cnorm"))
-    }
+    }).filter(col("cnorm") > 0)
     def centCos(vec: Column, norm: Column): Column =
       dot(vec, col("cvec")) / (norm * col("cnorm"))
     // nearest centroid per candidate: struct-max picks (max cos, then
