@@ -1091,13 +1091,15 @@ object SparkEntry {
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
-    // session_window twin: break at gap >= 30 min (session_window's
-    // [ts, ts+gap) extension is end-EXCLUSIVE — see sessionWindows)
+    // session_window twin: break at gap > 30 min — an event EXACTLY
+    // gap after its predecessor still merges (probed empirically: the
+    // window-end boundary is inclusive for merging; an sf0.1 fixture
+    // pair at exactly 1800s caught the off-by-one)
     "stream_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
         |         THEN 1 ELSE 0 END AS ns
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

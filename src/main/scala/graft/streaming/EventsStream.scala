@@ -143,10 +143,11 @@ object EventsStream {
     }, "sjoin", "append")
 
   /** Native session-window aggregation: Spark's `session_window` merges
-    * an event into the current session while it falls strictly inside
-    * the previous event's [ts, ts+gap) extension — i.e. a gap of
-    * EXACTLY 30 minutes starts a new session (the batch twin's break
-    * condition is therefore `diff >= gap`, not `>`). Complete mode
+    * an event into the current session while it falls within the
+    * previous event's ts + gap extension INCLUSIVE of the boundary —
+    * a gap of exactly 30 minutes still merges (probed empirically;
+    * the batch twin's break condition is therefore `diff > gap`).
+    * Complete mode
     * (session windows reject update mode; append would withhold
     * sessions newer than the final watermark) + AvailableNow = the
     * final table holds every merged session.

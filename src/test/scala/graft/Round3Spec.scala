@@ -349,6 +349,38 @@ class Round3Spec extends SparkSpec {
       .exists(_.getName.startsWith("batch_id=")))
   }
 
+  test("session_window merges a gap of EXACTLY the window size") {
+    // pins the inclusive-boundary semantics the oracle twin encodes
+    // (break at diff > gap, not >=) — an sf0.1 fixture pair at exactly
+    // 1800s exposed the off-by-one
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")), // +1800s
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:01")), // +1801s
+    ).toDF("user_id", "ts")
+    val got = rows
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"),
+          "30 minutes"))
+      .count().groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L)) // 1800s merges, 1801s splits
+  }
+
+  test("approxUsers: the 5% contract holds at every SF") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val events = Tables.load(spark, s"/root/testdata/$sf", "events")
+      val rows = Relational.approxUsers(events).collect()
+      for (r <- rows) {
+        val exact = r.getLong(1)
+        val approx = r.getLong(2)
+        assert(math.abs(approx - exact) <= 0.05 * exact,
+          s"$sf ${r.getString(0)}: approx $approx vs exact $exact")
+      }
+    }
+  }
+
   test("streaming memory-sink handback preserves rows (no collect path)") {
     val got = graft.streaming.EventsStream.eventsBySegment(spark,
       "/root/testdata/sf0.001")
