@@ -256,17 +256,18 @@ object Relational {
   /** Distinct-user cardinalities per event type: exact countDistinct
     * next to approx_count_distinct (HyperLogLog++) — the sketch is the
     * 100 TB path (mergeable, fixed memory); exact is its small-scale
-    * check. rsd = 0.01 (not the 0.05 default): the gate asserts the
+    * check. rsd = 0.02 (not the 0.05 default): the gate asserts the
     * |approx−exact| ≤ 5%·exact contract, and the default sketch
     * measurably exceeds 5% error at ~1.5k cardinalities (observed at
-    * sf0.1) — a 1% target keeps the contract with real margin at a few
-    * KB per group. The raw estimate itself is engine-specific, hence
-    * the derived contract surface in the gate.
+    * sf0.1). 0.02 holds the contract at every test SF (spec-asserted)
+    * at ~3× the default's cost; 0.01 would add 2.5σ more margin but
+    * measured another ~2.5× slower. The raw estimate itself is
+    * engine-specific, hence the derived contract surface in the gate.
     */
   def approxUsers(events: DataFrame): DataFrame =
     events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users_exact"),
-        approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+        approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
 
   /** Customers with no recent orders — left-anti join (the Spark-native
     * form of the reference's sink-existence resume check, SURVEY §2.5 J2).
