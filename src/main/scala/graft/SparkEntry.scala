@@ -189,6 +189,10 @@ object SparkEntry {
     // --- repetition quality signals (north-star) ---
     "text_repetition" -> ((s, dir) => TextStats.repetition(docs(s, dir))),
 
+    // --- Gopher-rule hard filters (north-star) ---
+    "text_quality_flags" -> ((s, dir) =>
+      TextStats.gopherFlags(docs(s, dir))),
+
     // --- benchmark decontamination (north-star) ---
     // Deterministic synthetic benchmark: every 20th doc; the corpus side
     // is everything else. 4-gram granularity flags ~10% of the corpus at
@@ -604,6 +608,39 @@ object SparkEntry {
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
          |FROM s
          |QUALIFY "rank" <= 10""".stripMargin,
+
+    "text_quality_flags" ->
+      s"""WITH $wsToksCte, c AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    length(array_to_string(toks, '')) AS tok_chars,
+         |    length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+         |    len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+         |      AS alpha_words,
+         |    CAST(len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t))))
+         |      AS BIGINT) AS n_stop_hits
+         |  FROM wtoks
+         |), r AS (
+         |  SELECT doc_id, n_words,
+         |    tok_chars / nullif(n_words, 0) AS mean_word_len,
+         |    symbols / nullif(n_words, 0) AS symbol_word_ratio,
+         |    alpha_words / nullif(n_words, 0) AS alpha_word_ratio,
+         |    n_stop_hits
+         |  FROM c
+         |)
+         |SELECT *,
+         |  n_words >= 50 AND n_words <= 100000 AS r_words,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_len,
+         |  symbol_word_ratio <= 0.1 AS r_symbols,
+         |  alpha_word_ratio >= 0.8 AS r_alpha,
+         |  n_stop_hits >= 2 AS r_stops,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |    AND symbol_word_ratio <= 0.1
+         |    AND alpha_word_ratio >= 0.8
+         |    AND n_stop_hits >= 2 AS keep
+         |FROM r""".stripMargin,
 
     "text_repetition" ->
       """WITH nrm AS (

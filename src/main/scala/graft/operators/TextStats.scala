@@ -226,6 +226,57 @@ object TextStats {
         (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
   }
 
+  /** Gopher-style rule battery — the standard hard pre-training filters,
+    * as explicit per-rule booleans (vs [[stats]]' soft composite score):
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10];
+    *  - symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1;
+    *  - ≥ 80% of words contain an alphabetic character;
+    *  - ≥ 2 stopword hits.
+    * `keep` is their conjunction; empty docs yield NULL ratios (and a
+    * NULL keep) rather than dividing by zero. Pure codegen'd
+    * expressions.
+    * Output: (doc_id, n_words, mean_word_len, symbol_word_ratio,
+    * alpha_word_ratio, n_stop_hits, r_words, r_mean_len, r_symbols,
+    * r_alpha, r_stops, keep).
+    */
+  def gopherFlags(docs: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = wsTokens(text)
+    val stop = array(EnStopwords.map(lit): _*)
+    docs.select(
+        col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        length(array_join(toks, "")).as("tok_chars"),
+        (length(text) - length(regexp_replace(text, "#", "")) +
+          size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))))
+          .cast("long").as("symbols"),
+        size(filter(toks, t => t.rlike("[a-zA-Z]")))
+          .cast("long").as("alpha_words"),
+        size(filter(toks, t => array_contains(stop, lower(t))))
+          .cast("long").as("n_stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        (col("tok_chars") / nullif(col("n_words"), lit(0L)))
+          .as("mean_word_len"),
+        (col("symbols") / nullif(col("n_words"), lit(0L)))
+          .as("symbol_word_ratio"),
+        (col("alpha_words") / nullif(col("n_words"), lit(0L)))
+          .as("alpha_word_ratio"),
+        col("n_stop_hits"))
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbols", col("symbol_word_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("r_stops", col("n_stop_hits") >= 2)
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_symbols") &&
+          col("r_alpha") && col("r_stops"))
+  }
+
   /** Repetition signals (Gopher/C4-style quality filters): share of the
     * most frequent unigram, and the duplicate-trigram fraction
     * (1 − distinct/total), over normalized tokens. High values flag

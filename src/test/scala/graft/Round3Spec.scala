@@ -167,6 +167,32 @@ class Round3Spec extends SparkSpec {
       docs.filter(col("lang") === "en").count()) // fraction 1.0 = all
   }
 
+  test("gopherFlags: each rule fires on its designed violation") {
+    // mean word length 4.4, 4 stopword hits per repeat, 65 words total
+    val long =
+      (("the quick brown foxes jumped over it is that lazy sleeping " +
+        "dogs today ") * 5).trim
+    val docs = Seq(
+      (1L, long),                                // passes everything
+      (2L, "too short"),                         // r_words fails
+      (3L, long + " " + ("x" * 2000)),           // r_mean_len fails (>10)
+      (4L, long + " " + ("### " * 30).trim),     // r_symbols + maybe alpha
+      (5L, long.replaceAll("the|and|of|to|in|is|you|that|it|for", "zz")),
+    ).toDF("doc_id", "text")                     // 5: r_stops fails
+    val got = TextStats.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> (
+        r.getBoolean(r.fieldIndex("r_words")),
+        r.getBoolean(r.fieldIndex("r_mean_len")),
+        r.getBoolean(r.fieldIndex("r_symbols")),
+        r.getBoolean(r.fieldIndex("r_stops")),
+        r.getBoolean(r.fieldIndex("keep")))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._5)
+    assert(!got(3L)._2 && !got(3L)._5)
+    assert(!got(4L)._3 && !got(4L)._5)
+    assert(!got(5L)._4 && !got(5L)._5)
+  }
+
   test("redactPii replaces emails, urls, digit runs in fixed order") {
     val docs = Seq(
       (1L, "mail me at a.b+c@ex-site.org or https://x.io/p?q=1 id 1234567"),
