@@ -169,14 +169,19 @@ object SparkEntry {
     // it wrote, so the gate checks the SINK, not just the aggregation.
     // Prior invocations' sink dirs are reaped first (their frames were
     // consumed when that invocation materialized) — repeated bench/
-    // verify runs must not accumulate parquet copies in /tmp.
+    // verify runs must not accumulate parquet copies in /tmp. The reap
+    // root is PER-JVM (pid-suffixed): concurrent graft processes must
+    // not delete each other's in-flight sinks.
     "stream_foreach_sink" -> ((s, dir) => {
       val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_fbsink")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_fbsink_${ProcessHandle.current().pid()}")
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
       java.nio.file.Files.createDirectories(root)
       val out = java.nio.file.Files
@@ -635,11 +640,8 @@ object SparkEntry {
          |  symbol_word_ratio <= 0.1 AS r_symbols,
          |  alpha_word_ratio >= 0.8 AS r_alpha,
          |  n_stop_hits >= 2 AS r_stops,
-         |  (n_words >= 50 AND n_words <= 100000)
-         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-         |    AND symbol_word_ratio <= 0.1
-         |    AND alpha_word_ratio >= 0.8
-         |    AND n_stop_hits >= 2 AS keep
+         |  r_words AND r_mean_len AND r_symbols AND r_alpha AND r_stops
+         |    AS keep
          |FROM r""".stripMargin,
 
     "text_repetition" ->
@@ -790,7 +792,7 @@ object SparkEntry {
         |      ('0x' || substr(md5('graft' || '|' ||
         |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
         |      doc_id ASC) AS rn
-        |  FROM documents)
+        |  FROM documents WHERE doc_id IS NOT NULL)
         |WHERE rn <= 10""".stripMargin,
 
     // Mixture twin: identical fraction derivation (w·T*/count with

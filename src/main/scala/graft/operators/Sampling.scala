@@ -65,6 +65,16 @@ object Sampling {
         s"split '$name' (weight $w) rounds to zero of the 10000 hash " +
           "buckets — increase its weight or rescale")
     }
+    // nominal widths >= 1 is necessary but NOT sufficient: if the
+    // earlier splits' rounded widths already cover all 10000 buckets,
+    // every later split is starved even though its own width rounded
+    // to >= 1 (e.g. 0.49997/0.49997/0.00006 → 5000+5000 buckets leave
+    // nothing for the third split)
+    bounds.dropRight(1).zipWithIndex.foreach { case (b, i) =>
+      require(b < 10000L,
+        s"splits up to '${splits(i)._1}' already cover all 10000 hash " +
+          s"buckets — later splits would be silently empty; rescale")
+    }
     bounds.dropRight(1) // the last split absorbs the rounding residue
   }
 
@@ -115,7 +125,11 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(stratumCol)
       .orderBy(hashValue(col(keyCol), salt).asc, col(keyCol).asc)
-    df.withColumn("_rn", row_number().over(w))
+    // NULL keys drop (same contract as every other op in this file):
+    // a NULL hash would otherwise sort NULLS FIRST and preferentially
+    // occupy cap slots, evicting real rows
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxPerStratum)
       .drop("_rn")
   }

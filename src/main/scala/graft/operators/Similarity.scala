@@ -213,13 +213,17 @@ object Similarity {
       .persist()
     var code: Array[Seq[Double]] = n.orderBy(col("vec_id").asc).limit(k)
       .collect().map(_.getSeq[Double](1))
+    // fewer non-zero vectors than requested centroids: train with what
+    // exists (k columns past code.length would not resolve)
+    val kEff = code.length
+    require(kEff > 0, "trainCodebook: no non-zero vectors to train on")
     for (_ <- 1 to iters) {
       val sims = code.zipWithIndex.map { case (c, i) =>
         aggregate(zip_with(col("unit"), typedLit(c), (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x).as(s"s$i")
       }
-      // argmax over the k similarity columns, ties to the lowest index
-      val best = (0 until k).map(i =>
+      // argmax over the kEff similarity columns, ties to lowest index
+      val best = (0 until kEff).map(i =>
         struct(col(s"s$i").as("s"), lit(-i).as("ni")))
         .reduce((a, b) => when(a >= b, a).otherwise(b))
       val means = n.select(col("unit") +: sims: _*)

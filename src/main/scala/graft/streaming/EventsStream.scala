@@ -69,14 +69,7 @@ object EventsStream {
     * Output: (hour string, event_type, n_events).
     */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark, s => eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n_events")),
-      "hourly", "complete")
+    runToMemory(spark, s => hourlyAgg(s, dir), "hourly", "complete")
 
   /** Sliding-window event counts (1-hour windows every 30 minutes —
     * each event lands in two windows), watermarked, AvailableNow.
@@ -174,29 +167,48 @@ object EventsStream {
     * Output: (hour string, event_type, n_events) — same surface/oracle
     * as [[hourlyCounts]].
     */
-  def hourlyViaForeachBatch(spark: SparkSession, dir: String,
-                            outDir: String): DataFrame = {
-    val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    val agg = eventsStream(scoped, dir)
+  /** The hourly windowed aggregation shared by [[hourlyCounts]] and
+    * [[hourlyViaForeachBatch]] — ONE definition, one oracle. */
+  private def hourlyAgg(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"))
-    val q = agg.writeStream
+
+  def hourlyViaForeachBatch(spark: SparkSession, dir: String,
+                            outDir: String): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = hourlyAgg(scoped, dir).writeStream
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
+        // explicit batch_id=<id> subdirectory (not partitionBy): each
+        // replayed batch overwrites exactly its own directory, and an
+        // EMPTY batch still writes parquet schema metadata — the
+        // read-back below never hits schema-inference failures
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
     q.awaitTermination()
+    // zero batches (empty source): no directories were written — hand
+    // back an empty frame with the aggregation's schema
+    val batchDirs = Option(new java.io.File(outDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    if (batchDirs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("hour",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     val all = spark.read.parquet(outDir)
     // partition-column type is INFERRED on read (int for small ids)
     val last = all.agg(max(col("batch_id")).cast("long")).head().getLong(0)
