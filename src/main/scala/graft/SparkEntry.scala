@@ -70,6 +70,11 @@ object SparkEntry {
     // embedding is a pure per-row transform of exactly these rows.
     "text_hash_embed" -> ((s, dir) => TextStats.hashEmbedBuckets(docs(s, dir))),
     "text_lm_score" -> ((s, dir) => TextStats.lmScore(docs(s, dir))),
+    // scale-hardened LM scoring (two-stage c1 aggregation, vocabulary
+    // cutoff available): at minCount=0 its output is pinned — by the
+    // same oracle SQL — to the exact window-based form
+    "text_lm_score_scalable" -> ((s, dir) =>
+      TextStats.lmScoreScalable(docs(s, dir))),
 
     // --- deduplication (north-star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -191,6 +196,14 @@ object SparkEntry {
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
+    // --- skew-salted distinct (hot-key holistic agg; see operators.Skew) ---
+    // Buckets partition the value space, so the per-bucket distinct
+    // counts sum to the exact distinct count — the oracle is plain
+    // count(DISTINCT).
+    "rel_skew_distinct" -> ((s, dir) =>
+      Skew.saltedCountDistinct(tbl(s, dir, "events"),
+        key = "event_type", value = "user_id")),
+
     // --- repetition quality signals (north-star) ---
     "text_repetition" -> ((s, dir) => TextStats.repetition(docs(s, dir))),
 
@@ -225,6 +238,12 @@ object SparkEntry {
     "samp_cap" -> ((s, dir) =>
       Sampling.capPerStratum(docs(s, dir), maxPerStratum = 10)
         .select("doc_id", "source")),
+    // scalable domain cap: same kept set as samp_cap (same oracle), but
+    // only the boundary hash bucket is sorted — the multi-million-cap
+    // shape; see Sampling.capPerStratumScalable
+    "samp_cap_scalable" -> ((s, dir) =>
+      Sampling.capPerStratumScalable(docs(s, dir), maxPerStratum = 10)
+        .select("doc_id", "source")),
     "samp_mix" -> ((s, dir) =>
       Sampling.mixtureSample(docs(s, dir), MixTargets)
         .select("doc_id", "lang")),
@@ -258,14 +277,19 @@ object SparkEntry {
     // --- multimodal plumbing (decode step stubbed; see Multimodal) ---
     // Gate surface: the fixed-width feature vector flattened to scalar
     // columns f0..f7 (the array<float> column itself is un-hashable by
-    // a row-compare harness); rows-only by design (stubbed codec).
+    // a row-compare harness), floats widened to double (exact). The
+    // gate runs the PRODUCTION mapPartitions path; the stub decoder is
+    // SQL-expressible (bounded modular byte arithmetic), so the oracle
+    // replays it exactly and a spec pins the in-plan expression twin
+    // (Multimodal.featuresInPlan) to the same rows.
     "mm_features" -> ((s, dir) => {
       val feats = graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.withPayload(docs(s, dir))).toDF()
       val dims = 0 until graft.multimodal.Multimodal.FeatureDims
       feats.select(
         (Seq("doc_id", "width", "height", "n_bytes").map(col) ++
-          dims.map(i => get(col("features"), lit(i)).as(s"f$i"))): _*)
+          dims.map(i =>
+            get(col("features"), lit(i)).cast("double").as(s"f$i"))): _*)
     }),
   )
 
@@ -359,6 +383,45 @@ object SparkEntry {
       |)
       |SELECT doc_a, doc_b, jac FROM jc WHERE jac >= 0.8""".stripMargin
 
+  // Bigram-LM twin — shared by text_lm_score (window-based c1) and
+  // text_lm_score_scalable (two-stage aggregation): c1 = Σ_w2 c2 either
+  // way, so ONE oracle pins both implementations to the same model.
+  private val lmScoreSql: String =
+    """WITH nrm AS (
+      |  SELECT doc_id, string_split(
+      |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS t
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, t,
+      |    unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+      |  FROM nrm
+      |), bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
+      |  WHERE t[i+1] IS NOT NULL
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+      |), c1 AS (
+      |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(log10(c2.c2 / c1.c1) AS DECIMAL(20,12)))
+      |       AS DOUBLE) / count(*) AS lm_score
+      |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY doc_id""".stripMargin
+
+  // Domain-cap twin — shared by samp_cap (full window sort) and
+  // samp_cap_scalable (boundary-bucket-only sort): the kept set is
+  // defined identically (10 smallest (hash, key) per stratum).
+  private val capSql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      ('0x' || substr(md5('graft' || '|' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+      |      doc_id ASC) AS rn
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |WHERE rn <= 10""".stripMargin
+
   // Double-precision vector pipeline over embeddings: element-wise ops in
   // the same order as Similarity.dot/l2norm.
   private val vecCtes: String =
@@ -372,12 +435,45 @@ object SparkEntry {
       |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (weaker rows-only check): ONLY
-    * mm_features (its decode step is an environment-stubbed codec; the
-    * plumbing is unit-tested). Everything else — including the simhash /
-    * hash-embed bucketing (md5 basis, engine-portable) and the LSH top-k
-    * (sign-bucket + Hamming-1 probes, plain SQL) — has a full twin. */
+    * the same parquet tables. NOTHING is omitted: every gate query —
+    * including the stubbed-codec multimodal path (its stub decoder is
+    * bounded modular byte arithmetic, replayed below over hex(blob)),
+    * the simhash / hash-embed bucketing (md5 basis, engine-portable)
+    * and the LSH top-k (sign-bucket + Hamming-1 probes, plain SQL) —
+    * has a full value-hash twin. */
   def oracleSql: Map[String, String] = Map(
+    // Stub-codec replay: per-stripe rolling polynomial hash over the
+    // payload bytes ((i-1) mod 8 → stripe), acc ← (acc·31 + byte) mod
+    // 1000003 — exact BIGINT arithmetic in both engines; features are
+    // the double-scaled hash rounded through FLOAT exactly as the
+    // production decoder stores them.
+    "mm_features" -> {
+      val fCols = (0 until 8).map { d =>
+        s"""  CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_filter(generate_series(1, greatest(n_bytes, 1)),
+           |      i -> i <= n_bytes AND (i - 1) % 8 = $d)),
+           |    (acc, i) -> (acc * 31 +
+           |      ('0x' || substr(h, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT)
+           |      % 1000003)
+           |    / 1000003.0 AS FLOAT) AS DOUBLE) AS f$d""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pay AS (
+         |  SELECT doc_id, encode(text) AS data,
+         |    CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 512 + 64
+         |      AS INTEGER) AS width,
+         |    CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 512 + 64
+         |      AS INTEGER) AS height
+         |  FROM documents
+         |), hx AS (
+         |  SELECT doc_id, width, height,
+         |    CAST(octet_length(data) AS BIGINT) AS n_bytes,
+         |    hex(data) AS h
+         |  FROM pay
+         |)
+         |SELECT doc_id, width, height, n_bytes,
+         |$fCols
+         |FROM hx""".stripMargin
+    },
     "q1_tokens" ->
       s"WITH $tokenCtes SELECT doc_id, word FROM tokens",
     "q2_dictionary" ->
@@ -466,28 +562,12 @@ object SparkEntry {
         |    i -> md5(array_to_string(tk[i:i+4], ' ')))) AS fp_shingle
         |FROM t""".stripMargin,
 
-    "text_lm_score" ->
-      """WITH nrm AS (
-        |  SELECT doc_id, string_split(
-        |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS t
-        |  FROM documents
-        |), idx AS (
-        |  SELECT doc_id, t,
-        |    unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
-        |  FROM nrm
-        |), bg AS (
-        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
-        |  WHERE t[i+1] IS NOT NULL
-        |), c2 AS (
-        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
-        |), c1 AS (
-        |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
-        |)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(CAST(log10(c2.c2 / c1.c1) AS DECIMAL(20,12)))
-        |       AS DOUBLE) / count(*) AS lm_score
-        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-        |GROUP BY doc_id""".stripMargin,
+    "text_lm_score" -> lmScoreSql,
+    // at minCount=0 the scalable form is definitionally the same model
+    // (c1 = Σ_w2 c2) — one oracle pins both implementations
+    "text_lm_score_scalable" -> lmScoreSql,
+
+    "samp_cap_scalable" -> capSql,
 
     "dedup_exact" ->
       """WITH n AS (
@@ -785,15 +865,7 @@ object SparkEntry {
          |  ELSE ${operators.Sampling.thresholdFor(0.25)} END"""
         .stripMargin,
 
-    "samp_cap" ->
-      """SELECT doc_id, source FROM (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY
-        |      ('0x' || substr(md5('graft' || '|' ||
-        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
-        |      doc_id ASC) AS rn
-        |  FROM documents WHERE doc_id IS NOT NULL)
-        |WHERE rn <= 10""".stripMargin,
+    "samp_cap" -> capSql,
 
     // Mixture twin: identical fraction derivation (w·T*/count with
     // T* = min(count/w)) and the same left-associative double
@@ -1203,6 +1275,10 @@ object SparkEntry {
         |  floor(100.0 * promo_revenue / total_revenue * 100 + 0.5) / 100
         |    AS promo_share
         |FROM m""".stripMargin,
+
+    "rel_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "rel_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * Dataset boundary, partition-level batched processing (the same shape
   * a Pandas-UDF/Arrow batch pipeline has), and feature output as
   * Array[Float] ready for the Similarity operators.
+  *
+  * The stub decoder is deliberately SQL-expressible (bounded modular
+  * integer arithmetic over the payload bytes), so the production-shaped
+  * mapPartitions path has BOTH an in-plan Catalyst twin
+  * ([[featuresInPlan]]) and an external-engine oracle — the whole
+  * surface is hash-checkable, not rows-only.
   */
 object Multimodal {
 
@@ -20,6 +26,12 @@ object Multimodal {
     * truth for every surface that projects the features to scalar
     * columns (e.g. the mm_features gate query). */
   val FeatureDims: Int = 8
+
+  /** Modulus of the per-stripe rolling hash. Taken at EVERY step (not
+    * just at the end) so the accumulator stays < 31·M + 255 « 2^63 —
+    * Long-exact in the JVM, BIGINT-exact in any SQL engine, and safe
+    * under Spark's ANSI overflow checks. */
+  val HashMod: Long = 1000003L
 
   case class MediaRow(doc_id: Long, data: Array[Byte], format: String,
                       width: Int, height: Int)
@@ -29,36 +41,42 @@ object Multimodal {
   /** Attach a synthetic media payload to each document: the text bytes
     * as the opaque binary column plus deterministic metadata (stands in
     * for real image bytes; the pipeline treats it as opaque either way).
-    * Output: (doc_id, data binary, format, width, height).
+    * Metadata dims come from md5 hex slices (NOT crc32: md5 is the one
+    * hash every engine computes identically, so the metadata is
+    * oracle-reproducible). Output: (doc_id, data, format, width, height).
     */
   def withPayload(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame =
+                  textCol: String = "text"): DataFrame = {
+    def md5Dim(start: Int): Column =
+      (conv(substring(md5(col(textCol)), start, 4), 16, 10)
+        .cast("long") % 512 + 64).cast("int")
     docs.select(
       col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "UTF-8").as("data"),
       when(col(idCol) % 3 === 0, "png").when(col(idCol) % 3 === 1, "jpeg")
         .otherwise("webp").as("format"),
-      (pmod(crc32(encode(col(textCol), "UTF-8")), lit(512)) + 64)
-        .cast("int").as("width"),
-      (pmod(crc32(reverse(col(textCol)).cast("binary")), lit(512)) + 64)
-        .cast("int").as("height"))
+      md5Dim(1).as("width"),
+      md5Dim(5).as("height"))
+  }
 
   /** STUB decoder: deterministic 8-dim "feature vector" from the payload
-    * bytes via a rolling polynomial hash per stripe. A real implementation
-    * would decode pixels and run a visual encoder here; everything around
-    * it (typed boundary, per-partition batching, output schema) is the
-    * real production shape.
+    * bytes via a rolling polynomial hash per stripe (byte i feeds stripe
+    * i mod dims; acc ← (acc·31 + byte) mod [[HashMod]]), scaled to
+    * [0, 1) in double and stored as float. A real implementation would
+    * decode pixels and run a visual encoder here; everything around it
+    * (typed boundary, per-partition batching, output schema) is the real
+    * production shape.
     */
-  private[multimodal] def fakeDecodeFeatures(
+  private[graft] def fakeDecodeFeatures(
       data: Array[Byte], dims: Int = FeatureDims): Array[Float] = {
     val acc = new Array[Long](dims)
     var i = 0
     while (i < data.length) {
       val d = i % dims
-      acc(d) = acc(d) * 31 + (data(i) & 0xff)
+      acc(d) = (acc(d) * 31 + (data(i) & 0xff)) % HashMod
       i += 1
     }
-    acc.map(v => ((v % 1000003L).toFloat) / 1000003.0f)
+    acc.map(v => (v.toDouble / HashMod.toDouble).toFloat)
   }
 
   /** Batched feature extraction over the media payloads. Processes each
@@ -80,6 +98,37 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** In-plan Catalyst twin of [[extractFeatures]] flattened to scalar
+    * columns — the same per-stripe rolling hash as pure expressions
+    * (hex + substring + aggregate fold, all codegen'd, no UDFs). This is
+    * the surface an external SQL oracle replays; a spec pins it equal to
+    * the mapPartitions production path, so a green oracle covers both.
+    * Output: (doc_id, width, height, n_bytes, f0..f{dims-1} double).
+    */
+  def featuresInPlan(media: DataFrame,
+                     dims: Int = FeatureDims): DataFrame = {
+    val n = length(col("data")).cast("long")
+    val hx = hex(col("data")) // 2 hex chars per byte, computed once
+    // byte i (1-based) as unsigned long, from its hex pair
+    def byteAt(i: Column): Column =
+      conv(substring(hx, (i * 2 - 1).cast("int"), lit(2)), 16, 10)
+        .cast("long")
+    // stripe d = bytes at positions i with (i-1) mod dims = d, in order;
+    // greatest(n,1) keeps `sequence` ascending on empty payloads (the
+    // i <= n filter then empties the list)
+    def stripe(d: Int): Column =
+      filter(sequence(lit(1L), greatest(n, lit(1L))),
+        i => i <= n && (i - 1) % dims === d)
+    def hash(d: Int): Column =
+      aggregate(stripe(d), lit(0L),
+        (acc, i) => (acc * 31 + byteAt(i)) % HashMod)
+    media.select(
+      (Seq(col("doc_id"), col("width"), col("height"), n.as("n_bytes")) ++
+        (0 until dims).map(d =>
+          (hash(d).cast("double") / lit(HashMod.toDouble)).cast("float")
+            .cast("double").as(s"f$d"))): _*)
   }
 
   /** STUB resize: scales the metadata dimensions and subsamples the

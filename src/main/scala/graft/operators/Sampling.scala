@@ -134,6 +134,56 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Scalable twin of [[capPerStratum]] — IDENTICAL output, no full
+    * per-stratum sort. The kept set is the `maxPerStratum` smallest rows
+    * by (hash, key); a bucket = the hash's high bits is a PREFIX of that
+    * sort order, so per-(stratum, bucket) counts (one map-side-combined
+    * aggregation, strata×nBuckets rows — broadcast-sized) locate the
+    * boundary bucket exactly: buckets wholly below the cap pass through
+    * unsorted, buckets above drop, and only the ONE boundary bucket per
+    * stratum (~n/nBuckets rows) is window-sorted for the remaining
+    * slots. Exact top-up, no sampling error, no safety-factor retry —
+    * at a multi-million cap this sorts ~1/nBuckets of each stratum
+    * instead of all of it.
+    */
+  def capPerStratumScalable(df: DataFrame, maxPerStratum: Long,
+                            stratumCol: String = "source",
+                            keyCol: String = "doc_id",
+                            salt: String = "graft",
+                            nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two: $nBuckets")
+    val shiftBits = 32 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val aux = Seq("_h", "_b", "_below", "_c", "_rn")
+    val base = df.filter(col(keyCol).isNotNull)
+      .withColumn("_h", hashValue(col(keyCol), salt))
+      .withColumn("_b", shiftright(col("_h"), shiftBits))
+    val wcum = Window.partitionBy(stratumCol).orderBy(col("_b").asc)
+    // rows in strictly-lower buckets of the same stratum
+    val cum = base.groupBy(col(stratumCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_below", sum("_c").over(wcum) - col("_c"))
+    // null-safe stratum join: the window variant treats a NULL stratum
+    // as its own group; Seq-join equality would silently drop it
+    val keyed = base.as("rows").join(broadcast(cum).as("cnt"),
+      col(s"rows.$stratumCol") <=> col(s"cnt.$stratumCol") &&
+        col("rows._b") === col("cnt._b"))
+      .select((df.columns.map(c => col(s"rows.$c")) ++
+        Seq(col("rows._h"), col("cnt._below"), col("cnt._c"))): _*)
+    val whole = keyed.filter(col("_below") + col("_c") <= maxPerStratum)
+    // at most one boundary bucket per stratum → the window sorts only
+    // that bucket's rows
+    val wb = Window.partitionBy(stratumCol)
+      .orderBy(col("_h").asc, col(keyCol).asc)
+    val topped = keyed
+      .filter(col("_below") < maxPerStratum &&
+        col("_below") + col("_c") > maxPerStratum)
+      .withColumn("_rn", row_number().over(wb))
+      .filter(col("_rn") <= lit(maxPerStratum) - col("_below"))
+    whole.drop(aux: _*).unionByName(topped.drop(aux: _*))
+  }
+
   /** Mixture resampling — rebalance a corpus to target stratum shares
     * (e.g. language rebalancing before training): each stratum s with
     * target weight w_s is down-sampled by fraction w_s·T* / count_s where

@@ -226,6 +226,51 @@ object TextStats {
         (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
   }
 
+  /** Scale-hardened twin of [[lmScore]]: identical output at
+    * `minCount = 0` (spec-pinned and oracle-gated), with the two
+    * 100 TB-relevant changes:
+    *
+    *  - c1(w1) comes from a two-stage aggregation (count per (w1, w2),
+    *    then sum per w1) instead of a window over the distinct-bigram
+    *    model partitioned by w1 — both stages partial-aggregate
+    *    map-side, so a hot head-word ("the", with ~vocabulary-many
+    *    distinct successors) spreads across reducers instead of
+    *    concentrating one window partition;
+    *  - `minCount` drops bigram contexts with c1 < minCount — the
+    *    standard vocabulary cutoff that keeps the broadcast-side model
+    *    bounded as the corpus (and its long tail of hapax contexts)
+    *    grows. Scored bigrams are then those present in the truncated
+    *    model; n_bigrams counts modeled occurrences only, and docs with
+    *    no modeled bigram drop (same semantics as scoring against any
+    *    external truncated LM).
+    */
+  def lmScoreScalable(docs: DataFrame, minCount: Long = 0L,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val t = split(normalized(col(textCol)), " ")
+    val bigrams = docs.select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
+          i => struct(get(t, i - 1).as("w1"), get(t, i).as("w2"))))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // stage 2 of the salted aggregation: the (w1, w2) grouping above
+    // already spread the hot w1 over its successors; summing those
+    // partials by w1 is partial-aggregated again — no single-reducer
+    // hot spot anywhere
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      .filter(col("c1") >= minCount)
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        log10(col("c2") / col("c1")).cast("decimal(20,12)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
+  }
+
   /** Gopher-style rule battery — the standard hard pre-training filters,
     * as explicit per-rule booleans (vs [[stats]]' soft composite score):
     *  - word count within [minWords, maxWords];

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Round-4 behavior pins: the SQL-expressible multimodal stub decoder
+  * (mapPartitions path ≡ in-plan expression twin), ANN recall floors vs
+  * the exact ranking, the boundary-bucket domain cap's equivalence to
+  * the window form, and the scale-hardened LM scorer. */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- multimodal: production path ≡ in-plan expression twin ----
+
+  test("mm: featuresInPlan == extractFeatures (flattened), incl. edge payloads") {
+    // lengths straddling the stripe width (8): empty, 1, 7, 8, 9, long,
+    // multi-byte UTF-8 (stripe hashing is over BYTES, not chars)
+    val docs = Seq(
+      (0L, ""), (1L, "a"), (2L, "abcdefg"), (3L, "abcdefgh"),
+      (4L, "abcdefghi"), (5L, "the quick brown fox jumps over it all"),
+      (6L, "Ωδß — ünïcødé 𐍈"),
+    ).toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.withPayload(docs)
+    val dims = 0 until graft.multimodal.Multimodal.FeatureDims
+    val prod = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      .select((Seq("doc_id", "width", "height", "n_bytes").map(col) ++
+        dims.map(i =>
+          get(col("features"), lit(i)).cast("double").as(s"f$i"))): _*)
+    val inPlan = graft.multimodal.Multimodal.featuresInPlan(media)
+    assert(rows(prod) == rows(inPlan))
+    assert(rows(prod).size == 7)
+  }
+
+  test("mm: stub decoder accumulator stays bounded (mod each step)") {
+    val bytes = Array.fill(10000)(0xff.toByte)
+    val f = graft.multimodal.Multimodal.fakeDecodeFeatures(bytes)
+    assert(f.length == 8 && f.forall(v => v >= 0.0f && v < 1.0f))
+  }
+
+  // ---- ANN recall floors vs the exact ranking ----
+
+  // Floors measured by tools/RecallProbe on the sf0.1 fixture (lsh
+  // 0.105, ivf 0.500). The synthetic embeddings are near-uniform —
+  // the hardest regime for space-partitioning ANN (no cluster structure
+  // to exploit; lshTopK probes ~9/256 buckets ≈ 3.5% of the space), so
+  // the floors are honest fixture properties, not quality targets.
+  // What the spec guards: a tuning change (nBits, bands, nProbe,
+  // codebook) silently gutting recall while the fixed-plan oracle
+  // stays green — e.g. a broken band join scores ~0.
+  test("ANN recall@10 vs bruteTopK holds the measured floor (sf0.1)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteTopK(q, e)
+      .select("query_id", "neighbor_id").persist()
+    val nb = brute.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id")).count() / nb
+    val lsh = recall(Similarity.lshTopK(q, e))
+    val ivf = recall(Similarity.ivfTopK(q, e))
+    brute.unpersist()
+    assert(lsh >= 0.08, s"lshTopK recall@10 degraded: $lsh < 0.08")
+    assert(ivf >= 0.45, s"ivfTopK recall@10 degraded: $ivf < 0.45")
+  }
+
+  // ---- scalable domain cap ≡ window domain cap ----
+
+  test("capPerStratumScalable == capPerStratum on sf0.1 documents") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    for (cap <- Seq(1, 10, 377, 100000)) {
+      val w = Sampling.capPerStratum(docs, cap).select("doc_id", "source")
+      val s = Sampling.capPerStratumScalable(docs, cap)
+        .select("doc_id", "source")
+      assert(rows(w) == rows(s), s"cap=$cap")
+    }
+  }
+
+  test("capPerStratumScalable: NULL stratum kept as its own group, NULL keys drop") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, null), (3L, null), (4L, "a"), (5L, "a"),
+      (null, "a"), (null, null),
+    ).toDF("doc_id", "source")
+    val w = Sampling.capPerStratum(df, 2).select("doc_id", "source")
+    val s = Sampling.capPerStratumScalable(df, 2)
+      .select("doc_id", "source")
+    assert(rows(w) == rows(s))
+    assert(s.count() == 4) // 2 of the NULL stratum + both 'a' rows
+  }
+
+  // ---- scale-hardened LM scorer ----
+
+  test("lmScoreScalable(minCount=0) == lmScore") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "a dog sat"),
+      (4L, "single"),
+    ).toDF("doc_id", "text")
+    assert(rows(TextStats.lmScoreScalable(docs)) ==
+      rows(TextStats.lmScore(docs)))
+  }
+
+  test("lmScoreScalable minCount drops rare contexts from the model") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // "the" context count >= 2
+      (2L, "zzz qqq"),                // hapax context -> dropped
+    ).toDF("doc_id", "text")
+    val scored = TextStats.lmScoreScalable(docs, minCount = 2L)
+    val byDoc = scored.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 2's only bigram context (zzz, count 1) is below the cutoff:
+    // the doc has no modeled bigram and drops entirely
+    assert(!byDoc.contains(2L))
+    // doc 1 keeps only bigrams whose w1-context count >= 2 ("the x": 2)
+    assert(byDoc(1L) == 2L)
+  }
+}
