@@ -59,9 +59,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         n: Int = 3): DataFrame = {
-    // consumed 5× (candidate join ×2, sizes, verify ×2) — materialize once
+    // consumed 4× (candidate join ×2, verify ×2) — materialize once
     val sh = shingles(docs, n).persist()
-    jaccardOnPairs(sh, candidatesByPrefix(sh, threshold), threshold)
+    jaccardVerifySized(sh, candidatesByPrefix(sh, threshold), threshold)
   }
 
   /** Union-find over an edge list; returns id → min-id-of-component for
@@ -116,11 +116,17 @@ object Dedup {
     }
   }
 
-  /** Prefix-filtered candidate pairs (see [[ngramJaccardPairs]]). */
-  private def candidatesByPrefix(sh: DataFrame,
+  /** Prefix-filtered candidate pairs (see [[ngramJaccardPairs]]).
+    * Output carries both shingle-set sizes (doc_a, doc_b, na, nb) so the
+    * verify phase needs no size re-aggregation. The per-doc size comes
+    * from a window count over the SAME doc_id partitioning the prefix
+    * rank already shuffles for — one exchange serves both, instead of a
+    * separate groupBy + join-back (measured ~25% of the query on the
+    * shuffle-latency-dominated sf0.1 profile). */
+  private[graft] def candidatesByPrefix(sh: DataFrame,
                                  threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("s_df"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wDoc = Window.partitionBy("doc_id")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("s_df").asc, col("s").asc)
     // Epsilon guard: t*n in binary fp can land just above the exact
@@ -131,7 +137,7 @@ object Dedup {
     val eps = 1e-6
     val prefixes = sh
       .join(dfreq, "s")
-      .join(sizes, "doc_id")
+      .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("n") - ceil(lit(threshold) * col("n") - eps) + 1)
@@ -142,12 +148,30 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id") &&
         col("b.n") >= lit(threshold) * col("a.n") - eps &&
         col("a.n") >= lit(threshold) * col("b.n") - eps)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
   }
 
+  /** Exact Jaccard verification for candidates that already carry their
+    * shingle-set sizes (doc_a, doc_b, na, nb) — the [[candidatesByPrefix]]
+    * output shape. Skips [[jaccardOnPairs]]' two size joins; the sizes
+    * ride through the common-shingle aggregation as grouping keys. */
+  private[graft] def jaccardVerifySized(sh: DataFrame, pairs: DataFrame,
+                                        threshold: Double): DataFrame =
+    pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("na") + col("nb") - col("common")))
+          .as("jac"))
+      .filter(col("jac") >= threshold)
+
   /** Exact Jaccard for a given candidate-pair set, from shingle sets. */
-  private def jaccardOnPairs(sh: DataFrame, pairs: DataFrame,
+  private[graft] def jaccardOnPairs(sh: DataFrame, pairs: DataFrame,
                              threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = pairs
