@@ -100,6 +100,15 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e)
     }),
+    // IVF over a TRAINED codebook: the deterministic spherical k-means
+    // trainer (decimal-summed means → bit-reproducible trajectory) feeds
+    // the same routing/scoring plan; the oracle replays all 5 Lloyd
+    // iterations in SQL and must land on the identical ranking.
+    "sim_topk_ivf_trained" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e,
+        codebook = Some(Similarity.trainCodebook(e)))
+    }),
 
     // --- embedding label-purity eval (north-star; uses the labels) ---
     "sim_label_eval" -> ((s, dir) => {
@@ -433,6 +442,117 @@ object SparkEntry {
       |         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
       |  FROM vecs
       |)""".stripMargin
+
+  // IVF routing + scoring, given CTEs `nz` (vec_id, v, norm — nonzero
+  // vectors) and `cent` (cid, cv, cnorm — the codebook): nearest-list
+  // assignment, 4-probe query routing with (cos desc, cid asc) ties,
+  // final top-10 — replays Similarity.ivfTopK's plan exactly. Shared by
+  // the fixed-codebook and trained-codebook twins.
+  private val ivfTailSql: String =
+    """assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT z.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY z.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, len(z.v)),
+      |          i -> z.v[i] * c.cv[i])) / (z.norm * c.cnorm) DESC,
+      |        c.cid ASC) AS rn
+      |    FROM nz z CROSS JOIN cent c)
+      |  WHERE rn = 1
+      |), qs AS (
+      |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+      |  FROM nz WHERE vec_id % 50 = 0
+      |), probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT qq.query_id, c.cid,
+      |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, len(qq.qv)),
+      |          i -> qq.qv[i] * c.cv[i])) / (qq.qnorm * c.cnorm) DESC,
+      |        c.cid ASC) AS rn
+      |    FROM qs qq CROSS JOIN cent c)
+      |  WHERE rn <= 4
+      |), s AS (
+      |  SELECT qq.query_id, a.vec_id,
+      |    list_sum(list_transform(generate_series(1, len(qq.qv)),
+      |      i -> qq.qv[i] * z.v[i])) / (qq.qnorm * z.norm) AS cos
+      |  FROM probes p
+      |  JOIN qs qq ON p.query_id = qq.query_id
+      |  JOIN assign a ON a.cid = p.cid
+      |  JOIN nz z ON z.vec_id = a.vec_id
+      |  WHERE a.vec_id != qq.query_id
+      |)
+      |SELECT query_id, vec_id AS neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
+      |FROM s
+      |QUALIFY "rank" <= 10""".stripMargin
+
+  // Trained-codebook twin: replays trainCodebook's 5 deterministic Lloyd
+  // iterations (seed = k lowest-id unit vectors; assignment = max dot
+  // with ties to the lowest cid; per-dimension means summed through
+  // DECIMAL(30,12) exactly like the Spark trainer, so the sum is
+  // order-independent and bit-identical across engines; empty/zero-norm
+  // clusters keep the previous centroid; centroids pass through FLOAT at
+  // the end exactly once), then scores with the shared IVF tail. Dot
+  // products fold left with a 0.0 seed, mirroring Spark's
+  // aggregate(zip_with(...), 0.0, +).
+  private def trainedIvfSql(k: Int = 16, iters: Int = 5): String = {
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)),
+         |        i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      s"""sim$t AS (
+         |  SELECT uu.vec_id, c.cid,
+         |    ${dot("uu.u", "c.c")} AS s
+         |  FROM u uu CROSS JOIN cent${t - 1} c
+         |), asn$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cid ASC) AS rn
+         |    FROM sim$t)
+         |  WHERE rn = 1
+         |), mx$t AS (
+         |  SELECT a.cid, gs.i,
+         |    CAST(sum(CAST(uu.u[gs.i] AS DECIMAL(30,12))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM asn$t a JOIN u uu USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1,
+         |    (SELECT nd FROM dims))) AS i) gs
+         |  GROUP BY a.cid, gs.i
+         |), nc$t AS (
+         |  SELECT cid, mm,
+         |    sqrt(list_reduce(list_transform(mm, x -> x * x),
+         |      (acc, x) -> acc + x)) AS nrm
+         |  FROM (SELECT cid, list(m ORDER BY i) AS mm FROM mx$t
+         |        GROUP BY cid)
+         |), cent$t AS (
+         |  SELECT p.cid,
+         |    CASE WHEN n.cid IS NULL OR n.nrm = 0 THEN p.c
+         |         ELSE list_transform(n.mm, x -> x / n.nrm) END AS c
+         |  FROM cent${t - 1} p LEFT JOIN nc$t n ON p.cid = n.cid
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $vecCtes, nz AS (
+       |  SELECT vec_id, v, norm FROM normed WHERE norm > 0
+       |), u AS (
+       |  SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM nz
+       |), dims AS (SELECT max(len(u)) AS nd FROM u),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+       |    AS BIGINT) AS cid, u AS c
+       |  FROM (SELECT vec_id, u FROM u ORDER BY vec_id ASC LIMIT $k)
+       |), $iterCtes,
+       |cent AS (
+       |  SELECT * FROM (
+       |    SELECT cid, cv,
+       |      sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnorm
+       |    FROM (SELECT cid,
+       |            list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))
+       |              AS cv
+       |          FROM cent$iters))
+       |  WHERE cnorm > 0
+       |), $ivfTailSql""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. NOTHING is omitted: every gate query —
@@ -983,49 +1103,19 @@ object SparkEntry {
 
     // IVF twin: deterministic 16-centroid codebook (lowest-id vectors),
     // nearest-list assignment and 4-probe query routing with (cos desc,
-    // cid asc) ties — replays Similarity.ivfTopK exactly.
+    // cid asc) ties — replays Similarity.ivfTopK exactly via the shared
+    // routing/scoring tail.
     "sim_topk_ivf" ->
       s"""WITH $vecCtes, nz AS (
          |  SELECT vec_id, v, norm FROM normed WHERE norm > 0
          |), cent AS (
          |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nz
          |  ORDER BY vec_id ASC LIMIT 16
-         |), assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT z.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY z.vec_id ORDER BY
-         |        list_sum(list_transform(generate_series(1, len(z.v)),
-         |          i -> z.v[i] * c.cv[i])) / (z.norm * c.cnorm) DESC,
-         |        c.cid ASC) AS rn
-         |    FROM nz z CROSS JOIN cent c)
-         |  WHERE rn = 1
-         |), qs AS (
-         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
-         |  FROM nz WHERE vec_id % 50 = 0
-         |), probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT qq.query_id, c.cid,
-         |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
-         |        list_sum(list_transform(generate_series(1, len(qq.qv)),
-         |          i -> qq.qv[i] * c.cv[i])) / (qq.qnorm * c.cnorm) DESC,
-         |        c.cid ASC) AS rn
-         |    FROM qs qq CROSS JOIN cent c)
-         |  WHERE rn <= 4
-         |), s AS (
-         |  SELECT qq.query_id, a.vec_id,
-         |    list_sum(list_transform(generate_series(1, len(qq.qv)),
-         |      i -> qq.qv[i] * z.v[i])) / (qq.qnorm * z.norm) AS cos
-         |  FROM probes p
-         |  JOIN qs qq ON p.query_id = qq.query_id
-         |  JOIN assign a ON a.cid = p.cid
-         |  JOIN nz z ON z.vec_id = a.vec_id
-         |  WHERE a.vec_id != qq.query_id
-         |)
-         |SELECT query_id, vec_id AS neighbor_id,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
-         |FROM s
-         |QUALIFY "rank" <= 10""".stripMargin,
+         |), $ivfTailSql""".stripMargin,
+
+    // Trained-codebook IVF twin: full 5-iteration Lloyd replay + the
+    // same routing/scoring tail (see trainedIvfSql).
+    "sim_topk_ivf_trained" -> trainedIvfSql(),
 
     // Label-purity eval twin: the brute top-k CTE + label joins.
     "sim_label_eval" ->

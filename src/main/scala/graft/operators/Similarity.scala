@@ -200,6 +200,14 @@ object Similarity {
     * artifact (the same "small broadcast table" shape every production
     * IVF index uses), not row data; the heavy work (assignment + the
     * per-dimension means) is distributed.
+    *
+    * The per-dimension cluster means sum through DECIMAL(30,12): a
+    * double sum's value depends on shuffle arrival order, so the
+    * trained codebook would differ RUN TO RUN (and engine to engine);
+    * the decimal path quantizes each component once (deterministically)
+    * and then sums exactly, making the whole 5-iteration trajectory —
+    * and therefore the gate's trained-IVF ranking — bit-reproducible
+    * and replayable by an external SQL twin.
     * Output: (cid long, centroid array<float>) — unit-normalized.
     */
   def trainCodebook(emb: DataFrame, k: Int = 16, iters: Int = 5,
@@ -223,13 +231,20 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x).as(s"s$i")
       }
       // argmax over the kEff similarity columns, ties to lowest index
-      val best = (0 until kEff).map(i =>
+      // (distinct -i makes the max unique). greatest(), NOT a
+      // when(a >= b, a, b) fold: the fold embeds each operand twice per
+      // step, growing the expression tree 2^k-fold — at k=16 that is
+      // ~10^5 Catalyst nodes and minutes of analysis/codegen time;
+      // greatest is one flat node with k children
+      val structs = (0 until kEff).map(i =>
         struct(col(s"s$i").as("s"), lit(-i).as("ni")))
-        .reduce((a, b) => when(a >= b, a).otherwise(b))
+      val best = if (kEff == 1) structs.head else greatest(structs: _*)
       val means = n.select(col("unit") +: sims: _*)
         .withColumn("c", (-best.getField("ni")).cast("int"))
         .select(col("c"), posexplode(col("unit")))
-        .groupBy("c", "pos").agg(avg("col").as("m"))
+        .groupBy("c", "pos")
+        .agg((sum(col("col").cast("decimal(30,12)")).cast("double")
+          / count(lit(1))).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       val byC = means.groupBy(_._1)
       code = code.zipWithIndex.map { case (prev, i) =>

@@ -15,7 +15,9 @@ object RecallProbe {
       val nb = brute.count()
       for ((name, df) <- Seq(
           "lsh" -> graft.operators.Similarity.lshTopK(q, e),
-          "ivf" -> graft.operators.Similarity.ivfTopK(q, e))) {
+          "ivf" -> graft.operators.Similarity.ivfTopK(q, e),
+          "ivf_trained" -> graft.operators.Similarity.ivfTopK(q, e,
+            codebook = Some(graft.operators.Similarity.trainCodebook(e))))) {
         val hit = df.select("query_id", "neighbor_id")
           .join(brute, Seq("query_id", "neighbor_id")).count()
         println(f"RECALL $sf $name = ${hit.toDouble / nb}%.4f ($hit/$nb)")

@@ -59,9 +59,25 @@ class Round4Spec extends SparkSpec {
         .join(brute, Seq("query_id", "neighbor_id")).count() / nb
     val lsh = recall(Similarity.lshTopK(q, e))
     val ivf = recall(Similarity.ivfTopK(q, e))
+    // trained codebook must BEAT the lowest-id default (measured 0.5525
+    // vs 0.5000 at sf0.1) — the whole point of training
+    val trained = recall(Similarity.ivfTopK(q, e,
+      codebook = Some(Similarity.trainCodebook(e))))
     brute.unpersist()
     assert(lsh >= 0.08, s"lshTopK recall@10 degraded: $lsh < 0.08")
     assert(ivf >= 0.45, s"ivfTopK recall@10 degraded: $ivf < 0.45")
+    assert(trained >= 0.50,
+      s"trained-codebook ivfTopK recall@10 degraded: $trained < 0.50")
+  }
+
+  test("trainCodebook is run-to-run deterministic (decimal-summed means)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val a = Similarity.trainCodebook(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Similarity.trainCodebook(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+    assert(a.size == 16)
   }
 
   // ---- scalable domain cap ≡ window domain cap ----
