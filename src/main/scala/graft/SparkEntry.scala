@@ -153,6 +153,10 @@ object SparkEntry {
       graft.streaming.EventsStream.hourlyCounts(s, dir)),
     "stream_user_counts" -> ((s, dir) =>
       graft.streaming.EventsStream.userCountsStateful(s, dir)),
+    // flatMapGroupsWithState: the multi-row-per-group stateful API —
+    // a group emits one row per event_type its micro-batch touched
+    "stream_type_counts" -> ((s, dir) =>
+      graft.streaming.EventsStream.typeCountsStateful(s, dir)),
     "stream_events_sliding" -> ((s, dir) =>
       graft.streaming.EventsStream.slidingCounts(s, dir)),
     // Derived deterministic surface: HLL++ is deterministic for a given
@@ -1249,6 +1253,10 @@ object SparkEntry {
 
     "stream_user_counts" ->
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+
+    "stream_type_counts" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
 
     "stream_foreach_sink" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -254,16 +254,23 @@ object TextStats {
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w2").isNotNull)
+    // c2 feeds BOTH c1 and the model join — persist, or the corpus-wide
+    // bigram aggregation (the expensive shuffle) runs twice
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist()
     // stage 2 of the salted aggregation: the (w1, w2) grouping above
     // already spread the hot w1 over its successors; summing those
     // partials by w1 is partial-aggregated again — no single-reducer
     // hot spot anywhere
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
       .filter(col("c1") >= minCount)
+    // fold c1 into the model FIRST (model ⋈ model, both sides vocab-
+    // sized) so the occurrence table joins the finished model exactly
+    // once — joining c1 directly to `bigrams` would be a second pass
+    // over the corpus-sized frame
+    val model = c2.join(c1, Seq("w1"))
     bigrams
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(model, Seq("w1", "w2"))
       .select(col("doc_id"),
         log10(col("c2") / col("c1")).cast("decimal(20,12)").as("lp"))
       .groupBy("doc_id")

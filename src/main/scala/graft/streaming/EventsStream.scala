@@ -241,4 +241,41 @@ object EventsStream {
     updates.groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"))
   }
+
+  /** Per-(user, event_type) running counts via flatMapGroupsWithState —
+    * the multi-row-emission stateful API ([[userCountsStateful]]'s
+    * mapGroupsWithState can return exactly ONE row per group per batch;
+    * here a group emits 0..n rows: one per event_type its micro-batch
+    * actually touched, from a Map state). The memory sink accumulates
+    * one row per (batch, user, touched type); counts are monotone, so
+    * `max` per (user, type) collapses them to the totals and the result
+    * is batch-split-independent. Output: (user_id, event_type, n_events).
+    */
+  def typeCountsStateful(spark: SparkSession, dir: String): DataFrame = {
+    val updates = runToMemory(spark, s => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      eventsStream(s, dir)
+        .select($"user_id".as[Long], $"event_type".as[String])
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Map[String, Long], (Long, String, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state) =>
+            val counts = state.getOption.getOrElse(Map.empty[String, Long])
+            // fold this batch's rows; track which types it touched
+            val touched = scala.collection.mutable.LinkedHashMap[String, Long]()
+            var next = counts
+            rows.foreach { case (_, t) =>
+              val n = next.getOrElse(t, 0L) + 1L
+              next = next.updated(t, n)
+              touched(t) = n
+            }
+            state.update(next)
+            touched.iterator.map { case (t, n) => (uid, t, n) }
+        }
+        .toDF("user_id", "event_type", "n_events")
+    }, "typecounts", "update")
+    updates.groupBy("user_id", "event_type")
+      .agg(max(col("n_events")).as("n_events"))
+  }
 }

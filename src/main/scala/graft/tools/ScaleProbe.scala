@@ -18,7 +18,7 @@ object ScaleProbe {
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val big = (0 until k).map(i =>
         base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
-          col("text")))
+          col("text"), col("source"), col("lang")))
       .reduce(_ unionByName _)
       .repartition(64).persist()
     println(s"PROBE docs=${big.count()}")
@@ -37,6 +37,36 @@ object ScaleProbe {
     time(big)("dedup_minhash")(Dedup.minHashLsh(big).count())
     time(big)("dedup_assign")(Dedup.assignCanonical(big).count())
     time(big)("text_stats")(TextStats.stats(big).count())
+    // the composed curation plan (stats+langid+canonical dedup+sample):
+    // the most expensive gate query — probe that the composition stays
+    // K-flat like its parts (its cost center, dedup_assign, is)
+    time(big)("pipe_curate")(Curate.curate(big).count())
+    // domain cap at a cap that actually bites at probe scale: the window
+    // form sorts every stratum in full; the boundary-bucket form sorts
+    // ~1/1024 of one bucket per stratum — same output (spec-pinned)
+    val cap = 2000L // strata are ~2.5k rows at K=10, ~7.5k at K=30
+    time(big)("samp_cap_window")(
+      Sampling.capPerStratum(big, cap.toInt).count())
+    time(big)("samp_cap_scalable")(
+      Sampling.capPerStratumScalable(big, cap).count())
+    // the skew story: ONE stratum holding a K×2M-row corpus — the window
+    // form funnels every row through a single reducer's sort; the
+    // boundary-bucket form aggregates in parallel and sorts ~n/1024 rows.
+    // Synthetic range frame: the documents table is too small to expose
+    // a sort that is O(n log n) on one core.
+    val oneBig = spark.range(0L, k * 2000000L, 1L, 64)
+      .select(col("id").as("doc_id"), lit("all").as("src1"))
+    println(s"PROBE capRows=${k * 2000000L}")
+    time(big)("samp_cap_window_1stratum")(
+      Sampling.capPerStratum(oneBig, 20000, stratumCol = "src1").count())
+    time(big)("samp_cap_scalable_1stratum")(
+      Sampling.capPerStratumScalable(oneBig, 20000L, stratumCol = "src1")
+        .count())
+    // LM scoring: the two-stage-aggregation form vs the hot-w1 window
+    // form (model table grows with the corpus; the window concentrates
+    // each head-word's successors on one reducer)
+    time(big)("lm_score_window")(TextStats.lmScore(big).count())
+    time(big)("lm_score_scalable")(TextStats.lmScoreScalable(big).count())
 
     // The embedding paths (round-2 plan changes): replicate the sf0.1
     // embeddings K× with shifted ids — every vector gains K-1 exact

@@ -117,6 +117,20 @@ class Round4Spec extends SparkSpec {
       rows(TextStats.lmScore(docs)))
   }
 
+  // ---- flatMapGroupsWithState ----
+
+  test("typeCountsStateful == batch per-(user,type) counts (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventsStream
+      .typeCountsStateful(spark, dir)
+      .select("user_id", "event_type", "n_events")
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    assert(rows(streamed) == rows(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("lmScoreScalable minCount drops rare contexts from the model") {
     val docs = Seq(
       (1L, "the cat sat on the mat"), // "the" context count >= 2
