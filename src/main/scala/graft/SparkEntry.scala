@@ -75,6 +75,8 @@ object SparkEntry {
     // same oracle SQL — to the exact window-based form
     "text_lm_score_scalable" -> ((s, dir) =>
       TextStats.lmScoreScalable(docs(s, dir))),
+    "text_chunk" -> ((s, dir) =>
+      TextStats.chunk(docs(s, dir), chunkTokens = 64, overlap = 16)),
 
     // --- deduplication (north-star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -172,6 +174,10 @@ object SparkEntry {
           (abs(col("n_users_approx") - col("n_users_exact"))
             <= lit(0.05) * col("n_users_exact")).as("within_5pct"))
     }),
+    // same derived-contract pattern as rel_approx_users: the GK-sketch
+    // estimate is engine-specific, its exact-rank guarantee is not
+    "rel_quantile_contract" -> ((s, dir) =>
+      Relational.approxQuantiles(tbl(s, dir, "lineitem"))),
     "rel_cube" -> ((s, dir) => Relational.orderCube(tbl(s, dir, "orders"))),
     "rel_window_funcs" -> ((s, dir) =>
       Relational.orderWindowFuncs(tbl(s, dir, "orders"))),
@@ -231,6 +237,14 @@ object SparkEntry {
     "dedup_decontam" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.decontaminate(d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), n = 4)
+    }),
+    // Bloom-prefiltered twin: bit-identical output (false positives are
+    // re-verified by the exact join), so it shares the exact oracle —
+    // what the gate proves is that the prefilter drops nothing real
+    "dedup_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminateBloom(d.filter(col("doc_id") % 20 =!= 0),
         d.filter(col("doc_id") % 20 === 0), n = 4)
     }),
 
@@ -434,6 +448,25 @@ object SparkEntry {
       |      doc_id ASC) AS rn
       |  FROM documents WHERE doc_id IS NOT NULL)
       |WHERE rn <= 10""".stripMargin
+
+  // Shared by dedup_decontam and dedup_decontam_bloom: the bloom
+  // prefilter is output-invariant, so both gates replay one exact twin.
+  private val decontamOracle: String =
+    """WITH sh0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(t) - 3, 1)),
+      |    i -> array_to_string(t[i:i+3], ' ')))) AS s
+      |  FROM sh0
+      |), bench AS (
+      |  SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
+      |), corp AS (
+      |  SELECT doc_id, s FROM sh WHERE doc_id % 20 != 0
+      |)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM corp JOIN bench USING (s)
+      |GROUP BY doc_id""".stripMargin
 
   // Double-precision vector pipeline over embeddings: element-wise ops in
   // the same order as Similarity.dot/l2norm.
@@ -691,6 +724,27 @@ object SparkEntry {
     // (c1 = Σ_w2 c2) — one oracle pins both implementations
     "text_lm_score_scalable" -> lmScoreSql,
 
+    // chunkTokens=64, overlap=16 ⇒ stride 48; both engines 1-based
+    // inclusive slicing; zero-token docs emit nothing
+    "text_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents
+        |), nc AS (
+        |  SELECT doc_id, t,
+        |    greatest(1, CAST(floor((len(t) - 16 + 47) / 48.0) AS BIGINT)) AS n
+        |  FROM tok WHERE len(t) > 0
+        |), ex AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, n - 1)) AS chunk_id
+        |  FROM nc
+        |)
+        |SELECT doc_id, chunk_id,
+        |  len(t[(chunk_id*48+1):(chunk_id*48+64)]) AS n_chunk_tokens,
+        |  array_to_string(t[(chunk_id*48+1):(chunk_id*48+64)], ' ')
+        |    AS chunk_text
+        |FROM ex""".stripMargin,
+
     "samp_cap_scalable" -> capSql,
 
     "dedup_exact" ->
@@ -874,22 +928,10 @@ object SparkEntry {
         |FROM u JOIN tri USING (doc_id)""".stripMargin,
 
     // 4-gram contamination vs the every-20th-doc benchmark split
-    "dedup_decontam" ->
-      """WITH sh0 AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(t) - 3, 1)),
-        |    i -> array_to_string(t[i:i+3], ' ')))) AS s
-        |  FROM sh0
-        |), bench AS (
-        |  SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
-        |), corp AS (
-        |  SELECT doc_id, s FROM sh WHERE doc_id % 20 != 0
-        |)
-        |SELECT doc_id, count(*) AS n_shared
-        |FROM corp JOIN bench USING (s)
-        |GROUP BY doc_id""".stripMargin,
+    "dedup_decontam" -> decontamOracle,
+    // the bloom prefilter never changes the result — ONE oracle, two
+    // physical plans under test
+    "dedup_decontam_bloom" -> decontamOracle,
 
     // The composed curation twin: langid + quality + recursive canonical
     // components + the hash-sample predicate, assembled from the same
@@ -1104,6 +1146,13 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // accuracy-contract surface, same pattern as rel_approx_users:
+    // DuckDB asserts TRUE per probability; Spark computes the exact
+    // rank-interval check of its GK estimate
+    "rel_quantile_contract" ->
+      """SELECT CAST(p AS DOUBLE) AS p, TRUE AS rank_within_eps
+        |FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(p)""".stripMargin,
 
     // IVF twin: deterministic 16-centroid codebook (lowest-id vectors),
     // nearest-list assignment and 4-probe query routing with (cos desc,

@@ -329,6 +329,57 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
 
+  /** [[decontaminate]] with a Bloom prefilter on the corpus side — the
+    * shape for benchmark sets too large to broadcast: a 2^log2Bits-bit
+    * Bloom filter is built over the benchmark shingles with a
+    * distributed bit_or aggregation, collected as a bounded model
+    * artifact (m/64 longs — 32 KiB at the 2^21 default, independent of
+    * data size; same bounded-collect reasoning as the IVF codebook), and
+    * embedded as an array literal so the membership test is a pure
+    * per-row codegen'd expression: no UDF, no join, no shuffle — it
+    * evaluates right above the corpus scan and drops almost every clean
+    * shingle before the exact equi-join. False positives survive the
+    * prefilter and are eliminated by that join, so the output is
+    * BIT-IDENTICAL to [[decontaminate]] (the gate runs both against one
+    * oracle). `numHashes` md5 salts give the k independent bit
+    * positions; fpp ≈ (1-e^(-kn/m))^k.
+    */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+                         n: Int = 5, log2Bits: Int = 21,
+                         numHashes: Int = 5): DataFrame = {
+    require(log2Bits >= 6 && log2Bits <= 30, s"log2Bits out of range: $log2Bits")
+    val m = 1L << log2Bits
+    // k bit positions per shingle: disjoint salted md5s, 15 hex chars
+    // (60 bits) each — exact in Long, engine-independent determinism
+    // not required (the bloom never changes the result)
+    def positions(s: Column): Seq[Column] =
+      (0 until numHashes).map { i =>
+        conv(substring(md5(concat(lit(s"bf$i|"), s)), 1, 15), 16, 10)
+          .cast("long") % m
+      }
+    val benchShingles = shingles(benchmark, n).select("s").distinct()
+    // distributed build: explode the k positions, OR the bits per
+    // 64-bit word — both stages partial-aggregate map-side
+    val sparseWords = benchShingles
+      .select(explode(array(positions(col("s")): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("widx").agg(bit_or(col("bit")).as("bits"))
+      .collect() // bounded: ≤ m/64 rows by construction
+    val words = new Array[Long]((m >> 6).toInt)
+    sparseWords.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bf = lit(words)
+    def isSet(p: Column): Column =
+      call_function("shiftright",
+        element_at(bf, shiftright(p, 6).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    shingles(docs, n)
+      .filter(positions(col("s")).map(isSet).reduce(_ && _))
+      .join(benchShingles, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Full dedup ASSIGNMENT pipeline — the 100 TB shape. Emitting all
     * near-dup pairs is quadratic in the clone multiplicity (10× cloning
     * → 45× the pairs; measured 64s vs 3s in tools/ScaleProbe), so

@@ -269,6 +269,48 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users_exact"),
         approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
 
+  /** Approximate quantiles with an accuracy contract — the
+    * mergeable-sketch (Greenwald–Khanna) answer to "what is p50/p90/p99
+    * latency over 100 TB", where an exact quantile would sort the world.
+    * Emits, per probability, an EXACT rank check of the estimate; the
+    * contract surface (gate-checked like [[approxUsers]]) is the
+    * sketch's published rank-error guarantee (eps = 1/accuracy) stated
+    * duplicate-safely: the estimate's true rank INTERVAL
+    * [frac(< e), frac(≤ e)] must come within eps of p — frac(< e) ≤
+    * p + eps AND frac(≤ e) ≥ p − eps. (A two-sided check on frac(≤ e)
+    * alone would reject a perfect estimate whenever duplicate mass sits
+    * at the quantile value.) The estimate itself is engine-specific;
+    * the contract is not.
+    * Output: (p, rank_within_eps boolean) per probability.
+    */
+  def approxQuantiles(lineitem: DataFrame,
+                      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                      accuracy: Int = 1000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val qs = lineitem.agg(
+      percentile_approx(col("l_extendedprice"),
+        array(probs.map(lit): _*), lit(accuracy)).as("est"),
+      count(lit(1)).as("n"))
+    // one pass for the sketch + one broadcast-join pass for the exact
+    // rank check — both full-scan-shaped, no sort anywhere
+    val checks = probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"), get(col("est"), lit(i)).as("e"))
+    }
+    lineitem.crossJoin(broadcast(
+        qs.select(explode(array(checks: _*)).as("c"), col("n"))
+          .select(col("c.p").as("p"), col("c.e").as("e"), col("n"))))
+      .groupBy("p", "n")
+      .agg(
+        sum(when(col("l_extendedprice") < col("e"), 1L).otherwise(0L))
+          .as("n_lt"),
+        sum(when(col("l_extendedprice") <= col("e"), 1L).otherwise(0L))
+          .as("n_le"))
+      .select(col("p"),
+        (col("n_lt") / col("n") <= col("p") + lit(eps) &&
+          col("n_le") / col("n") >= col("p") - lit(eps))
+          .as("rank_within_eps"))
+  }
+
   /** Customers with no recent orders — left-anti join (the Spark-native
     * form of the reference's sink-existence resume check, SURVEY §2.5 J2).
     */

@@ -269,13 +269,51 @@ object TextStats {
     // once — joining c1 directly to `bigrams` would be a second pass
     // over the corpus-sized frame
     val model = c2.join(c1, Seq("w1"))
+    // broadcast is the contract, not a guess: minCount exists to keep
+    // the truncated model bounded, and without the hint the planner's
+    // post-join size estimate for `model` inflates past the threshold
+    // and demotes the corpus join to a full sort-merge shuffle
     bigrams
-      .join(model, Seq("w1", "w2"))
+      .join(broadcast(model), Seq("w1", "w2"))
       .select(col("doc_id"),
         log10(col("c2") / col("c1")).cast("decimal(20,12)").as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
+  }
+
+  /** Token-window document chunking — the context-length splitter of a
+    * training-data pipeline: each document becomes ⌈(n−overlap)/stride⌉
+    * chunks of up to `chunkTokens` whitespace tokens, consecutive chunks
+    * sharing `overlap` tokens (stride = chunkTokens − overlap). Zero-token
+    * documents emit nothing; every other document emits at least one
+    * chunk and every token is covered. Pure codegen'd array expressions
+    * (split → sequence → explode → slice): embarrassingly parallel, no
+    * shuffle at all — the 100 TB shape is "free" next to the scan.
+    * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = filter(split(trim(col(textCol)), "\\s+"), x => x =!= "")
+    val n = size(col("t"))
+    // integer ceil-div, clamped to ≥1 (a doc shorter than one chunk is
+    // still one chunk); floor(x/y) on the positive-denominator double
+    // division IS the integer floor-div
+    val nChunks = greatest(lit(1L),
+      floor((n - lit(overlap) + lit(stride - 1)) / lit(stride)))
+    docs.select(col(idCol).as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens))).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"))
   }
 
   /** Gopher-style rule battery — the standard hard pre-training filters,

@@ -117,6 +117,95 @@ class Round4Spec extends SparkSpec {
       rows(TextStats.lmScore(docs)))
   }
 
+  // ---- bloom-prefiltered decontamination ----
+
+  test("decontaminateBloom == decontaminate (sf0.01, gate split)") {
+    val d = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val corpus = d.filter(col("doc_id") % 20 =!= 0)
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    assert(rows(Dedup.decontaminateBloom(corpus, bench, n = 4)) ==
+      rows(Dedup.decontaminate(corpus, bench, n = 4)))
+  }
+
+  test("decontaminateBloom exact under heavy false positives (m=64)") {
+    // 64-bit filter + 5 hashes per shingle saturates the bitmap — nearly
+    // every corpus shingle passes the prefilter, the exact join still
+    // discards all of them
+    val corpus = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh")).toDF("doc_id", "text")
+    val bench = Seq((100L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateBloom(corpus, bench, n = 2, log2Bits = 6)
+    assert(rows(got) == rows(Dedup.decontaminate(corpus, bench, n = 2)))
+    assert(got.count() == 1) // only doc 1 shares 2-grams
+  }
+
+  test("decontaminateBloom: empty benchmark flags nothing") {
+    val corpus = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val bench = corpus.filter(lit(false))
+    assert(Dedup.decontaminateBloom(corpus, bench).count() == 0)
+  }
+
+  // ---- token-window chunking ----
+
+  test("chunk: coverage, overlap, and tail semantics") {
+    val docs = Seq(
+      (1L, ""),                       // 0 tokens -> no chunks
+      (2L, "   "),                    // whitespace-only -> no chunks
+      (3L, "a b c"),                  // < chunk -> 1 short chunk
+      (4L, (1 to 4).map("t" + _).mkString(" ")),  // == chunk -> exactly 1
+      (5L, (1 to 5).map("t" + _).mkString(" ")),  // chunk+1 -> 2, overlap 1
+      (6L, (1 to 11).map("t" + _).mkString(" ")), // stride 3: chunks at 0,3,6,9
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunk(docs, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(!out.keys.exists(_._1 <= 2L))
+    assert(out((3L, 0L)) == (3L, "a b c"))
+    assert(out((4L, 0L)) == (4L, "t1 t2 t3 t4"))
+    assert(out.keys.count(_._1 == 4L) == 1) // no empty trailing chunk
+    assert(out((5L, 0L)) == (4L, "t1 t2 t3 t4"))
+    assert(out((5L, 1L)) == (2L, "t4 t5"))  // overlap token t4 shared
+    assert(out.keys.count(_._1 == 6L) == 4)
+    assert(out((6L, 3L)) == (2L, "t10 t11"))
+  }
+
+  test("chunk: every token of every doc is covered") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val chunked = TextStats.chunk(docs, chunkTokens = 64, overlap = 16)
+    // token coverage: sum over chunks of (chunk tokens - overlap towards
+    // the next chunk) telescopes back to n_tokens per doc; cheaper exact
+    // check: distinct tokens survive the round trip
+    val back = chunked.groupBy("doc_id")
+      .agg(sum(col("n_chunk_tokens")).as("tok_with_overlap"),
+        count(lit(1)).as("n_chunks"))
+    val orig = TextStats.stats(docs).select(col("doc_id"), col("n_tokens"))
+    val joined = back.join(orig, "doc_id")
+      .select(col("doc_id"),
+        (col("tok_with_overlap") - lit(16) * (col("n_chunks") - 1) ===
+          col("n_tokens")).as("ok"))
+    assert(joined.filter(!col("ok")).count() == 0)
+    assert(orig.filter(col("n_tokens") > 0).count() == back.count())
+  }
+
+  // ---- approx-quantile rank contract ----
+
+  test("approxQuantiles: contract holds on lineitem at sf0.01 and sf0.001") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val li = Tables.load(spark, s"/root/testdata/$sf", "lineitem")
+      val out = Relational.approxQuantiles(li).collect()
+      assert(out.length == 4 && out.forall(_.getBoolean(1)), sf)
+    }
+  }
+
+  test("approxQuantiles: duplicate-heavy column stays within contract") {
+    // 90% of the mass is one value — the rank INTERVAL check must accept
+    // the estimate even though frac(<= e) jumps far past p
+    val df = spark.range(0, 10000)
+      .select(when(col("id") % 10 =!= 0, lit(42.0))
+        .otherwise(col("id").cast("double")).as("l_extendedprice"))
+    val out = Relational.approxQuantiles(df).collect()
+    assert(out.length == 4 && out.forall(_.getBoolean(1)))
+  }
+
   // ---- flatMapGroupsWithState ----
 
   test("typeCountsStateful == batch per-(user,type) counts (sf0.001)") {
