@@ -13,33 +13,39 @@ object Bench {
     * the calibration sentinel. Queries absent here (added since the last
     * stamp) get no ratio; re-stamp together with BASELINE.md. */
   val BaselinePerQuery: Map[String, Double] = Map(
-    "dedup_assign" -> 4.49, "dedup_decontam" -> 1.01,
-    "dedup_embedding" -> 3.06, "dedup_exact" -> 0.52,
-    "dedup_minhash_lsh" -> 2.32, "dedup_ngram_jaccard" -> 2.88,
-    "dedup_simhash" -> 1.21, "mm_features" -> 0.25,
-    "pipe_curate" -> 4.56, "q1_tokens" -> 0.41, "q2_dictionary" -> 0.56,
-    "q3_task1" -> 0.50, "q4_tf" -> 0.77, "q5_idf" -> 0.83,
-    "q6_tfidf" -> 1.18, "rel_anti_join" -> 0.25,
-    "rel_approx_users" -> 0.72, "rel_asof_join" -> 0.89,
-    "rel_cube" -> 0.61, "rel_event_props" -> 0.36,
-    "rel_events_hourly" -> 0.49, "rel_order_history" -> 0.35,
-    "rel_pricing_summary" -> 1.04, "rel_promo_revenue" -> 1.33,
-    "rel_revenue_nation" -> 0.95, "rel_rollup" -> 0.40,
-    "rel_scalar_funcs" -> 0.25, "rel_sessionize" -> 0.42,
-    "rel_set_ops" -> 0.36, "rel_top_customers" -> 0.45,
-    "rel_window_funcs" -> 0.37, "samp_cap" -> 0.36, "samp_hash" -> 0.19,
-    "samp_mix" -> 0.49, "samp_split" -> 0.18, "samp_stratified" -> 0.21,
-    "sim_label_eval" -> 0.70, "sim_quantize" -> 1.35,
-    "sim_topk_brute" -> 0.53, "sim_topk_ivf" -> 0.99,
-    "sim_topk_lsh" -> 0.64, "stream_dedup_pairs" -> 0.82,
-    "stream_events_by_segment" -> 1.05, "stream_events_hourly" -> 1.12,
-    "stream_events_sliding" -> 1.06, "stream_foreach_sink" -> 1.28,
-    "stream_session_window" -> 1.49, "stream_stream_join" -> 3.07,
-    "stream_user_counts" -> 1.01, "text_fingerprint" -> 0.70,
-    "text_hash_embed" -> 0.92, "text_langid" -> 0.27,
-    "text_lm_score" -> 1.70, "text_quality_flags" -> 0.28,
-    "text_redact" -> 0.24, "text_repetition" -> 1.09,
-    "text_stats" -> 0.53)
+    "dedup_assign" -> 3.37, "dedup_decontam" -> 0.7,
+    "dedup_decontam_bloom" -> 2.54, "dedup_embedding" -> 2.27,
+    "dedup_exact" -> 0.41, "dedup_minhash_lsh" -> 2.03,
+    "dedup_ngram_jaccard" -> 2.04, "dedup_simhash" -> 1.48,
+    "mm_features" -> 0.23, "pipe_curate" -> 4.05,
+    "q1_tokens" -> 0.19, "q2_dictionary" -> 0.39,
+    "q3_task1" -> 0.39, "q4_tf" -> 0.73,
+    "q5_idf" -> 0.71, "q6_tfidf" -> 0.86,
+    "rel_anti_join" -> 0.22, "rel_approx_users" -> 0.66,
+    "rel_asof_join" -> 0.77, "rel_cube" -> 0.54,
+    "rel_event_props" -> 0.31, "rel_events_hourly" -> 0.44,
+    "rel_order_history" -> 0.29, "rel_pricing_summary" -> 0.91,
+    "rel_promo_revenue" -> 1.08, "rel_quantile_contract" -> 0.56,
+    "rel_revenue_nation" -> 0.84, "rel_rollup" -> 0.33,
+    "rel_scalar_funcs" -> 0.25, "rel_sessionize" -> 0.36,
+    "rel_set_ops" -> 0.25, "rel_skew_distinct" -> 0.2,
+    "rel_top_customers" -> 0.34, "rel_window_funcs" -> 0.28,
+    "samp_cap" -> 0.3, "samp_cap_scalable" -> 0.58,
+    "samp_hash" -> 0.15, "samp_mix" -> 0.36,
+    "samp_split" -> 0.14, "samp_stratified" -> 0.13,
+    "samp_weighted" -> 0.13, "sim_label_eval" -> 0.51,
+    "sim_quantize" -> 1.21, "sim_topk_brute" -> 0.48,
+    "sim_topk_ivf" -> 0.93, "sim_topk_ivf_trained" -> 2.68,
+    "sim_topk_lsh" -> 0.5, "stream_dedup_pairs" -> 0.65,
+    "stream_events_by_segment" -> 0.81, "stream_events_hourly" -> 0.8,
+    "stream_events_sliding" -> 0.76, "stream_foreach_sink" -> 0.94,
+    "stream_session_window" -> 1.1, "stream_stream_join" -> 2.1,
+    "stream_type_counts" -> 0.98, "stream_user_counts" -> 0.74,
+    "text_chunk" -> 0.2, "text_fingerprint" -> 0.56,
+    "text_hash_embed" -> 0.5, "text_langid" -> 0.18,
+    "text_lm_score" -> 1.49, "text_lm_score_scalable" -> 1.42,
+    "text_quality_flags" -> 0.2, "text_redact" -> 0.18,
+    "text_repetition" -> 1.01, "text_stats" -> 0.47)
 
   /** Regression flag threshold on (measured / baseline). */
   val RegressionRatio: Double = 1.3

@@ -255,6 +255,12 @@ object SparkEntry {
     "samp_hash" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), 0.25)
         .select("doc_id", "lang", "n_chars")),
+    // length-proportional keep probability — the token-budget sampler
+    "samp_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir),
+          org.apache.spark.sql.functions.least(
+            lit(1.0), col("n_chars") / lit(3000.0)))
+        .select("doc_id", "n_chars")),
     "samp_split" -> ((s, dir) =>
       Sampling.splitByHash(docs(s, dir), SplitWeights)
         .select("doc_id", "split")),
@@ -1014,6 +1020,15 @@ object SparkEntry {
          |WHERE ('0x' || substr(md5('graft' || '|' ||
          |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
          |  < ${operators.Sampling.thresholdFor(0.25)}""".stripMargin,
+
+    // identical float64 threshold arithmetic on both engines:
+    // floor(clamp01(n_chars/3000) * 2^32)
+    "samp_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substr(md5('graft-w' || '|' ||
+        |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < floor(greatest(0.0, least(1.0, n_chars / 3000.0))
+        |      * 4294967296.0)""".stripMargin,
 
     "samp_split" ->
       s"""SELECT doc_id,

@@ -330,38 +330,56 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
 
   /** [[decontaminate]] with a Bloom prefilter on the corpus side — the
-    * shape for benchmark sets too large to broadcast: a 2^log2Bits-bit
-    * Bloom filter is built over the benchmark shingles with a
-    * distributed bit_or aggregation, collected as a bounded model
-    * artifact (m/64 longs — 32 KiB at the 2^21 default, independent of
-    * data size; same bounded-collect reasoning as the IVF codebook), and
-    * embedded as an array literal so the membership test is a pure
-    * per-row codegen'd expression: no UDF, no join, no shuffle — it
-    * evaluates right above the corpus scan and drops almost every clean
-    * shingle before the exact equi-join. False positives survive the
-    * prefilter and are eliminated by that join, so the output is
-    * BIT-IDENTICAL to [[decontaminate]] (the gate runs both against one
-    * oracle). `numHashes` md5 salts give the k independent bit
-    * positions; fpp ≈ (1-e^(-kn/m))^k.
+    * semi-join-reduction shape for benchmark sets too large to
+    * broadcast: a 2^log2Bits-bit Bloom filter is built over the
+    * benchmark shingles with a distributed bit_or aggregation, collected
+    * as a bounded model artifact (m/64 longs — 32 KiB at the 2^21
+    * default, independent of data size; same bounded-collect reasoning
+    * as the IVF codebook), and embedded as an array literal so the
+    * membership test is a pure per-row codegen'd expression: no UDF, no
+    * join — it evaluates right above the corpus scan and drops clean
+    * shingles before they reach the exchange. False positives survive
+    * the prefilter and are eliminated by the exact equi-join, so the
+    * output is BIT-IDENTICAL to [[decontaminate]] (the gate runs both
+    * against one oracle). One md5 per shingle; the k positions are
+    * disjoint 24-bit digest slices; fpp ≈ (1-e^(-kn/m))^k.
+    *
+    * WHEN IT WINS — measured honestly (tools/LmProbe, K=30 clone probe,
+    * 7.3M corpus shingles): on local[32] the exact path runs 5 s vs the
+    * bloom's 11 s, with or without broadcast, because an in-memory
+    * single-node shuffle is nearly free and the md5 is the dominant
+    * cost. The prefilter pays off where the exact join's exchange
+    * crosses a NETWORK — a 1000-executor corpus-shingle shuffle against
+    * a non-broadcastable benchmark side — the same regime Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` targets. This explicit
+    * variant exists because the optimizer's runtime filter is
+    * heuristic (creation-side selectivity/size thresholds) while a
+    * decontamination pipeline KNOWS the benchmark side is the small
+    * one; keep [[decontaminate]] for single-node / broadcastable
+    * benchmarks.
     */
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
                          n: Int = 5, log2Bits: Int = 21,
                          numHashes: Int = 5): DataFrame = {
-    require(log2Bits >= 6 && log2Bits <= 30, s"log2Bits out of range: $log2Bits")
+    require(log2Bits >= 6 && log2Bits <= 24,
+      s"log2Bits out of [6, 24]: $log2Bits (positions are 24-bit md5 slices)")
+    require(numHashes >= 1 && numHashes <= 5,
+      s"numHashes out of [1, 5]: $numHashes (md5 yields 5 disjoint 24-bit slices)")
     val m = 1L << log2Bits
-    // k bit positions per shingle: disjoint salted md5s, 15 hex chars
-    // (60 bits) each — exact in Long, engine-independent determinism
-    // not required (the bloom never changes the result)
-    def positions(s: Column): Seq[Column] =
+    // ONE md5 per shingle; the k bit positions are disjoint 24-bit
+    // (6-hex-char) slices of the 128-bit digest — 5 salted md5s per
+    // corpus shingle measurably dominated the whole operator before
+    // this (the per-row hash IS the prefilter's cost at scale)
+    def digest(s: Column): Column = md5(concat(lit("bf|"), s))
+    def positions(hx: Column): Seq[Column] =
       (0 until numHashes).map { i =>
-        conv(substring(md5(concat(lit(s"bf$i|"), s)), 1, 15), 16, 10)
-          .cast("long") % m
+        conv(substring(hx, 1 + 6 * i, 6), 16, 10).cast("long") % m
       }
     val benchShingles = shingles(benchmark, n).select("s").distinct()
     // distributed build: explode the k positions, OR the bits per
     // 64-bit word — both stages partial-aggregate map-side
     val sparseWords = benchShingles
-      .select(explode(array(positions(col("s")): _*)).as("pos"))
+      .select(explode(array(positions(digest(col("s"))): _*)).as("pos"))
       .select(shiftright(col("pos"), 6).as("widx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
       .groupBy("widx").agg(bit_or(col("bit")).as("bits"))
@@ -374,7 +392,9 @@ object Dedup {
         element_at(bf, shiftright(p, 6).cast("int") + 1),
         (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
     shingles(docs, n)
-      .filter(positions(col("s")).map(isSet).reduce(_ && _))
+      .withColumn("_hx", digest(col("s")))
+      .filter(positions(col("_hx")).map(isSet).reduce(_ && _))
+      .drop("_hx")
       .join(benchShingles, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -41,6 +41,26 @@ object Sampling {
                  salt: String = "graft"): DataFrame =
     df.filter(hashValue(col(keyCol), salt) < thresholdFor(p))
 
+  /** Deterministic Bernoulli with a PER-ROW probability — the
+    * importance/token-budget sampler (e.g. keep probability ∝ document
+    * length, or ∝ an upstream quality score). `prob` is any in-plan
+    * expression; it is clamped to [0, 1] and mapped to the same
+    * floor(p·2^32) integer threshold as [[hashSample]], so both engines
+    * decide each row from identical float64 arithmetic. Still a pure
+    * per-row filter: no shuffle, pushes to the scan. A NULL probability
+    * (like a NULL key) drops the row.
+    */
+  def weightedSample(df: DataFrame, prob: Column,
+                     keyCol: String = "doc_id",
+                     salt: String = "graft-w"): DataFrame = {
+    // least/greatest SKIP nulls (a NULL prob would clamp to 1.0 and
+    // keep everything); the explicit NULL branch makes the comparison
+    // NULL so the row drops instead
+    val clamped = when(prob.isNull, lit(null).cast("double"))
+      .otherwise(greatest(lit(0.0), least(lit(1.0), prob)))
+    df.filter(hashValue(col(keyCol), salt) < floor(clamped * lit(HashRange)))
+  }
+
   /** Deterministic train/val/test-style assignment: buckets the key
     * hash into 10,000 slots and labels each row by cumulative split
     * weight (weights need not sum to 1 — they are normalized). Every

@@ -186,6 +186,27 @@ class Round4Spec extends SparkSpec {
     assert(orig.filter(col("n_tokens") > 0).count() == back.count())
   }
 
+  // ---- weighted (per-row probability) sampling ----
+
+  test("weightedSample: clamp, determinism, and monotonicity in scale") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    assert(Sampling.weightedSample(docs, lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(docs, lit(1.0)).count() == docs.count())
+    assert(Sampling.weightedSample(docs, lit(5.0)).count() == docs.count())
+    assert(Sampling.weightedSample(docs, lit(null).cast("double")).count() == 0)
+    // same salt ⇒ raising every row's probability only ADDS rows
+    val lo = Sampling.weightedSample(docs, col("n_chars") / 6000.0)
+      .select("doc_id")
+    val hi = Sampling.weightedSample(docs, col("n_chars") / 3000.0)
+      .select("doc_id")
+    assert(lo.except(hi).count() == 0)
+    assert(lo.count() < hi.count())
+    // longer docs are kept proportionally more often
+    val kept = Sampling.weightedSample(docs, col("n_chars") / 3000.0)
+    assert(kept.agg(avg("n_chars")).head().getDouble(0) >
+      docs.agg(avg("n_chars")).head().getDouble(0))
+  }
+
   // ---- approx-quantile rank contract ----
 
   test("approxQuantiles: contract holds on lineitem at sf0.01 and sf0.001") {
