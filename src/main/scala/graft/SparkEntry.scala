@@ -22,6 +22,44 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
 
+  /** Committed wikiextractor-format dump fixture (one `<doc …>…</doc>`
+    * line per document) — the raw-input surface the parquet `documents`
+    * table can't exercise: the `wiki_*` gates run WikiText.parse (P1/P2,
+    * the reference's §1.3 quirks: literal-'>' body truncation and the
+    * trailing-`</doc` token fusion) from raw lines, and the DuckDB twin
+    * re-parses the SAME file with regexp/string_split equivalents.
+    * Absolute path: both this JVM and the driver's DuckDB process read
+    * it straight off the repo checkout. */
+  val WikiFixturePath = "/root/repo/src/main/resources/graft/wiki_dump.txt"
+
+  private def wikiDocs(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{length, trim}
+    operators.WikiText.parse(
+      s.read.text(WikiFixturePath)
+        .filter(length(trim(col("value"))) > 0))
+  }
+
+  /** Per-JVM scratch root for gate queries that must round-trip through
+    * a filesystem sink (foreachBatch, ", "-CSV compat). Prior
+    * invocations' dirs are reaped first — repeated bench/verify runs
+    * must not accumulate copies in /tmp — and the root is pid-suffixed
+    * so concurrent graft processes never delete each other's in-flight
+    * output. Returns a fresh empty directory. */
+  private def scratchDir(tag: String): String = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.createTempDirectory(root, "run").toString
+  }
+
   /** Task-1 probe set for the gate queries — words that exist in every
     * testdata documents vocabulary (all three SFs share the same 31-word
     * vocab), so q3_task1 exercises P6/P12/J4 on real rows instead of
@@ -60,14 +98,41 @@ object SparkEntry {
     }),
     "q6_tfidf" -> ((s, dir) => TfIdfOps.tfIdfPipeline(docs(s, dir))),
 
+    // --- raw-dump parse surface (S1/P1/P2; SURVEY §1.3 quirks) ---
+    // Rooted at spark.read.text over the committed wikiextractor
+    // fixture, NOT the parquet documents table: the gate covers a user's
+    // actual first input path (raw dump lines → parse → pipeline).
+    "wiki_parse" -> ((s, _) => wikiDocs(s)),
+    "wiki_tokens" -> ((s, _) =>
+      WikiText.tokens(wikiDocs(s), textCol = "body")),
+    "wiki_tfidf" -> ((s, _) =>
+      TfIdfOps.tfIdfPipeline(wikiDocs(s), textCol = "body")),
+
+    // --- ", "-CSV compatibility round-trip (S2/S6 + T4 ordering) ---
+    // Writes the full Q6 result through the reference-format text sink
+    // and reads it back through the positional ", "-split source; the
+    // oracle is Q6's own twin, so the gate proves write→read is the
+    // identity on the reference's staged-CSV surface. (The count-desc
+    // ordering T4 guarantees is asserted by spec — this hash gate is
+    // deliberately order-insensitive.)
+    "io_csv_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("refcsv")
+      graft.io.CompatIo.writeRefCsv(TfIdfOps.tfIdfPipeline(docs(s, dir)),
+        Seq("doc_id", "word", "cnt", "tf", "tf_idf"), out)
+      graft.io.CompatIo.readRefCsv(s, out, Seq(
+        "doc_id" -> "bigint", "word" -> "string", "cnt" -> "bigint",
+        "tf" -> "double", "tf_idf" -> "double"))
+    }),
+
     // --- text analysis (north-star) ---
     "text_stats" -> ((s, dir) => TextStats.stats(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextStats.langId(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
-    // rows-only (xxhash64 bucketing is engine-specific; unit-tested e2e).
-    // Gate surface = the sparse integer bucket sums, NOT the dense float
-    // vector: scalar rows are hashable by the harness, and the dense
-    // embedding is a pure per-row transform of exactly these rows.
+    // Hash-gated against a full DuckDB twin: the bucketing basis is md5
+    // (engine-portable), so the sparse integer bucket sums value-match
+    // exactly. Gate surface = those sparse sums, NOT the dense float
+    // vector (arrays are un-hashable by a row-compare harness); the
+    // dense embedding is a pure per-row transform of exactly these rows.
     "text_hash_embed" -> ((s, dir) => TextStats.hashEmbedBuckets(docs(s, dir))),
     "text_lm_score" -> ((s, dir) => TextStats.lmScore(docs(s, dir))),
     // scale-hardened LM scoring (two-stage c1 aggregation, vocabulary
@@ -190,28 +255,11 @@ object SparkEntry {
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(s, dir)),
     // foreachBatch file-sink pattern; result read back from the files
-    // it wrote, so the gate checks the SINK, not just the aggregation.
-    // Prior invocations' sink dirs are reaped first (their frames were
-    // consumed when that invocation materialized) — repeated bench/
-    // verify runs must not accumulate parquet copies in /tmp. The reap
-    // root is PER-JVM (pid-suffixed): concurrent graft processes must
-    // not delete each other's in-flight sinks.
-    "stream_foreach_sink" -> ((s, dir) => {
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_fbsink_${ProcessHandle.current().pid()}")
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(root)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-      java.nio.file.Files.createDirectories(root)
-      val out = java.nio.file.Files
-        .createTempDirectory(root, "run").toString
-      graft.streaming.EventsStream.hourlyViaForeachBatch(s, dir, out)
-    }),
+    // it wrote, so the gate checks the SINK, not just the aggregation
+    // (scratchDir handles the per-JVM reap of prior invocations).
+    "stream_foreach_sink" -> ((s, dir) =>
+      graft.streaming.EventsStream.hourlyViaForeachBatch(
+        s, dir, scratchDir("fbsink"))),
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
@@ -368,6 +416,15 @@ object SparkEntry {
       |  WHERE idf > 0
       |)""".stripMargin
 
+  // Q6's full twin — shared by q6_tfidf and io_csv_roundtrip (the CSV
+  // compat round-trip is the identity on Q6's rows, so one oracle gates
+  // both the pipeline and the write→read surface).
+  private val q6Sql: String =
+    s"""WITH $idfCtes
+       |SELECT t.doc_id, t.word, t.cnt, t.tf,
+       |       floor(t.tf * i.idf * 100 + 0.5) / 100 AS tf_idf
+       |FROM tf t JOIN idf i USING (word)""".stripMargin
+
   private val dictCtes: String = tokenCtes +
     """, wcnts AS (
       |  SELECT word, count(*) AS cnt FROM tokens GROUP BY word
@@ -379,6 +436,26 @@ object SparkEntry {
       |  FROM (SELECT word, cnt FROM wcnts
       |        ORDER BY cnt DESC, word ASC LIMIT 5000)
       |)""".stripMargin
+
+  // Raw-dump fixture parse twin (S1/P1/P2): re-reads the committed
+  // wikiextractor file and replays the reference's §1.3 quirks —
+  // body = segment between the FIRST and SECOND '>' (so a literal '>'
+  // truncates, and the trailing `</doc` survives tag-stripping to fuse
+  // the last token, e.g. "include</doc" → "includedoc"), doc_id = the
+  // substring between `<doc id="` and `" url="`. Named `documents` so
+  // the shared token/tf/idf CTE chains run unchanged over the parsed
+  // fixture instead of the parquet table (CTEs shadow tables).
+  private val wikiDocCtes: String =
+    s"""wlines AS (
+       |  SELECT unnest(string_split(content, chr(10))) AS value
+       |  FROM read_text('$WikiFixturePath')
+       |), documents AS (
+       |  SELECT regexp_extract(value, '<doc id="([^"]+)" url="', 1)
+       |           AS doc_id,
+       |         trim(regexp_replace(string_split(value, '>')[2],
+       |           '<[^>]+>', '', 'g')) AS text
+       |  FROM wlines WHERE length(trim(value)) > 0
+       |)""".stripMargin
 
   // Whitespace tokens (leading/trailing empties removed) — the TextStats
   // tokenizer's DuckDB twin.
@@ -650,8 +727,18 @@ object SparkEntry {
       s"WITH $tfCtes SELECT doc_id, word, cnt, tf FROM tf",
     "q5_idf" ->
       s"WITH $idfCtes SELECT word, idf FROM idf",
-    "q6_tfidf" ->
-      s"""WITH $idfCtes
+    "q6_tfidf" -> q6Sql,
+    // write→read identity on the reference's ", "-CSV surface
+    "io_csv_roundtrip" -> q6Sql,
+
+    // raw-dump parse gates: the same token/tf/idf chains, rooted at the
+    // fixture-file parse CTE instead of the parquet documents table
+    "wiki_parse" ->
+      s"WITH $wikiDocCtes SELECT doc_id, text AS body FROM documents",
+    "wiki_tokens" ->
+      s"WITH $wikiDocCtes, $tokenCtes SELECT doc_id, word FROM tokens",
+    "wiki_tfidf" ->
+      s"""WITH $wikiDocCtes, $idfCtes
          |SELECT t.doc_id, t.word, t.cnt, t.tf,
          |       floor(t.tf * i.idf * 100 + 0.5) / 100 AS tf_idf
          |FROM tf t JOIN idf i USING (word)""".stripMargin,

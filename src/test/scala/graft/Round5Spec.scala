@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.io.CompatIo
+import graft.operators.{TfIdfOps, WikiText}
+
+/** Round-5 behavior pins: the raw wikiextractor parse quirks on the
+  * committed fixture (S1/P1/P2 — the gate queries' Spark side), the
+  * ", "-CSV round-trip identity (S2/S6), and the count-desc output
+  * ordering (T4) that the order-insensitive hash gate cannot see. */
+class Round5Spec extends SparkSpec {
+
+  private def fixtureDocs = {
+    val lines = spark.read.text(SparkEntry.WikiFixturePath)
+      .filter(length(trim(col("value"))) > 0)
+    WikiText.parse(lines)
+  }
+
+  // ---- §1.3 parse quirks on the committed fixture ----
+
+  test("wiki parse: doc ids extracted, one row per fixture line") {
+    val ids = fixtureDocs.select("doc_id").collect().map(_.getString(0))
+    assert(ids.sorted.toSeq == (9001 to 9010).map(_.toString))
+  }
+
+  test("wiki parse: literal '>' truncates the body (reference Main.java:83)") {
+    val body = fixtureDocs.filter(col("doc_id") === "9002")
+      .select("body").head().getString(0)
+    assert(body == "alpha beta") // everything after the inline '>' is gone
+  }
+
+  test("wiki parse: trailing `</doc` fuses the last token (DocInfo.java:25-26)") {
+    // every non-truncated fixture doc ends "... include</doc" → the
+    // normalized token stream must contain "includedoc", never "include"
+    val words = WikiText.tokens(fixtureDocs, textCol = "body")
+      .select("word").distinct().collect().map(_.getString(0)).toSet
+    assert(words.contains("includedoc"))
+    assert(!words.contains("include"))
+  }
+
+  test("wiki parse: punctuation-only tokens drop but inflate the TF denominator") {
+    // doc 9003 body: "common tokens repeat repeat repeat -- ??? 42 alpha include</doc"
+    // raw_len counts all 10 space-split fields; '--', '???', '42'
+    // normalize to empty and drop from the token stream
+    val toks = WikiText.tokensWithRawLen(fixtureDocs, textCol = "body")
+      .filter(col("doc_id") === "9003")
+    val rawLen = toks.select("raw_len").head().getLong(0)
+    val n = toks.count()
+    assert(rawLen == 10)
+    assert(n == 7) // common tokens repeat×3 alpha includedoc
+  }
+
+  // ---- ", "-CSV round-trip identity + T4 ordering ----
+
+  test("refCsv round-trip is the identity on Q6 (sf0.001)") {
+    val q6 = TfIdfOps.tfIdfPipeline(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val out = Files.createTempDirectory("graft_rt_").toString
+    CompatIo.writeRefCsv(q6,
+      Seq("doc_id", "word", "cnt", "tf", "tf_idf"), out)
+    val back = CompatIo.readRefCsv(spark, out, Seq(
+      "doc_id" -> "bigint", "word" -> "string", "cnt" -> "bigint",
+      "tf" -> "double", "tf_idf" -> "double"))
+    assert(rows(back) == rows(q6.select("doc_id", "word", "cnt", "tf",
+      "tf_idf")))
+  }
+
+  test("T4: written files keep count-desc (word-asc tie) order per doc") {
+    val q6 = TfIdfOps.tfIdfPipeline(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    // per-doc compatibility layout: one directory per doc_id, rows
+    // "word, cnt, tf, tf_idf"
+    val perDoc = Files.createTempDirectory("graft_t4pd_").toString
+    CompatIo.writeRefCsv(q6,
+      Seq("doc_id", "word", "cnt", "tf", "tf_idf"), perDoc, perDoc = true)
+    val docDirs = new java.io.File(perDoc).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("doc_id="))
+    assert(docDirs.length > 10)
+    var checked = 0
+    docDirs.foreach { d =>
+      val rows = d.listFiles().filter(_.getName.endsWith(".txt")).toSeq
+        .flatMap(f => Files.readAllLines(f.toPath).asScala)
+        .filter(_.nonEmpty).map(_.split(", ", -1))
+      assert(rows.forall(_.length == 4), s"${d.getName} field count")
+      val order = rows.map(r => (-r(1).trim.toLong, r(0)))
+      assert(order == order.sorted, s"${d.getName} not count-desc/word-asc")
+      checked += rows.size
+    }
+    assert(checked == q6.count())
+
+    // single-table layout: each part file is (doc_id, cnt desc, word asc)
+    // sorted, so every doc's rows are contiguous and count-desc
+    val single = Files.createTempDirectory("graft_t4st_").toString
+    CompatIo.writeRefCsv(q6,
+      Seq("doc_id", "word", "cnt", "tf", "tf_idf"), single)
+    val partFiles = new java.io.File(single).listFiles()
+      .filter(_.getName.endsWith(".txt")).toSeq
+    assert(partFiles.nonEmpty)
+    partFiles.foreach { f =>
+      val rows = Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).map(_.split(", ", -1)).toSeq
+      assert(rows.forall(_.length == 5), s"${f.getName} field count")
+      val order = rows.map(r => (r(0).trim.toLong, -r(2).trim.toLong, r(1)))
+      assert(order == order.sorted, s"${f.getName} not per-doc count-desc")
+    }
+  }
+}
