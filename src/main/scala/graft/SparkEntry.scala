@@ -260,6 +260,12 @@ object SparkEntry {
     "stream_foreach_sink" -> ((s, dir) =>
       graft.streaming.EventsStream.hourlyViaForeachBatch(
         s, dir, scratchDir("fbsink"))),
+    // watermark late-data drops, actually firing (3-batch replay; see
+    // EventsStream.hourlyCountsLate) — the one semantics AvailableNow
+    // over ordered input can never exercise
+    "stream_late_drop" -> ((s, dir) =>
+      graft.streaming.EventsStream.hourlyCountsLate(
+        s, dir, scratchDir("latestage"))),
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
@@ -1414,6 +1420,32 @@ object SparkEntry {
         |    AS hour,
         |  event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Relational replay of the 3-batch watermark drop rule (probed +
+    // spec-pinned in Round5Spec): W = max(ts over batch 0) - 1 min;
+    // batches 0/1 (event_id%10 != 0) are always kept, the late batch 2
+    // (event_id%10 == 0) keeps only rows whose hour-window END exceeds
+    // W — equality drops, matching Spark's `end <= watermark` filter.
+    // ts is cast to µs TIMESTAMP first, mirroring the engine's ns→µs
+    // truncation (Tables.normalizeTs).
+    "stream_late_drop" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events
+        |), w AS (
+        |  SELECT max(ts) - INTERVAL 1 MINUTE AS wm FROM ev
+        |  WHERE event_id % 10 >= 2
+        |), kept AS (
+        |  SELECT ts, event_type FROM ev WHERE event_id % 10 != 0
+        |  UNION ALL
+        |  SELECT e.ts, e.event_type FROM ev e, w
+        |  WHERE e.event_id % 10 = 0
+        |    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > w.wm
+        |)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour,
+        |  event_type, count(*) AS n_events
+        |FROM kept GROUP BY 1, 2""".stripMargin,
 
     // 1h windows sliding every 30m: an event at t is in the windows
     // starting at bucket30(t) and bucket30(t) - 30m

@@ -215,6 +215,92 @@ object EventsStream {
     all.filter(col("batch_id") === last).drop("batch_id")
   }
 
+  /** Late-data drop gate: the events stream replayed as THREE
+    * deterministic micro-batches so the watermark actually FIRES.
+    *
+    * Every other stream gate drains ordered input in one AvailableNow
+    * pass, where the watermark starts at MIN_VALUE and nothing is ever
+    * dropped — the row-dropping semantics were unexercised. Probed
+    * semantics (pinned by Round5Spec): Spark filters batch N's late
+    * rows against the watermark of batch N-1 — i.e. the value computed
+    * after batch N-2 — and the drop predicate is
+    * `window.end <= watermark` (a window whose end EQUALS the watermark
+    * is already closed). Two batches therefore never drop anything
+    * (batch 1 is filtered against the initial MIN_VALUE watermark); the
+    * replay needs three:
+    *   batch 0 (event_id%10 >= 2, 80% of events spanning the full time
+    *     range) advances the watermark to W = max(ts)-1min;
+    *   batch 1 (event_id%10 == 1) is the carrier batch that brings W
+    *     into late-filter effect (its own rows all pass — they are
+    *     filtered against MIN_VALUE — and it evicts state <= W);
+    *   batch 2 (event_id%10 == 0) arrives LATE: only rows whose
+    *     hour-window end exceeds W survive.
+    *
+    * Update mode + memory sink: each batch emits the updated count per
+    * touched window; counts per key only grow, so `max` per
+    * (hour, event_type) collapses the update log to the final table.
+    * Output: (hour string, event_type, n_events) — DIFFERS from
+    * [[hourlyCounts]] exactly by the dropped late rows; the oracle
+    * recomputes the drop rule relationally, so the gate fails if the
+    * watermark ever stops dropping.
+    */
+  def hourlyCountsLate(spark: SparkSession, dir: String,
+                       stageDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    stageBatches(stageDir,
+      raw.filter(col("event_id") % 10 >= 2),
+      raw.filter(col("event_id") % 10 === 1),
+      raw.filter(col("event_id") % 10 === 0))
+    hourlyCountsStaged(spark, stageDir)
+  }
+
+  /** Write each frame as ONE parquet file `bNN.parquet` under
+    * `stageDir` with strictly increasing modification times —
+    * FileStreamSource orders by (modTime, path), so with
+    * maxFilesPerTrigger=1 the files replay as micro-batches in exactly
+    * this sequence. */
+  private[graft] def stageBatches(stageDir: String,
+                                  batches: DataFrame*): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$stageDir/_stage$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(stageDir, f"b$i%02d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified((i + 1) * 60000L)
+      val walk = Files.walk(Paths.get(tmp))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
+  /** The watermarked hourly aggregation over a staged batch directory,
+    * one file per micro-batch (see [[stageBatches]]). */
+  private[graft] def hourlyCountsStaged(spark: SparkSession,
+                                        stageDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val updates = runToMemory(spark, s => graft.Tables.normalizeTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "b*.parquet")
+          .parquet(stageDir))
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"), col("n_events")),
+      "late", "update")
+    updates.groupBy("hour", "event_type")
+      .agg(max(col("n_events")).as("n_events"))
+  }
+
   /** Per-user event totals via stateful streaming
     * (mapGroupsWithState, update mode): each micro-batch folds its rows
     * into a per-user running count held in GroupState. The memory sink

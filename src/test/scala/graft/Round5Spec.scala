@@ -54,6 +54,47 @@ class Round5Spec extends SparkSpec {
     assert(n == 7) // common tokens repeat×3 alpha includedoc
   }
 
+  // ---- streaming late-data watermark drops (stream_late_drop gate) ----
+
+  test("watermark drops: `end <= W` late rows dropped, batch N filtered vs W(N-2)") {
+    import spark.implicits._
+    def ev(id: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), typ)
+    // batch 0 sets the watermark to max(ts) - 1 min = 12:00:00 exactly
+    val b0 = Seq(
+      ev(1, "2026-01-01 10:30:00", "a"),
+      ev(2, "2026-01-01 12:01:00", "a")
+    ).toDF("event_id", "ts", "event_type")
+    // batch 1: carrier — its own rows pass (filtered vs MIN_VALUE)
+    val b1 = Seq(ev(6, "2026-01-01 10:45:00", "mid"))
+      .toDF("event_id", "ts", "event_type")
+    // batch 2: late arrivals straddling the boundary
+    val b2 = Seq(
+      ev(3, "2026-01-01 10:15:00", "lt"), // window end 11:00 < W → drop
+      ev(4, "2026-01-01 11:15:00", "eq"), // window end 12:00 == W → drop
+      ev(5, "2026-01-01 12:15:00", "gt")  // window end 13:00 > W → keep
+    ).toDF("event_id", "ts", "event_type")
+    val dir = Files.createTempDirectory("graft_late_").toString
+    graft.streaming.EventsStream.stageBatches(dir, b0, b1, b2)
+    val out = rows(
+      graft.streaming.EventsStream.hourlyCountsStaged(spark, dir))
+    assert(out == Seq(
+      "2026-01-01 10:00:00|a|1",
+      "2026-01-01 10:00:00|mid|1",
+      "2026-01-01 12:00:00|a|1",
+      "2026-01-01 12:00:00|gt|1").sorted)
+  }
+
+  test("stream_late_drop gate actually drops rows vs the no-drop twin (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val stage = Files.createTempDirectory("graft_lategate_").toString
+    val dropped = graft.streaming.EventsStream
+      .hourlyCountsLate(spark, dir, stage)
+      .agg(sum("n_events")).head().getLong(0)
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(dropped < total, "watermark dropped nothing — gate is vacuous")
+  }
+
   // ---- ", "-CSV round-trip identity + T4 ordering ----
 
   test("refCsv round-trip is the identity on Q6 (sf0.001)") {
