@@ -341,39 +341,45 @@ object Dedup {
     * shingles before they reach the exchange. False positives survive
     * the prefilter and are eliminated by the exact equi-join, so the
     * output is BIT-IDENTICAL to [[decontaminate]] (the gate runs both
-    * against one oracle). One md5 per shingle; the k positions are
-    * disjoint 24-bit digest slices; fpp ≈ (1-e^(-kn/m))^k.
+    * against one oracle). One xxhash64 per shingle; the k positions are
+    * disjoint log2Bits-bit slices of the 64-bit hash;
+    * fpp ≈ (1-e^(-kn/m))^k. The hash base deliberately does NOT need
+    * engine portability: false positives are erased by the exact join,
+    * so the filter can use the fastest native hash (xxhash64 is a
+    * codegen'd long op; the previous md5-hex + conv(…,16,10) digest
+    * spent more per corpus shingle on string decimal conversion than
+    * the whole exact join's exchange cost locally).
     *
-    * WHEN IT WINS — measured honestly (tools/LmProbe, K=30 clone probe,
-    * 7.3M corpus shingles): on local[32] the exact path runs 5 s vs the
-    * bloom's 11 s, with or without broadcast, because an in-memory
-    * single-node shuffle is nearly free and the md5 is the dominant
-    * cost. The prefilter pays off where the exact join's exchange
-    * crosses a NETWORK — a 1000-executor corpus-shingle shuffle against
-    * a non-broadcastable benchmark side — the same regime Spark's own
-    * `spark.sql.optimizer.runtime.bloomFilter` targets. This explicit
-    * variant exists because the optimizer's runtime filter is
-    * heuristic (creation-side selectivity/size thresholds) while a
-    * decontamination pipeline KNOWS the benchmark side is the small
-    * one; keep [[decontaminate]] for single-node / broadcastable
-    * benchmarks.
+    * WHEN IT WINS — measured (tools/BloomProbe, K=30 clones, broadcast
+    * disabled, 4-gram shingles, ~7M corpus shingle rows): the prefilter
+    * cuts bytes crossing the exchange 90% (170 MB → 17 MB) but spends
+    * extra per-shingle CPU, so on local[32] — where the "exchange" is
+    * memory/local disk — the exact join still wins on wall clock. The
+    * implied crossover is the probe's `bytes_saved / extra_seconds`:
+    * below that effective per-node exchange bandwidth (congested
+    * cluster networks, cloud object-store shuffle), the prefilter wins;
+    * see BASELINE.md's probe row for the stamped number. Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` did NOT inject on this
+    * join (creation-side heuristics; measured equal bytes with it on) —
+    * this explicit variant exists exactly because a decontamination
+    * pipeline KNOWS the benchmark side is the small one. Keep
+    * [[decontaminate]] for single-node / broadcastable benchmarks.
     */
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
                          n: Int = 5, log2Bits: Int = 21,
-                         numHashes: Int = 5): DataFrame = {
+                         numHashes: Int = 3): DataFrame = {
     require(log2Bits >= 6 && log2Bits <= 24,
-      s"log2Bits out of [6, 24]: $log2Bits (positions are 24-bit md5 slices)")
-    require(numHashes >= 1 && numHashes <= 5,
-      s"numHashes out of [1, 5]: $numHashes (md5 yields 5 disjoint 24-bit slices)")
+      s"log2Bits out of [6, 24]: $log2Bits")
+    require(numHashes >= 1 && numHashes * log2Bits <= 63,
+      s"numHashes*log2Bits must fit in 63 bits: $numHashes × $log2Bits")
     val m = 1L << log2Bits
-    // ONE md5 per shingle; the k bit positions are disjoint 24-bit
-    // (6-hex-char) slices of the 128-bit digest — 5 salted md5s per
-    // corpus shingle measurably dominated the whole operator before
-    // this (the per-row hash IS the prefilter's cost at scale)
-    def digest(s: Column): Column = md5(concat(lit("bf|"), s))
-    def positions(hx: Column): Seq[Column] =
+    // ONE native 64-bit hash per shingle; the k bit positions are
+    // disjoint log2Bits-bit slices (the per-row hash IS the prefilter's
+    // cost at scale — see scaladoc)
+    def digest(s: Column): Column = xxhash64(lit("bf|"), s)
+    def positions(h: Column): Seq[Column] =
       (0 until numHashes).map { i =>
-        conv(substring(hx, 1 + 6 * i, 6), 16, 10).cast("long") % m
+        shiftrightunsigned(h, log2Bits * i).bitwiseAND(lit(m - 1))
       }
     val benchShingles = shingles(benchmark, n).select("s").distinct()
     // distributed build: explode the k positions, OR the bits per
