@@ -335,6 +335,10 @@ object SparkEntry {
       Sampling.mixtureSample(docs(s, dir), MixTargets)
         .select("doc_id", "lang")),
 
+    // --- greedy sequence packing (north-star; see operators.Packing) ---
+    "text_pack" -> ((s, dir) =>
+      Packing.packGreedy(docs(s, dir), budget = 256L, shards = 8)),
+
     // --- PII scrub (north-star) ---
     // The synthetic corpus carries no PII, so the gate injects a
     // deterministic email/URL/digit-run per row (same injection in the
@@ -1163,6 +1167,52 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents JOIN f USING (lang)
          |WHERE ('0x' || substr(md5('graft' || '|' ||
          |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
+
+    // Greedy-packing twin: the same per-shard sequential fold, replayed
+    // as a recursive CTE over row_number-ordered docs (state = (nb, nr):
+    // next bin index and running fill AFTER each row; budget 256,
+    // md5 shard % 8 — the identical constants/hash as the Spark plan).
+    "text_pack" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text,
+        |      '[ \t\n\f\r]+'), t -> t != '')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('graft-pack|' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INTEGER)
+        |      AS shard
+        |  FROM documents
+        |), ord AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY shard ORDER BY doc_id ASC) AS rn
+        |  FROM toks
+        |), pack AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+        |    CAST(CASE WHEN n_tokens >= 256 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS nb,
+        |    CAST(CASE WHEN n_tokens >= 256 THEN 0 ELSE n_tokens
+        |      END AS BIGINT) AS nr
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+        |    CASE WHEN o.n_tokens >= 256 THEN
+        |           (CASE WHEN p.nr > 0 THEN p.nb + 1 ELSE p.nb END)
+        |         WHEN p.nr + o.n_tokens > 256 THEN p.nb + 1
+        |         ELSE p.nb END AS bin,
+        |    CASE WHEN o.n_tokens >= 256 THEN 0
+        |         WHEN p.nr + o.n_tokens > 256 THEN 0
+        |         ELSE p.nr END AS bin_offset,
+        |    CASE WHEN o.n_tokens >= 256 THEN
+        |           (CASE WHEN p.nr > 0 THEN p.nb + 2 ELSE p.nb + 1 END)
+        |         WHEN p.nr + o.n_tokens > 256 THEN p.nb + 1
+        |         ELSE p.nb END AS nb,
+        |    CASE WHEN o.n_tokens >= 256 THEN 0
+        |         WHEN p.nr + o.n_tokens > 256 THEN o.n_tokens
+        |         ELSE p.nr + o.n_tokens END AS nr
+        |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT doc_id, shard, bin, bin_offset, n_tokens FROM pack"""
+        .stripMargin,
 
     // Injected-PII redaction twin (same injection, same patterns — the
     // regexes are vals shared with TextStats.redactPii).

@@ -17,7 +17,7 @@ object TextStats {
   private val WsRe = "[ \\t\\n\\f\\r]+"
 
   /** Whitespace tokens with leading/trailing-empty artifacts removed. */
-  private def wsTokens(text: Column): Column =
+  private[operators] def wsTokens(text: Column): Column =
     filter(split(text, WsRe), t => t =!= "")
 
   /** GPT-2-ish tokenizer approximation: letter runs, single digits,

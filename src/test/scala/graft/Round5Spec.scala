@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.CompatIo
@@ -93,6 +94,57 @@ class Round5Spec extends SparkSpec {
       .agg(sum("n_events")).head().getLong(0)
     val total = spark.read.parquet(s"$dir/events.parquet").count()
     assert(dropped < total, "watermark dropped nothing — gate is vacuous")
+  }
+
+  // ---- greedy sequence packing (text_pack gate) ----
+
+  test("packGreedy: hand-computed bins, boundaries and oversize docs") {
+    import spark.implicits._
+    // one shard (shards=1), budget 10, docs in id order with token
+    // counts 4, 6, 3, 12, 10, 1:
+    //   id 1 (4)  -> bin 0 off 0   (fill 4)
+    //   id 2 (6)  -> bin 0 off 4   (fill 10 — exact fit stays: rule is >)
+    //   id 3 (3)  -> bin 1 off 0
+    //   id 4 (12) -> oversize: closes bin 1, takes bin 2 alone
+    //   id 5 (10) -> n == budget -> oversize branch: bin 3 alone
+    //   id 6 (1)  -> bin 4 off 0
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e f"), (3L, "a b c"),
+      (4L, "a b c d e f g h i j k l"), (5L, "a b c d e f g h i j"),
+      (6L, "a")
+    ).toDF("doc_id", "text")
+    val got = operators.Packing.packGreedy(docs, budget = 10L, shards = 1)
+      .select("doc_id", "bin", "bin_offset", "n_tokens")
+    assert(rows(got) == Seq(
+      "1|0|0|4", "2|0|4|6", "3|1|0|3", "4|2|0|12", "5|3|0|10", "6|4|0|1"
+    ).sorted)
+  }
+
+  test("packGreedy invariants on sf0.001: capacity, offsets, coverage") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val packed = operators.Packing
+      .packGreedy(docs, budget = 256L, shards = 8).persist()
+    assert(packed.count() == docs.count()) // every doc assigned exactly once
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_n"))
+      .collect()
+    bins.foreach { r =>
+      val (fill, nDocs, maxN) =
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      // a bin either fits the budget or is a single oversize doc
+      assert(fill <= 256L || (nDocs == 1L && maxN >= 256L),
+        s"overfull bin: $r")
+    }
+    // offsets are the running sum of the bin's docs in doc_id order
+    val badOffsets = packed
+      .withColumn("expected_off",
+        sum("n_tokens").over(
+          Window.partitionBy("shard", "bin").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("bin_offset") =!= coalesce(col("expected_off"), lit(0L)))
+    assert(badOffsets.isEmpty, "bin_offset must be the running fill")
+    packed.unpersist()
   }
 
   // ---- ", "-CSV round-trip identity + T4 ordering ----
