@@ -177,6 +177,17 @@ object SparkEntry {
         codebook = Some(Similarity.trainCodebook(e)))
     }),
 
+    // --- sparse TF-IDF document similarity (north-star) ---
+    // query subset %50 (the sim_topk_* pattern): the synthetic corpus's
+    // 31-word vocabulary makes posting lists corpus-dense, so all-pairs
+    // would be quadratic AT THE GATE — the subset keeps the bench
+    // honest while the operator itself stays fully general
+    "sim_docs_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Similarity.tfIdfDocTopK(d,
+        d.filter(col("doc_id") % 50 === 0).select("doc_id"))
+    }),
+
     // --- embedding label-purity eval (north-star; uses the labels) ---
     "sim_label_eval" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -740,6 +751,38 @@ object SparkEntry {
     "q6_tfidf" -> q6Sql,
     // write→read identity on the reference's ", "-CSV surface
     "io_csv_roundtrip" -> q6Sql,
+
+    // Sparse TF-IDF doc-similarity twin: the q6 weight chain, inverted-
+    // index self-join on the word, DECIMAL(30,12)-summed dots/norms
+    // (order-independent — bit-identical to the Spark plan's decimal
+    // aggregation), query subset %50, (cos desc, id asc) top-5.
+    "sim_docs_tfidf" ->
+      s"""WITH $idfCtes, v AS (
+         |  SELECT t.doc_id, t.word,
+         |         floor(t.tf * i.idf * 100 + 0.5) / 100 AS w
+         |  FROM tf t JOIN idf i USING (word)
+         |), nrm AS (
+         |  SELECT doc_id,
+         |    sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE))
+         |      AS norm
+         |  FROM v GROUP BY doc_id
+         |), d AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(CAST(a.w * b.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM v a JOIN v b ON a.word = b.word AND a.doc_id != b.doc_id
+         |  WHERE a.doc_id % 50 = 0
+         |  GROUP BY 1, 2
+         |), s AS (
+         |  SELECT doc_a AS query_id, doc_b AS neighbor_id,
+         |    dot / nullif(x.norm * y.norm, 0) AS cos
+         |  FROM d JOIN nrm x ON doc_a = x.doc_id
+         |         JOIN nrm y ON doc_b = y.doc_id
+         |)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |FROM s WHERE cos IS NOT NULL
+         |QUALIFY "rank" <= 5""".stripMargin,
 
     // raw-dump parse gates: the same token/tf/idf chains, rooted at the
     // fixture-file parse CTE instead of the parquet documents table

@@ -106,6 +106,88 @@ object Similarity {
           .otherwise(0L)) / count(lit(1))).as("frac_same_label"))
   }
 
+  /** Sparse TF-IDF document-similarity top-k — the sparse-vector twin
+    * of [[bruteTopK]]: for each query document, the k most similar
+    * documents by cosine over TF-IDF term weights, computed via an
+    * INVERTED-INDEX join (posting lists keyed by word) instead of a
+    * dense dot product — only documents sharing at least one surviving
+    * term are ever paired.
+    *
+    * Determinism across engines: dot products and squared norms are
+    * summed through DECIMAL(30,12) (order-independent exact addition,
+    * same device as [[trainCodebook]]), so the cosine doubles — and
+    * therefore the ranking — are bit-identical in the DuckDB twin
+    * despite the shuffle's nondeterministic add order.
+    *
+    * Scale posture: the pair aggregation is keyed by (doc_a, doc_b) and
+    * partial-aggregates map-side; the final ranking is the bounded-heap
+    * [[graft.functions.TopKAgg]] (k rows per partition per query cross
+    * the shuffle). The hazard is hot posting lists: a low-idf term
+    * pairs O(df²) documents while contributing ~0 weight — at corpus
+    * scale prune them first (`maxDfFrac` < 1 drops terms with
+    * df > frac·N before pairing; the IDF>0 filter already removes
+    * corpus-universal terms). Queries are a semi-joined id set, so the
+    * a-side posting lists carry only query docs.
+    * Output: (query_id, neighbor_id, cos, rank).
+    */
+  def tfIdfDocTopK(docs: DataFrame, queryIds: DataFrame, k: Int = 5,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxDfFrac: Double = 1.0): DataFrame = {
+    requireIntegralIds(docs, idCol, "tfIdfDocTopK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dec = "decimal(30,12)"
+    val tfidf = TfIdfOps.tfIdfPipeline(docs, idCol, textCol)
+    val pruned =
+      if (maxDfFrac >= 1.0) tfidf
+      else {
+        val n = docs.count()
+        val hot = tfidf.groupBy("word").agg(count(lit(1)).as("df"))
+          .filter(col("df") > lit(maxDfFrac * n))
+          .select("word")
+        tfidf.join(broadcast(hot), Seq("word"), "left_anti")
+      }
+    // weights are consumed three times (norms + both join sides)
+    val vecs = pruned.select(col("doc_id"), col("word"),
+      col("tf_idf").as("w")).persist()
+    val norms = vecs.groupBy("doc_id")
+      .agg(sqrt(sum((col("w") * col("w")).cast(dec)).cast("double"))
+        .as("norm"))
+    val qs = queryIds.select(col(idCol).as("doc_id")).distinct()
+    val a = vecs.join(broadcast(qs), "doc_id")
+      .select(col("doc_id").as("doc_a"), col("word"), col("w").as("wa"))
+    // broadcast the query-side posting lists: a word-keyed shuffle join
+    // would hash on the vocabulary (31 distinct keys on the synthetic
+    // corpus — catastrophic parallelism); broadcasting `a` keeps the
+    // big candidate scan shuffle-free, and the query term set is
+    // bounded by construction (queries × their surviving terms)
+    val prods = broadcast(a).join(vecs.select(col("doc_id").as("doc_b"),
+          col("word"), col("w").as("wb")),
+        Seq("word"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum((col("wa") * col("wb")).cast(dec)).cast("double").as("dot"))
+    val scored = prods
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot") / nullif(col("na") * col("nb"), lit(0.0))).as("cos"))
+      .filter(col("cos").isNotNull)
+    scored
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cos"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the industry-standard coarse
     * quantization scale path: candidates are assigned to their nearest
     * of `nCentroids` centroid lists; each query scores only the lists

@@ -96,6 +96,26 @@ class Round5Spec extends SparkSpec {
     assert(dropped < total, "watermark dropped nothing — gate is vacuous")
   }
 
+  // ---- sparse TF-IDF doc similarity (sim_docs_tfidf gate) ----
+
+  test("tfIdfDocTopK: clones rank first at cos 1.0; no pair without shared terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"), (4L, "alpha delta")
+    ).toDF("doc_id", "text")
+    val got = operators.Similarity
+      .tfIdfDocTopK(docs, docs.select("doc_id"), k = 3)
+      .select("query_id", "neighbor_id", "cos", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // exact clones: cosine 1.0, rank 1, both directions
+    assert(got.contains((1L, 2L, 1.0, 1L)) && got.contains((2L, 1L, 1.0, 1L)))
+    // docs 1 and 3 share no term — never paired
+    assert(!got.exists(t => t._1 == 1L && t._2 == 3L))
+    // doc 4 bridges both clusters and self never appears
+    assert(got.forall(t => t._1 != t._2))
+  }
+
   // ---- greedy sequence packing (text_pack gate) ----
 
   test("packGreedy: hand-computed bins, boundaries and oversize docs") {
