@@ -7,46 +7,50 @@ object Bench {
   val CalibrationRefSec: Double = 1.9
 
   /** Per-query baselines stamped from BASELINE.md's bench table (sf0.1,
-    * local[32], quiet machine) — round-5 stamp: per-query MEDIAN of two
-    * consecutive full cold runs (69.8 s @ load 0.67 / 69.6 s @ load
-    * 1.32, totals 0.3% apart), in its own commit with no feature work.
-    * The previous (r4) stamp was 1.3-1.4× faster than every later
-    * rerun — an unreproducibly favorable run; stamping from two
-    * agreeing runs is the fix. The bench emits each query's ratio vs
-    * this map and a `regressions` list (ratio > 1.3 AND delta > 0.5 s).
-    * Queries absent here (added since the last stamp) get no ratio;
-    * re-stamp together with BASELINE.md via tools/restamp.py. */
+    * local[32], quiet machine) — round-5 stamp: per-query MEDIAN of
+    * FOUR same-day full cold runs (69.8 @ load 0.67, 69.6 @ 1.32,
+    * 74.0 @ 0.70, 77.4 @ 0.65 — the last two include the two operators
+    * added later in the round), stamped in commits with no feature
+    * work. The previous (r4) stamp was 1.3-1.4× faster than every
+    * later rerun — an unreproducibly favorable run; stamping from
+    * agreeing repeated runs is the fix. The bench emits each query's
+    * ratio vs this map and a `regressions` list (ratio > 1.3 AND
+    * delta > 0.5 s). Queries absent here (added since the last stamp)
+    * get no ratio; re-stamp together with BASELINE.md via
+    * tools/restamp.py. */
   val BaselinePerQuery: Map[String, Double] = Map(
-    "dedup_assign" -> 5.57, "dedup_decontam" -> 0.79,
-    "dedup_decontam_bloom" -> 3.02, "dedup_embedding" -> 3.11,
-    "dedup_exact" -> 0.59, "dedup_minhash_lsh" -> 2.73,
-    "dedup_ngram_jaccard" -> 2.6, "dedup_simhash" -> 2.0,
-    "io_csv_roundtrip" -> 1.64, "mm_features" -> 0.25, "pipe_curate" -> 4.35,
-    "q1_tokens" -> 0.18, "q2_dictionary" -> 0.63, "q3_task1" -> 0.48,
-    "q4_tf" -> 0.95, "q5_idf" -> 0.97, "q6_tfidf" -> 1.07,
-    "rel_anti_join" -> 0.2, "rel_approx_users" -> 0.69,
-    "rel_asof_join" -> 0.82, "rel_cube" -> 0.52, "rel_event_props" -> 0.4,
-    "rel_events_hourly" -> 0.54, "rel_order_history" -> 0.4,
-    "rel_pricing_summary" -> 1.0, "rel_promo_revenue" -> 1.08,
-    "rel_quantile_contract" -> 0.52, "rel_revenue_nation" -> 0.76,
+    "dedup_assign" -> 5.03, "dedup_decontam" -> 0.89,
+    "dedup_decontam_bloom" -> 2.69, "dedup_embedding" -> 3.11,
+    "dedup_exact" -> 0.59, "dedup_minhash_lsh" -> 2.55,
+    "dedup_ngram_jaccard" -> 2.99, "dedup_simhash" -> 1.87,
+    "io_csv_roundtrip" -> 1.64, "mm_features" -> 0.26, "pipe_curate" -> 4.62,
+    "q1_tokens" -> 0.18, "q2_dictionary" -> 0.5, "q3_task1" -> 0.45,
+    "q4_tf" -> 0.9, "q5_idf" -> 0.98, "q6_tfidf" -> 1.18,
+    "rel_anti_join" -> 0.21, "rel_approx_users" -> 0.68,
+    "rel_asof_join" -> 0.82, "rel_cube" -> 0.49, "rel_event_props" -> 0.43,
+    "rel_events_hourly" -> 0.58, "rel_order_history" -> 0.35,
+    "rel_pricing_summary" -> 1.02, "rel_promo_revenue" -> 1.1,
+    "rel_quantile_contract" -> 0.54, "rel_revenue_nation" -> 0.76,
     "rel_rollup" -> 0.33, "rel_scalar_funcs" -> 0.2, "rel_sessionize" -> 0.35,
-    "rel_set_ops" -> 0.27, "rel_skew_distinct" -> 0.19,
-    "rel_top_customers" -> 0.35, "rel_window_funcs" -> 0.29,
-    "samp_cap" -> 0.36, "samp_cap_scalable" -> 0.66, "samp_hash" -> 0.14,
-    "samp_mix" -> 0.4, "samp_split" -> 0.15, "samp_stratified" -> 0.14,
-    "samp_weighted" -> 0.13, "sim_label_eval" -> 0.62, "sim_quantize" -> 1.03,
-    "sim_topk_brute" -> 0.47, "sim_topk_ivf" -> 0.96,
-    "sim_topk_ivf_trained" -> 3.64, "sim_topk_lsh" -> 0.59,
-    "stream_dedup_pairs" -> 0.7, "stream_events_by_segment" -> 0.83,
-    "stream_events_hourly" -> 0.85, "stream_events_sliding" -> 0.86,
-    "stream_foreach_sink" -> 1.04, "stream_late_drop" -> 2.56,
-    "stream_session_window" -> 1.32, "stream_stream_join" -> 2.67,
-    "stream_type_counts" -> 1.3, "stream_user_counts" -> 0.85,
+    "rel_set_ops" -> 0.28, "rel_skew_distinct" -> 0.19,
+    "rel_top_customers" -> 0.38, "rel_window_funcs" -> 0.29,
+    "samp_cap" -> 0.36, "samp_cap_scalable" -> 0.66, "samp_hash" -> 0.16,
+    "samp_mix" -> 0.41, "samp_split" -> 0.16, "samp_stratified" -> 0.15,
+    "samp_weighted" -> 0.15, "sim_docs_tfidf" -> 4.52,
+    "sim_label_eval" -> 0.54, "sim_quantize" -> 1.07,
+    "sim_topk_brute" -> 0.51, "sim_topk_ivf" -> 0.98,
+    "sim_topk_ivf_trained" -> 3.74, "sim_topk_lsh" -> 0.59,
+    "stream_dedup_pairs" -> 0.7, "stream_events_by_segment" -> 0.86,
+    "stream_events_hourly" -> 0.87, "stream_events_sliding" -> 0.88,
+    "stream_foreach_sink" -> 1.08, "stream_late_drop" -> 2.51,
+    "stream_session_window" -> 1.29, "stream_stream_join" -> 2.67,
+    "stream_type_counts" -> 1.21, "stream_user_counts" -> 0.86,
     "text_chunk" -> 0.23, "text_fingerprint" -> 0.51,
-    "text_hash_embed" -> 0.9, "text_langid" -> 0.19, "text_lm_score" -> 1.58,
-    "text_lm_score_scalable" -> 1.65, "text_quality_flags" -> 0.22,
-    "text_redact" -> 0.18, "text_repetition" -> 1.12, "text_stats" -> 0.58,
-    "wiki_parse" -> 0.03, "wiki_tfidf" -> 0.37, "wiki_tokens" -> 0.05)
+    "text_hash_embed" -> 0.69, "text_langid" -> 0.19, "text_lm_score" -> 1.5,
+    "text_lm_score_scalable" -> 1.65, "text_pack" -> 0.31,
+    "text_quality_flags" -> 0.23, "text_redact" -> 0.2,
+    "text_repetition" -> 1.18, "text_stats" -> 0.58, "wiki_parse" -> 0.03,
+    "wiki_tfidf" -> 0.35, "wiki_tokens" -> 0.05)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
