@@ -152,6 +152,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"))),
     "dedup_assign" -> ((s, dir) => Dedup.assignCanonical(docs(s, dir))),
+    // exact duplicated-span (substring) coverage, w=5 token windows
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), w = 5)),
 
     // --- similarity search (north-star) ---
     "sim_topk_brute" -> ((s, dir) => {
@@ -225,6 +228,9 @@ object SparkEntry {
     "rel_anti_join" -> ((s, dir) =>
       Relational.customersWithoutOrders(tbl(s, dir, "customer"),
         tbl(s, dir, "orders"))),
+    // keyless interval join via the banded equi-join rewrite
+    "rel_range_join" -> ((s, dir) =>
+      Relational.eventCooccurrence(tbl(s, dir, "events"))),
 
     // --- structured streaming ---
     "stream_events_hourly" -> ((s, dir) =>
@@ -326,6 +332,8 @@ object SparkEntry {
           org.apache.spark.sql.functions.least(
             lit(1.0), col("n_chars") / lit(3000.0)))
         .select("doc_id", "n_chars")),
+    // deterministic global shuffle into 8 shards (training-order write)
+    "samp_shard" -> ((s, dir) => Sampling.shardAssign(docs(s, dir), 8)),
     "samp_split" -> ((s, dir) =>
       Sampling.splitByHash(docs(s, dir), SplitWeights)
         .select("doc_id", "split")),
@@ -990,6 +998,44 @@ object SparkEntry {
         |SELECT id AS doc_id, min(r) AS canonical_id
         |FROM reach GROUP BY id""".stripMargin,
 
+    // duplicated-span coverage: a 5-token window is duplicated iff its
+    // 5-gram occurs >= 2 times corpus-wide; covered tokens = union of
+    // equal-length intervals = sum(min(5, start - previous_start))
+    "dedup_substring" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), win AS (
+        |  SELECT doc_id, len(t) AS n_toks,
+        |         greatest(len(t) - 4, 1) AS n_windows, t
+        |  FROM sh0
+        |), idx AS (
+        |  SELECT doc_id, n_toks, t,
+        |         unnest(generate_series(1, n_windows)) AS i
+        |  FROM win
+        |), grams AS (
+        |  SELECT doc_id, n_toks, i, array_to_string(t[i:i+4], ' ') AS s
+        |  FROM idx
+        |), dupg AS (
+        |  SELECT s FROM grams GROUP BY s HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT doc_id,
+        |    least(5, i - coalesce(lag(i) OVER (PARTITION BY doc_id
+        |      ORDER BY i), i - 5)) AS covered
+        |  FROM grams JOIN dupg USING (s)
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS dup_windows,
+        |         sum(covered) AS dup_tokens
+        |  FROM cov GROUP BY doc_id
+        |)
+        |SELECT w.doc_id, CAST(w.n_windows AS BIGINT) AS n_windows,
+        |  CAST(coalesce(a.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |  CAST(least(coalesce(a.dup_tokens, 0), w.n_toks) AS BIGINT)
+        |    AS dup_tokens,
+        |  floor(CAST(least(coalesce(a.dup_tokens, 0), w.n_toks)
+        |          AS DOUBLE) / nullif(w.n_toks, 0) * 100 + 0.5) / 100
+        |    AS dup_frac
+        |FROM win w LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH $vecCtes
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1169,6 +1215,17 @@ object SparkEntry {
         |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  < floor(greatest(0.0, least(1.0, n_chars / 3000.0))
         |      * 4294967296.0)""".stripMargin,
+
+    // one fixed md5-random permutation, bucketed into 8 shards; total
+    // order via (hash, key) tie-break
+    "samp_shard" ->
+      """SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM (
+        |  SELECT doc_id, ('0x' || substr(md5('graft-shard' || '|' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL)""".stripMargin,
 
     "samp_split" ->
       s"""SELECT doc_id,
@@ -1688,5 +1745,19 @@ object SparkEntry {
         |FROM events e ASOF JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""
         .stripMargin,
+
+    // keyless interval join (all events within ±60 s of each purchase)
+    // on a whole-second epoch basis — floor(epoch(..)) matches Spark's
+    // unix_timestamp truncation on the sub-second event timestamps
+    "rel_range_join" ->
+      """SELECT a.event_id, count(*) AS n_nearby,
+        |  CAST(sum(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events a JOIN events b
+        |  ON CAST(floor(epoch(b.ts)) AS BIGINT)
+        |     BETWEEN CAST(floor(epoch(a.ts)) AS BIGINT) - 60
+        |         AND CAST(floor(epoch(a.ts)) AS BIGINT) + 60
+        |WHERE a.event_type = 'purchase'
+        |GROUP BY a.event_id""".stripMargin,
   )
 }

@@ -643,6 +643,74 @@ object Dedup {
     intra.unionByName(inter)
   }
 
+  /** Exact duplicated-SPAN coverage per document — the distributed
+    * analogue of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * length-`w` token window is a duplicated span iff its w-gram occurs
+    * >= 2 times in the corpus (another doc OR an intra-doc repeat; the
+    * suffix-array method counts both). Per doc we report window counts
+    * and the EXACT token count covered by the union of duplicated
+    * windows: with equal-length intervals sorted by start, the union
+    * length is sum(min(w, start - previous_start)) — one lag() per row.
+    * Output: (doc_id, n_windows, dup_windows, dup_tokens, dup_frac)
+    * for every input document (zeroes when nothing is duplicated).
+    *
+    * Scale posture: windows are a per-row explode (no shuffle); the
+    * global w-gram count is one keyed aggregation; only grams with
+    * count >= 2 — the duplicated minority — survive to the join-back,
+    * so the join's build side is bounded by actual duplication, not
+    * corpus size. The interval-union window function partitions by
+    * doc_id and carries one lag row of state. At 100 TB, w is ~50 and
+    * grams should be hashed to fixed-width before the shuffle
+    * (xxhash64 — false merges die out as 2^-64 noise in a coverage
+    * STATISTIC, unlike in a pair-emitting dedup); the gate keeps raw
+    * strings because the DuckDB oracle must reproduce the grouping
+    * byte-for-byte.
+    */
+  def duplicatedSpans(docs: DataFrame, w: Int = 5,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(w >= 1, s"window must be >= 1 token: $w")
+    val t = split(col(textCol), " ")
+    val nWindows = greatest(size(t) - (w - 1), lit(1))
+    // (start, gram) pairs; shorter-than-w docs yield one whole-text
+    // window (same degenerate-doc rule as [[shingles]])
+    val win = transform(sequence(lit(1), nWindows),
+      i => struct(i.as("i"), concat_ws(" ", slice(t, i, lit(w))).as("s")))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), size(t).as("n_toks"),
+        explode(win).as("g"))
+      .select(col("doc_id"), col("n_toks"),
+        col("g.i").as("i"), col("g.s").as("s"))
+      .persist() // two consumers: global counts + join-back
+    val dupGrams = grams.groupBy("s")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("s")
+    val byPos = Window.partitionBy("doc_id").orderBy("i")
+    val covered = grams.join(dupGrams, "s")
+      // first window of a doc: gap defaults to w => full w tokens
+      .withColumn("gap",
+        col("i") - coalesce(lag("i", 1).over(byPos), col("i") - w))
+      .withColumn("covered", least(lit(w), col("gap")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"),
+        sum("covered").cast("long").as("dup_tokens_raw"))
+    docs
+      .select(col(idCol).as("doc_id"), size(t).as("n_toks"),
+        nWindows.cast("long").as("n_windows"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        // the degenerate whole-text window covers w > n_toks: clamp
+        least(coalesce(col("dup_tokens_raw"), lit(0L)),
+          col("n_toks").cast("long")).as("dup_tokens"),
+        graft.functions.Fns.round2(
+          least(coalesce(col("dup_tokens_raw"), lit(0L)),
+            col("n_toks").cast("long")).cast("double") /
+            nullif(col("n_toks"), lit(0)).cast("double")).as("dup_frac"))
+  }
+
   /** (vec_id, band, sig) rows: `nPlanes` random-hyperplane sign bits,
     * packed `rowsPerBand` bits per band. Hyperplanes come from a fixed
     * seeded Gaussian so the signature family is deterministic across

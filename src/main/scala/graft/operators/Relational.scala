@@ -230,6 +230,67 @@ object Relational {
           .as("order_date"))
   }
 
+  /** Bucketed (banded) range join: inner join of `points` to
+    * `intervals` on `point BETWEEN lo AND hi` with NO equi-key. Spark
+    * plans a bare range predicate as a nested-loop join — broadcast
+    * when one side fits, O(|P|·|I|) cartesian otherwise — which is the
+    * canonical 100 TB cliff. Banding manufactures the missing equi-key:
+    * both sides map onto fixed-width buckets of the numeric domain — a
+    * point to exactly ONE bucket, an interval to every bucket it
+    * overlaps — so the join runs as a plain shuffled hash join on the
+    * bucket id with the exact range predicate evaluated inside. Exact
+    * and duplicate-free by construction: an interval meets a point
+    * only in the point's own bucket. Pick `bucketWidth` at or above
+    * the typical interval width so each interval explodes to O(1)
+    * buckets (2 at one-interval-width buckets).
+    *
+    * `pointCol`/`loCol`/`hiCol` are numeric (map time domains to epoch
+    * seconds first). Backwards intervals (lo > hi) match nothing and
+    * are dropped up front — also keeps Spark's `sequence` from running
+    * backwards. Column names must be disjoint across the two inputs.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"rangeJoin inputs share column names: ${overlap.mkString(", ")}")
+    val p = points.withColumn("_pb",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.filter(col(loCol) <= col(hiCol))
+      .withColumn("_ib", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(iv, p("_pb") === iv("_ib") &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_pb", "_ib")
+  }
+
+  /** Cross-user co-occurrence: every event (any user, any type) within
+    * ±`windowSec` of each `anchorType` event — the gate query for
+    * [[rangeJoin]] (NO key relates the two sides; a naive formulation
+    * is an all-pairs nested loop, unrunnable at scale). Buckets are one
+    * interval-width (2·window) wide, so each anchor explodes to at most
+    * 2 buckets. The anchor matches itself, so every anchor emits.
+    * Whole-second epoch basis on both engines; the value sum is
+    * decimal-routed (partition-order-independent).
+    * Output: (event_id, n_nearby, sum_value).
+    */
+  def eventCooccurrence(events: DataFrame, windowSec: Long = 60,
+                        anchorType: String = "purchase"): DataFrame = {
+    val iv = events.filter(col("event_type") === anchorType)
+      .select(col("event_id"),
+        (unix_timestamp(col("ts")) - windowSec).as("lo"),
+        (unix_timestamp(col("ts")) + windowSec).as("hi"))
+    val pts = events.select(unix_timestamp(col("ts")).as("pt"),
+      col("value").as("near_value"))
+    rangeJoin(pts, "pt", iv, "lo", "hi", bucketWidth = 2 * windowSec)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_nearby"),
+        sum(dec(col("near_value"))).cast("double").as("sum_value"))
+  }
+
   /** TPC-H Q14-flavored promo revenue share: lineitem ⋈ part on partkey,
     * monthly revenue split by whether the part is a promo type.
     * The join is a plain equi-join — part is a fraction of lineitem but

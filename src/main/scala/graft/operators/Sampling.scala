@@ -131,6 +131,38 @@ object Sampling {
     s"CASE $whens ELSE '${splits.last._1}' END"
   }
 
+  /** Deterministic global shuffle + sharding — the "write the training
+    * set in randomized order into N shard files" step every pretraining
+    * pipeline ends with. Each row gets a `shard` in [0, numShards) and
+    * a 1-based `pos` within its shard; reading shards in (shard, pos)
+    * order replays one fixed md5-random permutation of the corpus,
+    * identical across runs, partitionings, and engines (no `rand()`,
+    * no `monotonically_increasing_id` — both are partition-layout-
+    * dependent). Ties on the 32-bit hash break by key, so the order is
+    * total. Output: (key, shard, pos).
+    *
+    * Scale posture: one shuffle, partitioned BY SHARD — exactly the
+    * physical layout the shard writer needs (`repartition(shard)` +
+    * sort within shard = this window). Each shard sorts only corpus/N
+    * rows; numShards scales with the cluster, so no single sort ever
+    * sees the whole corpus — the global sort this op replaces is the
+    * thing that does NOT survive 100 TB.
+    */
+  def shardAssign(df: DataFrame, numShards: Int,
+                  keyCol: String = "doc_id",
+                  salt: String = "graft-shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val h = hashValue(col(keyCol), salt)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h").asc, col(keyCol).asc)
+    // a NULL key has no stable position anywhere — drop, like the
+    // other samplers (NULL hash → NULL comparison → row drops)
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), h.as("h"), (h % numShards).as("shard"))
+      .withColumn("pos", row_number().over(byHash).cast("long"))
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
+
   /** Per-stratum cap — the "domain cap" of corpus mixing: keeps at most
     * `maxPerStratum` rows per stratum, chosen deterministically by hash
     * order (not arrival/partition order, so the kept set is stable

@@ -221,4 +221,93 @@ class Round5Spec extends SparkSpec {
       assert(order == order.sorted, s"${f.getName} not per-doc count-desc")
     }
   }
+
+  // ---- duplicated-span (substring) dedup ----
+
+  test("duplicatedSpans: cross-doc shared 5-gram marks both docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // shares "a b c d e" with doc 2
+      (2L, "x x a b c d e z"),
+      (3L, "unique words only here none match")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicatedSpans(docs, w = 5)
+    assert(rows(out) == Seq(
+      "1|4|1|5|0.63",   // 4 windows, 1 dup, 5 of 8 tokens covered
+      "2|4|1|5|0.63",
+      "3|2|0|0|0.0"))
+  }
+
+  test("duplicatedSpans: overlapping windows union without double-count") {
+    import spark.implicits._
+    // every window of "p q p q ..." repeats intra-doc: all 6 windows
+    // are duplicated, but union coverage is exactly the 10 tokens
+    val docs = Seq((1L, "p q p q p q p q p q")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicatedSpans(docs, w = 5)
+    assert(rows(out) == Seq("1|6|6|10|1.0"))
+  }
+
+  test("duplicatedSpans: shorter-than-w clone pair clamps coverage to doc length") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicatedSpans(docs, w = 5)
+    // one whole-text window each, duplicated; dup_tokens clamps 5 → 2
+    assert(rows(out) == Seq("1|1|1|2|1.0", "2|1|1|2|1.0"))
+  }
+
+  // ---- deterministic shard assignment ----
+
+  test("shardAssign: total permutation — dense 1..n positions per shard") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("doc_id")
+    val out = graft.operators.Sampling.shardAssign(df, 8).cache()
+    assert(out.count() == 500)
+    // every shard's positions are exactly 1..count(shard)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("d"))
+      .collect()
+    assert(perShard.nonEmpty && perShard.forall(r =>
+      r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("n")
+        && r.getAs[Long]("d") == r.getAs[Long]("n")))
+    // deterministic: a second run is byte-identical
+    val again = graft.operators.Sampling.shardAssign(df, 8)
+    assert(rows(out) == rows(again))
+    out.unpersist()
+  }
+
+  test("shardAssign: NULL keys drop; numShards=1 is one global order") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(2L), Some(3L)).toDF("doc_id")
+    val out = graft.operators.Sampling.shardAssign(df, 1)
+    assert(out.count() == 3)
+    assert(rows(out.select("shard")).distinct == Seq("0"))
+    assert(rows(out.select("pos")) == Seq("1", "2", "3"))
+  }
+
+  // ---- banded range join ----
+
+  test("rangeJoin: matches naive join-then-filter exactly, no duplicates") {
+    import spark.implicits._
+    val pts = (0L to 400L by 7).map(p => (p, s"p$p")).toDF("pt", "ptag")
+    val ivs = Seq((0L, 10L, 25L), (1L, 90L, 90L), (2L, 100L, 260L),
+      (3L, 399L, 410L), (4L, 50L, 40L), // backwards: matches nothing
+      (5L, -30L, 5L)).toDF("iv_id", "lo", "hi")
+    val banded = graft.operators.Relational.rangeJoin(
+      pts, "pt", ivs, "lo", "hi", bucketWidth = 64)
+    val naive = pts.join(ivs,
+      col("pt") >= col("lo") && col("pt") <= col("hi"))
+    assert(rows(banded) == rows(naive))
+    assert(banded.count() == banded.distinct().count())
+  }
+
+  test("rangeJoin: rejects colliding column names") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("x", "shared")
+    val b = Seq((1L, 2L, 3L)).toDF("lo", "hi", "shared")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Relational.rangeJoin(a, "x", b, "lo", "hi", 10)
+    }
+    assert(e.getMessage.contains("shared"))
+  }
 }
