@@ -179,6 +179,12 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e,
         codebook = Some(Similarity.trainCodebook(e)))
     }),
+    // product quantization + ADC shortlist + exact re-rank; the oracle
+    // replays codebook, codes, lookup tables, and both rankings
+    "sim_topk_pq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") % 50 === 0), e)
+    }),
 
     // --- sparse TF-IDF document similarity (north-star) ---
     // query subset %50 (the sim_topk_* pattern): the synthetic corpus's
@@ -1427,6 +1433,67 @@ object SparkEntry {
     // Trained-codebook IVF twin: full 5-iteration Lloyd replay + the
     // same routing/scoring tail (see trainedIvfSql).
     "sim_topk_ivf_trained" -> trainedIvfSql(),
+
+    // PQ twin: replays the per-subspace codebook (sub-blocks of the 16
+    // lowest-id vectors), code assignment (d2 asc, j asc), the ADC
+    // decimal sum, the 160-candidate shortlist, and the exact-L2
+    // re-rank. All distances are x² - 2·x·c + c² with left-to-right
+    // double arithmetic, matching the engine bit-for-bit.
+    "sim_topk_pq" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), subsp AS (
+        |  SELECT unnest(generate_series(0, 7)) AS s
+        |), base AS (
+        |  SELECT vec_id AS bid, v,
+        |    CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS j
+        |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT 16)
+        |), cent AS (
+        |  SELECT p.s, b.j, b.v[p.s*8+1 : p.s*8+8] AS csub,
+        |    list_sum(list_transform(b.v[p.s*8+1 : p.s*8+8], x -> x*x)) AS c2
+        |  FROM base b, subsp p
+        |), csub0 AS (
+        |  SELECT vec_id, p.s, v[p.s*8+1 : p.s*8+8] AS sv,
+        |    list_sum(list_transform(v[p.s*8+1 : p.s*8+8], x -> x*x)) AS x2
+        |  FROM vecs, subsp p
+        |), code AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT c.vec_id, c.s, k.j,
+        |      row_number() OVER (PARTITION BY c.vec_id, c.s ORDER BY
+        |        c.x2 - 2*list_sum(list_transform(generate_series(1, 8),
+        |          i -> c.sv[i] * k.csub[i])) + k.c2 ASC, k.j ASC) AS rn
+        |    FROM csub0 c JOIN cent k ON c.s = k.s)
+        |  WHERE rn = 1
+        |), dt AS (
+        |  SELECT q.vec_id AS query_id, q.s, k.j,
+        |    q.x2 - 2*list_sum(list_transform(generate_series(1, 8),
+        |      i -> q.sv[i] * k.csub[i])) + k.c2 AS qd2
+        |  FROM csub0 q JOIN cent k ON q.s = k.s
+        |  WHERE q.vec_id % 50 = 0
+        |), adc AS (
+        |  SELECT d.query_id, e.vec_id,
+        |    CAST(sum(CAST(d.qd2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
+        |  FROM code e JOIN dt d ON e.s = d.s AND e.j = d.j
+        |  WHERE e.vec_id != d.query_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, vec_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ad2 ASC, vec_id ASC) <= 160
+        |), full2 AS (
+        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS vv
+        |  FROM vecs
+        |)
+        |SELECT s.query_id, s.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+        |    q.vv - 2*list_sum(list_transform(generate_series(1, 64),
+        |      i -> q.v[i] * c.v[i])) + c.vv ASC, s.vec_id ASC) AS BIGINT)
+        |    AS rank
+        |FROM short s
+        |JOIN full2 q ON s.query_id = q.vec_id
+        |JOIN full2 c ON s.vec_id = c.vec_id
+        |QUALIFY rank <= 10""".stripMargin,
 
     // Label-purity eval twin: the brute top-k CTE + label joins.
     "sim_label_eval" ->

@@ -375,6 +375,134 @@ object Similarity {
             .cast("int")).as("qvec"))
   }
 
+  /** Product-quantization (PQ) ANN top-k — the memory-compression scale
+    * path (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"): vectors split into `m` subspaces, each encoded
+    * as its nearest of `ksub` per-subspace centroids, so a candidate is
+    * stored as m small codes (64 float32 dims → 8 bytes here — the
+    * reason a 100 TB embedding corpus can be scanned from memory at
+    * all). Queries score candidates by ADC (asymmetric distance): a
+    * per-query m×ksub lookup table of exact subspace distances, summed
+    * over the candidate's codes; the `rerank` best by approximate
+    * distance are then re-ranked by EXACT L2 — the standard
+    * shortlist-then-refine deployment.
+    *
+    * Distances are pure L2 (no divisions — no ANSI guards needed), all
+    * computed as x² - 2·x·c + c² over the codegen'd [[dot]]. The ADC
+    * sum over the m per-subspace terms crosses a shuffle, so it routes
+    * through DECIMAL(30,12) (order-independent exact addition — the
+    * same device as [[tfIdfDocTopK]]); every argmin/rank tie is pinned
+    * (centroid j asc, vec_id asc), so the whole operator — codebook,
+    * codes, shortlist, final ranking — is bit-reproducible and
+    * SQL-replayable.
+    *
+    * The codebook derives from the data by a fixed rule (sub-blocks of
+    * the `ksub` lowest-id candidates — the same engine-reproducible
+    * stand-in as [[ivfTopK]]'s default; production trains per-subspace
+    * k-means offline with [[trainCodebook]]'s machinery and broadcasts
+    * it the same way). Scale posture: the codebook is a bounded model
+    * artifact (m·ksub rows, broadcast); encoding is a broadcast join +
+    * map-side-combined argmin keyed by (vec_id, s); ADC joins codes to
+    * the broadcast per-query tables on (s, j) and aggregates keyed by
+    * (query, candidate); only `rerank` rows per query reach the exact
+    * stage. Compose with [[ivfTopK]]'s coarse lists to avoid scanning
+    * all codes per query (IVFADC). Recall < 1 by design —
+    * [[bruteTopK]] is the oracle at test scale.
+    * Output: (query_id, neighbor_id, rank).
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 160,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, idCol, "pqTopK")
+    requireIntegralIds(candidates, idCol, "pqTopK")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    VecExpressions.register(spark)
+    // one-row metadata lookup (dims aren't in the schema); uniform dims
+    // assumed as elsewhere (embeddingNearDup raises on violations)
+    val dims = candidates.select(size(col(vecCol))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(m)
+    require(dims % m == 0, s"pqTopK: dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
+    def subStructs(v: Column): Column = array((0 until m).map(s =>
+      struct(lit(s).as("s"), sub(v, s).as("sv"))): _*)
+
+    // per-subspace codebook: sub-blocks of the ksub lowest-id
+    // candidates; j = rank by id. The window runs over <= ksub rows —
+    // a bounded model artifact, not a data sort.
+    val byId = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bid").asc)
+    val cent = candidates.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(idCol).as("bid"), col(vecCol).as("bvec"))
+      .withColumn("j", (row_number().over(byId) - 1).cast("long"))
+      .select(col("j"), explode(subStructs(col("bvec"))).as("e"))
+      .select(col("e.s").as("s"), col("j"), col("e.sv").as("csub"),
+        dot(col("e.sv"), col("e.sv")).as("c2"))
+
+    def d2(xv: Column, x2: Column): Column =
+      x2 - lit(2.0) * dot(xv, col("csub")) + col("c2")
+
+    // encode: nearest centroid per (candidate, subspace); struct-min
+    // pins ties to the lowest j, map-side combined, no window
+    val candSub = candidates
+      .select(col(idCol).as("vec_id"), explode(subStructs(col(vecCol))).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"),
+        dot(col("e.sv"), col("e.sv")).as("x2"))
+    val code = candSub.join(broadcast(cent), "s")
+      .select(col("vec_id"), col("s"),
+        struct(d2(col("sv"), col("x2")).as("d"), col("j")).as("dj"))
+      .groupBy("vec_id", "s")
+      .agg(min(col("dj")).as("best"))
+      .select(col("vec_id"), col("s"), col("best.j").as("j"))
+
+    // per-query ADC lookup tables: exact subspace distance to every
+    // centroid (m·ksub rows per query — broadcast model-sized side)
+    val dt = queries
+      .select(col(idCol).as("query_id"), explode(subStructs(col(vecCol))).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.sv").as("qsv"),
+        dot(col("e.sv"), col("e.sv")).as("q2"))
+      .join(broadcast(cent), "s")
+      .select(col("query_id"), col("s"), col("j"),
+        d2(col("qsv"), col("q2")).as("qd2"))
+
+    // approximate distance = sum of the m looked-up subspace terms;
+    // decimal-routed (the m terms arrive shuffle-ordered)
+    val adc = code.join(broadcast(dt), Seq("s", "j"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd2").cast("decimal(30,12)")).cast("double").as("ad2"))
+
+    val shortlist = adc
+      .select(col("query_id"), col("vec_id"), col("ad2"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, -t._3)) // TopKAgg keeps max: negate distance
+      .agg(new graft.functions.TopKAgg(rerank).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p._2").as("vec_id"))
+
+    // exact re-rank of the shortlist: true L2² from full vectors
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), dot(col(vecCol), col(vecCol)).as("qq"))
+    val cv = candidates.select(col(idCol).as("vec_id"),
+      col(vecCol).as("cvec"), dot(col(vecCol), col(vecCol)).as("cc"))
+    shortlist.join(broadcast(qv), "query_id").join(cv, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        (col("qq") - lit(2.0) * dot(col("qvec"), col("cvec")) + col("cc"))
+          .as("ed2"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, -t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Sign-bucket LSH top-k — the scale path. Buckets vectors by the sign
     * pattern of `nBits` fixed coordinates (a degenerate random-hyperplane
     * LSH with axis-aligned planes — deterministic, no RNG); each query

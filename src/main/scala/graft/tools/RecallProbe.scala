@@ -23,6 +23,21 @@ object RecallProbe {
         println(f"RECALL $sf $name = ${hit.toDouble / nb}%.4f ($hit/$nb)")
       }
       brute.unpersist()
+      // PQ ranks by L2, so its reference is the exact-L2 ranking —
+      // which pqTopK itself produces when the shortlist is unbounded
+      // (every candidate reaches the exact re-rank stage)
+      val l2ref = graft.operators.Similarity
+        .pqTopK(q, e, rerank = Int.MaxValue)
+        .select("query_id", "neighbor_id").persist()
+      val nl = l2ref.count()
+      for (rr <- Seq(40, 160, 400)) {
+        val pqHit = graft.operators.Similarity.pqTopK(q, e, rerank = rr)
+          .select("query_id", "neighbor_id")
+          .join(l2ref, Seq("query_id", "neighbor_id")).count()
+        println(f"RECALL $sf pq(L2) rerank=$rr%-4d = " +
+          f"${pqHit.toDouble / nl}%.4f ($pqHit/$nl)")
+      }
+      l2ref.unpersist()
       graft.Housekeeping.release(spark)
     }
     spark.stop()

@@ -301,6 +301,53 @@ class Round5Spec extends SparkSpec {
     assert(banded.count() == banded.distinct().count())
   }
 
+  // ---- product-quantization ANN ----
+
+  test("pqTopK: unbounded shortlist IS the exact L2 ranking") {
+    import spark.implicits._
+    graft.functions.VecExpressions.register(spark)
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    // naive exact-L2 reference, computed a completely different way
+    // (cross join + window) than pqTopK's heap ranking
+    val qv = q.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val d2 = graft.operators.Similarity.dot(col("qv"), col("qv")) -
+      lit(2.0) * graft.operators.Similarity.dot(col("qv"), col("embedding")) +
+      graft.operators.Similarity.dot(col("embedding"), col("embedding"))
+    val naive = e.crossJoin(qv)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        d2.as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= 10)
+      .drop("d2")
+    val pq = graft.operators.Similarity.pqTopK(q, e, rerank = Int.MaxValue)
+    assert(rows(pq) == rows(naive))
+  }
+
+  test("pqTopK: recall@10 vs exact L2 holds the measured floor (sf0.1)") {
+    // RecallProbe (2026-08-12): rerank=40 → 0.27, 160 → 0.57 (the
+    // default), 400 → 0.81 on the near-uniform fixture — the hardest
+    // regime for coarse 8-byte codes. Guards against a quantization or
+    // ADC change silently gutting the shortlist while the fixed-plan
+    // oracle stays green.
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val ref = graft.operators.Similarity
+      .pqTopK(q, e, rerank = Int.MaxValue)
+      .select("query_id", "neighbor_id").persist()
+    val n = ref.count().toDouble
+    val hit = graft.operators.Similarity.pqTopK(q, e)
+      .select("query_id", "neighbor_id")
+      .join(ref, Seq("query_id", "neighbor_id")).count()
+    ref.unpersist()
+    val recall = hit / n
+    assert(recall >= 0.50, s"pqTopK recall@10 degraded: $recall < 0.50")
+  }
+
   test("rangeJoin: rejects colliding column names") {
     import spark.implicits._
     val a = Seq((1L, 2L)).toDF("x", "shared")
