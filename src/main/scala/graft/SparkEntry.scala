@@ -14,7 +14,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  import org.apache.spark.sql.functions.{col, get, lit}
+  import org.apache.spark.sql.functions.{col, get, lit, pmod}
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -237,6 +237,22 @@ object SparkEntry {
     // keyless interval join via the banded equi-join rewrite
     "rel_range_join" -> ((s, dir) =>
       Relational.eventCooccurrence(tbl(s, dir, "events"))),
+    // hot-key-safe salted equi-join: events bucketed onto 25 hot keys
+    // joined to a per-bucket orders rollup; the salted plan must emit
+    // exactly the plain join's rows (the oracle joins plainly)
+    "rel_skew_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("event_id"),
+        col("event_type"), pmod(col("user_id"), lit(25)).as("bucket"))
+      val dim = tbl(s, dir, "orders")
+        .groupBy(pmod(col("o_custkey"), lit(25)).as("obucket"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_orders"),
+          org.apache.spark.sql.functions.sum(
+            col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("bucket_revenue"))
+      Skew.saltedJoin(ev, dim, "bucket", "obucket", Seq("event_id"))
+        .select("event_id", "event_type", "bucket",
+          "n_orders", "bucket_revenue")
+    }),
 
     // --- structured streaming ---
     "stream_events_hourly" -> ((s, dir) =>
@@ -1826,5 +1842,19 @@ object SparkEntry {
         |         AND CAST(floor(epoch(a.ts)) AS BIGINT) + 60
         |WHERE a.event_type = 'purchase'
         |GROUP BY a.event_id""".stripMargin,
+
+    // plain-join twin for the salted plan: salting is an execution
+    // detail, the row set must be identical
+    "rel_skew_join" ->
+      """WITH dim AS (
+        |  SELECT o_custkey % 25 AS obucket, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS bucket_revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.user_id % 25 AS bucket,
+        |  d.n_orders, d.bucket_revenue
+        |FROM events e JOIN dim d ON e.user_id % 25 = d.obucket"""
+        .stripMargin,
   )
 }

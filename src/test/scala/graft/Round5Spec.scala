@@ -348,6 +348,22 @@ class Round5Spec extends SparkSpec {
     assert(recall >= 0.50, s"pqTopK recall@10 degraded: $recall < 0.50")
   }
 
+  // ---- salted hot-key join ----
+
+  test("saltedJoin == plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 300 of 320 probe rows share one hot key
+    val probe = ((1L to 300L).map(i => (i, 7L)) ++
+      (301L to 320L).map(i => (i, i % 5))).toDF("pid", "k")
+    val build = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (99L, "none"))
+      .toDF("bk", "payload")
+    val salted = graft.operators.Skew.saltedJoin(
+      probe, build, "k", "bk", Seq("pid"), salts = 8)
+    val plain = probe.join(build, col("k") === col("bk"))
+    assert(rows(salted) == rows(plain))
+    assert(salted.count() == salted.distinct().count())
+  }
+
   test("rangeJoin: rejects colliding column names") {
     import spark.implicits._
     val a = Seq((1L, 2L)).toDF("x", "shared")
