@@ -600,8 +600,11 @@ object Dedup {
     // The default budget (1e-8) forces r=2 at t=0.5, whose per-band
     // random-pair collision rate (~2^-2) admits most DISTINCT pairs as
     // candidates — the price of near-exactness at a 60° threshold, paid
-    // only on distinct vectors thanks to the collapse; production
-    // dedup at t≥0.85 with a 1e-3 budget gets r=8+ and real pruning.
+    // only on distinct vectors thanks to the collapse. Production dedup
+    // at t≥0.85 with a 1e-3 budget derives r=4 at 64 planes (random-
+    // pair candidate rate ~0.64); REAL pruning needs r=8, which the
+    // miss budget only admits at nPlanes=256 (rate ~0.12) — raise
+    // nPlanes alongside the threshold (tools/BandProbe sweeps this).
     val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
     val r = Seq(16, 8, 4, 2, 1).filter(nPlanes % _ == 0).find { rr =>
       math.pow(1.0 - math.pow(p, rr), nPlanes.toDouble / rr) < bandMissProb
