@@ -185,6 +185,11 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.pqTopK(e.filter(col("vec_id") % 50 === 0), e)
     }),
+    // IVFADC: coarse 4-of-16 list pruning composed with the PQ codes
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e)
+    }),
 
     // --- sparse TF-IDF document similarity (north-star) ---
     // query subset %50 (the sim_topk_* pattern): the synthetic corpus's
@@ -604,6 +609,66 @@ object SparkEntry {
 
   // Double-precision vector pipeline over embeddings: element-wise ops in
   // the same order as Similarity.dot/l2norm.
+  // PQ fragments shared by sim_topk_pq (exhaustive ADC) and
+  // sim_topk_ivfpq (coarse-pruned ADC): double-cast vectors, the 8
+  // subspaces, the per-subspace codebook from the 16 lowest-id
+  // vectors, code assignment (d2 asc, j asc), the per-query lookup
+  // tables, and the full-vector squared norms for the exact re-rank.
+  private val pqCtes: String =
+    """vecs AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), subsp AS (
+      |  SELECT unnest(generate_series(0, 7)) AS s
+      |), base AS (
+      |  SELECT vec_id AS bid, v,
+      |    CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS j
+      |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT 16)
+      |), cent AS (
+      |  SELECT p.s, b.j, b.v[p.s*8+1 : p.s*8+8] AS csub,
+      |    list_sum(list_transform(b.v[p.s*8+1 : p.s*8+8], x -> x*x)) AS c2
+      |  FROM base b, subsp p
+      |), csub0 AS (
+      |  SELECT vec_id, p.s, v[p.s*8+1 : p.s*8+8] AS sv,
+      |    list_sum(list_transform(v[p.s*8+1 : p.s*8+8], x -> x*x)) AS x2
+      |  FROM vecs, subsp p
+      |), code AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT c.vec_id, c.s, k.j,
+      |      row_number() OVER (PARTITION BY c.vec_id, c.s ORDER BY
+      |        c.x2 - 2*list_sum(list_transform(generate_series(1, 8),
+      |          i -> c.sv[i] * k.csub[i])) + k.c2 ASC, k.j ASC) AS rn
+      |    FROM csub0 c JOIN cent k ON c.s = k.s)
+      |  WHERE rn = 1
+      |), dt AS (
+      |  SELECT q.vec_id AS query_id, q.s, k.j,
+      |    q.x2 - 2*list_sum(list_transform(generate_series(1, 8),
+      |      i -> q.sv[i] * k.csub[i])) + k.c2 AS qd2
+      |  FROM csub0 q JOIN cent k ON q.s = k.s
+      |  WHERE q.vec_id % 50 = 0
+      |), full2 AS (
+      |  SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS vv
+      |  FROM vecs
+      |)""".stripMargin
+
+  // 160-candidate shortlist + exact-L2 re-rank tail over an `adc`
+  // (query_id, vec_id, ad2) CTE — closes both PQ twins.
+  private val pqRerankSql: String =
+    """short AS (
+      |  SELECT query_id, vec_id FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY query_id
+      |    ORDER BY ad2 ASC, vec_id ASC) <= 160
+      |)
+      |SELECT s.query_id, s.vec_id AS neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+      |    q.vv - 2*list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.v[i] * c.v[i])) + c.vv ASC, s.vec_id ASC) AS BIGINT)
+      |    AS rank
+      |FROM short s
+      |JOIN full2 q ON s.query_id = q.vec_id
+      |JOIN full2 c ON s.vec_id = c.vec_id
+      |QUALIFY rank <= 10""".stripMargin
+
   private val vecCtes: String =
     """vecs AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1456,60 +1521,50 @@ object SparkEntry {
     // re-rank. All distances are x² - 2·x·c + c² with left-to-right
     // double arithmetic, matching the engine bit-for-bit.
     "sim_topk_pq" ->
-      """WITH vecs AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), subsp AS (
-        |  SELECT unnest(generate_series(0, 7)) AS s
-        |), base AS (
-        |  SELECT vec_id AS bid, v,
-        |    CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS j
-        |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT 16)
-        |), cent AS (
-        |  SELECT p.s, b.j, b.v[p.s*8+1 : p.s*8+8] AS csub,
-        |    list_sum(list_transform(b.v[p.s*8+1 : p.s*8+8], x -> x*x)) AS c2
-        |  FROM base b, subsp p
-        |), csub0 AS (
-        |  SELECT vec_id, p.s, v[p.s*8+1 : p.s*8+8] AS sv,
-        |    list_sum(list_transform(v[p.s*8+1 : p.s*8+8], x -> x*x)) AS x2
-        |  FROM vecs, subsp p
-        |), code AS (
-        |  SELECT vec_id, s, j FROM (
-        |    SELECT c.vec_id, c.s, k.j,
-        |      row_number() OVER (PARTITION BY c.vec_id, c.s ORDER BY
-        |        c.x2 - 2*list_sum(list_transform(generate_series(1, 8),
-        |          i -> c.sv[i] * k.csub[i])) + k.c2 ASC, k.j ASC) AS rn
-        |    FROM csub0 c JOIN cent k ON c.s = k.s)
-        |  WHERE rn = 1
-        |), dt AS (
-        |  SELECT q.vec_id AS query_id, q.s, k.j,
-        |    q.x2 - 2*list_sum(list_transform(generate_series(1, 8),
-        |      i -> q.sv[i] * k.csub[i])) + k.c2 AS qd2
-        |  FROM csub0 q JOIN cent k ON q.s = k.s
-        |  WHERE q.vec_id % 50 = 0
-        |), adc AS (
-        |  SELECT d.query_id, e.vec_id,
-        |    CAST(sum(CAST(d.qd2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
-        |  FROM code e JOIN dt d ON e.s = d.s AND e.j = d.j
-        |  WHERE e.vec_id != d.query_id
-        |  GROUP BY 1, 2
-        |), short AS (
-        |  SELECT query_id, vec_id FROM adc
-        |  QUALIFY row_number() OVER (PARTITION BY query_id
-        |    ORDER BY ad2 ASC, vec_id ASC) <= 160
-        |), full2 AS (
-        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS vv
-        |  FROM vecs
-        |)
-        |SELECT s.query_id, s.vec_id AS neighbor_id,
-        |  CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
-        |    q.vv - 2*list_sum(list_transform(generate_series(1, 64),
-        |      i -> q.v[i] * c.v[i])) + c.vv ASC, s.vec_id ASC) AS BIGINT)
-        |    AS rank
-        |FROM short s
-        |JOIN full2 q ON s.query_id = q.vec_id
-        |JOIN full2 c ON s.vec_id = c.vec_id
-        |QUALIFY rank <= 10""".stripMargin,
+      s"""WITH $pqCtes, adc AS (
+         |  SELECT d.query_id, e.vec_id,
+         |    CAST(sum(CAST(d.qd2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
+         |  FROM code e JOIN dt d ON e.s = d.s AND e.j = d.j
+         |  WHERE e.vec_id != d.query_id
+         |  GROUP BY 1, 2
+         |), $pqRerankSql""".stripMargin,
+
+    // IVFADC twin: the same PQ fragments, but ADC only over pairs that
+    // survive the L2 coarse quantizer (nearest-of-16 assignment, ties
+    // ccid asc; 4-probe routing per query).
+    "sim_topk_ivfpq" ->
+      s"""WITH $pqCtes, coarse AS (
+         |  SELECT vec_id AS ccid, v AS ccv, vv AS cc2 FROM full2
+         |  ORDER BY vec_id ASC LIMIT 16
+         |), cassign AS (
+         |  SELECT vec_id, ccid AS cid FROM (
+         |    SELECT f.vec_id, c.ccid,
+         |      row_number() OVER (PARTITION BY f.vec_id ORDER BY
+         |        f.vv - 2*list_sum(list_transform(generate_series(1, 64),
+         |          i -> f.v[i] * c.ccv[i])) + c.cc2 ASC, c.ccid ASC) AS rn
+         |    FROM full2 f, coarse c)
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, ccid AS cid FROM (
+         |    SELECT f.vec_id AS query_id, c.ccid,
+         |      row_number() OVER (PARTITION BY f.vec_id ORDER BY
+         |        f.vv - 2*list_sum(list_transform(generate_series(1, 64),
+         |          i -> f.v[i] * c.ccv[i])) + c.cc2 ASC, c.ccid ASC) AS rn
+         |    FROM full2 f, coarse c WHERE f.vec_id % 50 = 0)
+         |  WHERE rn <= 4
+         |), pairs AS (
+         |  SELECT p.query_id, a.vec_id FROM probes p
+         |  JOIN cassign a ON p.cid = a.cid
+         |  WHERE a.vec_id != p.query_id
+         |), adc AS (
+         |  SELECT pr.query_id, pr.vec_id,
+         |    CAST(sum(CAST(d.qd2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
+         |  FROM pairs pr
+         |  JOIN code e ON pr.vec_id = e.vec_id
+         |  JOIN dt d ON d.query_id = pr.query_id
+         |            AND d.s = e.s AND d.j = e.j
+         |  GROUP BY 1, 2
+         |), $pqRerankSql""".stripMargin,
 
     // Label-purity eval twin: the brute top-k CTE + label joins.
     "sim_label_eval" ->

@@ -416,75 +416,185 @@ object Similarity {
              vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, idCol, "pqTopK")
     requireIntegralIds(candidates, idCol, "pqTopK")
-    val spark = queries.sparkSession
-    import spark.implicits._
-    VecExpressions.register(spark)
-    // one-row metadata lookup (dims aren't in the schema); uniform dims
-    // assumed as elsewhere (embeddingNearDup raises on violations)
-    val dims = candidates.select(size(col(vecCol))).take(1)
-      .headOption.map(_.getInt(0)).getOrElse(m)
-    require(dims % m == 0, s"pqTopK: dims $dims not divisible by m=$m")
-    val dsub = dims / m
-    def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
-    def subStructs(v: Column): Column = array((0 until m).map(s =>
-      struct(lit(s).as("s"), sub(v, s).as("sv"))): _*)
-
-    // per-subspace codebook: sub-blocks of the ksub lowest-id
-    // candidates; j = rank by id. The window runs over <= ksub rows —
-    // a bounded model artifact, not a data sort.
-    val byId = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bid").asc)
-    val cent = candidates.orderBy(col(idCol).asc).limit(ksub)
-      .select(col(idCol).as("bid"), col(vecCol).as("bvec"))
-      .withColumn("j", (row_number().over(byId) - 1).cast("long"))
-      .select(col("j"), explode(subStructs(col("bvec"))).as("e"))
-      .select(col("e.s").as("s"), col("j"), col("e.sv").as("csub"),
-        dot(col("e.sv"), col("e.sv")).as("c2"))
-
-    def d2(xv: Column, x2: Column): Column =
-      x2 - lit(2.0) * dot(xv, col("csub")) + col("c2")
-
-    // encode: nearest centroid per (candidate, subspace); struct-min
-    // pins ties to the lowest j, map-side combined, no window
-    val candSub = candidates
-      .select(col(idCol).as("vec_id"), explode(subStructs(col(vecCol))).as("e"))
-      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"),
-        dot(col("e.sv"), col("e.sv")).as("x2"))
-    val code = candSub.join(broadcast(cent), "s")
-      .select(col("vec_id"), col("s"),
-        struct(d2(col("sv"), col("x2")).as("d"), col("j")).as("dj"))
-      .groupBy("vec_id", "s")
-      .agg(min(col("dj")).as("best"))
-      .select(col("vec_id"), col("s"), col("best.j").as("j"))
-
-    // per-query ADC lookup tables: exact subspace distance to every
-    // centroid (m·ksub rows per query — broadcast model-sized side)
-    val dt = queries
-      .select(col(idCol).as("query_id"), explode(subStructs(col(vecCol))).as("e"))
-      .select(col("query_id"), col("e.s").as("s"), col("e.sv").as("qsv"),
-        dot(col("e.sv"), col("e.sv")).as("q2"))
-      .join(broadcast(cent), "s")
-      .select(col("query_id"), col("s"), col("j"),
-        d2(col("qsv"), col("q2")).as("qd2"))
-
-    // approximate distance = sum of the m looked-up subspace terms;
-    // decimal-routed (the m terms arrive shuffle-ordered)
+    VecExpressions.register(queries.sparkSession)
+    val dsub = pqDims(candidates, m, vecCol, "pqTopK") / m
+    val cent = pqCent(candidates, ksub, m, dsub, idCol, vecCol)
+    val code = pqCodes(candidates, cent, m, dsub, idCol, vecCol)
+    val dt = pqQueryTables(queries, cent, m, dsub, idCol, vecCol)
+    // exhaustive ADC: every code row meets every query's table row for
+    // its (s, j) — the flat-scan deployment; [[ivfPqTopK]] is the
+    // coarse-pruned one. Approximate distance = sum of the m looked-up
+    // subspace terms; decimal-routed (terms arrive shuffle-ordered).
     val adc = code.join(broadcast(dt), Seq("s", "j"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("qd2").cast("decimal(30,12)")).cast("double").as("ad2"))
+    exactL2ReRank(minHeapIds(adc, rerank), queries, candidates, k,
+      idCol, vecCol)
+  }
 
-    val shortlist = adc
+  /** IVFADC — [[ivfTopK]]'s coarse pruning composed with [[pqTopK]]'s
+    * compressed scoring (the production shape: a query touches only its
+    * `nProbe` coarse lists, and those lists are scanned as 8-byte PQ
+    * codes, not float vectors). The coarse quantizer here is L2-based
+    * (nearest of the `nCentroids` lowest-id vectors, ties to the lowest
+    * centroid id) so the whole operator lives in one metric; codes are
+    * over RAW vectors, not residuals — residual encoding needs a
+    * per-list codebook transform that buys accuracy but not structure
+    * (the plumbing is identical), and raw codes keep the oracle twin
+    * readable. Recall compounds the two approximations:
+    * [[bruteTopK]]/[[pqTopK]] bound it from above at test scale.
+    * Output: (query_id, neighbor_id, rank).
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
+                nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
+                ksub: Int = 16, rerank: Int = 160,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, idCol, "ivfPqTopK")
+    requireIntegralIds(candidates, idCol, "ivfPqTopK")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    VecExpressions.register(spark)
+    val dsub = pqDims(candidates, m, vecCol, "ivfPqTopK") / m
+    // coarse codebook: the nCentroids lowest-id FULL vectors, cid =
+    // their own vec_id (the ivfTopK default rule, L2 flavor)
+    val coarse = candidates.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("ccid"), col(vecCol).as("ccvec"),
+        dot(col(vecCol), col(vecCol)).as("cc2"))
+    def coarseD2(v: Column, v2: Column): Column =
+      v2 - lit(2.0) * dot(v, col("ccvec")) + col("cc2")
+    // nearest coarse list per candidate — struct-min, map-side combined
+    val assigned = candidates
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        dot(col(vecCol), col(vecCol)).as("v2"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"),
+        struct(coarseD2(col("vec"), col("v2")).as("d"),
+          col("ccid")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("best.ccid").as("cid"))
+    // nProbe nearest lists per query
+    val probes = minHeapIds(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        dot(col(vecCol), col(vecCol)).as("q2"))
+      .crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("ccid").as("vec_id"),
+        coarseD2(col("qvec"), col("q2")).as("ad2")), nProbe)
+      .withColumnRenamed("vec_id", "cid")
+    // fine quantizer: same PQ stages as pqTopK
+    val cent = pqCent(candidates, ksub, m, dsub, idCol, vecCol)
+    val code = pqCodes(candidates, cent, m, dsub, idCol, vecCol)
+    val dt = pqQueryTables(queries, cent, m, dsub, idCol, vecCol)
+    // candidate pairs = probed lists only, THEN the ADC lookup — the
+    // join fans each surviving pair out to its m code rows and meets
+    // the broadcast tables on (query_id, s, j)
+    val pairs = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val adc = pairs.join(code, "vec_id")
+      .join(broadcast(dt), Seq("query_id", "s", "j"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd2").cast("decimal(30,12)")).cast("double").as("ad2"))
+    exactL2ReRank(minHeapIds(adc, rerank), queries, candidates, k,
+      idCol, vecCol)
+  }
+
+  // ---- PQ building blocks (shared by pqTopK and ivfPqTopK) ----
+
+  /** Vector dimensionality from a one-row metadata lookup (dims aren't
+    * in the schema); uniform dims assumed as elsewhere
+    * ([[Dedup.embeddingNearDup]] raises on violations). */
+  private def pqDims(candidates: DataFrame, m: Int, vecCol: String,
+                     op: String): Int = {
+    val dims = candidates.select(size(col(vecCol))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(m)
+    require(dims % m == 0, s"$op: dims $dims not divisible by m=$m")
+    dims
+  }
+
+  /** (s, j, sv) subvector structs for one vector. */
+  private def pqSubs(v: Column, m: Int, dsub: Int): Column =
+    array((0 until m).map(s =>
+      struct(lit(s).as("s"), slice(v, s * dsub + 1, dsub).as("sv"))): _*)
+
+  /** x² - 2·x·c + c² against the in-scope (csub, c2) centroid columns. */
+  private def pqD2(xv: Column, x2: Column): Column =
+    x2 - lit(2.0) * dot(xv, col("csub")) + col("c2")
+
+  /** Per-subspace codebook (s, j, csub, c2): sub-blocks of the ksub
+    * lowest-id candidates; j = rank by id. The window runs over <= ksub
+    * rows — a bounded model artifact, not a data sort. */
+  private def pqCent(candidates: DataFrame, ksub: Int, m: Int, dsub: Int,
+                     idCol: String, vecCol: String): DataFrame = {
+    val byId = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bid").asc)
+    candidates.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(idCol).as("bid"), col(vecCol).as("bvec"))
+      .withColumn("j", (row_number().over(byId) - 1).cast("long"))
+      .select(col("j"), explode(pqSubs(col("bvec"), m, dsub)).as("e"))
+      .select(col("e.s").as("s"), col("j"), col("e.sv").as("csub"),
+        dot(col("e.sv"), col("e.sv")).as("c2"))
+  }
+
+  /** PQ codes (vec_id, s, j): nearest centroid per (candidate,
+    * subspace); struct-min pins ties to the lowest j, map-side
+    * combined, no window. */
+  private def pqCodes(candidates: DataFrame, cent: DataFrame, m: Int,
+                      dsub: Int, idCol: String,
+                      vecCol: String): DataFrame =
+    candidates
+      .select(col(idCol).as("vec_id"),
+        explode(pqSubs(col(vecCol), m, dsub)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"),
+        dot(col("e.sv"), col("e.sv")).as("x2"))
+      .join(broadcast(cent), "s")
+      .select(col("vec_id"), col("s"),
+        struct(pqD2(col("sv"), col("x2")).as("d"), col("j")).as("dj"))
+      .groupBy("vec_id", "s")
+      .agg(min(col("dj")).as("best"))
+      .select(col("vec_id"), col("s"), col("best.j").as("j"))
+
+  /** Per-query ADC lookup tables (query_id, s, j, qd2): exact subspace
+    * distance to every centroid — m·ksub rows per query, a broadcast
+    * model-sized side. */
+  private def pqQueryTables(queries: DataFrame, cent: DataFrame, m: Int,
+                            dsub: Int, idCol: String,
+                            vecCol: String): DataFrame =
+    queries
+      .select(col(idCol).as("query_id"),
+        explode(pqSubs(col(vecCol), m, dsub)).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.sv").as("qsv"),
+        dot(col("e.sv"), col("e.sv")).as("q2"))
+      .join(broadcast(cent), "s")
+      .select(col("query_id"), col("s"), col("j"),
+        pqD2(col("qsv"), col("q2")).as("qd2"))
+
+  /** Smallest-`k` (ad2 asc, vec_id asc) ids per query via the bounded
+    * heap (TopKAgg keeps max, so the distance is negated).
+    * Input (query_id, vec_id, ad2) → output (query_id, vec_id). */
+  private def minHeapIds(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
       .select(col("query_id"), col("vec_id"), col("ad2"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
-      .mapValues(t => (t._2, -t._3)) // TopKAgg keeps max: negate distance
-      .agg(new graft.functions.TopKAgg(rerank).toColumn.name("top"))
+      .mapValues(t => (t._2, -t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
       .toDF("query_id", "top")
       .select(col("query_id"), explode(col("top")).as("p"))
       .select(col("query_id"), col("p._2").as("vec_id"))
+  }
 
-    // exact re-rank of the shortlist: true L2² from full vectors
+  /** Exact re-rank of a (query_id, vec_id) shortlist by true L2² from
+    * the full vectors. Output: (query_id, neighbor_id, rank). */
+  private def exactL2ReRank(shortlist: DataFrame, queries: DataFrame,
+                            candidates: DataFrame, k: Int,
+                            idCol: String, vecCol: String): DataFrame = {
+    val spark = shortlist.sparkSession
+    import spark.implicits._
     val qv = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec"), dot(col(vecCol), col(vecCol)).as("qq"))
     val cv = candidates.select(col(idCol).as("vec_id"),

@@ -15,7 +15,10 @@ object ExplainAudit {
         "rel_asof_join", "text_lm_score",
         // round-3 surface
         "dedup_embedding", "dedup_decontam", "pipe_curate",
-        "samp_hash", "sim_quantize", "sim_label_eval")
+        "samp_hash", "sim_quantize", "sim_label_eval",
+        // round-5 surface
+        "dedup_substring", "samp_shard", "rel_range_join",
+        "sim_topk_pq", "rel_skew_join")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

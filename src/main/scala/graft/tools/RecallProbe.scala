@@ -37,6 +37,11 @@ object RecallProbe {
         println(f"RECALL $sf pq(L2) rerank=$rr%-4d = " +
           f"${pqHit.toDouble / nl}%.4f ($pqHit/$nl)")
       }
+      val ivfpqHit = graft.operators.Similarity.ivfPqTopK(q, e)
+        .select("query_id", "neighbor_id")
+        .join(l2ref, Seq("query_id", "neighbor_id")).count()
+      println(f"RECALL $sf ivfpq(L2) = " +
+        f"${ivfpqHit.toDouble / nl}%.4f ($ivfpqHit/$nl)")
       l2ref.unpersist()
       graft.Housekeeping.release(spark)
     }

@@ -348,6 +348,32 @@ class Round5Spec extends SparkSpec {
     assert(recall >= 0.50, s"pqTopK recall@10 degraded: $recall < 0.50")
   }
 
+  test("ivfPqTopK: recall@10 vs exact L2 holds the measured floor (sf0.1)") {
+    // RecallProbe (2026-08-12): 0.4375 at sf0.1 (coarse 4-of-16
+    // pruning ≈ 25% scan compounded with the PQ shortlist)
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val ref = graft.operators.Similarity
+      .pqTopK(q, e, rerank = Int.MaxValue)
+      .select("query_id", "neighbor_id").persist()
+    val n = ref.count().toDouble
+    val hit = graft.operators.Similarity.ivfPqTopK(q, e)
+      .select("query_id", "neighbor_id")
+      .join(ref, Seq("query_id", "neighbor_id")).count()
+    ref.unpersist()
+    val recall = hit / n
+    assert(recall >= 0.35, s"ivfPqTopK recall@10 degraded: $recall < 0.35")
+  }
+
+  test("ivfPqTopK with nProbe=all lists IS pqTopK (pruning no-op)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val pq = graft.operators.Similarity.pqTopK(q, e)
+    val ivfpq = graft.operators.Similarity.ivfPqTopK(q, e,
+      nCentroids = 16, nProbe = 16)
+    assert(rows(ivfpq) == rows(pq))
+  }
+
   // ---- salted hot-key join ----
 
   test("saltedJoin == plain join on a skewed key distribution") {
