@@ -25,7 +25,7 @@ object Bench {
     "dedup_ngram_jaccard" -> 2.99, "dedup_simhash" -> 1.87,
     "dedup_substring" -> 1.08, "samp_shard" -> 0.27,
     "rel_range_join" -> 0.34, "sim_topk_pq" -> 1.88,
-    "rel_skew_join" -> 0.36,
+    "rel_skew_join" -> 0.36, "sim_topk_ivfpq" -> 2.2,
     "io_csv_roundtrip" -> 1.64, "mm_features" -> 0.26, "pipe_curate" -> 4.62,
     "q1_tokens" -> 0.18, "q2_dictionary" -> 0.5, "q3_task1" -> 0.45,
     "q4_tf" -> 0.9, "q5_idf" -> 0.98, "q6_tfidf" -> 1.18,
