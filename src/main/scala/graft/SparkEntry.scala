@@ -142,6 +142,12 @@ object SparkEntry {
       TextStats.lmScoreScalable(docs(s, dir))),
     "text_chunk" -> ((s, dir) =>
       TextStats.chunk(docs(s, dir), chunkTokens = 64, overlap = 16)),
+    // tokenize-to-ids over a 25-word vocabulary (small enough that the
+    // OOV=0 branch actually fires on the 31-word synthetic corpus)
+    "text_token_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextStats.tokenIds(d, TextStats.vocab(d, maxVocab = 25))
+    }),
 
     // --- deduplication (north-star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -1897,6 +1903,34 @@ object SparkEntry {
         |         AND CAST(floor(epoch(a.ts)) AS BIGINT) + 60
         |WHERE a.event_type = 'purchase'
         |GROUP BY a.event_id""".stripMargin,
+
+    // tokenize-to-ids twin: same tokenizer as q1_tokens but with
+    // positions (unnest + generate_subscripts zip), dense per-doc pos,
+    // vocabulary ranked (cnt desc, word asc) capped at 25, OOV -> 0
+    "text_token_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS p
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, word,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p ASC)
+        |      AS BIGINT) AS pos
+        |  FROM (
+        |    SELECT doc_id, p,
+        |      lower(regexp_replace(tok, '[^a-zA-Z]', '', 'g')) AS word
+        |    FROM toks)
+        |  WHERE length(word) > 0
+        |), cnts AS (
+        |  SELECT word, count(*) AS cnt FROM kept GROUP BY word
+        |), voc AS (
+        |  SELECT word,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC)
+        |      AS BIGINT) AS tid
+        |  FROM cnts ORDER BY cnt DESC, word ASC LIMIT 25
+        |)
+        |SELECT k.doc_id, k.pos, coalesce(v.tid, 0) AS tid
+        |FROM kept k LEFT JOIN voc v USING (word)""".stripMargin,
 
     // plain-join twin for the salted plan: salting is an execution
     // detail, the row set must be identical

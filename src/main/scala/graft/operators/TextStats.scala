@@ -450,4 +450,50 @@ object TextStats {
       array_min(transform(sequence(lit(1), nsh),
         i => md5(concat_ws(" ", slice(t, i, lit(5)))))).as("fp_shingle"))
   }
+
+  /** Dense token-id vocabulary — the dictionary artifact of a training
+    * tokenizer: the `maxVocab` most frequent normalized tokens (the
+    * [[WikiText.tokens]] tokenizer) get ids 1..V by (count desc, word
+    * asc); id 0 is reserved for out-of-vocabulary. Same
+    * TakeOrderedAndProject-then-rank shape as the Q2 dictionary: the
+    * ranking window runs over the `maxVocab` survivors only, never the
+    * corpus. Output: (tid, word, cnt).
+    */
+  def vocab(docs: DataFrame, maxVocab: Int = 30000,
+            idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
+    val byCount = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
+    WikiText.tokens(docs, idCol, textCol)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(maxVocab)
+      .withColumn("tid", row_number().over(byCount).cast("long"))
+      .select("tid", "word", "cnt")
+  }
+
+  /** Position-aware token-id encoding — the tokenize-to-ids step
+    * between curation and sequence packing: every kept token becomes
+    * (doc_id, pos, tid) with dense 1-based per-doc positions in
+    * original text order and OOV mapped to 0. The vocabulary side is a
+    * bounded model artifact (≤ maxVocab rows) and broadcasts; the
+    * per-doc position window carries one counter per document.
+    * Output: (doc_id, pos, tid).
+    */
+  def tokenIds(docs: DataFrame, vocabDf: DataFrame,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("p").asc)
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p"),
+        graft.functions.Fns.normalizeToken(col("tok")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("pos", row_number().over(byPos).cast("long"))
+      .join(broadcast(vocabDf.select("word", "tid")), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tid"), lit(0L)).as("tid"))
+  }
 }

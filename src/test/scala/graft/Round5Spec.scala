@@ -374,6 +374,23 @@ class Round5Spec extends SparkSpec {
     assert(rows(ivfpq) == rows(pq))
   }
 
+  // ---- tokenize-to-ids ----
+
+  test("vocab + tokenIds: ranked ids, dense positions, OOV=0") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat the dog !!! the"), (2L, "cat mouse"))
+      .toDF("doc_id", "text")
+    val v = graft.operators.TextStats.vocab(docs, maxVocab = 3)
+    // counts: the=3, cat=2, dog=1, mouse=1; cap 3 keeps (the, cat, dog)
+    assert(rows(v) == Seq("1|the|3", "2|cat|2", "3|dog|1"))
+    val ids = graft.operators.TextStats.tokenIds(docs, v)
+    // "!!!" normalizes to empty and drops; positions stay dense;
+    // mouse is out-of-vocabulary -> 0
+    assert(rows(ids) == Seq(
+      "1|1|1", "1|2|2", "1|3|1", "1|4|3", "1|5|1",
+      "2|1|2", "2|2|0"))
+  }
+
   // ---- salted hot-key join ----
 
   test("saltedJoin == plain join on a skewed key distribution") {
