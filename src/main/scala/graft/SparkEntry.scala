@@ -158,6 +158,13 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"))),
     "dedup_assign" -> ((s, dir) => Dedup.assignCanonical(docs(s, dir))),
+    // leakage-safe split: hash-split keyed on the CANONICAL id, so every
+    // exact/near-dup cluster lands whole in one split (no train/test
+    // contamination through duplicates)
+    "samp_split_safe" -> ((s, dir) =>
+      Sampling.splitByHash(Dedup.assignCanonical(docs(s, dir)),
+          SplitWeights, keyCol = "canonical_id", salt = "graft-safe")
+        .select("doc_id", "canonical_id", "split")),
     // exact duplicated-span (substring) coverage, w=5 token windows
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), w = 5)),
@@ -208,6 +215,10 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0).select("doc_id"))
     }),
 
+    // --- BM25 relevance ranking (north-star text retrieval) ---
+    "text_bm25" -> ((s, dir) =>
+      Search.bm25TopK(docs(s, dir), TestProbeWords)),
+
     // --- embedding label-purity eval (north-star; uses the labels) ---
     "sim_label_eval" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -235,6 +246,13 @@ object SparkEntry {
       Relational.sessionize(tbl(s, dir, "events"))),
     "rel_event_props" -> ((s, dir) =>
       Relational.eventProps(tbl(s, dir, "events"))),
+    // first-touch ordered conversion funnel (view → click → purchase)
+    "rel_funnel" -> ((s, dir) =>
+      Relational.funnel(tbl(s, dir, "events"))),
+    // pre-promotion constraint sweep: keys, FKs, ranges, enums, bounds
+    "rel_dq_audit" -> ((s, dir) =>
+      Relational.dqAudit(tbl(s, dir, "customer"), tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"), tbl(s, dir, "events"))),
     "rel_asof_join" -> ((s, dir) =>
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
@@ -530,6 +548,48 @@ object SparkEntry {
 
   private def listLit(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // Canonical-assignment CTE chain (naive definition of
+  // Dedup.assignCanonical): connected components (min reachable id)
+  // over jaccard>=0.8 edges on NORMALIZED-text 3-gram shingles. Must be
+  // prefixed with `WITH RECURSIVE`. Shared by dedup_assign and
+  // samp_split_safe. NOTE: the recursive `reach` CTE is exponential-ish
+  // in DuckDB at sf0.1 — the cross-SF sweep drops these two keys there
+  // (see NOTES.md), relying on sf0.001/sf0.01.
+  private val assignCtes: String =
+    """nrm AS (
+      |  SELECT doc_id,
+      |         lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS t
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id, string_split(t, ' ') AS tk FROM nrm
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(tk) - 2, 1)),
+      |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
+      |  FROM sh0
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), com AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), jpairs AS (
+      |  SELECT da, db FROM com
+      |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      |  WHERE c / (x.n + y.n - c) >= 0.8
+      |), edges AS (
+      |  SELECT da AS a, db AS b FROM jpairs
+      |  UNION ALL SELECT db, da FROM jpairs
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
+      |    ON e.a = reach.id
+      |), assign AS (
+      |  SELECT id AS doc_id, min(r) AS canonical_id
+      |  FROM reach GROUP BY id
+      |)""".stripMargin
 
   // Distinct word-3-gram shingles + exact Jaccard pairs >= 0.8 — oracle
   // for BOTH dedup_ngram_jaccard (exact) and dedup_minhash_lsh (whose
@@ -1058,38 +1118,18 @@ object SparkEntry {
     // exact-collapse-first optimization provably yields the same
     // components
     "dedup_assign" ->
-      """WITH RECURSIVE nrm AS (
-        |  SELECT doc_id,
-        |         lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS t
-        |  FROM documents
-        |), sh0 AS (
-        |  SELECT doc_id, string_split(t, ' ') AS tk FROM nrm
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(tk) - 2, 1)),
-        |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
-        |  FROM sh0
-        |), sz AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), com AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), jpairs AS (
-        |  SELECT da, db FROM com
-        |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-        |  WHERE c / (x.n + y.n - c) >= 0.8
-        |), edges AS (
-        |  SELECT da AS a, db AS b FROM jpairs
-        |  UNION ALL SELECT db, da FROM jpairs
-        |), reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
-        |    ON e.a = reach.id
-        |)
-        |SELECT id AS doc_id, min(r) AS canonical_id
-        |FROM reach GROUP BY id""".stripMargin,
+      s"""WITH RECURSIVE $assignCtes
+         |SELECT doc_id, canonical_id FROM assign""".stripMargin,
+
+    // leakage-safe split twin: the SAME canonical-assignment CTE chain,
+    // then the shared splitCaseSql bucket expression keyed on
+    // canonical_id — clusters move between splits atomically
+    "samp_split_safe" ->
+      s"""WITH RECURSIVE $assignCtes
+         |SELECT doc_id, canonical_id,
+         |  ${operators.Sampling.splitCaseSql(SplitWeights, "canonical_id",
+              "graft-safe")} AS split
+         |FROM assign""".stripMargin,
 
     // duplicated-span coverage: a 5-token window is duplicated iff its
     // 5-gram occurs >= 2 times corpus-wide; covered tokens = union of

@@ -426,4 +426,110 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
         sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("n_even_k"))
+
+  /** Ordered conversion funnel over the event stream: a user reaches
+    * stage i iff they have a stage-i event STRICTLY AFTER their earliest
+    * stage-(i−1)-reaching event (the classic first-touch funnel; re-entry
+    * and repeats don't double-count because only the earliest qualifying
+    * timestamp per user advances).
+    *
+    * Timestamps compare as epoch MICROSECONDS (`unix_micros`): the
+    * events table is parquet TIMESTAMP(NANOS) and Spark truncates to µs
+    * on read (Tables.normalizeTs), so µs is the finest granularity both
+    * this engine and an oracle reading the raw ns values can agree on.
+    *
+    * Output: one row per stage — (stage 1-based, event_type, n_users).
+    *
+    * Scale posture: each stage is a type-filtered scan (predicate pushes
+    * to parquet) + one agg and one join, ALL keyed on user_id — AQE
+    * broadcasts the shrinking stage frontier as it drops below the
+    * threshold; no windows over the full stream, no driver collects.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase"))
+    : DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    // frontier: (user_id, t) = earliest qualifying ts per reaching user
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("tus").as("t"))
+    val frontiers = stages.tail.scanLeft(first) { (prev, stage) =>
+      e.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")),
+          "user_id")
+        .filter(col("tus") > col("prev_t"))
+        .groupBy("user_id").agg(min("tus").as("t"))
+    }
+    stages.zip(frontiers).zipWithIndex.map { case ((stage, f), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Data-quality audit — the constraint sweep a pipeline runs before
+    * promoting a batch: key uniqueness, referential integrity,
+    * value-range and enum-domain checks, timestamp bounds. One output
+    * row per check: (check_name, table_name, violations, total).
+    *
+    * Scale posture: every check is a single filtered/keyed aggregation
+    * (dup counts via groupBy on the key; FK checks via left-anti join —
+    * AQE broadcasts the small dimension side); checks are independent
+    * branches of one union, so the scheduler runs them concurrently and
+    * a 100 TB fact table is scanned once per check with only the checked
+    * columns read.
+    */
+  def dqAudit(customer: DataFrame, orders: DataFrame,
+              lineitem: DataFrame, events: DataFrame): DataFrame = {
+    def row(check: String, table: String, violations: Column,
+            total: DataFrame): DataFrame = {
+      val v = violations.cast("long").as("violations")
+      total.agg(count(lit(1)).as("total"), v)
+        .select(lit(check).as("check_name"), lit(table).as("table_name"),
+          col("violations"), col("total"))
+    }
+    // duplicate primary keys: rows beyond the first per key value
+    def dupKeys(df: DataFrame, key: String, table: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1L).cast("long").as("violations"),
+          sum(col("c")).as("total"))
+        .select(lit("dup_key").as("check_name"),
+          lit(table).as("table_name"), col("violations"), col("total"))
+    // FK orphans: fact keys with no matching dimension row
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+                table: String): DataFrame = {
+      val n = fact.agg(count(lit(1)).as("total"))
+      val bad = fact.select(col(fk))
+        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      bad.crossJoin(n)
+        .select(lit("fk_orphan").as("check_name"),
+          lit(table).as("table_name"),
+          col("violations"), col("total"))
+    }
+    val knownTypes = Seq("view", "click", "signup", "purchase", "error")
+    Seq(
+      row("null_key", "customer",
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), customer),
+      dupKeys(orders, "o_orderkey", "orders"),
+      dupKeys(customer, "c_custkey", "customer"),
+      orphans(orders, "o_custkey", customer, "c_custkey", "orders"),
+      orphans(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
+      row("range_nonpositive", "lineitem",
+        sum(when(col("l_quantity").isNull || col("l_quantity") <= 0, 1L)
+          .otherwise(0L)), lineitem),
+      row("range_nonpositive", "orders",
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0,
+          1L).otherwise(0L)), orders),
+      row("enum_domain", "events",
+        sum(when(!col("event_type").isin(knownTypes: _*), 1L)
+          .otherwise(0L)), events),
+      row("ts_bounds", "events",
+        sum(when(col("ts").isNull ||
+          col("ts") < lit("2024-01-01 00:00:00").cast("timestamp") ||
+          col("ts") >= lit("2025-01-01 00:00:00").cast("timestamp"), 1L)
+          .otherwise(0L)), events),
+    ).reduce(_.unionByName(_))
+  }
 }

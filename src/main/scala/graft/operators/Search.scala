@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns._
+
+/** Full-text relevance ranking over the `documents` table — the lookup
+  * side of the reference's TF-IDF surface (reference
+  * `Code/TF_IDFWorker.java:22-44` builds per-doc term vectors; this
+  * answers "which docs score highest for a query" over the same token
+  * model, the operation an LLM-data pipeline runs to pull
+  * topically-relevant subsets out of a 100 TB corpus).
+  *
+  * Scoring is Okapi BM25 with the usual k1=1.2, b=0.75. Semantics are
+  * pinned for cross-engine reproducibility (the same discipline as
+  * TfIdfOps):
+  *  - idf_t  = round2( ln( (N - df_t + 0.5)/(df_t + 0.5) + 1 ) )
+  *  - tfw_td = round2( cnt·(k1+1) / (cnt + k1·(1 − b + b·dl/avgdl)) )
+  *  - score  = round2( Σ_t  idf_t · tfw_td ), summed as DECIMAL(20,8)
+  * The two-stage rounding mirrors the reference's tf/idf rounding
+  * (`Code/TF_IDFWorker.java:41`): each factor is a 2-dp double before
+  * the multiply, so the per-term product is bit-identical across
+  * engines, and the decimal sum removes partition-order dependence.
+  *
+  * Scale posture: the query-term filter sits BELOW the (doc, word)
+  * aggregation, so the per-term branch touches only rows containing a
+  * query term; document length is one keyed agg over the token stream
+  * (needed once, reusable across queries); N/avgdl is a 1-row agg and
+  * df is |terms| rows — both broadcast; the final top-k compiles to
+  * TakeOrderedAndProject (per-partition heaps, no global sort).
+  */
+object Search {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 top-k: (doc_id, score), score desc / doc_id asc, k rows.
+    * `N` and `avgdl` are defined over docs with ≥1 surviving token
+    * (docs whose every token normalizes to empty can never match). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val tokens = WikiText.tokens(docs, idCol, textCol)
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // 1-row corpus stats; avgdl = Σdl / N as exact-long sums divided
+    // once (no `avg` — its internal accumulation order differs by
+    // engine; this form is two exact integers and one IEEE division)
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+      .select(col("n"), (col("total") / col("n")).as("avgdl"))
+    // per-(doc, term) counts — term filter pushed below the agg
+    val q = tokens.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    // document frequency per term: q is already distinct on (doc, word)
+    val dfq = q.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val idf = dfq.crossJoin(broadcast(stats))
+      .select(col("word"), round2(log(
+        (col("n") - col("dfreq") + lit(0.5)) /
+          (col("dfreq") + lit(0.5)) + lit(1.0))).as("idf"))
+    val tfw = round2(col("cnt") * lit(K1 + 1) /
+      (col("cnt") + lit(K1) *
+        (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))))
+    q.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(idf), "word")
+      .select(col("doc_id"), (tfw * col("idf")).as("contrib"))
+      .groupBy("doc_id")
+      .agg(round2(sum(col("contrib").cast("decimal(20,8)"))
+        .cast("double")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}
