@@ -214,6 +214,16 @@ object SparkEntry {
       Similarity.tfIdfDocTopK(d,
         d.filter(col("doc_id") % 50 === 0).select("doc_id"))
     }),
+    // the hot-posting-list escape hatch EXERCISED: terms with
+    // df > 0.78·N are pruned before pairing (on this corpus that drops
+    // the ~15 hottest of 31 words and keeps the rest), proving the
+    // 100 TB guard is working code with its own oracle — not prose
+    "sim_docs_tfidf_pruned" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Similarity.tfIdfDocTopK(d,
+        d.filter(col("doc_id") % 50 === 0).select("doc_id"),
+        maxDfFrac = 0.78)
+    }),
 
     // --- BM25 relevance ranking (north-star text retrieval) ---
     "text_bm25" -> ((s, dir) =>
@@ -922,6 +932,46 @@ object SparkEntry {
          |  SELECT t.doc_id, t.word,
          |         floor(t.tf * i.idf * 100 + 0.5) / 100 AS w
          |  FROM tf t JOIN idf i USING (word)
+         |), nrm AS (
+         |  SELECT doc_id,
+         |    sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE))
+         |      AS norm
+         |  FROM v GROUP BY doc_id
+         |), d AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(CAST(a.w * b.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM v a JOIN v b ON a.word = b.word AND a.doc_id != b.doc_id
+         |  WHERE a.doc_id % 50 = 0
+         |  GROUP BY 1, 2
+         |), s AS (
+         |  SELECT doc_a AS query_id, doc_b AS neighbor_id,
+         |    dot / nullif(x.norm * y.norm, 0) AS cos
+         |  FROM d JOIN nrm x ON doc_a = x.doc_id
+         |         JOIN nrm y ON doc_b = y.doc_id
+         |)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |FROM s WHERE cos IS NOT NULL
+         |QUALIFY "rank" <= 5""".stripMargin,
+
+    // pruned twin: identical chain with the maxDfFrac=0.78 hot-term
+    // drop applied BEFORE norms and pairing (the cutoff expression
+    // `wdf > 0.78 * n` is the same double arithmetic as the Scala
+    // plan's `df > lit(maxDfFrac * n)`, so the pruned word set is
+    // bit-identical across engines)
+    "sim_docs_tfidf_pruned" ->
+      s"""WITH $idfCtes, v0 AS (
+         |  SELECT t.doc_id, t.word,
+         |         floor(t.tf * i.idf * 100 + 0.5) / 100 AS w
+         |  FROM tf t JOIN idf i USING (word)
+         |), wdf AS (
+         |  SELECT word, count(*) AS wdf FROM v0 GROUP BY word
+         |), nd AS (SELECT count(*) AS n FROM documents),
+         |v AS (
+         |  SELECT v0.doc_id, v0.word, v0.w
+         |  FROM v0 JOIN wdf USING (word), nd
+         |  WHERE NOT (wdf > 0.78 * n)
          |), nrm AS (
          |  SELECT doc_id,
          |    sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE))
@@ -1985,5 +2035,139 @@ object SparkEntry {
         |  d.n_orders, d.bucket_revenue
         |FROM events e JOIN dim d ON e.user_id % 25 = d.obucket"""
         .stripMargin,
+
+    // BM25 twin: the shared token CTEs, dl/N/avgdl aggs, the pinned
+    // two-stage rounding (each factor is round2'd BEFORE the multiply,
+    // mirroring Search.bm25TopK), DECIMAL(20,8) order-independent sum,
+    // (score desc, doc_id asc) top-10. The k1/b constants are
+    // interpolated from Search.K1/B so both engines parse the identical
+    // shortest-repr double literals; avgdl is two exact BIGINTs divided
+    // once (no `avg`), matching the Scala plan.
+    "text_bm25" -> {
+      val terms = TestProbeWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH $tokenCtes, dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
+         |  FROM dl
+         |), q AS (
+         |  SELECT doc_id, word, count(*) AS cnt FROM tokens
+         |  WHERE word IN ($terms) GROUP BY doc_id, word
+         |), dfq AS (
+         |  SELECT word, count(*) AS dfreq FROM q GROUP BY word
+         |), idf AS (
+         |  SELECT word,
+         |    floor(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+         |      * 100 + 0.5) / 100 AS idf
+         |  FROM dfq, stats
+         |), contribs AS (
+         |  SELECT q.doc_id,
+         |    (floor(q.cnt * ${Search.K1 + 1} /
+         |       (q.cnt + ${Search.K1} *
+         |         (1.0 - ${Search.B} + ${Search.B} * dl.dl / stats.avgdl))
+         |       * 100 + 0.5) / 100) * idf.idf AS contrib
+         |  FROM q
+         |  JOIN dl ON q.doc_id = dl.doc_id
+         |  CROSS JOIN stats
+         |  JOIN idf ON q.word = idf.word
+         |)
+         |SELECT doc_id,
+         |  floor(CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+         |    * 100 + 0.5) / 100 AS score
+         |FROM contribs GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
+    // funnel twin: iterated per-stage min over qualifying epoch-µs
+    // timestamps (the stage list is fixed, so three CTE steps — no
+    // recursion); strictly-after semantics via tus > prev stage's min
+    "rel_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), f1 AS (
+        |  SELECT user_id, min(tus) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), f2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e
+        |  JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND e.tus > f1.t
+        |  GROUP BY e.user_id
+        |), f3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e
+        |  JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > f2.t
+        |  GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |  count(*) AS n_users FROM f1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM f2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM f3"""
+        .stripMargin,
+
+    // DQ-audit twin: 9 independent aggregate checks UNIONed, with the
+    // pinned NULL semantics (NULL keys belong to null_key only; NULL
+    // FKs exempt from fk_orphan; dup_key/fk_orphan totals count the
+    // non-NULL-key rows inspected) and ts_bounds on epoch µs vs fixed
+    // UTC constants — all matching Relational.dqAudit exactly
+    "rel_dq_audit" ->
+      """SELECT 'null_key' AS check_name, 'customer' AS table_name,
+        |  CAST(coalesce(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0
+        |    END), 0) AS BIGINT) AS violations,
+        |  count(*) AS total
+        |FROM customer
+        |UNION ALL
+        |SELECT 'dup_key', 'orders',
+        |  CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM orders
+        |      WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'dup_key', 'customer',
+        |  CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM customer
+        |      WHERE c_custkey IS NOT NULL GROUP BY c_custkey)
+        |UNION ALL
+        |SELECT 'fk_orphan', 'orders',
+        |  CAST((SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |          SELECT 1 FROM customer c
+        |          WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'fk_orphan', 'lineitem',
+        |  CAST((SELECT count(*) FROM lineitem l
+        |        WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |          SELECT 1 FROM orders o
+        |          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'range_nonpositive', 'lineitem',
+        |  CAST(coalesce(sum(CASE WHEN l_quantity IS NULL
+        |    OR l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range_nonpositive', 'orders',
+        |  CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL
+        |    OR o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'enum_domain', 'events',
+        |  CAST(coalesce(sum(CASE WHEN NOT (event_type IN ('view',
+        |    'click', 'signup', 'purchase', 'error')) THEN 1 ELSE 0
+        |    END), 0) AS BIGINT),
+        |  count(*)
+        |FROM events
+        |UNION ALL
+        |SELECT 'ts_bounds', 'events',
+        |  CAST(coalesce(sum(CASE WHEN ts IS NULL
+        |    OR epoch_us(ts) < 1704067200000000
+        |    OR epoch_us(ts) >= 1735689600000000 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT),
+        |  count(*)
+        |FROM events""".stripMargin,
   )
 }

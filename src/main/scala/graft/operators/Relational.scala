@@ -473,6 +473,18 @@ object Relational {
     * value-range and enum-domain checks, timestamp bounds. One output
     * row per check: (check_name, table_name, violations, total).
     *
+    * Pinned semantics (so the oracle twin is exact):
+    *  - NULL keys are the `null_key` check's business only: a NULL FK is
+    *    NOT an `fk_orphan` (standard SQL referential integrity exempts
+    *    NULL FKs) and NULL PKs are excluded from `dup_key` grouping.
+    *  - `dup_key.total` counts the non-NULL-key rows it actually
+    *    inspected; `fk_orphan.total` likewise counts non-NULL-FK rows.
+    *  - `ts_bounds` compares epoch MICROSECONDS against fixed UTC
+    *    constants ([2024-01-01, 2025-01-01) as µs) — immune to the
+    *    session time zone, same µs discipline as `funnel`.
+    *  - Empty inputs report 0 violations / 0 total (sums coalesced), so
+    *    an empty batch reads as a pass rather than a NULL row.
+    *
     * Scale posture: every check is a single filtered/keyed aggregation
     * (dup counts via groupBy on the key; FK checks via left-anti join —
     * AQE broadcasts the small dimension side); checks are independent
@@ -484,23 +496,26 @@ object Relational {
               lineitem: DataFrame, events: DataFrame): DataFrame = {
     def row(check: String, table: String, violations: Column,
             total: DataFrame): DataFrame = {
-      val v = violations.cast("long").as("violations")
+      val v = coalesce(violations.cast("long"), lit(0L)).as("violations")
       total.agg(count(lit(1)).as("total"), v)
         .select(lit(check).as("check_name"), lit(table).as("table_name"),
           col("violations"), col("total"))
     }
-    // duplicate primary keys: rows beyond the first per key value
+    // duplicate primary keys: rows beyond the first per non-NULL key
     def dupKeys(df: DataFrame, key: String, table: String): DataFrame =
-      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") - 1L).cast("long").as("violations"),
-          sum(col("c")).as("total"))
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") - 1L), lit(0L)).cast("long")
+          .as("violations"),
+          coalesce(sum(col("c")), lit(0L)).cast("long").as("total"))
         .select(lit("dup_key").as("check_name"),
           lit(table).as("table_name"), col("violations"), col("total"))
-    // FK orphans: fact keys with no matching dimension row
+    // FK orphans: non-NULL fact keys with no matching dimension row
     def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
                 table: String): DataFrame = {
-      val n = fact.agg(count(lit(1)).as("total"))
-      val bad = fact.select(col(fk))
+      val keyed = fact.select(col(fk)).filter(col(fk).isNotNull)
+      val n = keyed.agg(count(lit(1)).as("total"))
+      val bad = keyed
         .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
         .agg(count(lit(1)).as("violations"))
       bad.crossJoin(n)
@@ -509,6 +524,9 @@ object Relational {
           col("violations"), col("total"))
     }
     val knownTypes = Seq("view", "click", "signup", "purchase", "error")
+    // [2024-01-01T00:00:00Z, 2025-01-01T00:00:00Z) as epoch µs
+    val tsLoUs = 1704067200000000L
+    val tsHiUs = 1735689600000000L
     Seq(
       row("null_key", "customer",
         sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), customer),
@@ -527,8 +545,8 @@ object Relational {
           .otherwise(0L)), events),
       row("ts_bounds", "events",
         sum(when(col("ts").isNull ||
-          col("ts") < lit("2024-01-01 00:00:00").cast("timestamp") ||
-          col("ts") >= lit("2025-01-01 00:00:00").cast("timestamp"), 1L)
+          unix_micros(col("ts")) < tsLoUs ||
+          unix_micros(col("ts")) >= tsHiUs, 1L)
           .otherwise(0L)), events),
     ).reduce(_.unionByName(_))
   }

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Search, Similarity}
+
+/** Round-6 behavior pins for the three queries that shipped at the end
+  * of round 5 without any verification: BM25 scores hand-computed on a
+  * 3-doc corpus, the funnel's strictly-after/first-touch semantics, and
+  * dqAudit's pinned NULL handling + violation counts on injected bad
+  * rows (plus the empty-input → 0/0 contract from ADVICE r5).
+  */
+class Round6Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- text_bm25: hand-computed scores ----
+  //
+  // Corpus (terms = join, scan):
+  //   doc 1 "join scan join extra word"  dl=5, cnt(join)=2, cnt(scan)=1
+  //   doc 2 "scan scan scan"             dl=3, cnt(scan)=3
+  //   doc 3 "nothing here at all"        dl=4, no query terms
+  // N=3, avgdl=4.0
+  //   idf(join) = round2(ln((3-1+0.5)/(1+0.5)+1)) = round2(ln 2.6667) = 0.98
+  //   idf(scan) = round2(ln((3-2+0.5)/(2+0.5)+1)) = round2(ln 1.6)    = 0.47
+  //   tfw(1,join) = round2(2*2.2/(2+1.2*(0.25+0.75*5/4)))
+  //               = round2(4.4/3.425)  = 1.28
+  //   tfw(1,scan) = round2(2.2/2.425)  = 0.91
+  //   tfw(2,scan) = round2(6.6/3.975)  = 1.66
+  //   score(1) = round2(1.28*0.98 + 0.91*0.47) = round2(1.68217) = 1.68
+  //   score(2) = round2(1.66*0.47)             = round2(0.7802)  = 0.78
+
+  test("bm25: hand-computed scores, ranking, and no-term-doc exclusion") {
+    val docs = Seq(
+      (1L, "join scan join extra word"),
+      (2L, "scan scan scan"),
+      (3L, "nothing here at all")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, Seq("join", "scan"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.68), (2L, 0.78)))
+  }
+
+  test("bm25: k truncates after the (score desc, doc_id asc) sort") {
+    val docs = Seq(
+      (1L, "join scan join extra word"),
+      (2L, "scan scan scan"),
+      (3L, "nothing here at all")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, Seq("join", "scan"), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
+  // ---- rel_funnel: strictly-after first-touch semantics ----
+
+  private def ev(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+
+  test("funnel: strictly-after per stage; ties and reordering don't advance") {
+    val events = ev(Seq(
+      // u1: clean view -> click -> purchase
+      (1L, "view", "2024-03-01 10:00:00"),
+      (1L, "click", "2024-03-01 10:01:00"),
+      (1L, "purchase", "2024-03-01 10:02:00"),
+      // u2: click BEFORE first view — never reaches stage 2
+      (2L, "click", "2024-03-01 09:00:00"),
+      (2L, "view", "2024-03-01 09:30:00"),
+      // u3: click at the SAME ts as the view — strictly-after fails
+      (3L, "view", "2024-03-01 11:00:00"),
+      (3L, "click", "2024-03-01 11:00:00"),
+      // u4: purchase ties the click ts — stops at stage 2
+      (4L, "view", "2024-03-01 12:00:00"),
+      (4L, "click", "2024-03-01 12:05:00"),
+      (4L, "purchase", "2024-03-01 12:05:00"),
+      // u5: early pre-view click ignored, later click advances; the
+      // frontier is the EARLIEST qualifying click (12:10), so the
+      // 12:15 purchase counts
+      (5L, "click", "2024-03-01 12:00:00"),
+      (5L, "view", "2024-03-01 12:05:00"),
+      (5L, "click", "2024-03-01 12:10:00"),
+      (5L, "purchase", "2024-03-01 12:15:00")))
+    val got = Relational.funnel(events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "view", 5L), (2L, "click", 3L),
+      (3L, "purchase", 2L)))
+  }
+
+  test("funnel: repeats don't double-count a user") {
+    val events = ev(Seq(
+      (1L, "view", "2024-03-01 10:00:00"),
+      (1L, "view", "2024-03-01 10:30:00"),
+      (1L, "click", "2024-03-01 10:01:00"),
+      (1L, "click", "2024-03-01 10:02:00")))
+    val got = Relational.funnel(events)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
+  }
+
+  // ---- rel_dq_audit: injected violations + pinned NULL semantics ----
+
+  private def auditTables: (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val customer = Seq(Some(1L), Some(2L), Some(2L), None)
+      .toDF("c_custkey")
+    val orders = Seq(
+      // (o_orderkey, o_custkey, o_totalprice)
+      (Some(10L), Some(1L), Some(5.0)),
+      (Some(11L), Some(3L), Some(-1.0)), // FK orphan + nonpositive price
+      (Some(11L), None, Some(3.0))       // dup key; NULL FK is EXEMPT
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Seq(
+      // (l_orderkey, l_quantity)
+      (Some(10L), Some(1.0)),
+      (Some(99L), Some(0.0)), // FK orphan + nonpositive quantity
+      (None, Some(2.0))       // NULL FK exempt from fk_orphan
+    ).toDF("l_orderkey", "l_quantity")
+    val events = Seq(
+      (Some("view"), Some("2024-06-15 12:00:00")),  // clean
+      (Some("bogus"), Some("2024-06-15 12:00:00")), // enum violation
+      (None: Option[String], Some("2020-01-01 00:00:00")), // ts below; NULL type passes enum
+      (Some("click"), None)                         // NULL ts violates bounds
+    ).toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    (customer, orders, lineitem, events)
+  }
+
+  test("dqAudit: injected violations produce the pinned counts") {
+    val (customer, orders, lineitem, events) = auditTables
+    val got = Relational.dqAudit(customer, orders, lineitem, events)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("null_key", "customer")) == ((1L, 4L)))
+    // dup_key: NULL keys excluded from grouping AND from total
+    assert(got(("dup_key", "customer")) == ((1L, 3L)))
+    assert(got(("dup_key", "orders")) == ((1L, 3L)))
+    // fk_orphan: NULL FKs exempt; totals count non-NULL-FK rows
+    assert(got(("fk_orphan", "orders")) == ((1L, 2L)))
+    assert(got(("fk_orphan", "lineitem")) == ((1L, 2L)))
+    assert(got(("range_nonpositive", "orders")) == ((1L, 3L)))
+    assert(got(("range_nonpositive", "lineitem")) == ((1L, 3L)))
+    // NULL event_type is null-handling's business, not an enum violation
+    assert(got(("enum_domain", "events")) == ((1L, 4L)))
+    // NULL ts + out-of-range ts
+    assert(got(("ts_bounds", "events")) == ((2L, 4L)))
+  }
+
+  // ---- sim_docs_tfidf_pruned: the hot-posting-list escape hatch ----
+
+  test("tfIdfDocTopK maxDfFrac: hot terms pruned before pairing") {
+    // "hot" appears in 4/5 docs (df frac 0.8 — high but NOT universal,
+    // so the IDF>0 filter alone keeps it); with maxDfFrac=0.5 it must
+    // be pruned, so d1 — whose ONLY shared term with the query is
+    // "hot" — drops out of the candidate set entirely, while d2
+    // (shares "alpha") survives.
+    val docs = Seq(
+      (0L, "hot alpha"), (1L, "hot"), (2L, "hot alpha"),
+      (3L, "hot beta"), (4L, "rare")).toDF("doc_id", "text")
+    val qs = Seq(0L).toDF("doc_id")
+    val unpruned = Similarity.tfIdfDocTopK(docs, qs)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val pruned = Similarity.tfIdfDocTopK(docs, qs, maxDfFrac = 0.5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(unpruned.contains(1L)) // via the hot term
+    assert(pruned == Set(2L))     // only the alpha-sharing doc remains
+  }
+
+  test("tfIdfDocTopK maxDfFrac=1.0 is the identity (no pruning)") {
+    val docs = Seq(
+      (0L, "hot alpha"), (1L, "hot"), (2L, "hot alpha"),
+      (3L, "hot beta"), (4L, "rare")).toDF("doc_id", "text")
+    val qs = Seq(0L).toDF("doc_id")
+    assert(rows(Similarity.tfIdfDocTopK(docs, qs, maxDfFrac = 1.0)) ==
+      rows(Similarity.tfIdfDocTopK(docs, qs)))
+  }
+
+  test("dqAudit: empty inputs report 0 violations / 0 total, never NULL") {
+    val (customer, orders, lineitem, events) = auditTables
+    val none = lit(false)
+    val got = Relational.dqAudit(customer.filter(none),
+      orders.filter(none), lineitem.filter(none), events.filter(none))
+      .collect()
+    assert(got.length == 9)
+    got.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3),
+        s"NULL in ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+    }
+  }
+}
