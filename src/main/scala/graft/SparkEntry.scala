@@ -203,6 +203,12 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e)
     }),
+    // residual-encoded IVFADC: per-list codebooks over member
+    // displacements from the coarse centroid (the canonical deployment)
+    "sim_topk_ivfpq_res" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfPqResTopK(e.filter(col("vec_id") % 50 === 0), e)
+    }),
 
     // --- sparse TF-IDF document similarity (north-star) ---
     // query subset %50 (the sim_topk_* pattern): the synthetic corpus's
@@ -1658,6 +1664,99 @@ object SparkEntry {
          |  FROM pairs pr
          |  JOIN code e ON pr.vec_id = e.vec_id
          |  JOIN dt d ON d.query_id = pr.query_id
+         |            AND d.s = e.s AND d.j = e.j
+         |  GROUP BY 1, 2
+         |), $pqRerankSql""".stripMargin,
+
+    // Residual-IVFADC twin: the same coarse routing, then residuals
+    // (FLOAT subtraction — DuckDB REAL-REAL stays single-precision,
+    // bit-matching Spark's zip_with over float vectors — cast to DOUBLE
+    // only afterwards, exactly where VecDotF widens), per-list codebook
+    // = the 16 lowest-id members of each list (j = id rank within
+    // list), per-(query, probed-list) ADC tables, decimal sum, shared
+    // re-rank tail.
+    "sim_topk_ivfpq_res" ->
+      s"""WITH $pqCtes, coarse AS (
+         |  SELECT vec_id AS ccid, v AS ccv, vv AS cc2 FROM full2
+         |  ORDER BY vec_id ASC LIMIT 16
+         |), cassign AS (
+         |  SELECT vec_id, ccid AS cid FROM (
+         |    SELECT f.vec_id, c.ccid,
+         |      row_number() OVER (PARTITION BY f.vec_id ORDER BY
+         |        f.vv - 2*list_sum(list_transform(generate_series(1, 64),
+         |          i -> f.v[i] * c.ccv[i])) + c.cc2 ASC, c.ccid ASC) AS rn
+         |    FROM full2 f, coarse c)
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, ccid AS cid FROM (
+         |    SELECT f.vec_id AS query_id, c.ccid,
+         |      row_number() OVER (PARTITION BY f.vec_id ORDER BY
+         |        f.vv - 2*list_sum(list_transform(generate_series(1, 64),
+         |          i -> f.v[i] * c.ccv[i])) + c.cc2 ASC, c.ccid ASC) AS rn
+         |    FROM full2 f, coarse c WHERE f.vec_id % 50 = 0)
+         |  WHERE rn <= 4
+         |), resid AS (
+         |  SELECT a.vec_id, a.cid,
+         |    list_transform(generate_series(1, 64),
+         |      i -> CAST(e.embedding[i] - ce.embedding[i] AS DOUBLE))
+         |      AS rv
+         |  FROM cassign a
+         |  JOIN embeddings e ON a.vec_id = e.vec_id
+         |  JOIN embeddings ce ON a.cid = ce.vec_id
+         |), members AS (
+         |  SELECT cid, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY cid
+         |      ORDER BY vec_id ASC) - 1 AS BIGINT) AS j
+         |  FROM cassign
+         |  QUALIFY j < 16
+         |), rcent AS (
+         |  SELECT r.cid, p.s, mb.j, r.rv[p.s*8+1 : p.s*8+8] AS csub,
+         |    list_sum(list_transform(r.rv[p.s*8+1 : p.s*8+8],
+         |      x -> x*x)) AS c2
+         |  FROM members mb
+         |  JOIN resid r ON mb.cid = r.cid AND mb.vec_id = r.vec_id,
+         |  subsp p
+         |), rsub AS (
+         |  SELECT vec_id, cid, p.s, rv[p.s*8+1 : p.s*8+8] AS sv,
+         |    list_sum(list_transform(rv[p.s*8+1 : p.s*8+8],
+         |      x -> x*x)) AS x2
+         |  FROM resid, subsp p
+         |), rcode AS (
+         |  SELECT vec_id, cid, s, j FROM (
+         |    SELECT c.vec_id, c.cid, c.s, k.j,
+         |      row_number() OVER (PARTITION BY c.vec_id, c.s ORDER BY
+         |        c.x2 - 2*list_sum(list_transform(generate_series(1, 8),
+         |          i -> c.sv[i] * k.csub[i])) + k.c2 ASC, k.j ASC) AS rn
+         |    FROM rsub c JOIN rcent k ON c.cid = k.cid AND c.s = k.s)
+         |  WHERE rn = 1
+         |), qres AS (
+         |  SELECT p.query_id, p.cid,
+         |    list_transform(generate_series(1, 64),
+         |      i -> CAST(qe.embedding[i] - ce.embedding[i] AS DOUBLE))
+         |      AS rq
+         |  FROM probes p
+         |  JOIN embeddings qe ON p.query_id = qe.vec_id
+         |  JOIN embeddings ce ON p.cid = ce.vec_id
+         |), qsub AS (
+         |  SELECT query_id, cid, p.s, rq[p.s*8+1 : p.s*8+8] AS qsv,
+         |    list_sum(list_transform(rq[p.s*8+1 : p.s*8+8],
+         |      x -> x*x)) AS q2
+         |  FROM qres, subsp p
+         |), rdt AS (
+         |  SELECT q.query_id, q.cid, q.s, k.j,
+         |    q.q2 - 2*list_sum(list_transform(generate_series(1, 8),
+         |      i -> q.qsv[i] * k.csub[i])) + k.c2 AS qd2
+         |  FROM qsub q JOIN rcent k ON q.cid = k.cid AND q.s = k.s
+         |), pairs AS (
+         |  SELECT p.query_id, p.cid, a.vec_id FROM probes p
+         |  JOIN cassign a ON p.cid = a.cid
+         |  WHERE a.vec_id != p.query_id
+         |), adc AS (
+         |  SELECT pr.query_id, pr.vec_id,
+         |    CAST(sum(CAST(d.qd2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
+         |  FROM pairs pr
+         |  JOIN rcode e ON pr.vec_id = e.vec_id AND pr.cid = e.cid
+         |  JOIN rdt d ON d.query_id = pr.query_id AND d.cid = pr.cid
          |            AND d.s = e.s AND d.j = e.j
          |  GROUP BY 1, 2
          |), $pqRerankSql""".stripMargin,

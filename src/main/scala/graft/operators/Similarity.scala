@@ -141,11 +141,15 @@ object Similarity {
     val pruned =
       if (maxDfFrac >= 1.0) tfidf
       else {
+        // the weight subtree feeds BOTH the df agg and the anti-join —
+        // persist it or the whole TF-IDF pipeline runs twice (house
+        // invariant 9; Housekeeping.release unpins post-query)
+        val t = tfidf.persist()
         val n = docs.count()
-        val hot = tfidf.groupBy("word").agg(count(lit(1)).as("df"))
+        val hot = t.groupBy("word").agg(count(lit(1)).as("df"))
           .filter(col("df") > lit(maxDfFrac * n))
           .select("word")
-        tfidf.join(broadcast(hot), Seq("word"), "left_anti")
+        t.join(broadcast(hot), Seq("word"), "left_anti")
       }
     // weights are consumed three times (norms + both join sides)
     val vecs = pruned.select(col("doc_id"), col("word"),
@@ -439,10 +443,10 @@ object Similarity {
     * codes, not float vectors). The coarse quantizer here is L2-based
     * (nearest of the `nCentroids` lowest-id vectors, ties to the lowest
     * centroid id) so the whole operator lives in one metric; codes are
-    * over RAW vectors, not residuals — residual encoding needs a
-    * per-list codebook transform that buys accuracy but not structure
-    * (the plumbing is identical), and raw codes keep the oracle twin
-    * readable. Recall compounds the two approximations:
+    * over RAW vectors with one global codebook — the simplest twin to
+    * read; [[ivfPqResTopK]] is the residual-encoded upgrade (per-list
+    * codebooks over member displacements — more accurate, same
+    * plumbing). Recall compounds the two approximations:
     * [[bruteTopK]]/[[pqTopK]] bound it from above at test scale.
     * Output: (query_id, neighbor_id, rank).
     */
@@ -453,12 +457,148 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, idCol, "ivfPqTopK")
     requireIntegralIds(candidates, idCol, "ivfPqTopK")
+    VecExpressions.register(queries.sparkSession)
+    val dsub = pqDims(candidates, m, vecCol, "ivfPqTopK") / m
+    val (_, assigned, probes) =
+      coarseRouting(queries, candidates, nCentroids, nProbe, idCol, vecCol)
+    // fine quantizer: same PQ stages as pqTopK
+    val cent = pqCent(candidates, ksub, m, dsub, idCol, vecCol)
+    val code = pqCodes(candidates, cent, m, dsub, idCol, vecCol)
+    val dt = pqQueryTables(queries, cent, m, dsub, idCol, vecCol)
+    // candidate pairs = probed lists only, THEN the ADC lookup — the
+    // join fans each surviving pair out to its m code rows and meets
+    // the broadcast tables on (query_id, s, j)
+    val pairs = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val adc = pairs.join(code, "vec_id")
+      .join(broadcast(dt), Seq("query_id", "s", "j"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd2").cast("decimal(30,12)")).cast("double").as("ad2"))
+    exactL2ReRank(minHeapIds(adc, rerank), queries, candidates, k,
+      idCol, vecCol)
+  }
+
+  /** Residual-encoded IVFADC — [[ivfPqTopK]] upgraded to the canonical
+    * Jégou-et-al deployment: each list's members are PQ-encoded as
+    * RESIDUALS against their coarse centroid, with a PER-LIST codebook,
+    * so the fine quantizer spends its 8 bytes on the (much smaller)
+    * within-list displacement instead of re-describing the whole
+    * vector — accuracy at identical plumbing. Queries build one ADC
+    * table per PROBED list (the query residual differs per list).
+    *
+    * Determinism: residual subtraction is element-wise FLOAT (zip_with
+    * over the float vectors — DuckDB REAL arithmetic reproduces it
+    * bit-for-bit); every dot accumulates left-to-right in double
+    * ([[graft.functions.VecDotF]]); the ADC sum routes through
+    * DECIMAL(30,12); argmin/membership/rank ties all pinned (j asc,
+    * vec_id asc), so the full chain is SQL-replayable.
+    *
+    * Scale posture: the per-list codebook is a bounded model artifact
+    * (≤ nCentroids·m·ksub rows, broadcast); list membership for
+    * codebook derivation uses the bounded heap (ksub ids per list per
+    * partition cross the shuffle — NOT a window over all candidates);
+    * query tables are queries × nProbe × m × ksub rows, broadcast;
+    * everything else is the [[ivfPqTopK]] keyed-join shape. With
+    * rerank=∞ the result is spec-proven identical to [[ivfPqTopK]]'s
+    * (both collapse to exact L2 over the same probed lists).
+    * Output: (query_id, neighbor_id, rank).
+    */
+  def ivfPqResTopK(queries: DataFrame, candidates: DataFrame, k: Int = 10,
+                   nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
+                   ksub: Int = 16, rerank: Int = 160,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, idCol, "ivfPqResTopK")
+    requireIntegralIds(candidates, idCol, "ivfPqResTopK")
     val spark = queries.sparkSession
     import spark.implicits._
     VecExpressions.register(spark)
-    val dsub = pqDims(candidates, m, vecCol, "ivfPqTopK") / m
-    // coarse codebook: the nCentroids lowest-id FULL vectors, cid =
-    // their own vec_id (the ivfTopK default rule, L2 flavor)
+    val dsub = pqDims(candidates, m, vecCol, "ivfPqResTopK") / m
+    val (coarse, assigned0, probes) =
+      coarseRouting(queries, candidates, nCentroids, nProbe, idCol, vecCol)
+    // two consumers each (residuals+membership / codebook+codes) —
+    // persist or the coarse assignment and the TF of the residual
+    // subtree recompute (house invariant 9)
+    val assigned = assigned0.persist()
+    val cvec = coarse.select(col("ccid").as("cid"), col("ccvec"))
+    val resid = candidates
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .join(assigned, "vec_id")
+      .join(broadcast(cvec), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("vec"), col("ccvec"), (x, c) => x - c).as("rvec"))
+      .persist()
+    // per-list codebook membership: the ksub lowest-id members of each
+    // list via the bounded heap (score = -id keeps smallest ids; exact
+    // for ids < 2^53); j = position in the (id asc) sorted output
+    val members = assigned
+      .select(col("cid"), col("vec_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, -t._2.toDouble))
+      .agg(new graft.functions.TopKAgg(ksub).toColumn.name("top"))
+      .toDF("cid", "top")
+      .select(col("cid"), posexplode(col("top")))
+      .select(col("cid"), col("col._2").as("vec_id"),
+        col("pos").cast("long").as("j"))
+    // per-list residual codebook (cid, s, j, csub, c2) — bounded
+    val centR = members.join(resid, Seq("cid", "vec_id"))
+      .select(col("cid"), col("j"),
+        explode(pqSubs(col("rvec"), m, dsub)).as("e"))
+      .select(col("cid"), col("e.s").as("s"), col("j"),
+        col("e.sv").as("csub"), dot(col("e.sv"), col("e.sv")).as("c2"))
+    // codes: nearest residual centroid WITHIN the candidate's own list
+    val code = resid
+      .select(col("vec_id"), col("cid"),
+        explode(pqSubs(col("rvec"), m, dsub)).as("e"))
+      .select(col("vec_id"), col("cid"), col("e.s").as("s"),
+        col("e.sv").as("sv"), dot(col("e.sv"), col("e.sv")).as("x2"))
+      .join(broadcast(centR), Seq("cid", "s"))
+      .select(col("vec_id"), col("cid"), col("s"),
+        struct(pqD2(col("sv"), col("x2")).as("d"), col("j")).as("dj"))
+      .groupBy("vec_id", "cid", "s")
+      .agg(min(col("dj")).as("best"))
+      .select(col("vec_id"), col("cid"), col("s"), col("best.j").as("j"))
+    // query residual + ADC table per probed list
+    val qres = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(probes, "query_id")
+      .join(broadcast(cvec), "cid")
+      .select(col("query_id"), col("cid"),
+        zip_with(col("qvec"), col("ccvec"), (x, c) => x - c).as("rq"))
+    val dt = qres
+      .select(col("query_id"), col("cid"),
+        explode(pqSubs(col("rq"), m, dsub)).as("e"))
+      .select(col("query_id"), col("cid"), col("e.s").as("s"),
+        col("e.sv").as("qsv"), dot(col("e.sv"), col("e.sv")).as("q2"))
+      .join(broadcast(centR), Seq("cid", "s"))
+      .select(col("query_id"), col("cid"), col("s"), col("j"),
+        pqD2(col("qsv"), col("q2")).as("qd2"))
+    val pairs = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "cid", "vec_id")
+    val adc = pairs.join(code, Seq("vec_id", "cid"))
+      .join(broadcast(dt), Seq("query_id", "cid", "s", "j"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd2").cast("decimal(30,12)")).cast("double").as("ad2"))
+    exactL2ReRank(minHeapIds(adc, rerank), queries, candidates, k,
+      idCol, vecCol)
+  }
+
+  // ---- PQ building blocks (shared by pqTopK and ivfPqTopK) ----
+
+  /** Coarse L2 routing shared by [[ivfPqTopK]] and [[ivfPqResTopK]]:
+    * codebook = the nCentroids lowest-id FULL vectors (cid = their own
+    * vec_id — the ivfTopK default rule, L2 flavor); per-candidate
+    * nearest-list assignment via struct-min (map-side combined, ties →
+    * lowest cid); per-query nProbe nearest lists via the bounded heap.
+    * Returns (coarse(ccid, ccvec, cc2), assigned(vec_id, cid),
+    * probes(query_id, cid)).
+    */
+  private def coarseRouting(queries: DataFrame, candidates: DataFrame,
+                            nCentroids: Int, nProbe: Int,
+                            idCol: String, vecCol: String)
+    : (DataFrame, DataFrame, DataFrame) = {
     val coarse = candidates.orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol).as("ccid"), col(vecCol).as("ccvec"),
         dot(col(vecCol), col(vecCol)).as("cc2"))
@@ -483,25 +623,8 @@ object Similarity {
       .select(col("query_id"), col("ccid").as("vec_id"),
         coarseD2(col("qvec"), col("q2")).as("ad2")), nProbe)
       .withColumnRenamed("vec_id", "cid")
-    // fine quantizer: same PQ stages as pqTopK
-    val cent = pqCent(candidates, ksub, m, dsub, idCol, vecCol)
-    val code = pqCodes(candidates, cent, m, dsub, idCol, vecCol)
-    val dt = pqQueryTables(queries, cent, m, dsub, idCol, vecCol)
-    // candidate pairs = probed lists only, THEN the ADC lookup — the
-    // join fans each surviving pair out to its m code rows and meets
-    // the broadcast tables on (query_id, s, j)
-    val pairs = probes.join(assigned, "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id")
-    val adc = pairs.join(code, "vec_id")
-      .join(broadcast(dt), Seq("query_id", "s", "j"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("qd2").cast("decimal(30,12)")).cast("double").as("ad2"))
-    exactL2ReRank(minHeapIds(adc, rerank), queries, candidates, k,
-      idCol, vecCol)
+    (coarse, assigned, probes)
   }
-
-  // ---- PQ building blocks (shared by pqTopK and ivfPqTopK) ----
 
   /** Vector dimensionality from a one-row metadata lookup (dims aren't
     * in the schema); uniform dims assumed as elsewhere

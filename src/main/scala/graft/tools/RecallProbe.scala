@@ -42,6 +42,13 @@ object RecallProbe {
         .join(l2ref, Seq("query_id", "neighbor_id")).count()
       println(f"RECALL $sf ivfpq(L2) = " +
         f"${ivfpqHit.toDouble / nl}%.4f ($ivfpqHit/$nl)")
+      // residual-encoded IVFADC: same routing, per-list codebooks —
+      // the accuracy-vs-raw-codes evidence
+      val resHit = graft.operators.Similarity.ivfPqResTopK(q, e)
+        .select("query_id", "neighbor_id")
+        .join(l2ref, Seq("query_id", "neighbor_id")).count()
+      println(f"RECALL $sf ivfpq_res(L2) = " +
+        f"${resHit.toDouble / nl}%.4f ($resHit/$nl)")
       l2ref.unpersist()
       graft.Housekeeping.release(spark)
     }

@@ -99,6 +99,38 @@ class Round6Spec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
   }
 
+  // ---- residual-encoded IVFADC ----
+
+  test("ivfPqResTopK with unbounded rerank IS ivfPqTopK's exact search") {
+    // with every surviving pair re-ranked exactly, residual-vs-raw
+    // codes can't matter: both collapse to exact L2 over the same
+    // probed lists (same coarse routing by construction)
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val raw = Similarity.ivfPqTopK(q, e, rerank = Int.MaxValue)
+    val res = Similarity.ivfPqResTopK(q, e, rerank = Int.MaxValue)
+    assert(rows(res) == rows(raw))
+  }
+
+  test("ivfPqResTopK: recall@10 vs exact L2 holds the measured floor (sf0.1)") {
+    // RecallProbe (2026-08-13): 0.4525 vs ivfPqTopK's 0.4375. The
+    // near-uniform synthetic embeddings are the weakest regime for
+    // residual encoding (within-list displacement ≈ the full vector),
+    // so the floor guards the plumbing, not the data-dependent gain.
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val ref = Similarity.pqTopK(q, e, rerank = Int.MaxValue)
+      .select("query_id", "neighbor_id").persist()
+    val n = ref.count().toDouble
+    val hit = Similarity.ivfPqResTopK(q, e)
+      .select("query_id", "neighbor_id")
+      .join(ref, Seq("query_id", "neighbor_id")).count()
+    ref.unpersist()
+    val recall = hit / n
+    assert(recall >= 0.40,
+      s"ivfPqResTopK recall@10 degraded: $recall < 0.40")
+  }
+
   // ---- rel_dq_audit: injected violations + pinned NULL semantics ----
 
   private def auditTables: (DataFrame, DataFrame, DataFrame, DataFrame) = {
