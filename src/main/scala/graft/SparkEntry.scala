@@ -350,6 +350,12 @@ object SparkEntry {
     "stream_late_drop" -> ((s, dir) =>
       graft.streaming.EventsStream.hourlyCountsLate(
         s, dir, scratchDir("latestage"))),
+    // queue-shaped ingestion behind the QueueSource interface: events
+    // staged as a Kafka-wire file log (key/value/topic/partition/
+    // offset), consumed as a stream with JSON value deserialization;
+    // the Kafka impl is the same consumer over KafkaQueueSource
+    "stream_queue_etl" -> ((s, dir) =>
+      graft.streaming.QueueLog.etl(s, dir, scratchDir("queuelog"))),
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
@@ -2134,6 +2140,31 @@ object SparkEntry {
         |  d.n_orders, d.bucket_revenue
         |FROM events e JOIN dim d ON e.user_id % 25 = d.obucket"""
         .stripMargin,
+
+    // Queue-ETL twin: replays the md5 partitioner, the per-partition
+    // (epoch-µs, event_id) offset window, and the consumer aggregates
+    // from the RAW events table — so a break anywhere in the staged
+    // log's key/partition/offset assignment OR the JSON value
+    // round-trip (string/long/double fields) hash-mismatches
+    "stream_queue_etl" ->
+      """WITH log AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |      ::BIGINT % 4 AS partition,
+        |    user_id, event_type, value, epoch_us(ts) AS tus, event_id
+        |  FROM events
+        |), off AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY partition
+        |    ORDER BY tus ASC, event_id ASC) - 1 AS BIGINT) AS "offset"
+        |  FROM log
+        |)
+        |SELECT partition, count(*) AS n_records,
+        |  max("offset") AS max_offset,
+        |  min(CASE WHEN event_type = 'purchase' THEN "offset" END)
+        |    AS first_purchase_offset,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |    ELSE 0 END), 0) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM off GROUP BY partition""".stripMargin,
 
     // BM25 twin: the shared token CTEs, dl/N/avgdl aggs, the pinned
     // two-stage rounding (each factor is round2'd BEFORE the multiply,

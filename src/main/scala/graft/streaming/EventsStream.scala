@@ -37,9 +37,10 @@ object EventsStream {
     * catalog and is dropped once drained — the returned frame is bound
     * to the parent session.
     */
-  private def runToMemory(spark: SparkSession,
-                          build: SparkSession => DataFrame,
-                          prefix: String, mode: String): DataFrame = {
+  private[streaming] def runToMemory(spark: SparkSession,
+                                     build: SparkSession => DataFrame,
+                                     prefix: String,
+                                     mode: String): DataFrame = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
     val name = s"graft_stream_${prefix}_" +

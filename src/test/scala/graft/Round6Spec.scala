@@ -99,6 +99,45 @@ class Round6Spec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
   }
 
+  // ---- queue-shaped ingestion (QueueSource) ----
+
+  test("QueueLog.stage: wire schema, dense in-order offsets per partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs").toString
+    graft.streaming.QueueLog.stage(spark, "/root/testdata/sf0.001", dir)
+    val log = spark.read.parquet(dir)
+    assert(log.schema == graft.streaming.QueueLog.WireSchema)
+    // offsets dense 0..n-1 within each partition
+    val byPart = log.groupBy("partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("mx"),
+        countDistinct("offset").as("nd"))
+      .collect()
+    assert(byPart.nonEmpty)
+    byPart.foreach { r =>
+      val (n, mx, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd == n, s"offsets not distinct: $nd of $n")
+      assert(mx == n - 1, s"offsets not dense: max $mx over $n rows")
+    }
+    // offset order = (ts, event_id): offset 0 is each partition's
+    // (ts asc, event_id asc) minimum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("partition")
+      .orderBy(col("ts").asc, col("ekey").asc)
+    val parsed = log.select(col("partition"), col("offset"), col("ts"),
+      get_json_object(col("value").cast("string"), "$.event_id")
+        .cast("long").as("ekey"))
+    val firsts = parsed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(firsts.filter(col("offset") =!= 0L).count() == 0)
+  }
+
+  test("KafkaQueueSource: the production swap point carries its config") {
+    // constructible without the connector jar (format("kafka") resolves
+    // at runtime); a deployment swaps the QueueSource value only
+    val k = graft.streaming.KafkaQueueSource("broker:9092", "events")
+    assert(k.topic == "events" && k.startingOffsets == "earliest")
+  }
+
   // ---- residual-encoded IVFADC ----
 
   test("ivfPqResTopK with unbounded rerank IS ivfPqTopK's exact search") {
