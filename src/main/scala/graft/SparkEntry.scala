@@ -269,6 +269,11 @@ object SparkEntry {
     "rel_dq_audit" -> ((s, dir) =>
       Relational.dqAudit(tbl(s, dir, "customer"), tbl(s, dir, "orders"),
         tbl(s, dir, "lineitem"), tbl(s, dir, "events"))),
+    // CMS heavy hitters: exact top-k counts + per-key sketch-contract
+    // boolean (estimates are hash-impl-specific — the contract is the
+    // cross-engine-stable surface, the rel_approx_users pattern)
+    "rel_heavy_hitters" -> ((s, dir) =>
+      Relational.heavyHitters(tbl(s, dir, "events"), "event_type")),
     "rel_asof_join" -> ((s, dir) =>
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
@@ -2140,6 +2145,16 @@ object SparkEntry {
         |  d.n_orders, d.bucket_revenue
         |FROM events e JOIN dim d ON e.user_id % 25 = d.obucket"""
         .stripMargin,
+
+    // Heavy-hitters twin: exact counts + the contract boolean pinned
+    // TRUE (CMS never undercounts; the eps-slack upper bound holds
+    // with ≥ 0.99 probability per key and the 5-key domain makes
+    // collisions in a 2719-wide sketch practically impossible)
+    "rel_heavy_hitters" ->
+      """SELECT event_type AS key, count(*) AS exact_cnt,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY exact_cnt DESC, key ASC LIMIT 5""".stripMargin,
 
     // Queue-ETL twin: replays the md5 partitioner, the per-partition
     // (epoch-µs, event_id) offset window, and the consumer aggregates

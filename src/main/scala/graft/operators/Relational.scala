@@ -550,4 +550,44 @@ object Relational {
           .otherwise(0L)), events),
     ).reduce(_.unionByName(_))
   }
+
+  /** Heavy hitters with a Count-Min-Sketch accuracy contract — the
+    * bounded-memory frequency surface a 100 TB pipeline actually
+    * deploys (the sketch is w·d counters regardless of input size, and
+    * Spark merges per-partition sketches associatively), gated the
+    * sketch-contract way ([[approxQuantiles]] / the HLL gate
+    * precedent): CMS estimates are hash-implementation-specific, so
+    * the OUTPUT carries the exact top-k counts plus a boolean per key
+    * asserting the sketch's guarantee — `est ≥ exact` (always, CMS
+    * never undercounts) and `est ≤ exact + ⌈eps·N⌉` (holds with
+    * probability ≥ confidence per key; at these parameters the slack
+    * exceeds any plausible collision mass, so the gate is
+    * deterministic in practice and the oracle pins `TRUE`).
+    *
+    * The k-row top list is probed against the driver-held sketch — a
+    * bounded model artifact (the whole point of a sketch is that it is
+    * driver-sized); the exact counts come from a plain keyed agg +
+    * TakeOrderedAndProject.
+    * Output: (key, exact_cnt, est_ok), (exact_cnt desc, key asc).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 5,
+                   eps: Double = 0.001,
+                   confidence: Double = 0.99): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val cms = df.select(col(keyCol).cast("string").as("k"))
+      .stat.countMinSketch("k", eps, confidence, 42)
+    val top = df.select(col(keyCol).cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("key").asc).limit(k)
+      .collect() // ≤ k rows — bounded by the parameter
+    val slack = math.ceil(eps * n).toLong
+    top.toSeq.map { r =>
+      val key = r.getString(0)
+      val exact = r.getLong(1)
+      val est = cms.estimateCount(key)
+      (key, exact, est >= exact && est <= exact + slack)
+    }.toDF("key", "exact_cnt", "est_ok")
+  }
 }

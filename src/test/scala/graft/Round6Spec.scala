@@ -99,6 +99,19 @@ class Round6Spec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
   }
 
+  // ---- CMS heavy hitters ----
+
+  test("heavyHitters: exact top-k ordering + CMS contract holds") {
+    val df = (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      Seq.fill(20)("cool") ++ Seq("rare")).toDF("k")
+    val got = Relational.heavyHitters(df, "k", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // rare is cut by k=3; slack = ceil(0.001·101) = 1
+    assert(got == Seq(("hot", 50L, true), ("warm", 30L, true),
+      ("cool", 20L, true)))
+  }
+
   // ---- queue-shaped ingestion (QueueSource) ----
 
   test("QueueLog.stage: wire schema, dense in-order offsets per partition") {
