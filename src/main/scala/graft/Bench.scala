@@ -26,11 +26,13 @@ object Bench {
     "dedup_substring" -> 1.08, "samp_shard" -> 0.27,
     "rel_range_join" -> 0.34, "sim_topk_pq" -> 1.88,
     "rel_skew_join" -> 0.36, "sim_topk_ivfpq" -> 2.2,
+    "sim_topk_ivfpq_res" -> 3.14,
     "io_csv_roundtrip" -> 1.64, "mm_features" -> 0.26, "pipe_curate" -> 4.62,
     "q1_tokens" -> 0.18, "q2_dictionary" -> 0.5, "q3_task1" -> 0.45,
     "q4_tf" -> 0.9, "q5_idf" -> 0.98, "q6_tfidf" -> 1.18,
     "rel_anti_join" -> 0.21, "rel_approx_users" -> 0.68,
     "rel_funnel" -> 0.44, "rel_dq_audit" -> 0.62,
+    "rel_heavy_hitters" -> 0.32,
     "rel_asof_join" -> 0.82, "rel_cube" -> 0.49, "rel_event_props" -> 0.43,
     "rel_events_hourly" -> 0.58, "rel_order_history" -> 0.35,
     "rel_pricing_summary" -> 1.02, "rel_promo_revenue" -> 1.1,
@@ -49,6 +51,7 @@ object Bench {
     "stream_dedup_pairs" -> 0.7, "stream_events_by_segment" -> 0.86,
     "stream_events_hourly" -> 0.87, "stream_events_sliding" -> 0.88,
     "stream_foreach_sink" -> 1.08, "stream_late_drop" -> 2.51,
+    "stream_queue_etl" -> 1.74,
     "stream_session_window" -> 1.29, "stream_stream_join" -> 2.67,
     "stream_type_counts" -> 1.21, "stream_user_counts" -> 0.86,
     "text_bm25" -> 1.6, "text_chunk" -> 0.23, "text_fingerprint" -> 0.51,

@@ -18,7 +18,12 @@ object ExplainAudit {
         "samp_hash", "sim_quantize", "sim_label_eval",
         // round-5 surface
         "dedup_substring", "samp_shard", "rel_range_join",
-        "sim_topk_pq", "rel_skew_join")
+        "sim_topk_pq", "rel_skew_join",
+        // round-6 surface (stream_queue_etl excluded: explain would
+        // stage the log and drain the stream, not just plan)
+        "text_bm25", "rel_funnel", "rel_dq_audit",
+        "sim_docs_tfidf_pruned", "sim_topk_ivfpq_res",
+        "rel_heavy_hitters")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
