@@ -235,6 +235,23 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       Search.bm25TopK(docs(s, dir), TestProbeWords)),
 
+    // --- composed retrieval index (the pipe_curate pattern for RAG) ---
+    // chunk → hashing-trick sparse embedding → exact integer-cosine
+    // top-k, ONE Catalyst plan across three operator families;
+    // chunk_key = doc_id·1000 + chunk_id (chunks per doc ≪ 1000), query
+    // set = keys ≡ 0 (mod 97) (prime, so it cuts across docs AND
+    // chunk positions — mod 50 would select every doc's chunk 0)
+    "pipe_rag_index" -> ((s, dir) => {
+      val chunks = TextStats.chunk(docs(s, dir), chunkTokens = 64,
+          overlap = 16)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+          col("chunk_text"))
+      val emb = TextStats.hashEmbedBuckets(chunks,
+        idCol = "chunk_key", textCol = "chunk_text")
+      Similarity.sparseIntTopK(emb,
+        emb.filter(col("doc_id") % 97 === 0).select("doc_id"))
+    }),
+
     // --- embedding label-purity eval (north-star; uses the labels) ---
     "sim_label_eval" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -2145,6 +2162,69 @@ object SparkEntry {
         |  d.n_orders, d.bucket_revenue
         |FROM events e JOIN dim d ON e.user_id % 25 = d.obucket"""
         .stripMargin,
+
+    // RAG-index twin: the text_chunk CTE chain (same 64/48 constants),
+    // chunk keys, the md5 hashing-trick buckets over chunk text, then
+    // exact INTEGER dots/norms — the only floating point is
+    // sqrt/division over exact longs, so no decimal routing is needed
+    // and the cosines are bit-identical by construction
+    "pipe_rag_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents
+        |), nc AS (
+        |  SELECT doc_id, t,
+        |    greatest(1, CAST(floor((len(t) - 16 + 47) / 48.0) AS BIGINT)) AS n
+        |  FROM tok WHERE len(t) > 0
+        |), ex AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, n - 1)) AS chunk_id
+        |  FROM nc
+        |), ck AS (
+        |  SELECT doc_id * 1000 + chunk_id AS ckey,
+        |    array_to_string(t[(chunk_id*48+1):(chunk_id*48+64)], ' ')
+        |      AS ctext
+        |  FROM ex
+        |), ctok0 AS (
+        |  SELECT ckey, unnest(string_split(ctext, ' ')) AS tokk FROM ck
+        |), ctok AS (
+        |  SELECT ckey, word FROM (
+        |    SELECT ckey,
+        |      lower(regexp_replace(tokk, '[^a-zA-Z]', '', 'g')) AS word
+        |    FROM ctok0)
+        |  WHERE length(word) > 0
+        |), hx AS (
+        |  SELECT ckey, md5(word) AS h FROM ctok
+        |), bkt AS (
+        |  SELECT ckey,
+        |    CAST(('0x' || substr(h, 29, 4))::BIGINT % 64 AS INTEGER) AS j,
+        |    CASE WHEN ('0x' || substr(h, 1, 1))::BIGINT % 2 = 1
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM hx
+        |), emb AS (
+        |  SELECT ckey, j, CAST(sum(sgn) AS BIGINT) AS w
+        |  FROM bkt GROUP BY ckey, j
+        |), nsq AS (
+        |  SELECT ckey, CAST(sum(w * w) AS BIGINT) AS nsq
+        |  FROM emb GROUP BY ckey
+        |), d AS (
+        |  SELECT a.ckey AS qk, bb.ckey AS nk,
+        |    CAST(sum(a.w * bb.w) AS BIGINT) AS dot
+        |  FROM emb a JOIN emb bb ON a.j = bb.j AND a.ckey != bb.ckey
+        |  WHERE a.ckey % 97 = 0
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT qk AS query_id, nk AS neighbor_id,
+        |    CAST(dot AS DOUBLE) /
+        |      nullif(sqrt(CAST(x.nsq AS DOUBLE)) *
+        |        sqrt(CAST(y.nsq AS DOUBLE)), 0) AS cos
+        |  FROM d JOIN nsq x ON qk = x.ckey JOIN nsq y ON nk = y.ckey
+        |)
+        |SELECT query_id, neighbor_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS "rank"
+        |FROM s WHERE cos IS NOT NULL
+        |QUALIFY "rank" <= 5""".stripMargin,
 
     // Heavy-hitters twin: exact counts + the contract boolean pinned
     // TRUE (CMS never undercounts; the eps-slack upper bound holds

@@ -192,6 +192,56 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Cosine top-k over SPARSE INTEGER vectors (doc_id, j, w) — the
+    * exact, cross-engine-stable similarity for DERIVED embeddings like
+    * [[TextStats.hashEmbedBuckets]]'s hashing-trick vectors: dot
+    * products and squared norms are exact long sums (order-independent
+    * with no decimal routing needed), and the only floating point is
+    * sqrt/division over those exact integers — bit-identical in any
+    * engine. Same inverted-index + broadcast-query + bounded-heap
+    * shape as [[tfIdfDocTopK]] (and the same rationale for
+    * broadcasting the query side: a j-keyed shuffle would hash on the
+    * bucket vocabulary).
+    * Output: (query_id, neighbor_id, cos, rank).
+    */
+  def sparseIntTopK(buckets: DataFrame, queryIds: DataFrame,
+                    k: Int = 5): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    // consumed by norms + both join sides (house invariant 9)
+    val vecs = buckets.select(col("doc_id"), col("j"), col("w")).persist()
+    val norms = vecs.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("nsq"))
+    val qs = queryIds.select(col("doc_id")).distinct()
+    val a = vecs.join(broadcast(qs), "doc_id")
+      .select(col("doc_id").as("doc_a"), col("j"), col("w").as("wa"))
+    val prods = broadcast(a)
+      .join(vecs.select(col("doc_id").as("doc_b"), col("j"),
+        col("w").as("wb")), Seq("j"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val scored = prods
+      .join(norms.select(col("doc_id").as("doc_a"), col("nsq").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nsq").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast("double") /
+          nullif(sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")), lit(0.0))).as("cos"))
+      .filter(col("cos").isNotNull)
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cos"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the industry-standard coarse
     * quantization scale path: candidates are assigned to their nearest
     * of `nCentroids` centroid lists; each query scores only the lists

@@ -99,6 +99,25 @@ class Round6Spec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
   }
 
+  // ---- sparse-integer cosine top-k (pipe_rag_index's core) ----
+
+  test("sparseIntTopK: exact integer cosines, shared-bucket candidates only") {
+    val vecs = Seq((1L, 0, 2L), (1L, 1, 1L), (2L, 0, 2L), (2L, 1, 1L),
+      (3L, 0, -2L), (4L, 2, 3L)).toDF("doc_id", "j", "w")
+    val got = Similarity.sparseIntTopK(vecs, Seq(1L).toDF("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    // doc 4 shares no bucket with the query -> never a candidate
+    assert(got.map(t => (t._1, t._2, t._4)) ==
+      Seq((1L, 2L, 1L), (1L, 3L, 2L)))
+    // identical vector: dot 5 over norms sqrt(5)*sqrt(5)
+    assert(math.abs(got(0)._3 - 5.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
+      < 1e-15)
+    // opposed vector on the shared bucket: dot -4, norms sqrt(5)*2
+    assert(math.abs(got(1)._3 + 4.0 / (math.sqrt(5.0) * 2.0)) < 1e-15)
+  }
+
   // ---- CMS heavy hitters ----
 
   test("heavyHitters: exact top-k ordering + CMS contract holds") {
