@@ -448,6 +448,12 @@ object SparkEntry {
     "samp_mix" -> ((s, dir) =>
       Sampling.mixtureSample(docs(s, dir), MixTargets)
         .select("doc_id", "lang")),
+    // temperature-2 rebalance: weights sqrt(count) derived in-plan
+    // (sqrt is correctly rounded per IEEE 754 → oracle-pinnable; other
+    // temperatures go through pow and are not)
+    "samp_mix_temp" -> ((s, dir) =>
+      Sampling.temperatureMixture(docs(s, dir))
+        .select("doc_id", "lang")),
 
     // --- greedy sequence packing (north-star; see operators.Packing) ---
     "text_pack" -> ((s, dir) =>
@@ -1484,6 +1490,26 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents JOIN f USING (lang)
          |WHERE ('0x' || substr(md5('graft' || '|' ||
          |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
+
+    // Temperature-mixture twin: identical chain with w = sqrt(c)
+    // (correctly-rounded IEEE — bit-identical across engines); the
+    // keep fraction w·T*/c is scale-invariant in w, so no share
+    // normalization sum appears anywhere
+    "samp_mix_temp" ->
+      """WITH cnt AS (
+        |  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT lang, c, sqrt(c) AS w FROM cnt
+        |), t AS (
+        |  SELECT min(c / w) AS tstar FROM w
+        |), f AS (
+        |  SELECT lang, CAST(floor(w * tstar / c * 4294967296.0)
+        |    AS BIGINT) AS thr
+        |  FROM w, t
+        |)
+        |SELECT doc_id, lang FROM documents JOIN f USING (lang)
+        |WHERE ('0x' || substr(md5('graft' || '|' ||
+        |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
 
     // Greedy-packing twin: the same per-shard sequential fold, replayed
     // as a recursive CTE over row_number-ordered docs (state = (nb, nr):

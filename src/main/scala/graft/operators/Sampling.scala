@@ -267,6 +267,44 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** Temperature-scaled mixture resampling — the multilingual-corpus
+    * reweighting trick (mBERT/XLM-R style): stratum shares are
+    * rebalanced toward count^(1/T), down-weighting dominant strata and
+    * (relatively) up-weighting rare ones; T=1 is the identity mix, T→∞
+    * the uniform mix. Implemented as [[mixtureSample]]'s in-plan
+    * threshold machinery with DERIVED weights w_s = count_s^(1/T):
+    * the keep fraction w_s·T* / count_s is scale-invariant in w, so
+    * no normalizing share sum exists anywhere — which is what makes
+    * the operator bit-replayable (a Σ over strata would be a fold
+    * whose order both engines must pin).
+    *
+    * Default T=2 computes the exponent with `sqrt`, which IEEE 754
+    * requires to be correctly rounded — the thresholds are
+    * bit-identical in any engine. Other temperatures go through
+    * `pow` (within-1-ulp, not correctly rounded) — fine in practice
+    * but not oracle-pinnable, hence the gate runs T=2. The smallest
+    * stratum always keeps 100% (T* = min sqrt(count)); every other
+    * stratum keeps sqrt(count_min/count_s).
+    */
+  def temperatureMixture(df: DataFrame, temperature: Double = 2.0,
+                         stratumCol: String = "lang",
+                         keyCol: String = "doc_id",
+                         salt: String = "graft"): DataFrame = {
+    require(temperature >= 1.0, s"temperature < 1 up-samples: $temperature")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_c"))
+    val withW = counts.withColumn("_w",
+      if (temperature == 2.0) sqrt(col("_c"))
+      else pow(col("_c"), lit(1.0 / temperature)))
+    val tstar = withW.agg(min(col("_c") / col("_w")).as("_tstar"))
+    val thresholds = withW.crossJoin(broadcast(tstar))
+      .select(col(stratumCol),
+        floor(col("_w") * col("_tstar") / col("_c") * lit(HashRange))
+          .cast("long").as("_thr"))
+    df.join(broadcast(thresholds), stratumCol)
+      .filter(hashValue(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Deterministic stratified sample: per-stratum fractions, keyed on
     * `keyCol`. Strata missing from `fractions` use `defaultFraction`.
     * The fraction map is a literal when/otherwise chain (stays in

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, Search, Similarity}
+import graft.operators.{Relational, Sampling, Search, Similarity}
 
 /** Round-6 behavior pins for the three queries that shipped at the end
   * of round 5 without any verification: BM25 scores hand-computed on a
@@ -97,6 +97,33 @@ class Round6Spec extends SparkSpec {
     val got = Relational.funnel(events)
       .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
+  }
+
+  // ---- temperature-scaled mixture sampling ----
+
+  test("temperatureMixture: equal strata untouched, derived thresholds exact") {
+    // equal counts -> w = sqrt(c) equal -> T* = sqrt(c) -> every
+    // stratum's keep fraction is exactly 1.0: nothing drops
+    val eq = (1L to 20L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    assert(Sampling.temperatureMixture(eq).count() == 20)
+    // 16 vs 4: T* = min(16/4, 4/2) = 2 -> small keeps 2*2/4 = 1.0,
+    // big keeps 4*2/16 = 0.5 -> exactly the ids hashing below
+    // floor(0.5 * 2^32)
+    val skew = ((1L to 16L).map((_, "big")) ++ (17L to 20L)
+      .map((_, "small"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMixture(skew)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "small") == 4)
+    val thr = math.floor(0.5 * 4294967296.0).toLong
+    val hashes = spark.range(1).select(
+      (1L to 16L).map(id =>
+        Sampling.hashValue(lit(id), "graft").as(s"h$id")): _*)
+      .head()
+    val expectBig = (1L to 16L)
+      .filter(id => hashes.getLong(id.toInt - 1) < thr).toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == expectBig)
   }
 
   // ---- sparse-integer cosine top-k (pipe_rag_index's core) ----
