@@ -28,6 +28,7 @@ object Bench {
     "rel_skew_join" -> 0.36, "sim_topk_ivfpq" -> 2.2,
     "sim_topk_ivfpq_res" -> 3.14,
     "io_csv_roundtrip" -> 1.64, "mm_features" -> 0.26, "pipe_curate" -> 4.62,
+    "pipe_rag_index" -> 2.19, "samp_mix_temp" -> 0.27,
     "q1_tokens" -> 0.18, "q2_dictionary" -> 0.5, "q3_task1" -> 0.45,
     "q4_tf" -> 0.9, "q5_idf" -> 0.98, "q6_tfidf" -> 1.18,
     "rel_anti_join" -> 0.21, "rel_approx_users" -> 0.68,

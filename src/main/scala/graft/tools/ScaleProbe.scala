@@ -41,6 +41,20 @@ object ScaleProbe {
     // the most expensive gate query — probe that the composition stays
     // K-flat like its parts (its cost center, dedup_assign, is)
     time(big)("pipe_curate")(Curate.curate(big).count())
+    // composed RAG index (round 6): chunk → hash-embed → integer-cosine
+    // top-k. Query count grows with the corpus (mod-97 chunk keys) and
+    // the 64-bucket vocabulary is dense, so pairs ≈ Q·N/64 per bucket —
+    // the probe shows whether the broadcast-query inverted-index join
+    // degrades faster than the K² pair growth it is charged for
+    time(big)("pipe_rag_index") {
+      val chunks = TextStats.chunk(big, chunkTokens = 64, overlap = 16)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+          col("chunk_text"))
+      val emb = TextStats.hashEmbedBuckets(chunks, idCol = "chunk_key",
+        textCol = "chunk_text")
+      Similarity.sparseIntTopK(emb,
+        emb.filter(col("doc_id") % 97 === 0).select("doc_id")).count()
+    }
     // domain cap at a cap that actually bites at probe scale: the window
     // form sorts every stratum in full; the boundary-bucket form sorts
     // ~1/1024 of one bucket per stratum — same output (spec-pinned)
