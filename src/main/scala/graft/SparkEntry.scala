@@ -123,6 +123,30 @@ object SparkEntry {
         "doc_id" -> "bigint", "word" -> "string", "cnt" -> "bigint",
         "tf" -> "double", "tf_idf" -> "double"))
     }),
+    // JSONL write→read identity on the same Q6 rows (shares q6Sql) —
+    // the LLM-training-data interchange surface next to the
+    // reference's ", "-CSV one
+    "io_jsonl_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = scratchDir("jsonl")
+      graft.io.CompatIo.writeJsonl(TfIdfOps.tfIdfPipeline(docs(s, dir)),
+        out)
+      graft.io.CompatIo.readJsonl(s, out, StructType(Seq(
+        StructField("doc_id", LongType), StructField("word", StringType),
+        StructField("cnt", LongType), StructField("tf", DoubleType),
+        StructField("tf_idf", DoubleType))))
+    }),
+    // hive-partitioned lake layout: write docs partitioned by lang,
+    // read ONE partition back — the predicate must prune directories
+    // (PartitionFilters), which Round6Spec pins on the scan node
+    "io_partition_prune" -> ((s, dir) => {
+      val out = scratchDir("partlake")
+      graft.io.CompatIo.writePartitioned(
+        docs(s, dir).select("doc_id", "source", "lang"), out, "lang")
+      graft.io.CompatIo.readPartition(s, out, "lang", "en")
+        .select(col("doc_id"), col("source"),
+          col("lang").cast("string").as("lang"))
+    }),
 
     // --- text analysis (north-star) ---
     "text_stats" -> ((s, dir) => TextStats.stats(docs(s, dir))),
@@ -962,6 +986,12 @@ object SparkEntry {
     "q6_tfidf" -> q6Sql,
     // write→read identity on the reference's ", "-CSV surface
     "io_csv_roundtrip" -> q6Sql,
+    // write→read identity on the JSONL surface (same rows)
+    "io_jsonl_roundtrip" -> q6Sql,
+    // partition-pruned read of the lang=en slice
+    "io_partition_prune" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE lang = 'en'""".stripMargin,
 
     // Sparse TF-IDF doc-similarity twin: the q6 weight chain, inverted-
     // index self-join on the word, DECIMAL(30,12)-summed dots/norms

@@ -77,6 +77,42 @@ object CompatIo {
     }: _*)
   }
 
+  /** JSONL (one JSON object per line) — the LLM-training-data
+    * interchange format. Write: `to_json` over all columns in schema
+    * order through the text sink (Jackson's shortest-round-trip double
+    * repr makes the numeric round-trip exact); read: the schema'd json
+    * source, so malformed lines surface as NULLs, not task failures.
+    * One file per partition — at 100 TB the layout shards exactly like
+    * any text table (no per-doc fan-out).
+    */
+  def writeJsonl(df: DataFrame, outDir: String): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode(SaveMode.Overwrite).text(outDir)
+
+  /** Read-side of [[writeJsonl]]: explicit schema (never inference —
+    * an inference pass both scans twice and can widen types). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Hive-partitioned parquet layout + partition-pruned read-back —
+    * the lake layout a 100 TB corpus actually uses: write once
+    * partitioned by a low-cardinality column (lang, source, date);
+    * consumers touching one partition read ONLY its files. The read
+    * path must show the predicate under `PartitionFilters` (directory
+    * pruning — zero I/O on other partitions), not `PushedFilters`
+    * (row-group pruning after the file is opened); Round6Spec pins
+    * exactly that on the physical scan node.
+    */
+  def writePartitioned(df: DataFrame, outDir: String,
+                       partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(outDir)
+
+  /** Partition-pruned read of one `partCol=value` slice. */
+  def readPartition(spark: SparkSession, dir: String, partCol: String,
+                    value: String): DataFrame =
+    spark.read.parquet(dir).filter(col(partCol) === value)
+
   /** Reference-native per-doc layout reader: a directory of
     * `<docID>.csv` files (the reference's staging bucket / TF-IDF-Docs
     * layout), doc_id recovered from the file name. One Spark task per

@@ -99,6 +99,42 @@ class Round6Spec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
   }
 
+  // ---- lake-layout I/O: JSONL + partition pruning ----
+
+  test("jsonl roundtrip: exact identity incl. doubles") {
+    import org.apache.spark.sql.types._
+    val src = Seq((1L, "a", 3L, 0.07, 0.01), (2L, "b", 1L, 0.5, 0.33))
+      .toDF("doc_id", "word", "cnt", "tf", "tf_idf")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      .toString
+    graft.io.CompatIo.writeJsonl(src, dir)
+    val back = graft.io.CompatIo.readJsonl(spark, dir, StructType(Seq(
+      StructField("doc_id", LongType), StructField("word", StringType),
+      StructField("cnt", LongType), StructField("tf", DoubleType),
+      StructField("tf_idf", DoubleType))))
+    assert(rows(back) == rows(src))
+  }
+
+  test("partitioned write: the lang predicate prunes DIRECTORIES") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val src = Seq((1L, "en"), (2L, "de"), (3L, "en"))
+      .toDF("doc_id", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_plake")
+      .toString
+    graft.io.CompatIo.writePartitioned(src, dir, "lang")
+    val one = graft.io.CompatIo.readPartition(spark, dir, "lang", "en")
+    assert(one.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    // the predicate must be a PARTITION filter on the scan node (zero
+    // I/O on lang=de), not a post-scan data filter
+    val scans = one.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.partitionFilters
+      .exists(_.references.exists(_.name == "lang"))))
+    assert(scans.forall(_.dataFilters.isEmpty))
+  }
+
   // ---- temperature-scaled mixture sampling ----
 
   test("temperatureMixture: equal strata untouched, derived thresholds exact") {
