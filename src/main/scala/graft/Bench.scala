@@ -27,12 +27,14 @@ object Bench {
     "rel_range_join" -> 0.34, "sim_topk_pq" -> 1.88,
     "rel_skew_join" -> 0.36, "sim_topk_ivfpq" -> 2.2,
     "sim_topk_ivfpq_res" -> 3.14,
-    "io_csv_roundtrip" -> 1.64, "mm_features" -> 0.26, "pipe_curate" -> 4.62,
+    "io_csv_roundtrip" -> 1.64, "io_jsonl_roundtrip" -> 1.2,
+    "io_partition_prune" -> 0.64,
+    "mm_features" -> 0.26, "pipe_curate" -> 4.62,
     "pipe_rag_index" -> 2.19, "samp_mix_temp" -> 0.27,
     "q1_tokens" -> 0.18, "q2_dictionary" -> 0.5, "q3_task1" -> 0.45,
     "q4_tf" -> 0.9, "q5_idf" -> 0.98, "q6_tfidf" -> 1.18,
     "rel_anti_join" -> 0.21, "rel_approx_users" -> 0.68,
-    "rel_funnel" -> 0.44, "rel_dq_audit" -> 0.62,
+    "rel_funnel" -> 0.44, "rel_dq_audit" -> 0.69,
     "rel_heavy_hitters" -> 0.32,
     "rel_asof_join" -> 0.82, "rel_cube" -> 0.49, "rel_event_props" -> 0.43,
     "rel_events_hourly" -> 0.58, "rel_order_history" -> 0.35,
@@ -42,10 +44,10 @@ object Bench {
     "rel_set_ops" -> 0.28, "rel_skew_distinct" -> 0.19,
     "rel_top_customers" -> 0.38, "rel_window_funcs" -> 0.29,
     "samp_cap" -> 0.36, "samp_cap_scalable" -> 0.66, "samp_hash" -> 0.16,
-    "samp_mix" -> 0.41, "samp_split" -> 0.16, "samp_split_safe" -> 2.82,
+    "samp_mix" -> 0.41, "samp_split" -> 0.16, "samp_split_safe" -> 2.88,
     "samp_stratified" -> 0.15,
     "samp_weighted" -> 0.15, "sim_docs_tfidf" -> 4.52,
-    "sim_docs_tfidf_pruned" -> 3.63,
+    "sim_docs_tfidf_pruned" -> 3.86,
     "sim_label_eval" -> 0.54, "sim_quantize" -> 1.07,
     "sim_topk_brute" -> 0.51, "sim_topk_ivf" -> 0.98,
     "sim_topk_ivf_trained" -> 3.74, "sim_topk_lsh" -> 0.59,
@@ -55,12 +57,12 @@ object Bench {
     "stream_queue_etl" -> 1.74,
     "stream_session_window" -> 1.29, "stream_stream_join" -> 2.67,
     "stream_type_counts" -> 1.21, "stream_user_counts" -> 0.86,
-    "text_bm25" -> 1.6, "text_chunk" -> 0.23, "text_fingerprint" -> 0.51,
+    "text_bm25" -> 1.48, "text_chunk" -> 0.23, "text_fingerprint" -> 0.51,
     "text_hash_embed" -> 0.69, "text_langid" -> 0.19, "text_lm_score" -> 1.5,
     "text_lm_score_scalable" -> 1.65, "text_pack" -> 0.31,
     "text_quality_flags" -> 0.23, "text_redact" -> 0.2,
     "text_repetition" -> 1.18, "text_stats" -> 0.58,
-    "text_token_ids" -> 0.87, "wiki_parse" -> 0.03,
+    "text_token_ids" -> 0.96, "wiki_parse" -> 0.03,
     "wiki_tfidf" -> 0.35, "wiki_tokens" -> 0.05)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
