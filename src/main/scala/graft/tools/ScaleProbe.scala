@@ -25,8 +25,12 @@ object ScaleProbe {
     // release() drops EVERY cached frame (operator-local persists);
     // re-cache just the probe's input so the next op isn't charged for
     // re-reading it
+    // optional args(1): substring filter — re-probe one op without
+    // paying for the whole battery
+    val only: Option[String] = if (args.length > 1) Some(args(1)) else None
     def time(keep: org.apache.spark.sql.DataFrame)(name: String)
             (f: => Long): Unit = {
+      if (only.exists(o => !name.contains(o))) return
       val t0 = System.nanoTime()
       val n = f
       println(f"PROBE $name rows=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
@@ -54,6 +58,23 @@ object ScaleProbe {
         textCol = "chunk_text")
       Similarity.sparseIntTopK(emb,
         emb.filter(col("doc_id") % 97 === 0).select("doc_id")).count()
+    }
+    // same pipeline with a FIXED query set (replica 0's mod-97 keys —
+    // id shifts put other replicas on other residues, so a scaled
+    // modulus would NOT fix Q): isolates per-query linearity in N from
+    // the gate variant's Q·N growth — exact retrieval is Q·N by
+    // definition; when Q grows with the corpus the scale path is the
+    // ANN family, not this operator
+    time(big)("pipe_rag_index_fixedQ") {
+      val chunks = TextStats.chunk(big, chunkTokens = 64, overlap = 16)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+          col("chunk_text"))
+      val emb = TextStats.hashEmbedBuckets(chunks, idCol = "chunk_key",
+        textCol = "chunk_text")
+      Similarity.sparseIntTopK(emb,
+        emb.filter(col("doc_id") < 1000000000L &&
+          col("doc_id") % 97 === 0).select("doc_id"))
+        .count()
     }
     // domain cap at a cap that actually bites at probe scale: the window
     // form sorts every stratum in full; the boundary-bucket form sorts
