@@ -14,7 +14,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  import org.apache.spark.sql.functions.{col, get, lit, pmod}
+  import org.apache.spark.sql.functions.{col, get, length, lit, pmod}
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -478,6 +478,20 @@ object SparkEntry {
     "samp_mix_temp" -> ((s, dir) =>
       Sampling.temperatureMixture(docs(s, dir))
         .select("doc_id", "lang")),
+    // curriculum deciles by text length: exact ntile over the pinned
+    // (score, doc_id) total order — the global-sort baseline
+    "samp_curriculum" -> ((s, dir) =>
+      Sampling.curriculumBins(docs(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long")
+          .as("score")), "score")
+        .select("doc_id", "score", "bin")),
+    // the 100 TB form: value-quantile bins from the score histogram —
+    // no global row sort; tie blocks land whole (block-start bin)
+    "samp_curriculum_scalable" -> ((s, dir) =>
+      Sampling.curriculumBinsScalable(docs(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long")
+          .as("score")), "score")
+        .select("doc_id", "score", "bin")),
 
     // --- greedy sequence packing (north-star; see operators.Packing) ---
     "text_pack" -> ((s, dir) =>
@@ -1520,6 +1534,32 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents JOIN f USING (lang)
          |WHERE ('0x' || substr(md5('graft' || '|' ||
          |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
+
+    // Curriculum twins: exact ntile over the pinned total order, and
+    // the histogram value-quantile replay (running sum over DISTINCT
+    // scores, block-start bin ceil((cum-c+1)*nBins/N))
+    "samp_curriculum" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS score,
+        |  CAST(ntile(10) OVER (ORDER BY length(text) ASC, doc_id ASC)
+        |    AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
+    "samp_curriculum_scalable" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS score
+        |  FROM documents
+        |), hist AS (
+        |  SELECT score, count(*) AS c FROM s GROUP BY score
+        |), cum AS (
+        |  SELECT score, c, sum(c) OVER (ORDER BY score ASC) AS cum
+        |  FROM hist
+        |), n AS (SELECT count(*) AS n FROM s),
+        |b AS (
+        |  SELECT score,
+        |    CAST(ceil((cum - c + 1) * 10.0 / n) AS BIGINT) AS bin
+        |  FROM cum, n
+        |)
+        |SELECT s.doc_id, s.score, b.bin FROM s JOIN b USING (score)"""
+        .stripMargin,
 
     // Temperature-mixture twin: identical chain with w = sqrt(c)
     // (correctly-rounded IEEE — bit-identical across engines); the

@@ -305,6 +305,64 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** Curriculum binning, exact form: rank every row by (score, key)
+    * and deal rows into `nBins` equal buckets — `ntile` over a GLOBAL
+    * sort. The key tie-break is mandatory: `ntile` over a non-total
+    * order assigns ties by arrival order (nondeterministic under
+    * shuffle). This is the baseline semantics; the global window is
+    * the classic one-reducer sort hazard at corpus scale —
+    * [[curriculumBinsScalable]] is the 100 TB path.
+    * Output: original columns + `bin` (1-based).
+    */
+  def curriculumBins(df: DataFrame, scoreCol: String, nBins: Int = 10,
+                     keyCol: String = "doc_id"): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).asc, col(keyCol).asc)
+    df.withColumn("bin", ntile(nBins).over(w).cast("long"))
+  }
+
+  /** Curriculum binning, scalable form — VALUE-quantile bins from the
+    * score histogram: aggregate counts per distinct score (a keyed
+    * map-side-combined agg), take the running total over the DISTINCT
+    * scores only (the window touches score-cardinality rows, not the
+    * corpus — the same bounded-window argument as the PQ codebooks),
+    * and assign every row of a score block the bin of the block's
+    * FIRST row, `ceil((cum−c+1)·nBins/N)` (block-start keeps low bins
+    * populated under heavy ties; block-end would drain them). No
+    * global row sort anywhere; the join back is keyed on the score
+    * (broadcast — the histogram is score-cardinality-sized).
+    *
+    * Semantics differ from [[curriculumBins]] deliberately: a tie
+    * block lands WHOLE in one bin (value-quantile binning) instead of
+    * being split positionally across bins, so bin populations are
+    * equal only up to tie-block granularity — the honest trade for
+    * removing the global sort, and fully deterministic/SQL-replayable
+    * (ntile's tie-splitting needs the total order this form avoids).
+    * Output: original columns + `bin` (1-based).
+    */
+  def curriculumBinsScalable(df: DataFrame, scoreCol: String,
+                             nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    // Both windows ride the SAME histogram sort: _cum is the running
+    // total, _n the grand total from an unbounded frame — N comes out
+    // of the histogram pass itself, not a second scan of df (a
+    // df.count() here would be a third full read of the corpus).
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val binned = df.groupBy(scoreCol).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .select(col(scoreCol),
+        ceil((col("_cum") - col("_c") + 1) * lit(nBins.toDouble)
+          / col("_n").cast("double")).cast("long").as("bin"))
+    df.join(broadcast(binned), scoreCol)
+  }
+
   /** Deterministic stratified sample: per-stratum fractions, keyed on
     * `keyCol`. Strata missing from `fractions` use `defaultFraction`.
     * The fraction map is a literal when/otherwise chain (stays in

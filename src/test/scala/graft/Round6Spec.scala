@@ -99,6 +99,34 @@ class Round6Spec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L)))
   }
 
+  // ---- curriculum binning ----
+
+  test("curriculumBins: forms agree tie-free; scalable keeps tie blocks whole") {
+    // distinct scores 1..10 into 5 bins: no ties -> both forms equal
+    val uni = (1L to 10L).map(i => (i, i)).toDF("doc_id", "score")
+    val exact = Sampling.curriculumBins(uni, "score", nBins = 5)
+      .select("doc_id", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scal = Sampling.curriculumBinsScalable(uni, "score", nBins = 5)
+      .select("doc_id", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact == scal)
+    assert(exact(1L) == 1L && exact(10L) == 5L)
+    // scores [1,1,1,2] into 2 bins: ntile SPLITS the tie block 2+2 by
+    // the pinned (score, doc_id) order; the value-quantile form bins
+    // the whole block at its start -> three 1s in bin 1, the 2 in bin 2
+    val ties = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L))
+      .toDF("doc_id", "score")
+    val e2 = Sampling.curriculumBins(ties, "score", nBins = 2)
+      .select("doc_id", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(e2 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    val s2 = Sampling.curriculumBinsScalable(ties, "score", nBins = 2)
+      .select("doc_id", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   // ---- lake-layout I/O: JSONL + partition pruning ----
 
   test("jsonl roundtrip: exact identity incl. doubles") {
