@@ -281,6 +281,11 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.labelEval(e.filter(col("vec_id") % 50 === 0), e)
     }),
+    // hard-negative mining: nearest wrong-label neighbors per query
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") % 50 === 0), e)
+    }),
 
     // --- relational coverage over the TPC-H-ish tables ---
     "rel_pricing_summary" -> ((s, dir) =>
@@ -315,6 +320,17 @@ object SparkEntry {
     // cross-engine-stable surface, the rel_approx_users pattern)
     "rel_heavy_hitters" -> ((s, dir) =>
       Relational.heavyHitters(tbl(s, dir, "events"), "event_type")),
+    // CDC keep-latest compaction: window baseline vs one-agg scalable
+    // form — same rows, log-sized sort vs state-sized exchange
+    "rel_compact_latest" -> ((s, dir) =>
+      Relational.latestEventState(tbl(s, dir, "events"))),
+    "rel_compact_latest_scalable" -> ((s, dir) =>
+      Relational.latestEventStateScalable(tbl(s, dir, "events"))),
+    // record-linkage fuzzy join: SymSpell deletion-neighborhood
+    // candidates + exact levenshtein<=1 verify over customer names
+    // (ids one digit apart are genuine distance-1 pairs)
+    "rel_fuzzy_join" -> ((s, dir) =>
+      Dedup.editDistancePairs(tbl(s, dir, "customer"), "c_name")),
     "rel_asof_join" -> ((s, dir) =>
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
@@ -545,6 +561,17 @@ object SparkEntry {
   // Shared DuckDB CTE chain mirroring WikiText.tokens / TfIdfOps over the
   // `documents` parquet table. Kept textually aligned with the Scala ops:
   // any semantic change must land in BOTH places.
+  // Keep-latest compaction twin: the (ts desc, event_id desc) argmax
+  // per (user_id, event_type) — shared by the window-form and
+  // struct-max-form gates, which must emit identical state tables
+  private val CompactLatestSql: String =
+    """SELECT user_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |  event_id AS last_event_id, value AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
   private val tokenCtes: String =
     """toks AS (
       |  SELECT doc_id, len(string_split(trim(text), ' ')) AS raw_len,
@@ -1911,6 +1938,29 @@ object SparkEntry {
          |JOIN embeddings nl ON neighbor_id = nl.vec_id
          |GROUP BY query_id, ql.label""".stripMargin,
 
+    // Hard-negative twin: the brute twin with the label-mismatch
+    // predicate in the pair join (labels looked up per side)
+    "sim_hard_negatives" ->
+      s"""WITH $vecCtes, q AS (
+         |  SELECT n.vec_id AS query_id, n.v AS qv, n.norm AS qnorm,
+         |         e.label AS qlabel
+         |  FROM normed n JOIN embeddings e ON n.vec_id = e.vec_id
+         |  WHERE n.vec_id % 50 = 0 AND n.norm > 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |              AND c.norm > 0
+         |       JOIN embeddings ce ON c.vec_id = ce.vec_id
+         |              AND ce.label != q.qlabel
+         |)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
+         |FROM s
+         |QUALIFY "rank" <= 10""".stripMargin,
+
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2331,6 +2381,35 @@ object SparkEntry {
         |  TRUE AS est_ok
         |FROM events GROUP BY event_type
         |ORDER BY exact_cnt DESC, key ASC LIMIT 5""".stripMargin,
+
+    // CDC keep-latest twin — one SQL for BOTH compaction forms: the
+    // window and struct-max plans must emit the identical state table
+    "rel_compact_latest" -> CompactLatestSql,
+    "rel_compact_latest_scalable" -> CompactLatestSql,
+
+    // Fuzzy-join twin: same deletion-neighborhood candidates (lateral
+    // range over 0..len, i=0 keeps the key) + exact levenshtein verify
+    "rel_fuzzy_join" ->
+      """WITH vocab AS (
+        |  SELECT lower(trim(c_name)) AS key, count(*) AS cnt
+        |  FROM customer WHERE length(lower(trim(c_name))) > 0
+        |  GROUP BY 1
+        |), vars AS (
+        |  SELECT key, cnt,
+        |    CASE WHEN i = 0 THEN key
+        |         ELSE substr(key, 1, CAST(i - 1 AS INTEGER))
+        |           || substr(key, CAST(i + 1 AS INTEGER)) END AS variant
+        |  FROM vocab, unnest(range(0, length(key) + 1)) AS t(i)
+        |), cand AS (
+        |  SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+        |    a.cnt AS cnt_a, b.cnt AS cnt_b
+        |  FROM vars a JOIN vars b USING (variant)
+        |  WHERE a.key < b.key
+        |)
+        |SELECT key_a, key_b,
+        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist,
+        |  cnt_a, cnt_b
+        |FROM cand WHERE levenshtein(key_a, key_b) <= 1""".stripMargin,
 
     // Queue-ETL twin: replays the md5 partitioner, the per-partition
     // (epoch-µs, event_id) offset window, and the consumer aggregates

@@ -755,4 +755,53 @@ object Dedup {
       .select(col("vec_id"), col("bc.band").as("band"),
         col("bc.sig").as("sig"))
   }
+
+  /** Record-linkage fuzzy key matching via the SymSpell deletion
+    * neighborhood: two strings are within edit distance 1 IFF they
+    * share a member of each other's {self} ∪ {one-char-deletion}
+    * sets, so candidate generation is an EQUI-join on the variant
+    * string (len+1 variants per key, bounded by key length) instead
+    * of an O(V²) all-pairs distance scan. Distance-2 pairs can share
+    * a variant too (two different chars inserted into one stem), so
+    * candidates get an exact `levenshtein ≤ 1` verify — the same
+    * candidates-then-verify shape as every dedup family here.
+    *
+    * Scale posture: the join runs over DISTINCT keys (entity
+    * vocabularies are corpus-sublinear; `minCount` prunes noise
+    * further), and a deletion-variant bucket is alphabet-bounded —
+    * at most |Σ|·(len+1)+1 keys can share one variant — so no
+    * quadratic hot bucket exists. Everything is codegen'd string
+    * expressions + one equi-join; no UDFs.
+    * Output: (key_a, key_b, dist, cnt_a, cnt_b), key_a < key_b.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String,
+                        minCount: Long = 1): DataFrame = {
+    val vocab = df
+      .select(lower(trim(col(strCol))).as("key"))
+      .filter(length(col("key")) > 0)
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    // i = 0 keeps the key itself (covers pure insert/delete pairs);
+    // i in 1..len deletes the i-th char (substr is 1-based). The
+    // when/otherwise keeps i = 0 off the deletion concat.
+    val variants = vocab
+      .select(col("key"), col("cnt"),
+        explode(transform(sequence(lit(0), length(col("key"))),
+          i => when(i === 0, col("key"))
+            .otherwise(concat(
+              col("key").substr(lit(1), i - 1),
+              col("key").substr(i + 1, length(col("key")) - i)))))
+          .as("variant"))
+    val a = variants.select(col("variant"), col("key").as("key_a"),
+      col("cnt").as("cnt_a"))
+    val b = variants.select(col("variant"), col("key").as("key_b"),
+      col("cnt").as("cnt_b"))
+    a.join(b, Seq("variant"))
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "cnt_a", "cnt_b").distinct()
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"))
+        .cast("long"))
+      .filter(col("dist") <= 1)
+      .select("key_a", "key_b", "dist", "cnt_a", "cnt_b")
+  }
 }

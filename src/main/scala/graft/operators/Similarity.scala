@@ -106,6 +106,50 @@ object Similarity {
           .otherwise(0L)) / count(lit(1))).as("frac_same_label"))
   }
 
+  /** Hard-negative mining — the contrastive-training companion of
+    * [[labelEval]]: for each query, the k nearest candidates whose
+    * label DIFFERS from the query's (the near-misses a contrastive
+    * loss learns most from). Same plan shape as [[bruteTopK]] with the
+    * label-mismatch predicate folded into the broadcast-join
+    * condition, so wrong-label pairs are the only ones ever scored or
+    * heaped; the bounded-heap [[graft.functions.TopKAgg]] keeps the
+    * shuffle at k rows per (partition, query). Rows with a NULL label
+    * on either side drop (`=!=` is NULL-rejecting — an unlabeled row
+    * is neither a positive nor a provable negative).
+    * Output: (query_id, neighbor_id, rank).
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+                    k: Int = 10, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    requireIntegralIds(queries, idCol, "hardNegatives")
+    requireIntegralIds(candidates, idCol, "hardNegatives")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    VecExpressions.register(spark)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), l2norm(col(vecCol)).as("qnorm"),
+      col(labelCol).as("query_label"))
+    val c = candidates.select(col(idCol).as("vec_id"),
+      col(vecCol).as("vec"), l2norm(col(vecCol)).as("norm"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qvec"), col("vec"))
+          / nullif(col("qnorm") * col("norm"), lit(0.0))).as("cos"))
+      .filter(col("cos").isNotNull) // zero vectors: no defined ranking
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Sparse TF-IDF document-similarity top-k — the sparse-vector twin
     * of [[bruteTopK]]: for each query document, the k most similar
     * documents by cosine over TF-IDF term weights, computed via an

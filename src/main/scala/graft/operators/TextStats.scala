@@ -496,4 +496,5 @@ object TextStats {
       .select(col("doc_id"), col("pos"),
         coalesce(col("tid"), lit(0L)).as("tid"))
   }
+
 }

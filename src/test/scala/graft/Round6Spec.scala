@@ -383,4 +383,77 @@ class Round6Spec extends SparkSpec {
       assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
     }
   }
+
+  // ---- rel_compact_latest: CDC keep-latest semantics ----
+
+  test("latestEventState: (ts, event_id) argmax per key; forms agree") {
+    val ev = Seq(
+      // user 1, type "click": later ts wins regardless of event_id
+      (10L, "2024-01-01 10:00:00", 1L, "click", 5.0, "{}"),
+      (3L, "2024-01-01 11:00:00", 1L, "click", 7.0, "{}"),
+      // user 1, type "view": equal ts -> higher event_id wins
+      (20L, "2024-01-01 09:00:00", 1L, "view", 1.0, "{}"),
+      (21L, "2024-01-01 09:00:00", 1L, "view", 2.0, "{}"),
+      // user 2: single row passes through
+      (30L, "2024-01-02 00:00:00", 2L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val expect = Set(
+      (1L, "click", "2024-01-01 11:00:00", 3L, 7.0),
+      (1L, "view", "2024-01-01 09:00:00", 21L, 2.0),
+      (2L, "click", "2024-01-02 00:00:00", 30L, 9.0))
+    def got(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got(Relational.latestEventState(ev)) == expect)
+    assert(got(Relational.latestEventStateScalable(ev)) == expect)
+  }
+
+  // ---- rel_fuzzy_join: deletion-neighborhood edit-distance pairs ----
+
+  test("editDistancePairs: sub/ins/del pairs found, dist-2 rejected") {
+    import graft.operators.Dedup
+    val df = Seq("cat", "cat", "cart", "cut", "dog", "dig", "kite")
+      .toDF("name")
+    val got = Dedup.editDistancePairs(df, "name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // cat~cart (insertion), cat~cut (substitution), dig~dog
+    // (substitution); cart~cut is dist 2 (shared variant "ct") and
+    // must be verified away; kite pairs with nothing
+    assert(got == Set(
+      ("cart", "cat", 1L, 1L, 2L),
+      ("cat", "cut", 1L, 2L, 1L),
+      ("dig", "dog", 1L, 1L, 1L)))
+  }
+
+  test("editDistancePairs: minCount prunes, case/space normalize") {
+    import graft.operators.Dedup
+    val df = Seq(" Cat ", "cat", "bat").toDF("name")
+    // bat occurs once -> pruned at minCount=2; " Cat " normalizes onto
+    // cat, so the vocab collapses to one key and no pair remains
+    assert(Dedup.editDistancePairs(df, "name", minCount = 2)
+      .collect().isEmpty)
+  }
+
+  // ---- sim_hard_negatives: wrong-label top-k ----
+
+  test("hardNegatives: same-label and self excluded, cos ranks") {
+    // 2-d unit-ish vectors; query = id 0, label 1. Nearest overall is
+    // id 1 (identical direction) but it shares the label -> excluded;
+    // id 2 (cos ~0.95, label 2) ranks 1; id 3 (orthogonal, label 2)
+    // ranks 2; id 4 has NULL label -> dropped.
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), Some(1)),
+      (1L, Array(2.0f, 0.0f), Some(1)),
+      (2L, Array(1.0f, 0.3f), Some(2)),
+      (3L, Array(0.0f, 1.0f), Some(2)),
+      (4L, Array(1.0f, 0.1f), None))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+      e.filter(col("vec_id") === 0L), e, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 1L), (3L, 2L)))
+  }
 }
