@@ -36,6 +36,10 @@ object Bench {
     "rel_anti_join" -> 0.21, "rel_approx_users" -> 0.68,
     "rel_funnel" -> 0.44, "rel_dq_audit" -> 0.69,
     "rel_heavy_hitters" -> 0.32,
+    "rel_compact_latest" -> 0.31, "rel_compact_latest_scalable" -> 0.35,
+    "rel_fuzzy_join" -> 7.58,
+    "samp_curriculum" -> 0.27, "samp_curriculum_scalable" -> 0.52,
+    "sim_hard_negatives" -> 0.46,
     "rel_asof_join" -> 0.82, "rel_cube" -> 0.49, "rel_event_props" -> 0.43,
     "rel_events_hourly" -> 0.58, "rel_order_history" -> 0.35,
     "rel_pricing_summary" -> 1.02, "rel_promo_revenue" -> 1.1,
