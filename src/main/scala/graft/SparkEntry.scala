@@ -331,6 +331,16 @@ object SparkEntry {
     // (ids one digit apart are genuine distance-1 pairs)
     "rel_fuzzy_join" -> ((s, dir) =>
       Dedup.editDistancePairs(tbl(s, dir, "customer"), "c_name")),
+    // iterative graph analytics: integer fixed-point PageRank over the
+    // undirected customer-supplier purchase graph (3 unrolled iters)
+    "rel_pagerank" -> ((s, dir) =>
+      Graph.pageRank(tbl(s, dir, "orders"), tbl(s, dir, "lineitem"))),
+    // monthly cohort retention matrix over events
+    "rel_cohort" -> ((s, dir) =>
+      Relational.cohortRetention(tbl(s, dir, "events"))),
+    // dense per-user date spine with zero-filled idle days
+    "rel_activity_spine" -> ((s, dir) =>
+      Relational.activitySpine(tbl(s, dir, "events"))),
     "rel_asof_join" -> ((s, dir) =>
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
@@ -571,6 +581,43 @@ object SparkEntry {
       |FROM events
       |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
       |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  // PageRank twin generator: unrolls `iters` (in-mass, rank) CTE pairs
+  // over the shared edge/degree/teleport scaffolding. All-BIGINT
+  // fixed-point (total mass 1e12), mirroring operators.Graph.pageRank.
+  private def PageRankSql(iters: Int): String = {
+    val total = operators.Graph.TotalMass
+    val tele = total * 15 / 100
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS node, sum(r.rank // r.deg) AS m
+         |  FROM r${i - 1} r JOIN edges e ON r.node = e.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT d.node, d.deg,
+         |    CAST($tele // n.n + (85 * coalesce(s$i.m, 0)) // 100
+         |      AS BIGINT) AS rank
+         |  FROM deg d CROSS JOIN n LEFT JOIN s$i ON d.node = s$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM e0
+       |  UNION ALL SELECT s, c FROM e0
+       |), deg AS (
+       |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+       |), n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT node, deg, $total // n.n AS rank FROM deg, n
+       |),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |  node // 2 AS key, "rank"
+       |FROM r$iters""".stripMargin
+  }
 
   private val tokenCtes: String =
     """toks AS (
@@ -2386,6 +2433,43 @@ object SparkEntry {
     // window and struct-max plans must emit the identical state table
     "rel_compact_latest" -> CompactLatestSql,
     "rel_compact_latest_scalable" -> CompactLatestSql,
+
+    // PageRank twin: the 3 iterations unrolled as (in-mass, rank) CTE
+    // pairs — every quantity is BIGINT fixed-point, so `//` replays
+    // Spark's `div` bit-identically (positive operands: both truncate)
+    "rel_pagerank" -> PageRankSql(3),
+
+    // Cohort twin: epoch-week ints (UTC), offset by each user's min
+    "rel_cohort" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS w FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(w) AS w0 FROM active GROUP BY user_id
+        |)
+        |SELECT w0 AS cohort_week, w - w0 AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |GROUP BY w0, w - w0""".stripMargin,
+
+    // Date-spine twin: per-user generate_series between first and last
+    // active day, left join onto the daily counts, zero fill
+    "rel_activity_spine" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id
+        |), spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |)
+        |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(d.cnt, 0) AS n_events
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
 
     // Fuzzy-join twin: same deletion-neighborhood candidates (lateral
     // range over 0..len, i=0 keeps the key) + exact levenshtein verify

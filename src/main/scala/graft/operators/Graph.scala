@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship tables — the iterative-computation
+  * family (rank propagation) done Spark-first: each iteration is one
+  * keyed join + one keyed aggregate, materialized with `persist` so the
+  * lineage (and therefore the replan cost) stays flat in the iteration
+  * count instead of compounding.
+  *
+  * Numeric determinism: ranks are BIGINT micro-units of total mass
+  * (integer fixed-point), so every operation — `div` for the per-edge
+  * share, `sum` for the in-mass, the damping multiply — is EXACT and
+  * order-independent. No doubles, no decimals, no rounding rules to
+  * pin: the DuckDB twin replays the iterations bit-identically with
+  * `//`. The cost is deterministic floor leakage (mass shrinks by < 1
+  * unit per node per step), which both engines leak identically.
+  */
+object Graph {
+
+  /** Total rank mass in fixed-point units (1e12: quotients stay well
+    * inside BIGINT through the 85× damping multiply). */
+  val TotalMass: Long = 1000000000000L
+
+  /** PageRank with damping 0.85 over the undirected customer–supplier
+    * purchase graph: an edge links a customer to every supplier that
+    * ever filled one of their orders (both directions, so the bipartite
+    * walk circulates and no node dangles — every node in the graph has
+    * at least the edge that put it there).
+    *
+    * Node ids are namespaced into one key space (customer → 2k,
+    * supplier → 2k+1); `iters` is fixed and small, so the oracle twin
+    * unrolls it as CTE pairs. Scale posture: edges/degrees/ranks are
+    * all keyed DataFrames — the joins shuffle on node id, the per-node
+    * state is one long, and each iteration's output is persisted and
+    * bounded by the node count (the workhorse join is edge-sized, the
+    * classic Pregel-on-relational shape).
+    * Output: (node_type, key, rank) — rank in units of 1e-12 mass.
+    */
+  def pageRank(orders: DataFrame, lineitem: DataFrame,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val e0 = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+      .persist()
+    // out-degree per node; undirected construction ⇒ this is also the
+    // node set (no dangling nodes by construction)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .persist()
+    // N stays in-plan (a 1-row broadcast), not a driver count(): the
+    // teleport constant is derived where it is used
+    val nAgg = deg.agg(count(lit(1)).as("n"))
+    val teleport = expr(s"${TotalMass * 15 / 100} div n")
+    var ranks = deg.crossJoin(broadcast(nAgg))
+      .select(col("node"), col("deg"),
+        expr(s"$TotalMass div n").as("rank"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val inMass = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("m"))
+      ranks = deg.crossJoin(broadcast(nAgg))
+        .join(inMass, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
+          (teleport + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
+        .persist()
+    }
+    ranks.select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("rank"))
+  }
+}

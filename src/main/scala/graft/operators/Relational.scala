@@ -591,6 +591,55 @@ object Relational {
     }.toDF("key", "exact_cnt", "est_ok")
   }
 
+  /** Weekly cohort retention over the event stream — the classic
+    * growth-analytics matrix: users are grouped by their FIRST active
+    * week (the cohort), and each (cohort, week-offset) cell counts how
+    * many of them were active that many weeks later. Weeks are plain
+    * epoch-week integers (`unix_micros div week-µs` — the house µs
+    * discipline; no calendar arithmetic to align across engines;
+    * weekly because the synthetic stream spans one month). Two keyed
+    * aggregates and a cohort join — per-user state is one long, so
+    * the shape holds at any event volume. Offset 0 is the cohort size
+    * by construction.
+    * Output: (cohort_week, week_offset, n_users).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekIdx = expr("unix_micros(ts) div 604800000000")
+    val active = events
+      .select(col("user_id"), weekIdx.as("w")).distinct()
+    val cohort = active.groupBy("user_id").agg(min(col("w")).as("w0"))
+    active.join(cohort, "user_id")
+      .groupBy(col("w0"), (col("w") - col("w0")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("w0").as("cohort_week"), col("week_offset"),
+        col("n_users"))
+  }
+
+  /** Per-user daily activity with gap filling — the dense date spine a
+    * time-series model trains on: one row per (user, day) between the
+    * user's first and last event day, zero-filled where the user was
+    * idle. The spine is generated per user with `sequence` (span-
+    * bounded, no global calendar cross join) and left-joined to the
+    * daily counts on (user, day) — both sides keyed, so the shape is
+    * a per-user explode plus one equi-join at any scale. Days travel
+    * as formatted strings for cross-engine timestamp hygiene.
+    * Output: (user_id, day "yyyy-MM-dd", n_events).
+    */
+  def activitySpine(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily
+      .groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"))
+  }
+
   /** Keep-latest compaction (CDC upsert semantics), window form: one
     * surviving row per key — the greatest (time, tie) — the step that
     * turns an append-only change log into current state before a

@@ -436,6 +436,68 @@ class Round6Spec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  // ---- rel_pagerank: integer fixed-point rank propagation ----
+
+  test("pageRank: hand-computed one-iteration ranks; mass conserved") {
+    import graft.operators.Graph
+    // c1 buys from s1+s2, c2 buys from s1. Undirected node/edge set:
+    //   c1(node 2) deg 2, s1(node 3) deg 2, c2(node 4) deg 1,
+    //   s2(node 5) deg 1; N=4, r0 = 250e9 each, teleport = 37.5e9.
+    // After one iteration (contrib = rank div deg, r' = tele +
+    // 85*in div 100): c1 = s1 = 37.5e9 + 85*375e9/100 = 356.25e9,
+    //                 c2 = s2 = 37.5e9 + 85*125e9/100 = 143.75e9.
+    val orders = Seq((100L, 1L), (101L, 1L), (102L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((100L, 1L), (101L, 2L), (102L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val r1 = Graph.pageRank(orders, lineitem, iters = 1)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(r1 == Map(
+      ("customer", 1L) -> 356250000000L,
+      ("supplier", 1L) -> 356250000000L,
+      ("customer", 2L) -> 143750000000L,
+      ("supplier", 2L) -> 143750000000L))
+    // 3 iterations: deterministic floor leakage only — mass stays
+    // within a few units per node/edge per step of the total
+    val r3 = Graph.pageRank(orders, lineitem, iters = 3)
+      .agg(sum("rank")).collect()(0).getLong(0)
+    assert(r3 <= Graph.TotalMass && r3 > Graph.TotalMass - 1000L)
+  }
+
+  // ---- rel_cohort: weekly retention cells ----
+
+  test("cohortRetention: first-week cohorts, offset cells, re-entry") {
+    // epoch weeks: 1970-01-01 is week 0. u1 active w0+w1, u2 only w0,
+    // u3 active w1+w2 (cohort w1).
+    val ev = Seq(
+      (1L, 1L, "1970-01-01 10:00:00"), (2L, 1L, "1970-01-08 10:00:00"),
+      (3L, 2L, "1970-01-02 00:00:00"), (4L, 3L, "1970-01-09 00:00:00"),
+      (5L, 3L, "1970-01-15 12:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = Relational.cohortRetention(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
+  // ---- rel_activity_spine: dense date spine with zero fill ----
+
+  test("activitySpine: idle days zero-filled inside each user's span") {
+    val ev = Seq(
+      (1L, 1L, "2024-03-01 08:00:00"), (2L, 1L, "2024-03-01 09:00:00"),
+      (3L, 1L, "2024-03-04 23:59:59"), (4L, 2L, "2024-03-10 00:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = Relational.activitySpine(ev).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      (1L, "2024-03-01") -> 2L, (1L, "2024-03-02") -> 0L,
+      (1L, "2024-03-03") -> 0L, (1L, "2024-03-04") -> 1L,
+      (2L, "2024-03-10") -> 1L))
+  }
+
   // ---- sim_hard_negatives: wrong-label top-k ----
 
   test("hardNegatives: same-label and self excluded, cos ranks") {
