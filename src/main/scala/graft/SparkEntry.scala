@@ -14,7 +14,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  import org.apache.spark.sql.functions.{col, get, length, lit, pmod}
+  import org.apache.spark.sql.functions.{col, expr, get, length, lit, pmod}
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -135,6 +135,14 @@ object SparkEntry {
         StructField("doc_id", LongType), StructField("word", StringType),
         StructField("cnt", LongType), StructField("tf", DoubleType),
         StructField("tf_idf", DoubleType))))
+    }),
+    // ORC write→read identity on the same Q6 rows — the second
+    // columnar lake format (typed footer schema, exact numerics)
+    "io_orc_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("orc")
+      graft.io.CompatIo.writeOrc(TfIdfOps.tfIdfPipeline(docs(s, dir)),
+        out)
+      graft.io.CompatIo.readOrc(s, out)
     }),
     // hive-partitioned lake layout: write docs partitioned by lang,
     // read ONE partition back — the predicate must prune directories
@@ -331,6 +339,19 @@ object SparkEntry {
     // (ids one digit apart are genuine distance-1 pairs)
     "rel_fuzzy_join" -> ((s, dir) =>
       Dedup.editDistancePairs(tbl(s, dir, "customer"), "c_name")),
+    // SCD/CDC change feed: diff of the compacted state 12h before the
+    // stream end (epoch-µs cutoff, house discipline) vs the end — at
+    // that spacing most keys are UNCHANGED and must drop out, the
+    // rest update, and a fresh key inserts (append-only log ⇒ no
+    // deletes; the delete arm is spec-covered on synthetic snapshots)
+    "rel_snapshot_diff" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Relational.snapshotDiff(
+        Relational.latestEventStateScalable(
+          ev.filter(expr("unix_micros(ts) < 1706616000000000"))),
+        Relational.latestEventStateScalable(ev),
+        Seq("user_id", "event_type"))
+    }),
     // iterative graph analytics: integer fixed-point PageRank over the
     // undirected customer-supplier purchase graph (3 unrolled iters)
     "rel_pagerank" -> ((s, dir) =>
@@ -573,14 +594,16 @@ object SparkEntry {
   // any semantic change must land in BOTH places.
   // Keep-latest compaction twin: the (ts desc, event_id desc) argmax
   // per (user_id, event_type) — shared by the window-form and
-  // struct-max-form gates, which must emit identical state tables
-  private val CompactLatestSql: String =
-    """SELECT user_id, event_type,
-      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
-      |  event_id AS last_event_id, value AS last_value
-      |FROM events
-      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-      |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+  // struct-max-form gates (which must emit identical state tables)
+  // and, WHERE-filtered, by the snapshot-diff twin's two snapshots
+  private def compactLatestSql(where: String = ""): String =
+    s"""SELECT user_id, event_type,
+       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       |  event_id AS last_event_id, value AS last_value
+       |FROM events $where
+       |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+       |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+  private val CompactLatestSql: String = compactLatestSql()
 
   // PageRank twin generator: unrolls `iters` (in-mass, rank) CTE pairs
   // over the shared edge/degree/teleport scaffolding. All-BIGINT
@@ -1076,6 +1099,8 @@ object SparkEntry {
     "io_csv_roundtrip" -> q6Sql,
     // write→read identity on the JSONL surface (same rows)
     "io_jsonl_roundtrip" -> q6Sql,
+    // write→read identity on the ORC surface (same rows)
+    "io_orc_roundtrip" -> q6Sql,
     // partition-pruned read of the lang=en slice
     "io_partition_prune" ->
       """SELECT doc_id, source, lang FROM documents
@@ -2433,6 +2458,40 @@ object SparkEntry {
     // window and struct-max plans must emit the identical state table
     "rel_compact_latest" -> CompactLatestSql,
     "rel_compact_latest_scalable" -> CompactLatestSql,
+
+    // Snapshot-diff twin: two compaction CTEs, full join on the key,
+    // null-safe per-column payload compare, unchanged rows dropped
+    "rel_snapshot_diff" ->
+      s"""WITH olds AS (
+         |${compactLatestSql("WHERE epoch_us(ts) < 1706616000000000")}
+         |), news AS (
+         |$CompactLatestSql
+         |), j AS (
+         |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+         |    coalesce(o.event_type, n.event_type) AS event_type,
+         |    o.last_ts AS o_ts, o.last_event_id AS o_id,
+         |    o.last_value AS o_v,
+         |    n.last_ts AS n_ts, n.last_event_id AS n_id,
+         |    n.last_value AS n_v,
+         |    o.user_id IS NOT NULL AS has_o,
+         |    n.user_id IS NOT NULL AS has_n
+         |  FROM olds o FULL JOIN news n
+         |    ON o.user_id = n.user_id AND o.event_type = n.event_type
+         |)
+         |SELECT
+         |  CASE WHEN NOT has_n THEN 'delete'
+         |       WHEN NOT has_o THEN 'insert'
+         |       ELSE 'update' END AS op,
+         |  user_id, event_type,
+         |  CASE WHEN NOT has_n THEN o_ts ELSE n_ts END AS last_ts,
+         |  CASE WHEN NOT has_n THEN o_id ELSE n_id END
+         |    AS last_event_id,
+         |  CASE WHEN NOT has_n THEN o_v ELSE n_v END AS last_value
+         |FROM j
+         |WHERE NOT has_n OR NOT has_o
+         |  OR NOT (o_ts IS NOT DISTINCT FROM n_ts
+         |    AND o_id IS NOT DISTINCT FROM n_id
+         |    AND o_v IS NOT DISTINCT FROM n_v)""".stripMargin,
 
     // PageRank twin: the 3 iterations unrolled as (in-mass, rank) CTE
     // pairs — every quantity is BIGINT fixed-point, so `//` replays

@@ -113,6 +113,20 @@ object CompatIo {
                     value: String): DataFrame =
     spark.read.parquet(dir).filter(col(partCol) === value)
 
+  /** ORC interchange — the second first-class columnar lake format
+    * next to parquet (Hive-ecosystem consumers): plain columnar write,
+    * one file per partition, identical sharding story. Numeric
+    * round-trip is exact by construction (typed columnar encoding, no
+    * text serialization to pin).
+    */
+  def writeOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(outDir)
+
+  /** Read-side of [[writeOrc]]: schema comes from the ORC footer
+    * (typed, no inference pass). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Reference-native per-doc layout reader: a directory of
     * `<docID>.csv` files (the reference's staging bucket / TF-IDF-Docs
     * layout), doc_id recovered from the file name. One Spark task per

@@ -640,6 +640,41 @@ object Relational {
         coalesce(col("cnt"), lit(0L)).as("n_events"))
   }
 
+  /** Snapshot diff (the SCD/CDC change feed): classify every key of
+    * two same-schema snapshots as `insert` (new only), `delete` (old
+    * only), or `update` (both present, any payload column differs —
+    * null-safe `<=>` per column, no hash-collision caveat), dropping
+    * unchanged keys. One full-outer equi-join on the key — both sides
+    * shuffle once on the key and the payload comparison is codegen'd
+    * column equality, so the shape is two scans + one join at any
+    * snapshot size. Emitted payload is the NEW side for
+    * insert/update and the OLD side for delete (the row a consumer
+    * must apply / retract).
+    * Output: (op, keyCols..., payloadCols...).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      "snapshotDiff requires same-schema snapshots")
+    val payload = newDf.columns.filterNot(keyCols.contains).toSeq
+    val o = payload.foldLeft(oldDf)((d, c) =>
+      d.withColumnRenamed(c, s"_old_$c"))
+      .withColumn("_old_present", lit(1))
+    val n = newDf.withColumn("_new_present", lit(1))
+    val unchanged = payload.map(c => col(s"_old_$c") <=> col(c))
+      .reduce(_ && _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("_new_present").isNull, lit("delete"))
+          .when(col("_old_present").isNull, lit("insert"))
+          .when(!unchanged, lit("update")))
+      .filter(col("op").isNotNull)
+      .select((col("op") +: keyCols.map(col)) ++
+        payload.map(c =>
+          when(col("op") === "delete", col(s"_old_$c"))
+            .otherwise(col(c)).as(c)): _*)
+  }
+
   /** Keep-latest compaction (CDC upsert semantics), window form: one
     * surviving row per key — the greatest (time, tie) — the step that
     * turns an append-only change log into current state before a

@@ -436,6 +436,38 @@ class Round6Spec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  // ---- rel_snapshot_diff: SCD/CDC change classification ----
+
+  test("snapshotDiff: insert/delete/update arms; NULL-safe unchanged") {
+    val oldS = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (5L, Option.empty[String]))
+      .toDF("k", "v")
+    val newS = Seq(
+      (2L, Some("b")), (3L, Some("c2")), (4L, Some("d")),
+      (5L, Option.empty[String]))
+      .toDF("k", "v")
+    val got = Relational.snapshotDiff(oldS, newS, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    // k2 unchanged and k5 NULL==NULL unchanged -> both absent; k1
+    // deleted carries the OLD payload, k3 updated carries the NEW one
+    assert(got == Set(
+      ("delete", 1L, Some("a")),
+      ("update", 3L, Some("c2")),
+      ("insert", 4L, Some("d"))))
+    // NULL -> value and value -> NULL are updates, not unchanged
+    val o2 = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "v")
+    val n2 = Seq((1L, Some("y")), (2L, Option.empty[String]))
+      .toDF("k", "v")
+    val got2 = Relational.snapshotDiff(o2, n2, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+      .toSet
+    assert(got2 == Set(("update", 1L, Some("y")),
+      ("update", 2L, None)))
+  }
+
   // ---- rel_pagerank: integer fixed-point rank propagation ----
 
   test("pageRank: hand-computed one-iteration ranks; mass conserved") {
