@@ -102,6 +102,31 @@ object ScaleProbe {
     // each head-word's successors on one reducer)
     time(big)("lm_score_window")(TextStats.lmScore(big).count())
     time(big)("lm_score_scalable")(TextStats.lmScoreScalable(big).count())
+    // CDC compaction: window form shuffles + SORTS the whole K×2M-row
+    // log (per-key history grows with K); the max(struct) form partial-
+    // aggregates map-side, so only ~|keys|·partitions candidate rows
+    // cross the wire — exchange is state-sized, not log-sized
+    val evLog = spark.range(0L, k * 2000000L, 1L, 64)
+      .select(col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000L)
+          .as("ts"),
+        (col("id") % 1500L).as("user_id"),
+        concat(lit("t"), (col("id") % 5L).cast("string"))
+          .as("event_type"),
+        (col("id") % 1000L).cast("double").as("value"))
+    println(s"PROBE compactRows=${k * 2000000L}")
+    time(big)("compact_window")(
+      Relational.latestEventState(evLog).count())
+    time(big)("compact_scalable")(
+      Relational.latestEventStateScalable(evLog).count())
+    // fuzzy linkage: 10× the sf0.1 key vocabulary (150k numeric keys —
+    // same shape as c_name suffixes). Candidate pairs per key are
+    // alphabet-bounded, so time should track the verified-pair OUTPUT
+    // (~linear in V for fixed-width keys), not V²
+    val keys150k = spark.range(0L, 150000L, 1L, 64)
+      .select(format_string("key#%09d", col("id")).as("name"))
+    time(big)("fuzzy_vocab_150k")(
+      Dedup.editDistancePairs(keys150k, "name").count())
 
     // The embedding paths (round-2 plan changes): replicate the sf0.1
     // embeddings K× with shifted ids — every vector gains K-1 exact
