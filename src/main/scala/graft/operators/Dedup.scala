@@ -792,16 +792,21 @@ object Dedup {
               col("key").substr(lit(1), i - 1),
               col("key").substr(i + 1, length(col("key")) - i)))))
           .as("variant"))
-    val a = variants.select(col("variant"), col("key").as("key_a"),
+    // consumed by both sides of the self-join (invariant 9) — and the
+    // exact verify runs BEFORE the pair dedup, so the distinct's
+    // exchange carries only true pairs (each ≤ a handful of shared
+    // variants), not the full candidate expansion: levenshtein on a
+    // short key is far cheaper than shuffling the occurrence
+    val variants0 = variants.persist()
+    val a = variants0.select(col("variant"), col("key").as("key_a"),
       col("cnt").as("cnt_a"))
-    val b = variants.select(col("variant"), col("key").as("key_b"),
+    val b = variants0.select(col("variant"), col("key").as("key_b"),
       col("cnt").as("cnt_b"))
     a.join(b, Seq("variant"))
       .filter(col("key_a") < col("key_b"))
-      .select("key_a", "key_b", "cnt_a", "cnt_b").distinct()
       .withColumn("dist", levenshtein(col("key_a"), col("key_b"))
         .cast("long"))
       .filter(col("dist") <= 1)
-      .select("key_a", "key_b", "dist", "cnt_a", "cnt_b")
+      .select("key_a", "key_b", "dist", "cnt_a", "cnt_b").distinct()
   }
 }
