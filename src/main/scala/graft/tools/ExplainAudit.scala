@@ -23,7 +23,12 @@ object ExplainAudit {
         // stage the log and drain the stream, not just plan)
         "text_bm25", "rel_funnel", "rel_dq_audit",
         "sim_docs_tfidf_pruned", "sim_topk_ivfpq_res",
-        "rel_heavy_hitters")
+        "rel_heavy_hitters",
+        // round-6 fourth/fifth-session surface
+        "rel_compact_latest_scalable", "rel_fuzzy_join",
+        "sim_hard_negatives", "samp_curriculum_scalable",
+        "rel_pagerank", "rel_cohort", "rel_activity_spine",
+        "rel_snapshot_diff", "io_orc_roundtrip")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
