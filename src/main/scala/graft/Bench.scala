@@ -24,11 +24,13 @@ object Bench {
     "dedup_exact" -> 0.59, "dedup_minhash_lsh" -> 2.55,
     "dedup_ngram_jaccard" -> 2.99, "dedup_simhash" -> 1.87,
     "dedup_substring" -> 1.08, "samp_shard" -> 0.27,
-    "rel_range_join" -> 0.34, "sim_topk_pq" -> 1.88,
+    "rel_range_join" -> 0.34, "sim_topk_pq" -> 2.81,
     "rel_skew_join" -> 0.36, "sim_topk_ivfpq" -> 2.2,
     "sim_topk_ivfpq_res" -> 3.14,
     "io_csv_roundtrip" -> 1.64, "io_jsonl_roundtrip" -> 1.2,
-    "io_partition_prune" -> 0.64,
+    "io_partition_prune" -> 1.05, "io_orc_roundtrip" -> 1.67,
+    "rel_pagerank" -> 3.9, "rel_cohort" -> 0.45,
+    "rel_activity_spine" -> 0.38, "rel_snapshot_diff" -> 0.48,
     "mm_features" -> 0.26, "pipe_curate" -> 4.62,
     "pipe_rag_index" -> 2.19, "samp_mix_temp" -> 0.27,
     "q1_tokens" -> 0.18, "q2_dictionary" -> 0.5, "q3_task1" -> 0.45,
