@@ -144,6 +144,32 @@ object SparkEntry {
         out)
       graft.io.CompatIo.readOrc(s, out)
     }),
+    // bucketed-table co-located join: both fact sides hash-bucketed on
+    // the join key at write time, so the SMJ reads co-located buckets
+    // with NO Exchange anywhere in the plan (Round7Spec pins that) —
+    // the layout that deletes a star-schema pipeline's biggest shuffle
+    "io_bucketed_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, sum}
+      val out = scratchDir("bucketed")
+      graft.io.CompatIo.writeBucketed(
+        tbl(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        "graft_bkt_orders", "o_orderkey", 8, s"$out/orders")
+      graft.io.CompatIo.writeBucketed(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity",
+          "l_extendedprice"),
+        "graft_bkt_lineitem", "l_orderkey", 8, s"$out/lineitem")
+      // merge hint: a broadcast join would ALSO show no exchange but
+      // proves nothing about the layout; bucketed SMJ is the shape
+      s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+    }),
     // hive-partitioned lake layout: write docs partitioned by lang,
     // read ONE partition back — the predicate must prune directories
     // (PartitionFilters), which Round6Spec pins on the scan node
@@ -180,6 +206,10 @@ object SparkEntry {
       val d = docs(s, dir)
       TextStats.tokenIds(d, TextStats.vocab(d, maxVocab = 25))
     }),
+    // in-plan trained multinomial Naive Bayes lang classifier: model
+    // aggregates (class-word counts, priors, vocab size) derive and
+    // broadcast inside the same Catalyst plan that scores every doc
+    "text_nb_classify" -> ((s, dir) => Classify.nbLang(docs(s, dir))),
 
     // --- deduplication (north-star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -200,6 +230,11 @@ object SparkEntry {
     // exact duplicated-span (substring) coverage, w=5 token windows
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), w = 5)),
+    // delta-vs-corpus incremental dedup (the daily-ingestion pattern):
+    // new-batch docs (doc_id ≡ 0 mod 5) dedup against the corpus rest
+    // via band joins + exact verify, never corpus×corpus
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalMinHash(docs(s, dir))),
 
     // --- similarity search (north-star) ---
     "sim_topk_brute" -> ((s, dir) => {
@@ -356,6 +391,15 @@ object SparkEntry {
     // undirected customer-supplier purchase graph (3 unrolled iters)
     "rel_pagerank" -> ((s, dir) =>
       Graph.pageRank(tbl(s, dir, "orders"), tbl(s, dir, "lineitem"))),
+    // distributed connected components: 4-step min-label propagation —
+    // the at-scale arm of dedup_assign's bounded driver union-find
+    "rel_components" -> ((s, dir) =>
+      Graph.connectedComponents(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
+    // exact one-vs-rest ROC-AUC (midrank ties) of the 2-dp-quantized
+    // value score per event type — histogram-windowed, never row-ranked
+    "rel_auc" -> ((s, dir) =>
+      Relational.aucByType(tbl(s, dir, "events"))),
     // monthly cohort retention matrix over events
     "rel_cohort" -> ((s, dir) =>
       Relational.cohortRetention(tbl(s, dir, "events"))),
@@ -640,6 +684,35 @@ object SparkEntry {
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, "rank"
        |FROM r$iters""".stripMargin
+  }
+
+  // Connected-components twin: k min-label steps unrolled as
+  // (neighbor-min, label) CTE pairs — all BIGINT mins, bit-exact
+  private def ComponentsSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""n$i AS (
+         |  SELECT e.dst AS node, min(l.lbl) AS nl
+         |  FROM l${i - 1} l JOIN edges e ON l.node = e.src
+         |  GROUP BY e.dst
+         |), l$i AS (
+         |  SELECT l.node, least(l.lbl, coalesce(n$i.nl, l.lbl)) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN n$i ON l.node = n$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM e0
+       |  UNION ALL SELECT s, c FROM e0
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+       |),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |  node // 2 AS key, lbl AS component
+       |FROM l$iters""".stripMargin
   }
 
   private val tokenCtes: String =
@@ -1101,6 +1174,17 @@ object SparkEntry {
     "io_jsonl_roundtrip" -> q6Sql,
     // write→read identity on the ORC surface (same rows)
     "io_orc_roundtrip" -> q6Sql,
+
+    // Bucketed-join twin: the plain join — the bucketed layout must
+    // change the PLAN (no Exchange, spec-pinned), never the rows
+    "io_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_custkey""".stripMargin,
     // partition-pruned read of the lang=en slice
     "io_partition_prune" ->
       """SELECT doc_id, source, lang FROM documents
@@ -1298,6 +1382,54 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+
+    // Incremental-dedup twin: exact Jaccard pairs restricted to the
+    // delta→corpus and delta→delta(a<b) orientations, aggregated per
+    // delta doc; the Spark LSH path's verified candidates must land on
+    // exactly these pairs (the dedup_minhash_lsh miss-prob argument)
+    "dedup_incremental" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 1)),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM sh0
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), dd AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        |), dsh AS (
+        |  SELECT * FROM sh WHERE doc_id % 5 = 0
+        |), csh AS (
+        |  SELECT * FROM sh WHERE doc_id % 5 != 0
+        |), com_c AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM dsh a JOIN csh b ON a.s = b.s GROUP BY 1, 2
+        |), jc_c AS (
+        |  SELECT da FROM com_c
+        |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE c / (x.n + y.n - c) >= 0.8
+        |), com_d AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jc_d AS (
+        |  SELECT db FROM com_d
+        |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE c / (x.n + y.n - c) >= 0.8
+        |), nc AS (
+        |  SELECT da AS id, count(*) AS n_corpus_dups FROM jc_c GROUP BY da
+        |), nd AS (
+        |  SELECT db AS id, count(*) AS n_delta_dups FROM jc_d GROUP BY db
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(nc.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+        |  CAST(coalesce(nd.n_delta_dups, 0) AS BIGINT) AS n_delta_dups,
+        |  coalesce(nc.n_corpus_dups, 0) = 0
+        |    AND coalesce(nd.n_delta_dups, 0) = 0 AS keep
+        |FROM dd d LEFT JOIN nc ON d.doc_id = nc.id
+        |LEFT JOIN nd ON d.doc_id = nd.id""".stripMargin,
 
     // SimHash twin: identical signatures from the md5 word basis (bit j
     // of the first 16 md5 hex chars as u64), then ALL-PAIRS hamming —
@@ -2367,6 +2499,47 @@ object SparkEntry {
         |SELECT k.doc_id, k.pos, coalesce(v.tid, 0) AS tid
         |FROM kept k LEFT JOIN voc v USING (word)""".stripMargin,
 
+    // Naive-Bayes twin: model CTEs (class-word counts, class totals,
+    // priors, vocab size) + scoring replay. Discipline mirrors BM25:
+    // every ln round2'd at the source, contribution = cnt × ll (one
+    // IEEE multiply), DECIMAL(20,8) order-independent sum, prior added
+    // once after the decimal sum, final round2, argmax tie pinned
+    // (score desc, lang asc).
+    "text_nb_classify" ->
+      s"""WITH $tokenCtes, twl AS (
+         |  SELECT t.doc_id, t.word, d.lang
+         |  FROM tokens t JOIN documents d USING (doc_id)
+         |), docw AS (
+         |  SELECT doc_id, word, count(*) AS cnt
+         |  FROM tokens GROUP BY 1, 2
+         |), cwt AS (
+         |  SELECT lang, word, count(*) AS cw FROM twl GROUP BY 1, 2
+         |), ctot AS (
+         |  SELECT lang, count(*) AS tot FROM twl GROUP BY 1
+         |), pri AS (
+         |  SELECT lang, count(*) AS nc FROM documents GROUP BY 1
+         |), nn AS (SELECT count(*) AS n FROM documents),
+         |vv AS (SELECT count(DISTINCT word) AS v FROM tokens),
+         |cls AS (
+         |  SELECT p.lang, c.tot,
+         |    floor(ln(p.nc / nn.n) * 100 + 0.5) / 100 AS prior_ll
+         |  FROM pri p JOIN ctot c USING (lang) CROSS JOIN nn
+         |), sc0 AS (
+         |  SELECT dw.doc_id, cls.lang, cls.prior_ll,
+         |    dw.cnt * (floor(ln((coalesce(w.cw, 0) + 1) /
+         |      (cls.tot + vv.v)) * 100 + 0.5) / 100) AS contrib
+         |  FROM docw dw CROSS JOIN cls CROSS JOIN vv
+         |  LEFT JOIN cwt w ON w.lang = cls.lang AND w.word = dw.word
+         |), sc AS (
+         |  SELECT doc_id, lang,
+         |    floor((CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+         |      + prior_ll) * 100 + 0.5) / 100 AS score
+         |  FROM sc0 GROUP BY doc_id, lang, prior_ll
+         |)
+         |SELECT doc_id, lang AS pred_lang, score FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, lang ASC) = 1""".stripMargin,
+
     // plain-join twin for the salted plan: salting is an execution
     // detail, the row set must be identical
     "rel_skew_join" ->
@@ -2497,6 +2670,41 @@ object SparkEntry {
     // pairs — every quantity is BIGINT fixed-point, so `//` replays
     // Spark's `div` bit-identically (positive operands: both truncate)
     "rel_pagerank" -> PageRankSql(3),
+
+    // Components twin: 4 unrolled min-label steps, pure BIGINT
+    "rel_components" -> ComponentsSql(4),
+
+    // AUC twin: per-(score, class) histogram, cumulative-below window
+    // over DISTINCT scores, exact integer rank sums, one final IEEE
+    // division (nullif: single-class degenerate input → NULL auc).
+    // DuckDB sums are HUGEINT — cast the counts back to BIGINT.
+    "rel_auc" ->
+      """WITH scored AS (
+        |  SELECT event_type, floor(value * 100 + 0.5) / 100 AS score
+        |  FROM events
+        |), g AS (
+        |  SELECT score, event_type, count(*) AS cnt_sc
+        |  FROM scored GROUP BY 1, 2
+        |), hist AS (
+        |  SELECT score, sum(cnt_sc) AS cnt_s FROM g GROUP BY score
+        |), below AS (
+        |  SELECT score, cnt_s,
+        |    sum(cnt_s) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt_s
+        |      AS below
+        |  FROM hist
+        |), pc AS (
+        |  SELECT event_type,
+        |    sum(cnt_sc * (below * 2 + cnt_s + 1)) AS s2,
+        |    sum(cnt_sc) AS p
+        |  FROM g JOIN below USING (score) GROUP BY event_type
+        |), nn AS (SELECT sum(p) AS n FROM pc)
+        |SELECT event_type, CAST(p AS BIGINT) AS pos_cnt,
+        |  CAST(n - p AS BIGINT) AS neg_cnt,
+        |  floor(CAST(s2 - p * (p + 1) AS DOUBLE) /
+        |    nullif(CAST(p * (n - p) * 2 AS DOUBLE), 0)
+        |    * 1000000 + 0.5) / 1000000 AS auc
+        |FROM pc, nn""".stripMargin,
 
     // Cohort twin: epoch-week ints (UTC), offset by each user's min
     "rel_cohort" ->

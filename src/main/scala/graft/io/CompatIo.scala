@@ -127,6 +127,28 @@ object CompatIo {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Bucketed external table write — the shuffle-elimination layout: a
+    * fact table hash-bucketed (and sorted) on its join key joins any
+    * same-bucketed table with NO Exchange in the plan, because the
+    * on-disk layout IS the join distribution. At 100 TB this converts
+    * the nightly fact⋈fact shuffle (the single largest exchange in a
+    * star-schema pipeline) into a zero-movement zip of co-located
+    * buckets; the write itself shuffles once, amortized over every
+    * later join. Registered in the session catalog (bucket metadata
+    * lives there) with an explicit external `path`; any previous
+    * registration is dropped first so gate re-runs are idempotent.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Reference-native per-doc layout reader: a directory of
     * `<docID>.csv` files (the reference's staging bucket / TF-IDF-Docs
     * layout), doc_id recovered from the file name. One Spark task per

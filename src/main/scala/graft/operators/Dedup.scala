@@ -204,19 +204,20 @@ object Dedup {
     * Output: (doc_a, doc_b, jac) — same surface as [[ngramJaccardPairs]],
     * which is its oracle.
     */
-  def minHashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
-                 numPerm: Int = 128, bands: Int = 32): DataFrame = {
+  /** MinHash band signatures from a shingle frame: one-pass signatures
+    * ((doc) → Array[Long](numPerm) of per-perm mins; shingles
+    * pre-hashed to longs with codegen'd xxhash64 so the aggregation
+    * exchange carries the hash, not the string), then per-band slice
+    * hashes. Keys travel as strings (doc_id can be any type — ANSI
+    * long-casts would throw on wikitext string ids) and map back to
+    * the original ids after. Output: (doc_id, band, sig).
+    */
+  private[graft] def bandSignatures(sh: DataFrame, numPerm: Int,
+                                    bands: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val spark = docs.sparkSession
+    val spark = sh.sparkSession
     import spark.implicits._
-    // consumed 4× (signatures, sizes, verify ×2) — materialize once
-    val sh = shingles(docs, n).persist()
-    // one-pass signatures: (doc) -> Array[Long](numPerm) of per-perm mins;
-    // shingles pre-hashed to longs with codegen'd xxhash64 so the
-    // aggregation exchange carries the hash, not the string. Keys travel
-    // as strings (doc_id can be any type — ANSI long-casts would throw
-    // on wikitext string ids) and map back to the original ids after.
     val sigsByKey = sh.select(col("doc_id").cast("string").as("k"),
         xxhash64(col("s")).as("h0"))
       .as[(String, Long)]
@@ -226,13 +227,19 @@ object Dedup {
     val ids = sh.select(col("doc_id")).distinct()
       .withColumn("k", col("doc_id").cast("string"))
     val sigs = sigsByKey.join(ids, "k").select("doc_id", "sig")
-    // band signature = hash of the band's slice of the signature
-    val bandSigs = sigs
+    sigs
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1,
           lit(rowsPerBand))).as("sig"))
+  }
+
+  def minHashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                 numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    // consumed 4× (signatures, sizes, verify ×2) — materialize once
+    val sh = shingles(docs, n).persist()
+    val bandSigs = bandSignatures(sh, numPerm, bands)
     val l = bandSigs.as("l")
     val r = bandSigs.as("r")
     val candidates = l.join(r,
@@ -241,6 +248,65 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     jaccardOnPairs(sh, candidates, threshold)
+  }
+
+  /** Incremental (delta-vs-corpus) MinHash dedup — the daily-ingestion
+    * pattern at 100 TB: a new batch must dedup against the existing
+    * corpus WITHOUT re-pairing corpus×corpus. Candidates come from two
+    * band equi-joins — delta→corpus and delta→delta (smaller-id-first)
+    * — so the join work is delta-sized on the probe side; in
+    * production the corpus band signatures are a persisted lake table
+    * built once per batch cycle (here both sides derive in-plan from
+    * the same frame, split by the deterministic `doc_id % deltaMod`
+    * membership so the oracle can replay the partition).
+    *
+    * Every candidate is exact-Jaccard verified (LSH false positives
+    * die there; miss probability at the planted jac≈0.98 pairs is
+    * ~1e-13 with 32×4 bands — the dedup_minhash_lsh argument). A delta
+    * doc is kept iff it matches no corpus doc and no SMALLER-id delta
+    * doc (first-wins within the batch, the same min-id convention as
+    * assignCanonical).
+    * Output: (doc_id, n_corpus_dups, n_delta_dups, keep) — one row per
+    * delta doc.
+    */
+  def incrementalMinHash(docs: DataFrame, threshold: Double = 0.8,
+                         n: Int = 3, numPerm: Int = 128, bands: Int = 32,
+                         deltaMod: Int = 5): DataFrame = {
+    val isDelta = pmod(col("doc_id"), lit(deltaMod)) === 0
+    // shingles feed signatures + two verifies — materialize once
+    val sh = shingles(docs, n).persist()
+    val bandSigs = bandSignatures(sh, numPerm, bands).persist()
+    val deltaB = bandSigs.filter(isDelta)
+    val corpusB = bandSigs.filter(!isDelta)
+    val candCorpus = deltaB.as("l")
+      .join(corpusB.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val candDelta = deltaB.as("l")
+      .join(deltaB.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val verCorpus = jaccardOnPairs(sh, candCorpus, threshold)
+    val verDelta = jaccardOnPairs(sh, candDelta, threshold)
+    val nCorpus = verCorpus.groupBy("doc_a")
+      .agg(count(lit(1)).as("n_corpus_dups"))
+      .select(col("doc_a").as("c_id"), col("n_corpus_dups"))
+    // a delta doc's in-batch dups are the pairs where it is the LARGER
+    // id (doc_b): the smaller-id member stays the batch canonical
+    val nDelta = verDelta.groupBy("doc_b")
+      .agg(count(lit(1)).as("n_delta_dups"))
+      .select(col("doc_b").as("d_id"), col("n_delta_dups"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(nCorpus, col("doc_id") === col("c_id"), "left")
+      .join(nDelta, col("doc_id") === col("d_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("n_delta_dups"), lit(0L)).as("n_delta_dups"))
+      .withColumn("keep",
+        col("n_corpus_dups") === 0 && col("n_delta_dups") === 0)
   }
 
   /** SimHash near-dup pairs. 64-bit signature: bit j is the sign of the

@@ -38,18 +38,24 @@ object Graph {
     * classic Pregel-on-relational shape).
     * Output: (node_type, key, rank) — rank in units of 1e-12 mass.
     */
-  def pageRank(orders: DataFrame, lineitem: DataFrame,
-               iters: Int = 3): DataFrame = {
-    require(iters >= 1 && iters <= 10,
-      s"iters must be in [1, 10] (twin unrolls them): $iters")
+  /** Undirected customer–supplier purchase edges in one namespaced key
+    * space (customer → 2k, supplier → 2k+1), both directions emitted —
+    * the shared graph for pageRank and connectedComponents. */
+  def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val e0 = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+    e0.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
-      .persist()
+  }
+
+  def pageRank(orders: DataFrame, lineitem: DataFrame,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val edges = purchaseEdges(orders, lineitem).persist()
     // out-degree per node; undirected construction ⇒ this is also the
     // node set (no dangling nodes by construction)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -79,5 +85,48 @@ object Graph {
         .otherwise(lit("supplier")).as("node_type"),
       expr("node div 2").as("key"),
       col("rank"))
+  }
+
+  /** Connected components by k-step min-label propagation over the
+    * purchase graph: each iteration is one edge-sized keyed join + one
+    * node-keyed `min` aggregate — the distributed shape that replaces a
+    * driver-side union-find when the edge list no longer fits one
+    * machine (the 100 TB arm of `Dedup.assignCanonical`'s bounded
+    * driver path, exposed as a first-class relational operator).
+    *
+    * The label after k iterations is EXACTLY min(node id within graph
+    * distance ≤ k) — deterministic in both engines regardless of
+    * whether the graph has converged, which is what makes a fixed-k
+    * gate oracle-expressible (the twin unrolls the k steps as CTE
+    * pairs). Convergence needs k ≥ the component diameter; callers at
+    * scale either pick k from a known diameter bound or iterate with a
+    * driver-side fixpoint check on `sum(label)` (monotone decreasing).
+    * Per-iteration `persist` keeps the lineage flat in k.
+    * Output: (node_type, key, component) — component is the namespaced
+    * min node id, BIGINT.
+    */
+  def connectedComponents(orders: DataFrame, lineitem: DataFrame,
+                          iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val edges = purchaseEdges(orders, lineitem).persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val nbr = labels
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(min("lbl").as("nl"))
+      labels = labels
+        .join(nbr, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .persist()
+    }
+    labels.select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("lbl").as("component"))
   }
 }

@@ -717,4 +717,57 @@ object Relational {
         date_format(col("_w.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         col("_w.event_id").as("last_event_id"),
         col("_w.value").as("last_value"))
+
+  /** Exact ROC-AUC (Mann-Whitney with midrank tie handling) of a
+    * bounded-cardinality score, one-vs-rest per event type — the
+    * model-eval primitive a training-data pipeline runs after every
+    * quality-scorer change.
+    *
+    * Scale shape: exact AUC over a CONTINUOUS score needs a global
+    * total order (a scale-killer), so the operator scores on the
+    * 2-dp-quantized value (`round2`) — midranks then derive from a
+    * histogram over DISTINCT scores only: one keyed (score, class)
+    * count, one bounded cumulative window over the score histogram
+    * (cardinality = score range × 100, independent of row count — the
+    * same distinct-values-window argument as samp_curriculum_scalable),
+    * one class-keyed aggregate. AUC is computed in exact BIGINT rank
+    * sums; the single final division is one IEEE op, then round6.
+    * For rows with score s: midrank = below(s) + (cnt(s)+1)/2, kept as
+    * mr2 = 2·below + cnt + 1 to stay integral.
+    * Output: (event_type, pos_cnt, neg_cnt, auc) — auc of predicting
+    * "this event type" from the quantized value, NULL if a class has
+    * no complement (degenerate single-class input).
+    */
+  def aucByType(events: DataFrame): DataFrame = {
+    val scored = events.select(
+      col("event_type"),
+      graft.functions.Fns.round2(col("value")).as("score"))
+    // per-(score, class) counts — the only data-sized aggregate
+    val g = scored.groupBy("score", "event_type")
+      .agg(count(lit(1)).as("cnt_sc")).persist()
+    // score histogram + cumulative count of strictly-smaller scores:
+    // window over DISTINCT scores only (bounded), never over rows
+    val hist = g.groupBy("score").agg(sum("cnt_sc").as("cnt_s"))
+    val wBelow = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = hist
+      .select(col("score"), col("cnt_s"),
+        (sum("cnt_s").over(wBelow) - col("cnt_s")).as("below"))
+    // Σ mr2 over a class's rows at score s = cnt_sc · (2·below+cnt_s+1)
+    val perClass = g.join(below, "score")
+      .groupBy("event_type")
+      .agg(sum(col("cnt_sc") * (col("below") * 2 + col("cnt_s") + 1))
+          .as("s2"),
+        sum("cnt_sc").as("p"))
+    val n = perClass.agg(sum("p").as("n"))
+    perClass.crossJoin(broadcast(n))
+      .select(col("event_type"), col("p").as("pos_cnt"),
+        (col("n") - col("p")).as("neg_cnt"),
+        // nullif: a single-class input makes the pair count 0 — ANSI
+        // would raise DIVIDE_BY_ZERO; NULL is the documented output
+        (floor((col("s2") - col("p") * (col("p") + 1)).cast("double") /
+          nullif((col("p") * (col("n") - col("p")) * 2).cast("double"),
+            lit(0.0))
+          * 1000000 + lit(0.5)) / 1000000).as("auc"))
+  }
 }
