@@ -28,7 +28,10 @@ object ExplainAudit {
         "rel_compact_latest_scalable", "rel_fuzzy_join",
         "sim_hard_negatives", "samp_curriculum_scalable",
         "rel_pagerank", "rel_cohort", "rel_activity_spine",
-        "rel_snapshot_diff", "io_orc_roundtrip")
+        "rel_snapshot_diff", "io_orc_roundtrip",
+        // round-6 sixth-session surface
+        "rel_components", "rel_auc", "text_nb_classify",
+        "dedup_incremental", "io_bucketed_join")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
