@@ -67,6 +67,11 @@ object SparkEntry {
   val TestProbeWords: Seq[String] =
     Seq("join", "scan", "window", "merge", "order")
 
+  /** Pinned pivot value list for rel_pivot (shared by the Spark plan
+    * and the oracle twin) — the events event_type domain. */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
   /** Split weights / stratified fractions for the sampling gate queries
     * (shared by the Spark plan and the oracle twin). */
   val SplitWeights: Seq[(String, Double)] =
@@ -180,6 +185,19 @@ object SparkEntry {
       graft.io.CompatIo.readPartition(s, out, "lang", "en")
         .select(col("doc_id"), col("source"),
           col("lang").cast("string").as("lang"))
+    }),
+    // globally-sorted lake layout: range-exchange into disjoint
+    // increasing per-file key ranges + in-file sort, read back — the
+    // layout must never change the ROWS (identity twin); the plan
+    // (RangePartitioning) and the non-overlapping per-file min/max
+    // footer ranges are pinned by ScaleLayoutSpec
+    "io_sorted_write" -> ((s, dir) => {
+      val out = scratchDir("sorted")
+      graft.io.CompatIo.writeSortedRange(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount"),
+        out, 8, Seq("l_orderkey", "l_linenumber"))
+      s.read.parquet(out)
     }),
 
     // --- text analysis (north-star) ---
@@ -387,6 +405,27 @@ object SparkEntry {
         Relational.latestEventStateScalable(ev),
         Seq("user_id", "event_type"))
     }),
+    // MERGE INTO semantics: the pre-cutoff compacted state is the base
+    // snapshot, the post-cutoff log compacts into the change feed
+    // (op = 'D' on event_id % 10 == 0, ~10% deletes, integer-exact in
+    // both engines), one keyed full-outer join applies it — the batch
+    // twin of a table-format MERGE
+    "rel_merge_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.when
+      val ev = tbl(s, dir, "events")
+      val base = Relational.latestEventStateScalable(
+        ev.filter(expr("unix_micros(ts) < 1706616000000000")))
+      val delta = Relational.latestEventStateScalable(
+        ev.filter(expr("unix_micros(ts) >= 1706616000000000")))
+        .withColumn("op",
+          when(pmod(col("last_event_id"), lit(10)) === 0, lit("D"))
+            .otherwise(lit("U")))
+      Relational.mergeApply(base, delta, Seq("user_id", "event_type"))
+    }),
+    // pinned-values pivot: per-user event-type count/sum matrix — the
+    // value list is explicit (no distinct-discovery scan, stable schema)
+    "rel_pivot" -> ((s, dir) =>
+      Relational.pivotEventTypes(tbl(s, dir, "events"), EventTypes)),
     // iterative graph analytics: integer fixed-point PageRank over the
     // undirected customer-supplier purchase graph (3 unrolled iters)
     "rel_pagerank" -> ((s, dir) =>
@@ -531,6 +570,12 @@ object SparkEntry {
 
     // --- composed curation pipeline (north-star) ---
     "pipe_curate" -> ((s, dir) => Curate.curate(docs(s, dir))),
+    // entity resolution end-to-end: SymSpell fuzzy blocking + exact
+    // verify -> 3-step min-label propagation (distributed union-find
+    // arm) -> golden-record rollup; singletons survive as their own
+    // entity, so the output is the total entity table
+    "pipe_entity_res" -> ((s, dir) =>
+      Dedup.resolveEntities(tbl(s, dir, "customer"), "c_name")),
 
     // --- deterministic sampling (north-star; see operators.Sampling) ---
     "samp_hash" -> ((s, dir) =>
@@ -713,6 +758,50 @@ object SparkEntry {
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, lbl AS component
        |FROM l$iters""".stripMargin
+  }
+
+  // Entity-resolution twin generator: the fuzzy-join vocab/variant CTEs
+  // (SymSpell deletion neighborhood + levenshtein verify, mirroring
+  // Dedup.editDistancePairs), symmetrized edges, `iters` unrolled
+  // min-label steps over lexicographic string labels, golden-record
+  // rollup joined back to the vocab counts. Singletons keep their own
+  // key as entity_id (LEFT JOIN + coalesce in each step's base).
+  private def EntityResSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""n$i AS (
+         |  SELECT e.dst AS node, min(l.lbl) AS nl
+         |  FROM l${i - 1} l JOIN edges e ON l.node = e.src
+         |  GROUP BY e.dst
+         |), l$i AS (
+         |  SELECT l.node, least(l.lbl, coalesce(n$i.nl, l.lbl)) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN n$i ON l.node = n$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vocab AS (
+       |  SELECT lower(trim(c_name)) AS key, count(*) AS cnt
+       |  FROM customer WHERE length(lower(trim(c_name))) > 0
+       |  GROUP BY 1
+       |), vars AS (
+       |  SELECT key,
+       |    CASE WHEN i = 0 THEN key
+       |         ELSE substr(key, 1, CAST(i - 1 AS INTEGER))
+       |           || substr(key, CAST(i + 1 AS INTEGER)) END AS variant
+       |  FROM vocab, unnest(range(0, length(key) + 1)) AS t(i)
+       |), pairs AS (
+       |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+       |  FROM vars a JOIN vars b USING (variant)
+       |  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 1
+       |), edges AS (
+       |  SELECT key_a AS src, key_b AS dst FROM pairs
+       |  UNION ALL SELECT key_b, key_a FROM pairs
+       |), l0 AS (
+       |  SELECT key AS node, key AS lbl FROM vocab
+       |),
+       |$steps
+       |SELECT l.lbl AS entity_id, CAST(count(*) AS BIGINT) AS n_names,
+       |  CAST(sum(v.cnt) AS BIGINT) AS n_records
+       |FROM l$iters l JOIN vocab v ON l.node = v.key
+       |GROUP BY 1""".stripMargin
   }
 
   private val tokenCtes: String =
@@ -1189,6 +1278,12 @@ object SparkEntry {
     "io_partition_prune" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE lang = 'en'""".stripMargin,
+    // sorted-layout twin: plain identity — the range-sorted layout must
+    // change the FILES (ScaleLayoutSpec pins plan + footer ranges),
+    // never the rows
+    "io_sorted_write" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_discount FROM lineitem""".stripMargin,
 
     // Sparse TF-IDF doc-similarity twin: the q6 weight chain, inverted-
     // index self-join on the word, DECIMAL(30,12)-summed dots/norms
@@ -1695,6 +1790,10 @@ object SparkEntry {
          |  AND ('0x' || substr(md5('graft' || '|' ||
          |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      < ${operators.Sampling.thresholdFor(0.5)}""".stripMargin,
+
+    // Entity-resolution twin: fuzzy CTEs + 3 unrolled min-label steps
+    // + golden-record rollup (generator above)
+    "pipe_entity_res" -> EntityResSql(3),
 
     // Deterministic hash sampling twins: identical md5-hex thresholds,
     // thresholds/bounds interpolated from the SAME Scala constants the
@@ -2665,6 +2764,55 @@ object SparkEntry {
          |  OR NOT (o_ts IS NOT DISTINCT FROM n_ts
          |    AND o_id IS NOT DISTINCT FROM n_id
          |    AND o_v IS NOT DISTINCT FROM n_v)""".stripMargin,
+
+    // MERGE-apply twin: base/delta compaction CTEs, op derived from
+    // the compacted winner's event_id (integer-exact both engines),
+    // keyed full join, D drops the key, U upserts, untouched keeps
+    "rel_merge_upsert" ->
+      s"""WITH base AS (
+         |${compactLatestSql("WHERE epoch_us(ts) < 1706616000000000")}
+         |), delta AS (
+         |  SELECT *, CASE WHEN last_event_id % 10 = 0 THEN 'D'
+         |    ELSE 'U' END AS op
+         |  FROM (
+         |${compactLatestSql("WHERE epoch_us(ts) >= 1706616000000000")}
+         |  )
+         |), j AS (
+         |  SELECT coalesce(b.user_id, d.user_id) AS user_id,
+         |    coalesce(b.event_type, d.event_type) AS event_type,
+         |    b.last_ts AS b_ts, b.last_event_id AS b_id,
+         |    b.last_value AS b_v,
+         |    d.last_ts AS d_ts, d.last_event_id AS d_id,
+         |    d.last_value AS d_v, d.op AS op,
+         |    b.user_id IS NOT NULL AS has_b,
+         |    d.user_id IS NOT NULL AS has_d
+         |  FROM base b FULL JOIN delta d
+         |    ON b.user_id = d.user_id AND b.event_type = d.event_type
+         |)
+         |SELECT user_id, event_type,
+         |  CASE WHEN has_d THEN d_ts ELSE b_ts END AS last_ts,
+         |  CASE WHEN has_d THEN d_id ELSE b_id END AS last_event_id,
+         |  CASE WHEN has_d THEN d_v ELSE b_v END AS last_value,
+         |  CASE WHEN NOT has_d THEN 'keep'
+         |       WHEN NOT has_b THEN 'insert'
+         |       ELSE 'update' END AS action
+         |FROM j
+         |WHERE NOT has_d OR op <> 'D'""".stripMargin,
+
+    // Pivot twin: FILTER aggregates over the pinned value list —
+    // count cells 0-fill, sum cells stay NULL on absent combinations
+    // (matching the Spark side's explicit coalesce/NULL discipline)
+    "rel_pivot" -> {
+      val cells = EventTypes.map(t =>
+        s"""  CAST(count(*) FILTER (event_type = '$t') AS BIGINT)
+           |    AS ${t}_n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,6)))
+           |    FILTER (event_type = '$t') AS DOUBLE) AS ${t}_sum"""
+          .stripMargin).mkString(",\n")
+      s"""SELECT user_id,
+         |$cells
+         |FROM events GROUP BY user_id""".stripMargin
+    },
 
     // PageRank twin: the 3 iterations unrolled as (in-mass, rank) CTE
     // pairs — every quantity is BIGINT fixed-point, so `//` replays

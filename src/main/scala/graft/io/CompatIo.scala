@@ -149,6 +149,25 @@ object CompatIo {
       .saveAsTable(table)
   }
 
+  /** Globally-sorted lake layout: `repartitionByRange` assigns each
+    * output file a disjoint, increasing key range (one range-exchange,
+    * sampled bounds) and `sortWithinPartitions` orders rows inside it —
+    * so the file set as a whole is globally ordered by `sortCols`
+    * without a single-partition global sort. At 100 TB this is the
+    * layout that makes downstream merge joins and key-range reads
+    * cheap: parquet min/max footer stats per file are tight and
+    * non-overlapping, so a key-range predicate prunes to the one file
+    * holding it (the poor man's clustered index; ScaleLayoutSpec pins
+    * both the RangePartitioning exchange and the non-overlapping
+    * per-file ranges). `files` sizes the layout — at scale pick
+    * bytes/file, not a constant.
+    */
+  def writeSortedRange(df: DataFrame, outDir: String, files: Int,
+                       sortCols: Seq[String]): Unit =
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
   /** Reference-native per-doc layout reader: a directory of
     * `<docID>.csv` files (the reference's staging bucket / TF-IDF-Docs
     * layout), doc_id recovered from the file name. One Spark task per

@@ -875,4 +875,43 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select("key_a", "key_b", "dist", "cnt_a", "cnt_b").distinct()
   }
+
+  /** Entity resolution end-to-end: [[editDistancePairs]] blocking +
+    * verify produces the match graph, k-step min-label propagation
+    * ([[Graph.minLabelPropagate]] — the distributed union-find arm)
+    * groups transitively-linked keys, and one keyed aggregate rolls
+    * each group up to a golden record. The canonical id is the
+    * lexicographic min key within propagation distance ≤ `iters` —
+    * deterministic in both engines whether or not the graph has
+    * converged, which is what makes a fixed-k gate oracle-expressible.
+    *
+    * Singleton keys (no fuzzy match) survive as their own entity, so
+    * the output is a total entity table, not just the matched slice.
+    *
+    * Scale posture: every stage is keyed — the SymSpell equi-join over
+    * the distinct-key vocabulary, the edge-sized propagation joins,
+    * the final groupBy — and each propagation step's state is one
+    * label row per key. No all-pairs scan, no driver-side structure.
+    * Output: (entity_id, n_names, n_records) — distinct raw keys and
+    * total source rows folded into each entity.
+    */
+  def resolveEntities(df: DataFrame, strCol: String,
+                      iters: Int = 3): DataFrame = {
+    val vocab = df
+      .select(lower(trim(col(strCol))).as("key"))
+      .filter(length(col("key")) > 0)
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val pairs = editDistancePairs(df, strCol).persist()
+    val edges = pairs
+      .select(col("key_a").as("src"), col("key_b").as("dst"))
+      .unionAll(pairs
+        .select(col("key_b").as("src"), col("key_a").as("dst")))
+    val labels0 = vocab
+      .select(col("key").as("node"), col("key").as("lbl"))
+    Graph.minLabelPropagate(labels0, edges, iters)
+      .join(vocab, col("node") === col("key"))
+      .groupBy(col("lbl").as("entity_id"))
+      .agg(count(lit(1)).as("n_names"), sum("cnt").as("n_records"))
+  }
 }

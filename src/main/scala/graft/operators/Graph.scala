@@ -87,32 +87,32 @@ object Graph {
       col("rank"))
   }
 
-  /** Connected components by k-step min-label propagation over the
-    * purchase graph: each iteration is one edge-sized keyed join + one
-    * node-keyed `min` aggregate — the distributed shape that replaces a
-    * driver-side union-find when the edge list no longer fits one
-    * machine (the 100 TB arm of `Dedup.assignCanonical`'s bounded
-    * driver path, exposed as a first-class relational operator).
+  /** Generic k-step min-label propagation: each iteration is one
+    * edge-sized keyed join + one node-keyed `min` aggregate — the
+    * distributed shape that replaces a driver-side union-find when the
+    * edge list no longer fits one machine. Node/label type is anything
+    * with a total order (BIGINT ids here, lexicographic strings in
+    * entity resolution).
     *
-    * The label after k iterations is EXACTLY min(node id within graph
-    * distance ≤ k) — deterministic in both engines regardless of
+    * The label after k iterations is EXACTLY min(seed label within
+    * graph distance ≤ k) — deterministic in both engines regardless of
     * whether the graph has converged, which is what makes a fixed-k
     * gate oracle-expressible (the twin unrolls the k steps as CTE
     * pairs). Convergence needs k ≥ the component diameter; callers at
     * scale either pick k from a known diameter bound or iterate with a
-    * driver-side fixpoint check on `sum(label)` (monotone decreasing).
+    * driver-side fixpoint check on a monotone label aggregate.
     * Per-iteration `persist` keeps the lineage flat in k.
-    * Output: (node_type, key, component) — component is the namespaced
-    * min node id, BIGINT.
+    *
+    * `labels0` is (node, lbl); `edges` is (src, dst), already
+    * symmetrized if the relation is undirected. Isolated nodes (in
+    * `labels0` but touching no edge) keep their seed label.
     */
-  def connectedComponents(orders: DataFrame, lineitem: DataFrame,
-                          iters: Int = 4): DataFrame = {
+  def minLabelPropagate(labels0: DataFrame, edges0: DataFrame,
+                        iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (twin unrolls them): $iters")
-    val edges = purchaseEdges(orders, lineitem).persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .persist()
+    val edges = edges0.persist()
+    var labels = labels0.persist()
     for (_ <- 1 to iters) {
       val nbr = labels
         .join(edges, col("node") === col("src"))
@@ -123,7 +123,22 @@ object Graph {
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         .persist()
     }
-    labels.select(
+    labels
+  }
+
+  /** Connected components over the purchase graph — [[minLabelPropagate]]
+    * seeded with each node's own id (the 100 TB arm of
+    * `Dedup.assignCanonical`'s bounded driver path, exposed as a
+    * first-class relational operator).
+    * Output: (node_type, key, component) — component is the namespaced
+    * min node id, BIGINT.
+    */
+  def connectedComponents(orders: DataFrame, lineitem: DataFrame,
+                          iters: Int = 4): DataFrame = {
+    val edges = purchaseEdges(orders, lineitem)
+    val labels0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    minLabelPropagate(labels0, edges, iters).select(
       when(col("node") % 2 === 0, lit("customer"))
         .otherwise(lit("supplier")).as("node_type"),
       expr("node div 2").as("key"),

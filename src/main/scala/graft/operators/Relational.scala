@@ -770,4 +770,68 @@ object Relational {
             lit(0.0))
           * 1000000 + lit(0.5)) / 1000000).as("auc"))
   }
+
+  /** MERGE INTO semantics — apply a compacted change feed to a base
+    * snapshot in one keyed full-outer join (the step after
+    * [[latestEventStateScalable]] turns a raw CDC log into one row per
+    * key): a delta row with `opCol = 'D'` deletes the key, any other
+    * delta row upserts its payload (update when the key exists, insert
+    * when it doesn't), untouched base rows pass through.
+    *
+    * `delta` must be pre-compacted to one row per key (feed a raw log
+    * through keep-latest compaction first — the op rides the payload
+    * struct so the winning row's op is the one applied); `base` and
+    * `delta` share the key + payload columns, `delta` adds `opCol`.
+    *
+    * Scale posture: one hash-partitioned full-outer join on the key —
+    * state-sized exchange on both sides, no window, no sort; the
+    * `action` column comes from the same presence flags the join
+    * already computed. This is the batch twin of what a MERGE-capable
+    * table format executes, expressed as a plain Catalyst plan.
+    * Output: key ++ payload ++ action ('insert'|'update'|'keep').
+    */
+  def mergeApply(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
+                 opCol: String = "op"): DataFrame = {
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    require(delta.columns.sorted
+      .sameElements((base.columns :+ opCol).sorted),
+      s"delta must be base's schema plus '$opCol'")
+    val b = payload.foldLeft(base)((d, c) =>
+      d.withColumnRenamed(c, s"_b_$c"))
+      .withColumn("_b_present", lit(1))
+    val d = delta.withColumn("_d_present", lit(1))
+    b.join(d, keyCols, "full_outer")
+      .filter(col("_d_present").isNull || col(opCol) =!= "D")
+      .withColumn("action",
+        when(col("_d_present").isNull, lit("keep"))
+          .when(col("_b_present").isNull, lit("insert"))
+          .otherwise(lit("update")))
+      .select(keyCols.map(col) ++
+        payload.map(c =>
+          when(col("_d_present").isNotNull, col(c))
+            .otherwise(col(s"_b_$c")).as(c)) :+ col("action"): _*)
+  }
+
+  /** Pinned-values pivot: per-user event-type matrix (count + exact
+    * decimal-routed value sum per type, as columns), as CONDITIONAL
+    * aggregation — one hash aggregate, one user_id exchange. Spark's
+    * relational `.pivot(col, values)` plans TWO aggregate passes (a
+    * (user, type)-keyed agg, then a pivotfirst agg) with two
+    * exchanges; the conditional form ships one partial-state row per
+    * (user × pinned column) and shuffles once. The value list is
+    * EXPLICIT either way — a values-less pivot adds a distinct
+    * discovery scan AND a schema that drifts with the data; a 100 TB
+    * pivot pins its columns. Absent (user, type) cells surface as 0
+    * count / NULL sum, matching SQL FILTER-aggregate semantics.
+    * Output: (user_id, <type>_n, <type>_sum ... per pinned type).
+    */
+  def pivotEventTypes(events: DataFrame,
+                      types: Seq[String]): DataFrame = {
+    val cells = types.flatMap(t => Seq(
+      count(when(col("event_type") === t, lit(1))).as(s"${t}_n"),
+      sum(when(col("event_type") === t,
+        col("value").cast("decimal(18,6)")))
+        .cast("double").as(s"${t}_sum")))
+    events.groupBy("user_id").agg(cells.head, cells.tail: _*)
+  }
 }

@@ -31,7 +31,10 @@ object ExplainAudit {
         "rel_snapshot_diff", "io_orc_roundtrip",
         // round-6 sixth-session surface
         "rel_components", "rel_auc", "text_nb_classify",
-        "dedup_incremental", "io_bucketed_join")
+        "dedup_incremental", "io_bucketed_join",
+        // round-6 seventh-session surface
+        "rel_merge_upsert", "rel_pivot", "pipe_entity_res",
+        "io_sorted_write")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
