@@ -80,6 +80,14 @@ object SparkEntry {
     Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)
   val MixTargets: Map[String, Double] =
     Map("en" -> 0.4, "de" -> 0.3, "zh" -> 0.3)
+  /** Per-lang epoch factors for samp_repeat_epochs — integer,
+    * fractional, sub-1, and absent (es drops) cases all exercised. */
+  val EpochFactors: Map[String, Double] =
+    Map("en" -> 1.0, "de" -> 2.5, "fr" -> 2.0, "zh" -> 0.5)
+  /** Token budget for the samp_token_budget gates — keeps a strict,
+    * non-empty subset at every test SF (total n_chars ≈ 150k at
+    * sf0.001/0.01, ≈ 1.5M at sf0.1). */
+  val TokenBudget: Long = 60000L
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -614,6 +622,27 @@ object SparkEntry {
     "samp_mix_temp" -> ((s, dir) =>
       Sampling.temperatureMixture(docs(s, dir))
         .select("doc_id", "lang")),
+    // epoch-repeat upsampling: per-lang epoch factors (2.5 epochs of
+    // de, ...), full copies unconditional, the fractional epoch is a
+    // deterministic hash-chosen subset; es has no factor and drops
+    "samp_repeat_epochs" -> ((s, dir) =>
+      Sampling.repeatEpochs(docs(s, dir), EpochFactors)
+        .select("doc_id", "lang", "epoch")),
+    // token-budget selection: best docs by (score desc, id asc) until
+    // the running token total hits the budget — exact global-window
+    // baseline
+    "samp_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSelect(docs(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long")
+          .as("score"), col("n_chars")),
+        TokenBudget, tokensCol = "n_chars")),
+    // the 100 TB form: score-histogram boundary-block top-up — same
+    // kept set (shared oracle), sorts one tie block, not the corpus
+    "samp_token_budget_scalable" -> ((s, dir) =>
+      Sampling.tokenBudgetSelectScalable(docs(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long")
+          .as("score"), col("n_chars")),
+        TokenBudget, tokensCol = "n_chars")),
     // curriculum deciles by text length: exact ntile over the pinned
     // (score, doc_id) total order — the global-sort baseline
     "samp_curriculum" -> ((s, dir) =>
@@ -1000,6 +1029,19 @@ object SparkEntry {
       |      doc_id ASC) AS rn
       |  FROM documents WHERE doc_id IS NOT NULL)
       |WHERE rn <= 10""".stripMargin
+
+  // Token-budget twin — shared by samp_token_budget (global window)
+  // and samp_token_budget_scalable (histogram boundary-block top-up):
+  // the kept set is the longest (score desc, doc_id asc)-prefix whose
+  // inclusive token sum fits the budget. Integer window sum — no float
+  // accumulation anywhere.
+  private val tokenBudgetSql: String =
+    s"""SELECT doc_id, score, n_chars FROM (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS score, n_chars,
+       |    sum(n_chars) OVER (ORDER BY length(text) DESC, doc_id ASC)
+       |      AS cum
+       |  FROM documents WHERE doc_id IS NOT NULL)
+       |WHERE cum <= $TokenBudget""".stripMargin
 
   // Shared by dedup_decontam and dedup_decontam_bloom: the bloom
   // prefilter is output-invariant, so both gates replay one exact twin.
@@ -1890,6 +1932,41 @@ object SparkEntry {
         |)
         |SELECT s.doc_id, s.score, b.bin FROM s JOIN b USING (score)"""
         .stripMargin,
+
+    // Epoch-repeat twin: identical per-lang constant CASE chains
+    // (floor/ceil/partial-epoch threshold all interpolated from the
+    // SAME Scala map), lateral range explode, same hash keep on the
+    // fractional copy
+    "samp_repeat_epochs" -> {
+      def chain(f: Double => String): String =
+        "CASE " + EpochFactors.toSeq.sortBy(_._1).map { case (l, e) =>
+          s"WHEN lang = '$l' THEN ${f(e)}"
+        }.mkString(" ") + " ELSE NULL END"
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    ${chain(e => math.floor(e).toLong.toString)} AS full_e,
+         |    ${chain(e => math.ceil(e).toLong.toString)} AS ceil_e,
+         |    ${chain(e =>
+               operators.Sampling.thresholdFor(e - math.floor(e)).toString)}
+         |      AS thr
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL
+         |    AND lang IN (${EpochFactors.keys.toSeq.sorted
+               .map(l => s"'$l'").mkString(", ")})
+         |)
+         |SELECT doc_id, lang, CAST(t.epoch AS BIGINT) AS epoch
+         |FROM f, unnest(range(1, ceil_e + 1)) AS t(epoch)
+         |WHERE t.epoch <= full_e
+         |   OR ('0x' || substr(md5('graft-ep' || '|' ||
+         |     CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin
+    },
+
+    // Token-budget twin — shared by samp_token_budget (global window)
+    // and samp_token_budget_scalable (boundary-block top-up): the kept
+    // set is the longest prefix of (score desc, doc_id asc) whose
+    // inclusive n_chars sum is <= budget
+    "samp_token_budget" -> tokenBudgetSql,
+    "samp_token_budget_scalable" -> tokenBudgetSql,
 
     // Temperature-mixture twin: identical chain with w = sqrt(c)
     // (correctly-rounded IEEE — bit-identical across engines); the

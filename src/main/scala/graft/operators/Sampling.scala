@@ -363,6 +363,118 @@ object Sampling {
     df.join(broadcast(binned), scoreCol)
   }
 
+  /** Epoch-repeat upsampling — the "N epochs of source s" mixing step
+    * of a pretraining data recipe (e.g. 2.5 epochs of wiki, 1 epoch of
+    * web): each row of stratum s explodes into `ceil(epochs_s)` copies
+    * tagged `epoch` = 1..k; copies up to `floor(epochs_s)` are
+    * unconditional, and the one extra copy of a fractional epoch is
+    * kept for a deterministic hash-chosen `frac(epochs_s)` subset of
+    * the stratum — so stratum s contributes EXACTLY count_s·epochs_s
+    * rows in expectation with zero variance across runs/engines (the
+    * same docs repeat, the same docs make the partial epoch). Strata
+    * without a factor drop (same contract as [[mixtureSample]]).
+    *
+    * All three per-stratum constants (floor, ceil, partial-epoch
+    * threshold) are derived in Scala once and land in the plan as a
+    * literal when/otherwise chain — no join, no shuffle; the explode
+    * is a pure per-row Generate that scales with OUTPUT size. The
+    * ≤ 64-epoch bound keeps a fat-fingered factor from exploding the
+    * corpus 1000×. Output: input columns + `epoch` (1-based BIGINT).
+    */
+  def repeatEpochs(df: DataFrame, epochs: Map[String, Double],
+                   stratumCol: String = "lang",
+                   keyCol: String = "doc_id",
+                   salt: String = "graft-ep"): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(e => e > 0 && e <= 64),
+      "epoch factors must be in (0, 64]")
+    def chain(f: Double => Column): Column =
+      epochs.toSeq.sortBy(_._1).foldRight(lit(null).cast("long")) {
+        case ((s, e), rest) =>
+          when(col(stratumCol) === s, f(e)).otherwise(rest)
+      }
+    val full = chain(e => lit(math.floor(e).toLong))
+    val ceilE = chain(e => lit(math.ceil(e).toLong))
+    val thr = chain(e => lit(thresholdFor(e - math.floor(e))))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_full", full)
+      .withColumn("_ceil", ceilE)
+      .withColumn("_thr", thr)
+      .filter(col("_ceil").isNotNull)
+      .withColumn("epoch", explode(sequence(lit(1L), col("_ceil"))))
+      .filter(col("epoch") <= col("_full") ||
+        hashValue(col(keyCol), salt) < col("_thr"))
+      .drop("_full", "_ceil", "_thr")
+  }
+
+  /** Token-budget selection, exact form: keep documents in quality
+    * order (`scoreCol` desc, `keyCol` asc — a pinned total order)
+    * while the running token total stays within `budget` — the "take
+    * the best B tokens" step of corpus curation. PREFIX semantics:
+    * the kept set is the longest prefix of the quality order whose
+    * inclusive token sum is ≤ budget (no first-fit backfilling — a
+    * doc that overflows the budget does not let a later, smaller doc
+    * jump it; that would be a knapsack, not a deterministic cut).
+    *
+    * The global window is the classic one-reducer sort hazard —
+    * [[tokenBudgetSelectScalable]] is the 100 TB path with the SAME
+    * kept set (one shared oracle pins them together). NULL keys drop;
+    * `scoreCol`/`tokensCol` must be non-null (a NULL score has no
+    * place in a total order — filter upstream).
+    */
+  def tokenBudgetSelect(df: DataFrame, budget: Long,
+                        tokensCol: String = "n_tokens",
+                        scoreCol: String = "score",
+                        keyCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
+  /** Token-budget selection, scalable form — IDENTICAL kept set to
+    * [[tokenBudgetSelect]], no global row sort. Same shape as
+    * [[capPerStratumScalable]]: a per-distinct-score token histogram
+    * (keyed map-side-combined agg; the running window touches
+    * score-cardinality rows only) locates the boundary score block —
+    * blocks wholly inside the budget pass through unsorted, blocks
+    * past it drop, and only the ONE boundary block (the docs sharing
+    * the cut-off score) is window-sorted by key for the remaining
+    * token allowance. At corpus scale this sorts one tie block
+    * instead of the corpus.
+    */
+  def tokenBudgetSelectScalable(df: DataFrame, budget: Long,
+                                tokensCol: String = "n_tokens",
+                                scoreCol: String = "score",
+                                keyCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val wcum = Window.orderBy(col("_s").desc)
+    // both arms join against the histogram — persist the (tiny,
+    // score-cardinality-sized) subtree so the corpus agg runs once
+    val hist = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(scoreCol).as("_s"))
+      .agg(sum(col(tokensCol)).as("_t"))
+      .withColumn("_below", sum("_t").over(wcum) - col("_t"))
+      .persist()
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .join(broadcast(hist), col(scoreCol) === col("_s"))
+    val whole = keyed.filter(col("_below") + col("_t") <= budget)
+    // at most one boundary block exists → the window sorts only the
+    // rows sharing the cut-off score
+    val wb = Window.partitionBy(col("_s")).orderBy(col(keyCol).asc)
+    val topped = keyed
+      .filter(col("_below") < budget &&
+        col("_below") + col("_t") > budget)
+      .withColumn("_cum", sum(col(tokensCol)).over(wb))
+      .filter(col("_below") + col("_cum") <= budget)
+      .drop("_cum")
+    val aux = Seq("_s", "_t", "_below")
+    whole.drop(aux: _*).unionByName(topped.drop(aux: _*))
+  }
+
   /** Deterministic stratified sample: per-stratum fractions, keyed on
     * `keyCol`. Strata missing from `fractions` use `defaultFraction`.
     * The fraction map is a literal when/otherwise chain (stays in

@@ -34,7 +34,10 @@ object ExplainAudit {
         "dedup_incremental", "io_bucketed_join",
         // round-6 seventh-session surface
         "rel_merge_upsert", "rel_pivot", "pipe_entity_res",
-        "io_sorted_write")
+        "io_sorted_write",
+        // round-6 eighth-session surface
+        "samp_repeat_epochs", "samp_token_budget",
+        "samp_token_budget_scalable")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
