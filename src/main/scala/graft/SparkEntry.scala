@@ -207,6 +207,18 @@ object SparkEntry {
         out, 8, Seq("l_orderkey", "l_linenumber"))
       s.read.parquet(out)
     }),
+    // z-order clustered lake layout: bit-interleaved (orderkey,
+    // partkey) range exchange — compact per-file bounding BOXES so
+    // predicates on EITHER key prune files (1-D sort covers only its
+    // leading key); identity twin, layout pinned by ZOrderLayoutSpec
+    "io_zorder_write" -> ((s, dir) => {
+      val out = scratchDir("zorder")
+      graft.io.CompatIo.writeZOrder(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+          "l_quantity", "l_extendedprice"),
+        out, 8, "l_orderkey", "l_partkey")
+      s.read.parquet(out)
+    }),
 
     // --- text analysis (north-star) ---
     "text_stats" -> ((s, dir) => TextStats.stats(docs(s, dir))),
@@ -447,6 +459,13 @@ object SparkEntry {
     // value score per event type — histogram-windowed, never row-ranked
     "rel_auc" -> ((s, dir) =>
       Relational.aucByType(tbl(s, dir, "events"))),
+    // per-node triangle counts over the fuzzy-match graph: degree-
+    // oriented wedge closure (O(m^1.5) keyed joins, skew-proof); the
+    // twin enumerates the same triangle set lexicographically
+    "rel_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(
+        Dedup.editDistancePairs(tbl(s, dir, "customer"), "c_name")
+          .select("key_a", "key_b"))),
     // monthly cohort retention matrix over events
     "rel_cohort" -> ((s, dir) =>
       Relational.cohortRetention(tbl(s, dir, "events"))),
@@ -1326,6 +1345,12 @@ object SparkEntry {
     "io_sorted_write" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  l_discount FROM lineitem""".stripMargin,
+    // z-order twin: plain identity — the Morton layout must change the
+    // FILES (ZOrderLayoutSpec pins per-file bounding boxes + the range
+    // exchange), never the rows
+    "io_zorder_write" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem""".stripMargin,
 
     // Sparse TF-IDF doc-similarity twin: the q6 weight chain, inverted-
     // index self-join on the word, DECIMAL(30,12)-summed dots/norms
@@ -2986,6 +3011,38 @@ object SparkEntry {
         |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist,
         |  cnt_a, cnt_b
         |FROM cand WHERE levenshtein(key_a, key_b) <= 1""".stripMargin,
+
+    // Triangle twin: the fuzzy-pairs CTEs (same as rel_fuzzy_join),
+    // then plain lexicographic x<y<z enumeration — the triangle SET is
+    // orientation-independent, so this matches the Spark side's
+    // degree-oriented plan row-for-row
+    "rel_triangles" ->
+      """WITH vocab AS (
+        |  SELECT lower(trim(c_name)) AS key
+        |  FROM customer WHERE length(lower(trim(c_name))) > 0
+        |  GROUP BY 1
+        |), vars AS (
+        |  SELECT key,
+        |    CASE WHEN i = 0 THEN key
+        |         ELSE substr(key, 1, CAST(i - 1 AS INTEGER))
+        |           || substr(key, CAST(i + 1 AS INTEGER)) END AS variant
+        |  FROM vocab, unnest(range(0, length(key) + 1)) AS t(i)
+        |), pairs AS (
+        |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+        |  FROM vars a JOIN vars b USING (variant)
+        |  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 1
+        |), tri AS (
+        |  SELECT p1.key_a AS x, p1.key_b AS y, p2.key_b AS z
+        |  FROM pairs p1
+        |  JOIN pairs p2 ON p2.key_a = p1.key_a AND p2.key_b > p1.key_b
+        |  JOIN pairs p3 ON p3.key_a = p1.key_b AND p3.key_b = p2.key_b
+        |), nodes AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1""".stripMargin,
 
     // Queue-ETL twin: replays the md5 partitioner, the per-partition
     // (epoch-µs, event_id) offset window, and the consumer aggregates

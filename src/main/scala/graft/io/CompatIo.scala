@@ -168,6 +168,63 @@ object CompatIo {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
 
+  /** Even-bit spread: the low 32 bits of `c` interleaved with zero
+    * bits (bit i lands at bit 2i) — the classic mask-and-shift Morton
+    * dilation, five codegen'd bitwise ops, no loop, no UDF. */
+  private def spreadBits(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val m = Seq(0x0000FFFF0000FFFFL, 0x00FF00FF00FF00FFL,
+      0x0F0F0F0F0F0F0F0FL, 0x3333333333333333L, 0x5555555555555555L)
+    val x0 = c.bitwiseAND(lit(0xFFFFFFFFL))
+    Seq(16, 8, 4, 2, 1).zip(m).foldLeft(x0) { case (x, (s, mask)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Z-order (Morton) clustered lake layout — the multi-dimensional
+    * generalization of [[writeSortedRange]] (Delta/Hudi `OPTIMIZE
+    * ZORDER BY` shape): the two cluster keys' bits interleave into one
+    * 64-bit z-value, and a single range-exchange on it gives every
+    * output file a compact axis-aligned bounding BOX in (x, y) space
+    * instead of a tight range on one key and no locality on the other.
+    * Parquet min/max footer stats on BOTH columns stay tight, so a
+    * predicate on either key (or a box on both) prunes most files —
+    * 1-D sort gives this for its leading key only. ZOrderLayoutSpec
+    * pins the claim with measured bounding-box areas vs the 1-D
+    * layout; the gate pins row-identity.
+    *
+    * Keys must be non-negative and < 2^31 after casting to long —
+    * enforced IN-PLAN (`raise_error` branch, no extra scan): a
+    * violating or NULL key fails the write loudly instead of landing
+    * in an arbitrary file. `files` sizes the layout — at scale pick
+    * bytes/file, not a constant.
+    */
+  def writeZOrder(df: DataFrame, outDir: String, files: Int,
+                  colX: String, colY: String): Unit =
+    df.withColumn("_z", mortonZ(col(colX), col(colY)))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** The 64-bit Morton z-value of two non-negative 31-bit keys (x at
+    * even bits, y at odd) — pure codegen'd bitwise ops; a NULL or
+    * out-of-range key fails loudly in-plan via `raise_error`. Public:
+    * the same value serves clustering, bucketing, and range-bounding
+    * uses beyond [[writeZOrder]]. */
+  def mortonZ(x0: org.apache.spark.sql.Column,
+              y0: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val x = x0.cast("long")
+    val y = y0.cast("long")
+    val inRange = (c: org.apache.spark.sql.Column) =>
+      c.isNotNull && c >= 0 && c < 2147483648L
+    when(inRange(x) && inRange(y),
+        spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1)))
+      .otherwise(raise_error(
+        lit("z-order keys must be non-negative ints")))
+  }
+
   /** Reference-native per-doc layout reader: a directory of
     * `<docID>.csv` files (the reference's staging bucket / TF-IDF-Docs
     * layout), doc_id recovered from the file name. One Spark task per

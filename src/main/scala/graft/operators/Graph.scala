@@ -126,6 +126,68 @@ object Graph {
     labels
   }
 
+  /** Per-node triangle counts by DEGREE-ORIENTED wedge closure — the
+    * join-based triangle enumeration that survives skew: each
+    * undirected edge is oriented from its (degree, id)-smaller
+    * endpoint to the larger, every wedge is rooted at its smallest
+    * vertex, and a triangle is a wedge whose far pair is itself an
+    * oriented edge. Orientation caps every node's out-degree at
+    * O(√m) (a node of out-degree d has d neighbors of degree ≥ its
+    * own, so d² ≤ 2m) — the wedge self-join fans out by out-degree²,
+    * so the celebrity node that makes the naive neighbor join
+    * quadratic contributes almost nothing here. Total wedge work is
+    * O(m^1.5), the MapReduce-triangles bound, as keyed equi-joins.
+    *
+    * The triangle SET is orientation-independent, so the oracle twin
+    * replays it with plain lexicographic a<b<c enumeration — simpler
+    * SQL, identical rows — while the Spark side keeps the skew-proof
+    * plan. Ids need only a total order (binary string compare here;
+    * both engines agree on ASCII).
+    *
+    * `pairs` is the canonical undirected edge list: (key_a, key_b)
+    * distinct with key_a < key_b (e.g. [[Dedup.editDistancePairs]]'s
+    * match graph). Output: (node, n_triangles) for every node in at
+    * least one triangle.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("key_a").as("a"), col("key_b").as("b"))
+      .persist()
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low (d, id) -> high (d, id); carry the dst's degree for
+    // the wedge ordering below
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("dd"))
+      .persist()
+    // wedges rooted at src: out-neighbor pairs ordered by (dd, dst) —
+    // the same order the orientation used, so the closing edge of a
+    // true triangle is stored exactly as x -> y
+    val e1 = oriented.select(col("src"), col("dst").as("x"),
+      col("dd").as("dx"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"),
+      col("dd").as("dy"))
+    val wedges = e1.join(e2, "src")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("src").as("w"), col("x"), col("y"))
+    val tri = wedges
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"))
+      .persist()
+    tri.select(col("w").as("node"))
+      .unionAll(tri.select(col("x").as("node")))
+      .unionAll(tri.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Connected components over the purchase graph — [[minLabelPropagate]]
     * seeded with each node's own id (the 100 TB arm of
     * `Dedup.assignCanonical`'s bounded driver path, exposed as a

@@ -37,7 +37,8 @@ object ExplainAudit {
         "io_sorted_write",
         // round-6 eighth-session surface
         "samp_repeat_epochs", "samp_token_budget",
-        "samp_token_budget_scalable")
+        "samp_token_budget_scalable", "rel_triangles",
+        "io_zorder_write")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sampling
+import graft.operators.{Graph, Sampling}
 
 /** Round-6 eighth-session behavior pins: epoch-repeat upsampling
   * (full/fractional/absent arms) and token-budget selection (prefix
@@ -107,6 +107,58 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ---- rel_triangles: triangleCounts ----
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node; paths and " +
+    "pairs contribute none") {
+    // K4 on a..d, a path e-f-g, an isolated edge h-i
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"),
+      ("e", "f"), ("f", "g"),
+      ("h", "i")
+    ).toDF("key_a", "key_b")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangleCounts: triangles sharing an edge count per node") {
+    // {p,q,r} and {p,q,s} share edge pq
+    val edges = Seq(("p", "q"), ("p", "r"), ("q", "r"), ("p", "s"),
+      ("q", "s")).toDF("key_a", "key_b")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("p" -> 2L, "q" -> 2L, "r" -> 1L, "s" -> 1L))
+  }
+
+  test("triangleCounts: matches brute-force enumeration on a hashed " +
+    "random graph") {
+    // ~120 deterministic edges over 30 nodes (md5-derived, no rand())
+    val edges = spark.range(0, 400).select(
+        concat(lit("n"), conv(substring(md5(concat(lit("ta|"),
+          col("id"))), 1, 8), 16, 10) % 30).as("key_a"),
+        concat(lit("n"), conv(substring(md5(concat(lit("tb|"),
+          col("id"))), 1, 8), 16, 10) % 30).as("key_b"))
+      .filter(col("key_a") < col("key_b")).distinct().persist()
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // brute force: lexicographic 3-join
+    val p1 = edges.select(col("key_a").as("x"), col("key_b").as("y"))
+    val p2 = edges.select(col("key_a").as("x"), col("key_b").as("z"))
+    val p3 = edges.select(col("key_a").as("y"), col("key_b").as("z"))
+    val tri = p1.join(p2, "x").filter(col("y") < col("z"))
+      .join(p3, Seq("y", "z")).persist()
+    val brute = tri.select(col("x").as("n"))
+      .unionAll(tri.select(col("y")))
+      .unionAll(tri.select(col("z")))
+      .groupBy("n").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(brute.nonEmpty, "degenerate fixture: no triangles")
+    assert(got == brute)
+    edges.unpersist(); tri.unpersist()
+  }
+
   test("tokenBudgetSelectScalable: boundary block fills by key order") {
     // one score block: budget 7 keeps docs 1,2,3 (2+2+2=6; doc 4 would
     // make 8) — the in-block order is the key, not arrival
@@ -115,5 +167,63 @@ class Round9Spec extends SparkSpec {
     val got = Sampling.tokenBudgetSelectScalable(df, 7L)
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(1L, 2L, 3L))
+  }
+
+  // ---- io_zorder_write: Morton value + clustered layout ----
+
+  test("mortonZ: matches a reference bit-interleave; rejects negative " +
+    "and NULL keys") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 31).foldLeft(0L) { (z, i) =>
+        z | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+      }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (63L, 21L),
+      (2147483647L, 2147483647L), (12345L, 918273645L))
+    val got = pts.toDF("x", "y")
+      .select(graft.io.CompatIo.mortonZ(col("x"), col("y")))
+      .as[Long].collect().toSeq
+    assert(got == pts.map { case (x, y) => ref(x, y) })
+    assertThrows[Exception] {
+      Seq((-1L, 0L)).toDF("x", "y")
+        .select(graft.io.CompatIo.mortonZ(col("x"), col("y"))).collect()
+    }
+    assertThrows[Exception] {
+      Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+        .select(graft.io.CompatIo.mortonZ(col("x"), col("y"))).collect()
+    }
+  }
+
+  test("writeZOrder: per-file bounding boxes prune a band predicate " +
+    "on EITHER key; rows identical") {
+    // 64x64 grid -> 16 z-range files. A narrow y-band must hit only
+    // the files whose bounding box reaches it; the 1-D x-sorted layout
+    // (full-height slabs) hits every file.
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val zOut = java.nio.file.Files.createTempDirectory("zorder").toString
+    graft.io.CompatIo.writeZOrder(grid, zOut, 16, "x", "y")
+    val sOut = java.nio.file.Files.createTempDirectory("xsort").toString
+    graft.io.CompatIo.writeSortedRange(grid, sOut, 16, Seq("x"))
+
+    def boxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }.toSeq
+    val zb = boxes(zOut)
+    val sb = boxes(sOut)
+    assert(zb.size == 16 && sb.size == 16)
+    def hitsY(bs: Seq[(Long, Long, Long, Long)]) =
+      bs.count { case (_, _, y0, y1) => y0 <= 3 && y1 >= 0 }
+    def hitsX(bs: Seq[(Long, Long, Long, Long)]) =
+      bs.count { case (x0, x1, _, _) => x0 <= 3 && x1 >= 0 }
+    // z-order prunes on both axes; x-sort only on x
+    assert(hitsY(zb) <= 8, s"z-layout y-band hit ${hitsY(zb)}/16")
+    assert(hitsY(sb) == 16, s"x-sorted layout should span all y")
+    assert(hitsX(zb) <= 8, s"z-layout x-band hit ${hitsX(zb)}/16")
+    // layout never changes the row multiset
+    assert(rows(spark.read.parquet(zOut)) == rows(grid.toDF()))
   }
 }
