@@ -19,6 +19,16 @@ object Bench {
     * get no ratio; re-stamp together with BASELINE.md via
     * tools/restamp.py. */
   val BaselinePerQuery: Map[String, Double] = Map(
+    // round-6 eighth-session stamps: medians of three agreeing full
+    // cold runs (124.5/132.6/125.3 s at load_ratio 0.73/0.71/0.73,
+    // zero regression flags in each)
+    "dedup_incremental" -> 2.34, "io_bucketed_join" -> 2.22,
+    "io_sorted_write" -> 0.82, "io_zorder_write" -> 1.08,
+    "pipe_entity_res" -> 4.39, "rel_auc" -> 1.1,
+    "rel_components" -> 3.92, "rel_merge_upsert" -> 0.32,
+    "rel_pivot" -> 0.31, "rel_triangles" -> 5.13,
+    "samp_repeat_epochs" -> 0.18, "samp_token_budget" -> 0.24,
+    "samp_token_budget_scalable" -> 0.65, "text_nb_classify" -> 1.94,
     "dedup_assign" -> 5.03, "dedup_decontam" -> 0.89,
     "dedup_decontam_bloom" -> 2.69, "dedup_embedding" -> 3.11,
     "dedup_exact" -> 0.59, "dedup_minhash_lsh" -> 2.55,
