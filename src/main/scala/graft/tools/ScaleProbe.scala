@@ -127,6 +127,66 @@ object ScaleProbe {
       .select(format_string("key#%09d", col("id")).as("name"))
     time(big)("fuzzy_vocab_150k")(
       Dedup.editDistancePairs(keys150k, "name").count())
+    // token-budget selection: the window form funnels the whole corpus
+    // through one reducer's global sort; the histogram form aggregates
+    // per distinct score and window-sorts ONE tie block. Same output
+    // (spec-pinned). 1000 distinct scores over K×2M rows.
+    val budgetRows = spark.range(0L, k * 2000000L, 1L, 64)
+      .select(col("id").as("doc_id"), (col("id") % 1000L).as("score"),
+        (col("id") % 97L + 1L).as("n_tokens"))
+    println(s"PROBE budgetRows=${k * 2000000L}")
+    val halfTokens = k * 2000000L / 2 * 49 // ~half the corpus by tokens
+    time(big)("token_budget_window")(
+      Sampling.tokenBudgetSelect(budgetRows, halfTokens).count())
+    time(big)("token_budget_scalable")(
+      Sampling.tokenBudgetSelectScalable(budgetRows, halfTokens).count())
+    // triangle counting under a celebrity node: a hub of degree H (no
+    // triangles) + 20k disjoint K4s (80k triangles exactly). The
+    // degree-oriented plan gives the hub out-degree 0 — zero wedges —
+    // while a naive lexicographic wedge join enumerates C(H,2) pairs
+    // at the hub alone (5e9 at H=100k: unrunnable; probed at H=10k
+    // where it is merely 50M).
+    def skewGraph(hub: Long) = {
+      val star = spark.range(0L, hub, 1L, 64)
+        .select(lit("hub").as("key_a"),
+          format_string("spoke%09d", col("id")).as("key_b"))
+      val k4 = spark.range(0L, 20000L, 1L, 64).select(
+          format_string("t%09d", col("id")).as("t")).select(
+          array(
+            struct(concat(col("t"), lit("a")).as("key_a"),
+              concat(col("t"), lit("b")).as("key_b")),
+            struct(concat(col("t"), lit("a")).as("key_a"),
+              concat(col("t"), lit("c")).as("key_b")),
+            struct(concat(col("t"), lit("a")).as("key_a"),
+              concat(col("t"), lit("d")).as("key_b")),
+            struct(concat(col("t"), lit("b")).as("key_a"),
+              concat(col("t"), lit("c")).as("key_b")),
+            struct(concat(col("t"), lit("b")).as("key_a"),
+              concat(col("t"), lit("d")).as("key_b")),
+            struct(concat(col("t"), lit("c")).as("key_a"),
+              concat(col("t"), lit("d")).as("key_b"))).as("es"))
+        .select(explode(col("es")).as("e"))
+        .select(col("e.key_a"), col("e.key_b"))
+      star.unionByName(k4)
+    }
+    time(big)("triangles_oriented_hub100k")(
+      Graph.triangleCounts(skewGraph(100000L)).count())
+    time(big)("triangles_oriented_hub10k")(
+      Graph.triangleCounts(skewGraph(10000L)).count())
+    def naiveTriangles(hub: Long): Long = {
+      val e = skewGraph(hub).persist()
+      val p1 = e.select(col("key_a").as("x"), col("key_b").as("y"))
+      val p2 = e.select(col("key_a").as("x"), col("key_b").as("z"))
+      val p3 = e.select(col("key_a").as("y"), col("key_b").as("z"))
+      val n = p1.join(p2, "x").filter(col("y") < col("z"))
+        .join(p3, Seq("y", "z")).count()
+      e.unpersist()
+      n
+    }
+    time(big)("triangles_naive_hub10k")(naiveTriangles(10000L))
+    // C(30k,2) = 450M wedges at the hub alone — 9× hub10k's 50M; the
+    // oriented plan stays flat while this arm grows with H²
+    time(big)("triangles_naive_hub30k")(naiveTriangles(30000L))
 
     // The embedding paths (round-2 plan changes): replicate the sf0.1
     // embeddings K× with shifted ids — every vector gains K-1 exact
