@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Table loaders for the testdata layout (one parquet per table). */
 object Tables {
@@ -32,16 +32,27 @@ object Tables {
     else df
   }
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark cannot represent natively. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong`, so the column arrives as
-    * epoch-nanos LongType; convert to a microsecond TimestampType here
-    * (all downstream semantics are at second/hour granularity, so the
-    * ns→µs truncation is lossless for every query).
+  /** Normalize the events `ts` column to an instant-typed microsecond
+    * TimestampType, whatever physical form the parquet writer chose:
+    *
+    *  - TIMESTAMP(NANOS): Spark cannot represent it natively; sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong`, the column arrives
+    *    as epoch-nanos LongType, and we convert (all downstream
+    *    semantics are at second/hour granularity, so the ns→µs
+    *    truncation is lossless for every query).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TimestampNTZType, which streaming watermarks and `unix_micros`
+    *    reject; the UTC session makes the cast to TimestampType a
+    *    lossless wall-clock-preserving relabel — exactly how the
+    *    TZ-naive DuckDB oracle reads the same file.
     */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    if (df.schema.fieldNames.contains(tsCol) &&
-        df.schema(tsCol).dataType == LongType)
-      df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
-    else df
+    if (!df.schema.fieldNames.contains(tsCol)) df
+    else df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
 }
