@@ -238,6 +238,12 @@ object SparkEntry {
       TextStats.lmScoreScalable(docs(s, dir))),
     "text_chunk" -> ((s, dir) =>
       TextStats.chunk(docs(s, dir), chunkTokens = 64, overlap = 16)),
+    // content-defined chunking: md5-derived boundaries are a pure
+    // function of local content, so an insertion only re-chunks the
+    // edited region (vs text_chunk's fixed stride shifting every
+    // downstream chunk) — the insertion-robust unit for chunk dedup
+    "text_cdc_chunk" -> ((s, dir) =>
+      TextStats.cdcChunk(docs(s, dir), avgTokens = 16)),
     // tokenize-to-ids over a 25-word vocabulary (small enough that the
     // OOV=0 branch actually fires on the 31-word synthetic corpus)
     "text_token_ids" -> ((s, dir) => {
@@ -258,6 +264,11 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"))),
     "dedup_assign" -> ((s, dir) => Dedup.assignCanonical(docs(s, dir))),
+    // SemDeDup: cluster-blocked semantic dedup — within-cluster cosine
+    // pairs only (the cluster IS the candidate filter), keep = no
+    // smaller-id same-cluster neighbor above the threshold
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(tbl(s, dir, "embeddings"))),
     // leakage-safe split: hash-split keyed on the CANONICAL id, so every
     // exact/near-dup cluster lands whole in one split (no train/test
     // contamination through duplicates)
@@ -533,6 +544,17 @@ object SparkEntry {
     "rel_cube" -> ((s, dir) => Relational.orderCube(tbl(s, dir, "orders"))),
     "rel_window_funcs" -> ((s, dir) =>
       Relational.orderWindowFuncs(tbl(s, dir, "orders"))),
+    // gap-aware 7-day trailing revenue: RANGE frame on the epoch-day
+    // int over the per-day AGGREGATE (|days| rows, not N) — calendar
+    // windows shrink across gaps where ROWS frames would reach back
+    "rel_rolling_stats" -> ((s, dir) =>
+      Relational.rollingDailyRevenue(tbl(s, dir, "orders"))),
+    // single-pass column profiler: one multi-distinct agg (Expand ×
+    // |cols|, one shuffle), stack-unpivoted to a row per column
+    "rel_profile" -> ((s, dir) =>
+      Relational.profile(tbl(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
     "stream_dedup_pairs" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupPairs(s, dir)),
     "stream_events_by_segment" -> ((s, dir) =>
@@ -1531,6 +1553,31 @@ object SparkEntry {
         |    AS chunk_text
         |FROM ex""".stripMargin,
 
+    // content-defined chunking twin: replays every boundary decision
+    // from the md5 60-bit token hash (invariant 8 basis), the prior-cut
+    // running sum, and the per-chunk md5 over tokens in pos order
+    "text_cdc_chunk" ->
+      s"""WITH $wsToksCte, tk AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |         generate_subscripts(toks, 1) AS p
+         |  FROM wtoks
+         |), cf AS (
+         |  SELECT doc_id, p, tok,
+         |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+         |         THEN 1 ELSE 0 END AS c
+         |  FROM tk
+         |), cid AS (
+         |  SELECT doc_id, p, tok,
+         |    coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY p ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS chunk_id
+         |  FROM cf
+         |)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  count(*) AS n_chunk_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY p ASC)) AS chunk_md5
+         |FROM cid GROUP BY doc_id, chunk_id""".stripMargin,
+
     "samp_cap_scalable" -> capSql,
 
     "dedup_exact" ->
@@ -1703,6 +1750,37 @@ object SparkEntry {
          |WHERE list_sum(list_transform(generate_series(1, len(a.v)),
          |        i -> a.v[i] * b.v[i])) / (a.norm * b.norm)
          |      >= 0.5""".stripMargin,
+
+    // SemDeDup twin: the 16-lowest-id codebook + cosine-nearest
+    // assignment (cos desc, cid asc — replays the struct-max), then
+    // within-cluster smaller-id neighbors above 0.5 mark drops
+    "dedup_semantic" ->
+      s"""WITH $vecCtes, nz AS (
+         |  SELECT vec_id, v, norm FROM normed WHERE norm > 0
+         |), cent AS (
+         |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nz
+         |  ORDER BY vec_id ASC LIMIT 16
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT z.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(z.v)),
+         |          i -> z.v[i] * c.cv[i])) / (z.norm * c.cnorm) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM nz z, cent c)
+         |  WHERE rn = 1
+         |), drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b ON a.cid = b.cid
+         |    AND a.vec_id < b.vec_id
+         |  JOIN nz za ON za.vec_id = a.vec_id
+         |  JOIN nz zb ON zb.vec_id = b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, len(za.v)),
+         |          i -> za.v[i] * zb.v[i])) / (za.norm * zb.norm) >= 0.5
+         |)
+         |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
+         |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
+        .stripMargin,
 
     // norm > 0 on both sides: the Spark rankers exclude zero vectors
     // (NULL cosine filtered before the heap); the twin must not rank
@@ -2542,6 +2620,28 @@ object SparkEntry {
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)"""
         .stripMargin,
 
+    // RANGE frame on the epoch-day int over the per-day DECIMAL
+    // aggregate; trail_avg replays round2(double sum / day count)
+    "rel_rolling_stats" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1
+        |), e AS (
+        |  SELECT d, datediff('day', DATE '1970-01-01', d) AS ed, rev
+        |  FROM daily
+        |)
+        |SELECT CAST(d AS VARCHAR) AS day,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sum(rev) OVER w AS DOUBLE) AS trail_sum,
+        |  floor(CAST(sum(rev) OVER w AS DOUBLE) / (count(*) OVER w)
+        |    * 100 + 0.5) / 100 AS trail_avg,
+        |  count(*) OVER w AS n_days
+        |FROM e
+        |WINDOW w AS (ORDER BY ed ASC
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
@@ -3202,5 +3302,49 @@ object SparkEntry {
         |    AS BIGINT),
         |  count(*)
         |FROM events""".stripMargin,
+
+    // profiler twin: one aggregate row per column, UNION ALL'd — the
+    // same stats the stack-unpivot emits. Renderings replay the
+    // operator's canonical forms: longs/strings verbatim, doubles as
+    // floor(x·1e6 + 0.5) micro-unit longs, timestamps as epoch-µs
+    "rel_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR),
+        |  CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  CAST(CAST(floor(min(o_totalprice) * 1000000 + 0.5) AS BIGINT)
+        |    AS VARCHAR),
+        |  CAST(CAST(floor(max(o_totalprice) * 1000000 + 0.5) AS BIGINT)
+        |    AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(epoch_us(min(o_orderdate)) AS VARCHAR),
+        |  CAST(epoch_us(max(o_orderdate)) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders""".stripMargin,
   )
 }

@@ -895,6 +895,67 @@ object Dedup {
     * Output: (entity_id, n_names, n_records) — distinct raw keys and
     * total source rows folded into each entity.
     */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space, then call two points duplicates only
+    * if they are cosine-close WITHIN the same cluster — the cluster is
+    * the candidate-blocking structure, so the quadratic pair search
+    * runs per cluster, never globally. Per vector the verdict is a
+    * keep/drop bit: drop iff some SAME-cluster neighbor with a smaller
+    * id has cosine >= `threshold` (lowest id is the kept exemplar —
+    * pinned, invariant 4). Cross-cluster near-dups are missed BY DESIGN
+    * (that is SemDeDup's accuracy/cost trade; [[embeddingNearDup]]'s
+    * banded LSH is the miss-bounded alternative surface).
+    *
+    * The clustering here is the same engine-reproducible stand-in as
+    * [[Similarity.ivfTopK]]: nearest of the `nClusters` lowest-id
+    * vectors by cosine (ties to the lowest centroid id) — production
+    * would broadcast a k-means codebook through the identical plumbing
+    * ([[Similarity.trainCodebook]]). Scale posture: assignment is one
+    * map-side-combined aggregation against the broadcast constant
+    * codebook; the pair join is a keyed equi-join on cluster id, so
+    * its cost is Σ|cluster|² — bounded by cluster balance, the knob
+    * being nClusters ∝ N (SemDeDup runs k≈100k at web scale). Zero
+    * vectors have no defined cosine and are excluded. Output:
+    * (vec_id, cid, keep).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.5,
+                    nClusters: Int = 16, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cand = Similarity.withNorm(emb, idCol, vecCol)
+      .filter(col("norm") > 0)
+    val cent = cand.orderBy(col("vec_id").asc).limit(nClusters)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"),
+        col("norm").as("cnorm"))
+    // nearest centroid via struct-max (max cos, then min cid through
+    // the negated id) — one aggregation, no window over the N×C rows
+    val assigned = cand.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("vec"), col("norm"),
+        struct((Similarity.dot(col("vec"), col("cvec"))
+          / (col("norm") * col("cnorm"))).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("vec")).as("vec"), first(col("norm")).as("norm"),
+        max(col("sc")).as("best"))
+      .select(col("vec_id"), col("vec"), col("norm"),
+        (-col("best.ncid")).as("cid"))
+      .persist() // consumed 3×: both pair-join sides + the output join
+    val a = assigned.select(col("cid"), col("vec_id").as("ia"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("ib"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    // verify in the join condition itself (invariant 10: no distinct()
+    // over an unverified expansion); norms are > 0 upstream
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("ia") < col("ib") &&
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          >= threshold)
+      .select(col("ib").as("vec_id")).distinct()
+    assigned
+      .join(drops.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("hit").isNull.as("keep"))
+  }
+
   def resolveEntities(df: DataFrame, strCol: String,
                       iters: Int = 3): DataFrame = {
     val vocab = df

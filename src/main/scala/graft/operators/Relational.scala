@@ -834,4 +834,88 @@ object Relational {
         .cast("double").as(s"${t}_sum")))
     events.groupBy("user_id").agg(cells.head, cells.tail: _*)
   }
+
+  /** Gap-aware trailing-window stats over the daily revenue spine: per
+    * order DAY, total revenue plus the `windowDays`-day trailing sum /
+    * mean / day count under a RANGE frame on the epoch-day integer — a
+    * calendar window, so missing days SHRINK it (day 10 with no orders
+    * on days 5-9 averages over its lone self), where the ROWS frames of
+    * [[customerOrderHistory]] would silently reach back across the gap.
+    * Scale posture: the windowed input is the per-day AGGREGATE — one
+    * keyed groupBy shuffle over N rows, then a single-partition window
+    * over |distinct days| rows, bounded by the calendar domain (~2.5k
+    * for seven years), not by N; at 100 TB the day table is still tiny.
+    * Sums route through DECIMAL (invariant 2); the trailing mean is one
+    * deterministic double division, round2-pinned. Output: (day,
+    * revenue, trail_sum, trail_avg, n_days).
+    */
+  def rollingDailyRevenue(orders: DataFrame,
+                          windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("d"),
+        dec(col("o_totalprice")).as("p"))
+      .groupBy("d").agg(sum(col("p")).as("rev"))
+      .select(col("d"),
+        datediff(col("d"), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"), col("rev"))
+    val trail = Window.orderBy(col("ed").asc)
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .select(col("d").cast("string").as("day"),
+        col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(trail).cast("double").as("trail_sum"),
+        graft.functions.Fns.round2(
+          sum(col("rev")).over(trail).cast("double")
+            / count(lit(1)).over(trail)).as("trail_avg"),
+        count(lit(1)).over(trail).as("n_days"))
+  }
+
+  /** Single-pass column profiler — the data-quality reconnaissance step
+    * before promotion rules exist ([[dqAudit]] checks KNOWN contracts;
+    * this measures the unknowns): per column, row/null/exact-distinct
+    * counts and typed min/max rendered to one canonical string form
+    * (integers and strings verbatim, doubles as floor(x·1e6 + 0.5)
+    * micro-unit longs, timestamps as epoch-µs longs — every rendering
+    * is engine-exact, no float formatting anywhere). One aggregation
+    * pass computes all columns' stats (Spark plans the multi-DISTINCT
+    * agg via a single Expand ×|cols| — one shuffle, vs |cols| separate
+    * scans); the one-row result then unpivots via `stack` into a row
+    * per column, so the output shape is |cols|, never N. NULL
+    * semantics pinned: n_distinct and min/max ignore NULLs (SQL
+    * aggregate semantics); an all-NULL column yields NULL min/max
+    * strings. Output: (col_name, n_rows, n_null, n_distinct, min_str,
+    * max_str).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"profile columns must exist: $cols")
+    def render(c: Column, dt: org.apache.spark.sql.types.DataType)
+    : Column = dt match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        floor(c * 1000000 + lit(0.5)).cast("long").cast("string")
+      case _: org.apache.spark.sql.types.TimestampType =>
+        unix_micros(c).cast("string")
+      // parquet NTZ timestamps (isAdjustedToUTC=false) load as NTZ; the
+      // UTC session makes the cast to instant-typed timestamp lossless
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp")).cast("string")
+      case _ => c.cast("string")
+    }
+    val dts = cols.map(c => c -> df.schema(c).dataType).toMap
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      render(min(col(c)), dts(c)).as(s"mn_$c"),
+      render(max(col(c)), dts(c)).as(s"mx_$c")))
+    val stacked = cols
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_nonnull, n_distinct, min_str, max_str)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
 }

@@ -497,4 +497,42 @@ object TextStats {
         coalesce(col("tid"), lit(0L)).as("tid"))
   }
 
+  /** Content-defined chunking — the insertion-robust splitter for
+    * chunk-level dedup (FastCDC/rsync chunking lifted to token
+    * granularity, with the token hash standing in for the rolling byte
+    * hash): a chunk boundary falls AFTER every token whose md5-derived
+    * 60-bit value is ≡ 0 (mod `avgTokens`), so boundaries are a pure
+    * function of LOCAL content and chunks average `avgTokens` tokens.
+    * Insert a paragraph into a document and only the chunks overlapping
+    * the edit change identity; under [[chunk]]'s fixed stride every
+    * downstream chunk shifts and chunk-level dedup misses all of them.
+    * Hash basis is md5 (invariant 8: the one cross-engine hash), so the
+    * oracle replays every boundary decision bit-for-bit. Scale shape:
+    * the running boundary count is a per-doc-bounded window and the
+    * regroup is one (doc_id, chunk_id) keyed aggregation — everything
+    * is keyed by doc, nothing global. Zero-token documents emit
+    * nothing. Output: (doc_id, chunk_id, n_chunk_tokens, chunk_md5).
+    */
+  def cdcChunk(docs: DataFrame, avgTokens: Int = 16,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(avgTokens >= 2, s"avgTokens must be >= 2: $avgTokens")
+    val w = org.apache.spark.sql.expressions.Window
+    val byPos = w.partitionBy("doc_id").orderBy(col("pos").asc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    // 15 hex chars = 60 bits — fits a signed long, non-negative
+    val cut = conv(substring(md5(col("tok")), 1, 15), 16, 10)
+      .cast("long") % avgTokens === 0
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(wsTokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        coalesce(sum(when(cut, 1L).otherwise(0L)).over(byPos), lit(0L))
+          .as("chunk_id"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")))).as("chunk_md5"))
+  }
+
 }

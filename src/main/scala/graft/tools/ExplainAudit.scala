@@ -38,7 +38,10 @@ object ExplainAudit {
         // round-6 eighth-session surface
         "samp_repeat_epochs", "samp_token_budget",
         "samp_token_budget_scalable", "rel_triangles",
-        "io_zorder_write")
+        "io_zorder_write",
+        // round-6 ninth-session surface
+        "text_cdc_chunk", "dedup_semantic", "rel_rolling_stats",
+        "rel_profile")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
