@@ -244,6 +244,12 @@ object SparkEntry {
     // downstream chunk) — the insertion-robust unit for chunk dedup
     "text_cdc_chunk" -> ((s, dir) =>
       TextStats.cdcChunk(docs(s, dir), avgTokens = 16)),
+    // unigram drift between the benchmark split and the rest: add-one
+    // smoothed p/q and round2-ln KL terms, all bit-replayable
+    "text_drift" -> ((s, dir) => TextStats.tokenDrift(docs(s, dir))),
+    // chunk-level duplication profile over CDC chunks: share of each
+    // doc made of chunks that also appear in other docs
+    "dedup_chunks" -> ((s, dir) => Dedup.chunkDupStats(docs(s, dir))),
     // tokenize-to-ids over a 25-word vocabulary (small enough that the
     // OOV=0 branch actually fires on the 31-word synthetic corpus)
     "text_token_ids" -> ((s, dir) => {
@@ -549,6 +555,18 @@ object SparkEntry {
     // windows shrink across gaps where ROWS frames would reach back
     "rel_rolling_stats" -> ((s, dir) =>
       Relational.rollingDailyRevenue(tbl(s, dir, "orders"))),
+    // hourly rate-anomaly z-scores vs the trailing-24h per-type
+    // baseline (current hour excluded) — exact-integer window sums,
+    // every double one correctly-rounded IEEE op, flag on rounded z
+    "rel_rate_anomaly" -> ((s, dir) =>
+      Relational.rateAnomaly(tbl(s, dir, "events"))),
+    // small-file compaction planner over file METADATA (docs stand in
+    // as the file listing): quota-binning via one prefix-sum window
+    "io_compaction_plan" -> ((s, dir) =>
+      graft.io.CompatIo.compactionPlan(
+        docs(s, dir).select(col("doc_id").as("file_id"),
+          length(col("text")).cast("long").as("bytes")),
+        targetBytes = 4096L)),
     // single-pass column profiler: one multi-distinct agg (Expand ×
     // |cols|, one shuffle), stack-unpivoted to a row per column
     "rel_profile" -> ((s, dir) =>
@@ -965,6 +983,33 @@ object SparkEntry {
 
   private def listLit(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // Content-defined chunking chain (TextStats.cdcChunk, avgTokens=16):
+  // whitespace tokens with positions, the 60-bit md5 cut flag, the
+  // prior-cut running sum as chunk_id, and the per-chunk rollup.
+  // Shared by the text_cdc_chunk gate and the dedup_chunks profile.
+  private val cdcChunkCtes: String =
+    s"""$wsToksCte, cdctk AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |         generate_subscripts(toks, 1) AS p
+       |  FROM wtoks
+       |), cdccf AS (
+       |  SELECT doc_id, p, tok,
+       |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+       |         THEN 1 ELSE 0 END AS c
+       |  FROM cdctk
+       |), cdcid AS (
+       |  SELECT doc_id, p, tok,
+       |    coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY p ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS chunk_id
+       |  FROM cdccf
+       |), cdc AS (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |    count(*) AS n_chunk_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY p ASC)) AS chunk_md5
+       |  FROM cdcid GROUP BY doc_id, chunk_id
+       |)""".stripMargin
 
   // Canonical-assignment CTE chain (naive definition of
   // Dedup.assignCanonical): connected components (min reachable id)
@@ -1557,26 +1602,57 @@ object SparkEntry {
     // from the md5 60-bit token hash (invariant 8 basis), the prior-cut
     // running sum, and the per-chunk md5 over tokens in pos order
     "text_cdc_chunk" ->
-      s"""WITH $wsToksCte, tk AS (
-         |  SELECT doc_id, unnest(toks) AS tok,
-         |         generate_subscripts(toks, 1) AS p
-         |  FROM wtoks
-         |), cf AS (
-         |  SELECT doc_id, p, tok,
-         |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
-         |         THEN 1 ELSE 0 END AS c
-         |  FROM tk
-         |), cid AS (
-         |  SELECT doc_id, p, tok,
-         |    coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY p ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      0) AS chunk_id
-         |  FROM cf
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_md5
+         |FROM cdc""".stripMargin,
+
+    // chunk-level dup profile twin: the same CDC chain, chunk-md5
+    // distinct-doc counts, per-doc rollup, round2 of one division
+    "dedup_chunks" ->
+      s"""WITH $cdcChunkCtes, fr AS (
+         |  SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+         |  FROM cdc GROUP BY chunk_md5
+         |), j AS (
+         |  SELECT c.doc_id, f.nd FROM cdc c JOIN fr f USING (chunk_md5)
+         |), r AS (
+         |  SELECT doc_id, count(*) AS n_chunks,
+         |    CAST(coalesce(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_dup_chunks
+         |  FROM j GROUP BY doc_id
          |)
-         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-         |  count(*) AS n_chunk_tokens,
-         |  md5(string_agg(tok, ' ' ORDER BY p ASC)) AS chunk_md5
-         |FROM cid GROUP BY doc_id, chunk_id""".stripMargin,
+         |SELECT doc_id, n_chunks, n_dup_chunks,
+         |  floor(n_dup_chunks / n_chunks * 100 + 0.5) / 100 AS dup_frac
+         |FROM r""".stripMargin,
+
+    // unigram drift twin: same normalization as text_repetition,
+    // conditional split counts, add-one-smoothed single-division p/q,
+    // round2'd ln ratio, one-multiply kl term
+    "text_drift" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, unnest(t) AS w FROM nrm
+        |), cnts AS (
+        |  SELECT w AS word,
+        |    CAST(coalesce(sum(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0
+        |      END), 0) AS BIGINT) AS c_p,
+        |    CAST(coalesce(sum(CASE WHEN doc_id % 20 != 0 THEN 1 ELSE 0
+        |      END), 0) AS BIGINT) AS c_q
+        |  FROM tk WHERE w != '' GROUP BY w
+        |), st AS (
+        |  SELECT CAST(sum(c_p) AS BIGINT) AS np,
+        |         CAST(sum(c_q) AS BIGINT) AS nq, count(*) AS v
+        |  FROM cnts
+        |)
+        |SELECT word, c_p, c_q,
+        |  floor(ln(((c_p + 1) / (np + v)) / ((c_q + 1) / (nq + v)))
+        |    * 100 + 0.5) / 100 AS log_ratio,
+        |  ((c_p + 1) / (np + v)) *
+        |    (floor(ln(((c_p + 1) / (np + v)) / ((c_q + 1) / (nq + v)))
+        |      * 100 + 0.5) / 100) AS kl_term
+        |FROM cnts, st""".stripMargin,
 
     "samp_cap_scalable" -> capSql,
 
@@ -2642,6 +2718,37 @@ object SparkEntry {
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
 
+    // rate-anomaly twin: exact-integer trailing sums, then the same
+    // fixed chain of correctly-rounded IEEE ops — (x − Σx/n) /
+    // sqrt((n·Σx² − (Σx)²)/(n·(n−1))) — round2'd, flag on rounded z
+    "rel_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |      AS hour,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT event_type, hour, cnt,
+        |    count(cnt) OVER tw AS base_n,
+        |    CAST(coalesce(sum(cnt) OVER tw, 0) AS BIGINT) AS sx,
+        |    CAST(coalesce(sum(cnt * cnt) OVER tw, 0) AS BIGINT) AS sxx
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY eh ASC
+        |                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT hour, event_type, cnt AS n_events, base_n,
+        |    CASE WHEN base_n >= 8 AND base_n * sxx - sx * sx > 0 THEN
+        |      floor((cnt - sx / base_n) /
+        |        sqrt((base_n * sxx - sx * sx) / (base_n * (base_n - 1)))
+        |        * 100 + 0.5) / 100
+        |    END AS z
+        |  FROM w
+        |)
+        |SELECT hour, event_type, n_events, base_n, z,
+        |  coalesce(abs(z) >= 3.0, FALSE) AS anomaly
+        |FROM z""".stripMargin,
+
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
@@ -3346,5 +3453,28 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority)
         |FROM orders""".stripMargin,
+
+    // compaction-plan twin: the docs-as-file-listing, the exclusive
+    // prefix sum, exact integer division by the 4096-byte quota, and
+    // the per-bin rollup windows
+    "io_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT doc_id AS file_id, CAST(length(text) AS BIGINT)
+        |    AS bytes
+        |  FROM documents
+        |), c AS (
+        |  SELECT file_id, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (ORDER BY file_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS excl
+        |  FROM f
+        |), b AS (
+        |  SELECT file_id, bytes, excl // 4096 AS bin FROM c
+        |)
+        |SELECT file_id, bytes, bin,
+        |  count(*) OVER (PARTITION BY bin) AS bin_files,
+        |  CAST(sum(bytes) OVER (PARTITION BY bin) AS BIGINT)
+        |    AS bin_bytes
+        |FROM b""".stripMargin,
   )
 }

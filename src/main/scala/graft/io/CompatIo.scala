@@ -238,4 +238,41 @@ object CompatIo {
       .withColumn("doc_id",
         regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1))
       .select((col("doc_id") +: cols.map { case (name, _) => col(name) }): _*)
+
+  /** Small-file compaction planner — the lake-maintenance step that
+    * groups a sea of small files into ~`targetBytes` rewrite tasks.
+    * Quota-binning: files in id order, exclusive running byte total,
+    * bin = excl_total div target (exact integer division, both
+    * engines) — so file f lands in the bin whose byte quota its start
+    * offset falls into. With every file ≤ target this pins each
+    * non-final bin's total inside (target − maxfile, target +
+    * maxfile); the greedy close-on-overflow alternative is the
+    * sequential fold [[graft.operators.Packing]] already demonstrates
+    * (per-shard state, recursive-CTE oracle) — quota-binning is its
+    * one-window declarative twin, and bin boundaries are a pure
+    * function of the prefix-sum, so adding files only re-bins the
+    * suffix. Scale shape: this is FILE METADATA, not data — 100 TB at
+    * 128 MB files is ~800k rows, so the single-partition ordering
+    * window is bounded by the catalog size, never by data volume
+    * (same argument as the daily-revenue spine). Output: (file_id,
+    * bytes, bin, bin_files, bin_bytes).
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long,
+                     idCol: String = "file_id",
+                     bytesCol: String = "bytes"): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+    val ordered = w.orderBy(col("file_id").asc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    val byBin = w.partitionBy("bin")
+    files
+      .select(col(idCol).as("file_id"),
+        col(bytesCol).cast("long").as("bytes"))
+      .withColumn("excl",
+        coalesce(sum(col("bytes")).over(ordered), lit(0L)))
+      .withColumn("bin", expr(s"excl div ${targetBytes}L"))
+      .drop("excl")
+      .withColumn("bin_files", count(lit(1)).over(byBin))
+      .withColumn("bin_bytes", sum(col("bytes")).over(byBin))
+  }
 }

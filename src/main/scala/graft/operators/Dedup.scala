@@ -975,4 +975,30 @@ object Dedup {
       .groupBy(col("lbl").as("entity_id"))
       .agg(count(lit(1)).as("n_names"), sum("cnt").as("n_records"))
   }
+
+  /** Chunk-level duplication profile — the reason content-defined
+    * chunking exists: per document, how much of it is made of chunks
+    * that also appear in OTHER documents ([[TextStats.cdcChunk]]
+    * boundaries make chunk identity insertion-robust, so this survives
+    * edits that shift byte offsets). A chunk is duplicated when its
+    * md5 occurs in ≥2 distinct docs; dup_frac = round2 of one IEEE
+    * division. Scale shape: chunk-md5-keyed count (map-side combined)
+    * joined back to the chunk table, then a doc-keyed rollup — all
+    * keyed equi-joins, linear in total chunks; the chunk table is
+    * persisted for its two consumers (invariant 9). Output: (doc_id,
+    * n_chunks, n_dup_chunks, dup_frac).
+    */
+  def chunkDupStats(docs: DataFrame, avgTokens: Int = 16): DataFrame = {
+    val chunks = TextStats.cdcChunk(docs, avgTokens)
+      .select("doc_id", "chunk_md5").persist()
+    val freq = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(freq, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        graft.functions.Fns.round2(col("n_dup_chunks") / col("n_chunks"))
+          .as("dup_frac"))
+  }
 }

@@ -918,4 +918,54 @@ object Relational {
         (col("n_rows") - col("n_nonnull")).as("n_null"),
         col("n_distinct"), col("min_str"), col("max_str"))
   }
+
+  /** Hourly event-rate anomaly flags: per (event_type, hour), the
+    * z-score of that hour's count against the type's TRAILING
+    * `trailingHours` baseline (RANGE frame on the epoch-hour int,
+    * current hour excluded — the detector must not let the spike
+    * inflate its own baseline; gaps shrink the frame, the
+    * [[rollingDailyRevenue]] calendar-window argument). Determinism
+    * with no decimal routing anywhere: the window aggregates are EXACT
+    * integers (count, Σx, Σx² of integer counts), and every double is
+    * a fixed chain of individually-correctly-rounded IEEE ops on them
+    * — mean = Σx/n, var = (n·Σx² − (Σx)²)/(n·(n−1)), std = sqrt, z =
+    * (x − mean)/std — so both engines replay it bit-for-bit; only the
+    * final z is round2'd for output, and the anomaly flag tests the
+    * ROUNDED z (boundary-stable). z is NULL (flag false) below
+    * `minBaseline` hours of history or at zero variance. Scale shape:
+    * one keyed groupBy to hourly counts (N rows in, |hours|·|types|
+    * out), then windows over that aggregate — bounded by the calendar
+    * × type domain, not by N. Output: (hour, event_type, n_events,
+    * base_n, z, anomaly).
+    */
+  def rateAnomaly(events: DataFrame, trailingHours: Int = 24,
+                  minBaseline: Int = 8,
+                  zThreshold: Double = 3.0): DataFrame = {
+    require(trailingHours >= 2 && minBaseline >= 2,
+      s"need >= 2 baseline hours: $trailingHours/$minBaseline")
+    val hourly = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("eh"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"))
+      .groupBy("event_type", "eh", "hour")
+      .agg(count(lit(1)).as("cnt"))
+    val tw = Window.partitionBy("event_type").orderBy(col("eh").asc)
+      .rangeBetween(-trailingHours.toLong, -1L)
+    val withBase = hourly
+      .withColumn("base_n", count(col("cnt")).over(tw))
+      .withColumn("sx", coalesce(sum(col("cnt")).over(tw), lit(0L)))
+      .withColumn("sxx",
+        coalesce(sum(col("cnt") * col("cnt")).over(tw), lit(0L)))
+    val varNum = col("base_n") * col("sxx") - col("sx") * col("sx")
+    val z = graft.functions.Fns.round2(
+      (col("cnt") - col("sx") / col("base_n")) /
+        sqrt(varNum / (col("base_n") * (col("base_n") - 1))))
+    withBase
+      .select(col("hour"), col("event_type"), col("cnt").as("n_events"),
+        col("base_n"),
+        when(col("base_n") >= minBaseline && varNum > 0, z).as("z"))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) >= zThreshold, lit(false)))
+  }
 }

@@ -535,4 +535,45 @@ object TextStats {
           x => x("tok")))).as("chunk_md5"))
   }
 
+  /** Unigram distribution drift between two corpus splits — the
+    * monitoring step that catches a data-mix shift between training
+    * snapshots before it silently moves the model. P = the `% modP ==
+    * 0` doc split (the [[Dedup.decontaminate]] benchmark convention),
+    * Q = the rest; per token the add-one-smoothed probabilities and
+    * the pointwise KL contribution p·ln(p/q), whose sum over the
+    * output is KL(P‖Q). Numeric discipline (the BM25/NB pattern): p
+    * and q are exact integer ratios evaluated with ONE IEEE division
+    * each, the log-ratio is round2'd at the source (absorbing the
+    * ln ulp divergence between engines), and the kl term is one IEEE
+    * multiply of those two — every column bit-replayable. Scale
+    * shape: one token groupBy (conditional sums — no second pass per
+    * split) against a broadcast 1-row totals; output is |vocab| rows.
+    * Output: (word, c_p, c_q, log_ratio, kl_term).
+    */
+  def tokenDrift(docs: DataFrame, modP: Int = 20,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(modP >= 2, s"modP must be >= 2: $modP")
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w").as("word"))
+      .agg(sum(when(col("doc_id") % modP === 0, 1L).otherwise(0L))
+          .as("c_p"),
+        sum(when(col("doc_id") % modP =!= 0, 1L).otherwise(0L))
+          .as("c_q"))
+      // two consumers (totals + the output join): without the persist
+      // the FULL tokenize+groupBy pass over N re-runs for the 1-row
+      // totals aggregate (invariant 9)
+      .persist()
+    val totals = counts.agg(sum("c_p").as("np"), sum("c_q").as("nq"),
+      count(lit(1)).as("v"))
+    val p = (col("c_p") + 1) / (col("np") + col("v"))
+    val q = (col("c_q") + 1) / (col("nq") + col("v"))
+    val lnr = graft.functions.Fns.round2(log(p / q))
+    counts.crossJoin(broadcast(totals))
+      .select(col("word"), col("c_p"), col("c_q"),
+        lnr.as("log_ratio"), (p * lnr).as("kl_term"))
+  }
 }

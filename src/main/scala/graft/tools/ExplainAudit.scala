@@ -41,7 +41,8 @@ object ExplainAudit {
         "io_zorder_write",
         // round-6 ninth-session surface
         "text_cdc_chunk", "dedup_semantic", "rel_rolling_stats",
-        "rel_profile")
+        "rel_profile", "text_drift", "dedup_chunks",
+        "rel_rate_anomaly", "io_compaction_plan")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
