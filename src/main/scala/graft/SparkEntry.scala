@@ -560,6 +560,25 @@ object SparkEntry {
     // every double one correctly-rounded IEEE op, flag on rounded z
     "rel_rate_anomaly" -> ((s, dir) =>
       Relational.rateAnomaly(tbl(s, dir, "events"))),
+    // daily active/new/cumulative-distinct users — the linear
+    // first-seen rewrite of the inexpressible running-distinct window
+    "rel_cumulative_users" -> ((s, dir) =>
+      Relational.cumulativeUsers(tbl(s, dir, "events"))),
+    // fixed-round k-core peel over the purchase graph, threshold
+    // derived in-plan as the mean degree (a fixed k can't travel
+    // across SFs); multi-round cascade semantics spec-pinned on a
+    // path graph in Round12Spec
+    "rel_kcore" -> ((s, dir) =>
+      Graph.purchaseKCore(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
+    // class-balanced downsample: every lang stratum capped to the
+    // smallest stratum's size, deterministic (md5, key) rank order
+    "samp_balance" -> ((s, dir) =>
+      Sampling.balanceClasses(docs(s, dir))),
+    // Matryoshka truncation eval: recall@10 of 16-dim-truncated cosine
+    // top-k vs the full 64-dim ranking, per query
+    "sim_trunc_eval" -> ((s, dir) =>
+      Similarity.truncationRecall(tbl(s, dir, "embeddings"))),
     // small-file compaction planner over file METADATA (docs stand in
     // as the file listing): quota-binning via one prefix-sum window
     "io_compaction_plan" -> ((s, dir) =>
@@ -1656,6 +1675,23 @@ object SparkEntry {
 
     "samp_cap_scalable" -> capSql,
 
+    // balance twin: the derived min-stratum cap as a scalar subquery,
+    // the same (md5 salt graft-bal, key) rank order, full rows out
+    "samp_balance" ->
+      """WITH sz AS (
+        |  SELECT min(n) AS cap FROM (
+        |    SELECT lang, count(*) AS n FROM documents
+        |    WHERE doc_id IS NOT NULL GROUP BY lang)
+        |)
+        |SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5('graft-bal' || '|' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+        |      doc_id ASC) AS rn
+        |  FROM documents WHERE doc_id IS NOT NULL), sz
+        |WHERE rn <= cap""".stripMargin,
+
     "dedup_exact" ->
       """WITH n AS (
         |  SELECT doc_id,
@@ -1857,6 +1893,56 @@ object SparkEntry {
          |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
          |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
         .stripMargin,
+
+    // truncation-eval twin: the full-width brute ranking and the
+    // 16-dim-sliced one (fresh norms; truncated zero vectors rank
+    // nothing), overlap counted per query, recall = round2(h / 10)
+    "sim_trunc_eval" ->
+      s"""WITH $vecCtes, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM normed WHERE vec_id % 50 = 0 AND norm > 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |              AND c.norm > 0
+         |), fullk AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+         |      AS rn
+         |    FROM s) WHERE rn <= 10
+         |), tn AS (
+         |  SELECT vec_id, v[1:16] AS v,
+         |    sqrt(list_sum(list_transform(v[1:16], x -> x * x)))
+         |      AS norm
+         |  FROM vecs
+         |), tq AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM tn WHERE vec_id % 50 = 0 AND norm > 0
+         |), ts2 AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, 16),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM tq JOIN tn c ON c.vec_id != tq.query_id
+         |               AND c.norm > 0
+         |), trunck AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+         |      AS rn
+         |    FROM ts2) WHERE rn <= 10
+         |), hits AS (
+         |  SELECT f.query_id, count(*) AS h
+         |  FROM fullk f JOIN trunck t
+         |    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+         |  GROUP BY f.query_id
+         |)
+         |SELECT q2.query_id, coalesce(h, 0) AS n_hits,
+         |  floor(coalesce(h, 0) / 10 * 100 + 0.5) / 100 AS recall
+         |FROM (SELECT DISTINCT query_id FROM fullk) q2
+         |LEFT JOIN hits USING (query_id)""".stripMargin,
 
     // norm > 0 on both sides: the Spark rankers exclude zero vectors
     // (NULL cosine filtered before the heap); the twin must not rank
@@ -2749,6 +2835,26 @@ object SparkEntry {
         |  coalesce(abs(z) >= 3.0, FALSE) AS anomaly
         |FROM z""".stripMargin,
 
+    // cumulative-users twin: the same linear first-seen rewrite — a
+    // per-user min day, new-user counts, prefix sum over the day rows
+    "rel_cumulative_users" ->
+      """WITH dd AS (
+        |  SELECT CAST(ts AS DATE) AS d, user_id FROM events
+        |), act AS (
+        |  SELECT d, count(DISTINCT user_id) AS active_users
+        |  FROM dd GROUP BY d
+        |), fs AS (
+        |  SELECT user_id, min(d) AS d FROM dd GROUP BY user_id
+        |), nu AS (
+        |  SELECT d, count(*) AS new_users FROM fs GROUP BY d
+        |)
+        |SELECT CAST(a.d AS VARCHAR) AS day, a.active_users,
+        |  coalesce(n.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.d ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM act a LEFT JOIN nu n ON a.d = n.d""".stripMargin,
+
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
@@ -3250,6 +3356,47 @@ object SparkEntry {
         |)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1""".stripMargin,
+
+    // k-core twin: the purchase-graph canonical edges as e0, the
+    // in-plan mean-degree threshold, then 3 unrolled peel rounds
+    // (degree agg → keep set → edge filter), final degree rollup +
+    // the pageRank node decode
+    "rel_kcore" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), kk AS (
+        |  SELECT (SELECT count(*) FROM e0) //
+        |    (SELECT count(DISTINCT n) FROM (
+        |       SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)) AS k
+        |), d1 AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n
+        |), k1 AS (SELECT n FROM d1, kk WHERE d >= k),
+        |e1 AS (
+        |  SELECT e.a, e.b FROM e0 e
+        |  JOIN k1 x ON e.a = x.n JOIN k1 y ON e.b = y.n
+        |), d2 AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n
+        |), k2 AS (SELECT n FROM d2, kk WHERE d >= k),
+        |e2 AS (
+        |  SELECT e.a, e.b FROM e1 e
+        |  JOIN k2 x ON e.a = x.n JOIN k2 y ON e.b = y.n
+        |), d3 AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n
+        |), k3 AS (SELECT n FROM d3, kk WHERE d >= k),
+        |e3 AS (
+        |  SELECT e.a, e.b FROM e2 e
+        |  JOIN k3 x ON e.a = x.n JOIN k3 y ON e.b = y.n
+        |)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+        |            ELSE 'supplier' END AS node_type,
+        |  node // 2 AS key, degree FROM (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        |  GROUP BY node)""".stripMargin,
 
     // Queue-ETL twin: replays the md5 partitioner, the per-partition
     // (epoch-µs, event_id) offset window, and the consumer aggregates

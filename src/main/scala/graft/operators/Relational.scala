@@ -968,4 +968,33 @@ object Relational {
       .withColumn("anomaly",
         coalesce(abs(col("z")) >= zThreshold, lit(false)))
   }
+
+  /** Daily active / new / cumulative-distinct user curve — the growth
+    * dashboard query whose naive form (COUNT(DISTINCT) over an
+    * ever-expanding frame) is quadratic and not even expressible as a
+    * window: a running distinct is NOT an associative aggregate. The
+    * standard linear rewrite: a user's FIRST day (one user-keyed min),
+    * new_users = count per first day, cumulative = prefix sum of
+    * new_users over the day aggregate — so the running-distinct window
+    * never exists and the windowed input is |days| rows (calendar-
+    * bounded, the [[rollingDailyRevenue]] argument). active_users per
+    * day is a plain keyed distinct count. Days with no new users
+    * zero-fill via the left join. Output: (day, active_users,
+    * new_users, cum_users).
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val daily = events.select(to_date(col("ts")).as("d"), col("user_id"))
+    val active = daily.groupBy("d")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val firstSeen = daily.groupBy("user_id").agg(min(col("d")).as("d"))
+    val fresh = firstSeen.groupBy("d").agg(count(lit(1)).as("nu"))
+    val cum = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    active.join(fresh, Seq("d"), "left")
+      .select(col("d"), col("active_users"),
+        coalesce(col("nu"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(cum))
+      .select(col("d").cast("string").as("day"), col("active_users"),
+        col("new_users"), col("cum_users"))
+  }
 }

@@ -493,4 +493,31 @@ object Sampling {
       }
     df.filter(hashValue(col(keyCol), salt) < threshold)
   }
+
+  /** Class-balanced downsample: every stratum capped to the SMALLEST
+    * stratum's size — the classifier-training counterpart of
+    * [[capPerStratum]] where the cap is derived from the data instead
+    * of passed in (majority classes downsample, the minority class
+    * survives whole). The cap is a 1-row broadcast (min over the
+    * stratum-count aggregate), membership is the same deterministic
+    * (md5 hash, key) rank order as every sampler here, and NULL keys
+    * drop (the capPerStratum contract). At a multi-million cap swap
+    * the row_number window for the boundary-bucket construction of
+    * [[capPerStratumScalable]] — identical kept set. Output: the
+    * input rows of the balanced sample.
+    */
+  def balanceClasses(df: DataFrame, stratumCol: String = "lang",
+                     keyCol: String = "doc_id",
+                     salt: String = "graft-bal"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.filter(col(keyCol).isNotNull)
+    val cap = d.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("_cap"))
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashValue(col(keyCol), salt).asc, col(keyCol).asc)
+    d.withColumn("_rn", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("_rn") <= col("_cap"))
+      .drop("_rn", "_cap")
+  }
 }

@@ -887,4 +887,36 @@ object Similarity {
       .select(col("query_id"), col("col._2").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Matryoshka truncation evaluation: recall@k of cosine top-k under
+    * the first `dims` dimensions against the full-width top-k — the
+    * measurement behind serving truncated (MRL-style) embeddings,
+    * where a dims/recall trade is bought without re-embedding. Both
+    * rankings are [[bruteTopK]] (same ties, same zero-vector
+    * exclusion); a query whose TRUNCATED vector is all-zero simply
+    * ranks nothing and scores 0 hits — the honest outcome of serving
+    * that truncation. recall = round2 of one IEEE division. Scale
+    * shape: two bounded-heap top-k passes + one (query, neighbor)
+    * semi-join on k-sized lists; the full ranking is persisted for its
+    * two consumers (query spine + overlap). Output: (query_id,
+    * n_hits, recall).
+    */
+  def truncationRecall(emb: DataFrame, dims: Int = 16, k: Int = 10,
+                       queryMod: Int = 50): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+    val full = bruteTopK(queries, emb, k).persist()
+    val trunc = bruteTopK(
+      queries.withColumn("embedding", slice(col("embedding"), 1, dims)),
+      emb.withColumn("embedding", slice(col("embedding"), 1, dims)), k)
+    val hits = full
+      .join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    full.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        graft.functions.Fns.round2(
+          coalesce(col("h"), lit(0L)) / lit(k)).as("recall"))
+  }
 }
