@@ -206,6 +206,26 @@ object ScaleProbe {
     time(embBig)("dedup_embedding")(Dedup.embeddingNearDup(embBig).count())
     time(embBig)("sim_topk_lsh")(Similarity.lshTopK(
       embBig.filter(col("vec_id") % 50 === 0), embBig).count())
+    // CDC chunking + chunk-level dup profiling under K× cloning: chunk
+    // count grows K-linearly; the dup profile's chunk-md5 groupBy sees
+    // every chunk md5 K times (clones), so candidate structures are
+    // keyed counts — no pair expansion anywhere, time should be
+    // K-linear while dup_frac → 1 for every doc
+    time(big)("text_cdc_chunk")(TextStats.cdcChunk(big).count())
+    time(big)("dedup_chunks")(Dedup.chunkDupStats(big).count())
+    // k-core at graph scale: deterministic skewed synthetic graph
+    // (E ≈ 4M·K edges over N = K·500k nodes; hub residues collect
+    // degree ~ E/N·heavy-tail) — each peel round is a degree agg + two
+    // broadcast semi joins against the same cached edge table, so time
+    // should track |E| linearly; the keep set stays node-bounded
+    val nNodes = k * 500000L
+    val kEdges = spark.range(0L, k * 4000000L, 1L, 64)
+      .select((col("id") % nNodes).as("key_a"),
+        ((col("id") * col("id") + col("id") * 31L + 7L) % nNodes)
+          .as("key_b"))
+      .filter(col("key_a") < col("key_b"))
+    time(big)("rel_kcore_synth")(
+      Graph.kCorePeel(kEdges, k = 12, iters = 3).count())
     spark.stop()
   }
 }
