@@ -492,6 +492,11 @@ object SparkEntry {
     "rel_asof_join" -> ((s, dir) =>
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
+    // forward as-of: each order → the customer's FIRST event strictly
+    // after it (conversion-lag attribution; equal-time rows excluded)
+    "rel_asof_forward" -> ((s, dir) =>
+      Relational.orderNextEvent(tbl(s, dir, "orders"),
+        tbl(s, dir, "events"))),
     "rel_set_ops" -> ((s, dir) => Relational.setOps(tbl(s, dir, "orders"))),
     "rel_promo_revenue" -> ((s, dir) =>
       Relational.promoRevenue(tbl(s, dir, "lineitem"),
@@ -548,6 +553,10 @@ object SparkEntry {
     "rel_quantile_contract" -> ((s, dir) =>
       Relational.approxQuantiles(tbl(s, dir, "lineitem"))),
     "rel_cube" -> ((s, dir) => Relational.orderCube(tbl(s, dir, "orders"))),
+    // non-hierarchical GROUPING SETS: per-status AND per-priority
+    // slices in one Expand pass, grouping(col) flags (engine-stable)
+    "rel_grouping_sets" -> ((s, dir) =>
+      Relational.orderGroupingSets(tbl(s, dir, "orders"))),
     "rel_window_funcs" -> ((s, dir) =>
       Relational.orderWindowFuncs(tbl(s, dir, "orders"))),
     // gap-aware 7-day trailing revenue: RANGE frame on the epoch-day
@@ -594,6 +603,12 @@ object SparkEntry {
           "o_orderdate", "o_orderpriority"))),
     "stream_dedup_pairs" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupPairs(s, dir)),
+    // bounded-state streaming dedup: dropDuplicatesWithinWatermark —
+    // state expires with the watermark (the unbounded-stream dedup);
+    // a 40-day delay covers the whole staged span, so the result
+    // equals global DISTINCT and shares dedupPairs' oracle
+    "stream_dedup_bounded" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupPairsBounded(s, dir)),
     "stream_events_by_segment" -> ((s, dir) =>
       graft.streaming.EventsStream.eventsBySegment(s, dir)),
     "stream_stream_join" -> ((s, dir) =>
@@ -2857,6 +2872,49 @@ object SparkEntry {
 
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // bounded-state dedup: with the 40-day watermark covering the whole
+    // staged span, the result is definitionally global DISTINCT — one
+    // oracle, two physical operators (unbounded vs expiring state)
+    "stream_dedup_bounded" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // forward as-of twin: naive join-then-rank replay (earliest
+    // strictly-later event per order; events deduped per (user, ts)
+    // by max event_id, mirroring the Spark side)
+    "rel_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1
+        |), c AS (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |    strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+        |    e.event_id, e.event_type,
+        |    strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ets,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY e.ts ASC) AS rn
+        |  FROM orders o JOIN ev e
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate < e.ts
+        |)
+        |SELECT o_orderkey, o_custkey, order_date, event_id, event_type,
+        |  ets
+        |FROM c WHERE rn = 1""".stripMargin,
+
+    // grouping-sets twin: DuckDB's GROUPING SETS with the same
+    // explicit grouping() flags
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  ())""".stripMargin,
 
     // session_window twin: break at gap > 30 min — an event EXACTLY
     // gap after its predecessor still merges (probed empirically: the

@@ -169,7 +169,28 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      forward = false)
+
+  /** Forward as-of join: for each left row, the single EARLIEST right
+    * row with `rightTime > leftTime` (strictly after — an equal-time
+    * right row does not match) and matching key. The "what happened
+    * next" attribution shape (event → next order). Same one-shuffle
+    * tagged-union formulation as [[asofJoin]], scanned in descending
+    * time with left rows sorting first at equal timestamps (that flip
+    * IS the strictness) — the running fill then carries the smallest
+    * right time above each left row. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       forward: Boolean): DataFrame = {
     val rightPayload = right.columns.filterNot(c =>
       c == rightKey || c == rightTime).toSeq
     val leftCols = left.columns.toSeq
@@ -194,9 +215,19 @@ object Relational {
     val cols = Seq("_k", "_t", "_is_left", "_p") ++ leftCols
     val unioned = lPadded.select(cols.map(col): _*)
       .unionByName(rPadded.select(cols.map(col): _*))
-    val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_is_left").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // backward: time-ascending, right(0) before left(1) at equal _t
+    // so `>=` matches same-instant rows. Forward: time-DESCENDING,
+    // left before right at equal _t — equal-time rows excluded, the
+    // fill carries the smallest right time strictly above each left.
+    val w =
+      if (forward)
+        Window.partitionBy("_k")
+          .orderBy(col("_t").desc, col("_is_left").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+      else
+        Window.partitionBy("_k")
+          .orderBy(col("_t").asc, col("_is_left").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
     // every emitted right-side column (time AND payload) is renamed with
@@ -228,6 +259,52 @@ object Relational {
         col("o_orderkey"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
           .as("order_date"))
+  }
+
+  /** Forward mirror of [[eventsAsofOrders]]: each order attributed to
+    * the customer's FIRST event strictly after it — the conversion-lag
+    * attribution shape ("what did they do next"). Events deduped to
+    * one per (user, ts) by max event_id, pinning tie semantics the
+    * same way the backward direction pins orders. */
+  def orderNextEvent(orders: DataFrame, events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "ts")
+      .orderBy(col("event_id").desc)
+    val dedupedEvents = events
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .as("order_date"), col("o_orderdate"))
+    asofJoinForward(o, dedupedEvents, "o_custkey", "user_id",
+        "o_orderdate", "ts")
+      .select(col("o_orderkey"), col("o_custkey"), col("order_date"),
+        col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ets"))
+  }
+
+  /** Arbitrary GROUPING SETS — the non-hierarchical slices neither
+    * [[customerRollup]] (prefix hierarchy) nor [[orderCube]] (full
+    * lattice) can express: per-status totals AND per-priority totals
+    * in ONE pass (Spark plans one Expand ×|sets| + one shuffle, vs two
+    * scans for two GROUP BYs). Absent dimensions surface as explicit
+    * `grouping(col)` flags — cross-engine-stable, unlike the packed
+    * grouping_id bit vector whose bit order is engine-specific. Same
+    * temp-view SQL route as rollup/cube (one consistent path). */
+  def orderGroupingSets(orders: DataFrame): DataFrame = {
+    val view = s"graft_rollup_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView(view)
+    orders.sparkSession.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+         |  count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+         |  ())""".stripMargin)
   }
 
   /** Bucketed (banded) range join: inner join of `points` to

@@ -110,6 +110,25 @@ object EventsStream {
       .dropDuplicates("user_id", "event_type"),
       "dedup", "append")
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * keeps a key's dedup state only until the watermark passes its
+    * event time, so state is O(keys-per-watermark-window) instead of
+    * [[dedupPairs]]'s O(all keys ever) — the only dedup that survives
+    * an unbounded stream. Contract: duplicates are guaranteed dropped
+    * only when they arrive within the watermark delay of the first
+    * occurrence; the events table spans ~a month and the delay here
+    * is 40 days, so every duplicate falls inside one window and the
+    * result equals global DISTINCT — which is exactly what the shared
+    * oracle checks (same twin, different physical operator: the
+    * decontam-bloom one-oracle-two-plans pattern). */
+  def dedupPairsBounded(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, s => eventsStream(s, dir)
+      .withWatermark("ts", "40 days")
+      .select("user_id", "event_type", "ts")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type"),
+      "dedupb", "append")
+
   /** Stream-stream inner join with event-time range: signups joined to
     * the same user's purchases within the following hour. Both sides are
     * watermarked and the join condition carries the time bounds, so

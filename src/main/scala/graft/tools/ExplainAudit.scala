@@ -43,7 +43,8 @@ object ExplainAudit {
         "text_cdc_chunk", "dedup_semantic", "rel_rolling_stats",
         "rel_profile", "text_drift", "dedup_chunks",
         "rel_rate_anomaly", "io_compaction_plan", "rel_kcore",
-        "rel_cumulative_users", "samp_balance", "sim_trunc_eval")
+        "rel_cumulative_users", "samp_balance", "sim_trunc_eval",
+        "rel_asof_forward", "rel_grouping_sets")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
