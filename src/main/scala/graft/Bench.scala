@@ -19,10 +19,13 @@ object Bench {
     * 165.7 @ 0.78, 167.4 @ 0.71; a sixth run at mid-run-contended
     * load 1.32 was discarded), stamped in a commit with no feature
     * work; rel_kcore uses the two runs after its plan fix only. The
-    * bench emits each query's ratio vs this map and a `regressions`
-    * list (ratio > 1.3 AND delta > 0.5 s). Queries absent here (added
-    * since the last stamp) get no ratio; re-stamp together with
-    * BASELINE.md via tools/restamp.py. */
+    * three batch-4 queries (rel_asof_forward, rel_grouping_sets,
+    * stream_dedup_bounded) are stamped from the clean 172.7 s @ 0.79
+    * run, values confirmed within noise by a second (contended) run.
+    * The bench emits each query's ratio vs this map and a
+    * `regressions` list (ratio > 1.3 AND delta > 0.5 s). Queries
+    * absent here (added since the last stamp) get no ratio; re-stamp
+    * together with BASELINE.md via tools/restamp.py. */
   val BaselinePerQuery: Map[String, Double] = Map(
     "dedup_assign" -> 4.87, "dedup_chunks" -> 1.39, "dedup_decontam" -> 1.07,
     "dedup_decontam_bloom" -> 2.53, "dedup_embedding" -> 3.25,
@@ -38,7 +41,7 @@ object Bench {
     "q2_dictionary" -> 0.63, "q3_task1" -> 0.59, "q4_tf" -> 0.92,
     "q5_idf" -> 0.97, "q6_tfidf" -> 1.29, "rel_activity_spine" -> 0.37,
     "rel_anti_join" -> 0.22, "rel_approx_users" -> 0.69,
-    "rel_asof_join" -> 0.79, "rel_auc" -> 1.45, "rel_cohort" -> 0.47,
+    "rel_asof_forward" -> 0.76, "rel_asof_join" -> 0.79, "rel_auc" -> 1.45, "rel_grouping_sets" -> 0.37, "rel_cohort" -> 0.47,
     "rel_compact_latest" -> 0.29, "rel_compact_latest_scalable" -> 0.28,
     "rel_components" -> 5.88, "rel_cube" -> 0.52,
     "rel_cumulative_users" -> 0.39, "rel_dq_audit" -> 0.77,
@@ -68,7 +71,7 @@ object Bench {
     "sim_topk_ivf_trained" -> 4.01, "sim_topk_ivfpq" -> 2.63,
     "sim_topk_ivfpq_res" -> 3.95, "sim_topk_lsh" -> 0.62,
     "sim_topk_pq" -> 2.34, "sim_trunc_eval" -> 1.23,
-    "stream_dedup_pairs" -> 0.77, "stream_events_by_segment" -> 0.95,
+    "stream_dedup_bounded" -> 1.02, "stream_dedup_pairs" -> 0.77, "stream_events_by_segment" -> 0.95,
     "stream_events_hourly" -> 0.95, "stream_events_sliding" -> 0.95,
     "stream_foreach_sink" -> 1.06, "stream_late_drop" -> 2.57,
     "stream_queue_etl" -> 1.76, "stream_session_window" -> 1.29,
