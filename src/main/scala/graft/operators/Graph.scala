@@ -246,7 +246,14 @@ object Graph {
     *    a flat scan each round (the GraphX-style iteration pattern) —
     *    on a cluster with lossy executors use a reliable checkpoint
     *    dir instead; the set is node-bounded either way.
-    */
+    *
+    * The keep-set semi-joins carry NO broadcast hint: round 0's keep
+    * set is ALL distinct nodes — O(|V|), data-sized — so a forced
+    * broadcast would bypass autoBroadcastJoinThreshold and OOM on a
+    * large graph. The checkpoint materializes real size stats each
+    * round, so the planner (plus AQE at runtime) picks broadcast
+    * exactly when the shrinking set actually fits, and a shuffled
+    * semi-join when it does not. */
   private def peelNodes(e0: DataFrame, k: Column,
                         iters: Int): DataFrame = {
     var keep = e0.select(explode(array(col("a"), col("b"))).as("n"))
@@ -254,10 +261,8 @@ object Graph {
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val live = e0
-        .join(broadcast(keep.select(col("n").as("a"))), Seq("a"),
-          "left_semi")
-        .join(broadcast(keep.select(col("n").as("b"))), Seq("b"),
-          "left_semi")
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
       keep = live.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("n")
@@ -267,12 +272,13 @@ object Graph {
   }
 
   /** Degrees over e0 restricted to the kept node set (the final peel
-    * round's edge set, by monotonicity of K). */
+    * round's edge set, by monotonicity of K). Unhinted for the same
+    * reason as [[peelNodes]]: the surviving core can still be
+    * data-sized (k below the graph's degeneracy keeps almost
+    * everything), so broadcast is the planner's call, not ours. */
   private def coreDegrees(e0: DataFrame, keep: DataFrame): DataFrame =
-    e0.join(broadcast(keep.select(col("n").as("a"))), Seq("a"),
-        "left_semi")
-      .join(broadcast(keep.select(col("n").as("b"))), Seq("b"),
-        "left_semi")
+    e0.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
 

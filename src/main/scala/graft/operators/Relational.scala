@@ -18,6 +18,20 @@ object Relational {
   private def dec(c: Column, scale: Int = 2): Column =
     c.cast(s"decimal(18,$scale)")
 
+  /** Registers `df` under a fresh view name, builds the SQL plan, and
+    * drops the view before returning: `spark.sql` analyzes eagerly, so
+    * the returned DataFrame holds the resolved relation and the catalog
+    * entry is pure leakage afterwards (repeated bench runs in one
+    * session would otherwise accrete a view per call). */
+  private def withTempView(df: DataFrame, prefix: String)
+                          (buildSql: String => String): DataFrame = {
+    val view =
+      s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(view)
+    try df.sparkSession.sql(buildSql(view))
+    finally df.sparkSession.catalog.dropTempView(view)
+  }
+
   /** TPC-H Q1-flavored pricing summary over lineitem. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem
@@ -70,13 +84,12 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select("r_name", "n_name", "c_acctbal")
-    val view = s"graft_rollup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    joined.createOrReplaceTempView(view)
-    joined.sparkSession.sql(
+    withTempView(joined, "graft_rollup") { view =>
       s"""SELECT r_name, n_name, count(*) AS n_customers,
          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
          |    AS sum_acctbal
-         |FROM $view GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+         |FROM $view GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+    }
   }
 
   /** CUBE over (status, priority): all grouping-set combinations.
@@ -84,15 +97,15 @@ object Relational {
     * rollup/cube ambiguity false positive on join-derived columns does
     * not bite here, but one consistent route is simpler). */
   def orderCube(orders: DataFrame): DataFrame = {
-    val view = s"graft_cube_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
-      .createOrReplaceTempView(view)
-    orders.sparkSession.sql(
+    withTempView(
+      orders.select("o_orderstatus", "o_orderpriority", "o_totalprice"),
+      "graft_cube") { view =>
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          |    AS sum_price
          |FROM $view GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
-        .stripMargin)
+        .stripMargin
+    }
   }
 
   /** Window-function breadth over per-customer order history: rank,
@@ -200,12 +213,20 @@ object Relational {
     val payloadStruct = struct(
       (col(rightTime).as("_rt") +: rightPayload.map(col)): _*)
     // NULL join keys never match (SQL semantics; window partitioning
-    // would otherwise group NULL with NULL)
-    val r0 = right.filter(col(rightKey).isNotNull)
+    // would otherwise group NULL with NULL). NULL TIMES are equally
+    // non-matching — the as-of predicate `rt <op> lt` is NULL-false —
+    // but the window ordering would instead park NULL `_t` rows at one
+    // end of the key partition (which end depends on sort direction),
+    // silently matching them to the key's extreme row. Filter both
+    // sides up front so a NULL-time row matches (and fills) nothing,
+    // symmetric across the forward and backward directions.
+    val r0 = right.filter(col(rightKey).isNotNull &&
+        col(rightTime).isNotNull)
       .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
       .withColumn("_is_left", lit(0))
       .withColumn("_p", payloadStruct)
-    val lPadded = left.filter(col(leftKey).isNotNull)
+    val lPadded = left.filter(col(leftKey).isNotNull &&
+        col(leftTime).isNotNull)
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_is_left", lit(1))
       .withColumn("_p", lit(null).cast(r0.schema("_p").dataType))
@@ -292,10 +313,9 @@ object Relational {
     * grouping_id bit vector whose bit order is engine-specific. Same
     * temp-view SQL route as rollup/cube (one consistent path). */
   def orderGroupingSets(orders: DataFrame): DataFrame = {
-    val view = s"graft_rollup_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
-      .createOrReplaceTempView(view)
-    orders.sparkSession.sql(
+    withTempView(
+      orders.select("o_orderstatus", "o_orderpriority", "o_totalprice"),
+      "graft_rollup_gs") { view =>
       s"""SELECT o_orderstatus, o_orderpriority,
          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
@@ -304,7 +324,8 @@ object Relational {
          |    AS sum_price
          |FROM $view
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-         |  ())""".stripMargin)
+         |  ())""".stripMargin
+    }
   }
 
   /** Bucketed (banded) range join: inner join of `points` to
@@ -971,7 +992,11 @@ object Relational {
     : Column = dt match {
       case org.apache.spark.sql.types.DoubleType |
            org.apache.spark.sql.types.FloatType =>
-        floor(c * 1000000 + lit(0.5)).cast("long").cast("string")
+        // widen BEFORE the multiply: Int×Float stays FLOAT, which is
+        // lossy above ~16 in micro-units and would diverge from a
+        // double-precision oracle on float columns
+        floor(c.cast("double") * 1000000 + lit(0.5))
+          .cast("long").cast("string")
       case _: org.apache.spark.sql.types.TimestampType =>
         unix_micros(c).cast("string")
       // parquet NTZ timestamps (isAdjustedToUTC=false) load as NTZ; the

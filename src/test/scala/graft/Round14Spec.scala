@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Round-7 advice pins: as-of joins must drop NULL-time rows on BOTH
+  * sides in BOTH directions (the window ordering would otherwise park
+  * them at a partition edge and match them to the key's extreme row),
+  * profile() must render large float values exactly (double-widened
+  * micro-units), and the rollup/cube/grouping-sets temp views must not
+  * leak catalog entries.
+  */
+class Round14Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofImpl: NULL-time rows match nothing and fill nothing, " +
+    "both directions") {
+    val left = Seq(
+      (1L, Option(ts("2024-01-01 12:00:00")), "L_mid"),
+      (1L, Option.empty[java.sql.Timestamp], "L_null"))
+      .toDF("k", "lt", "ltag")
+    val right = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), "R_early"),
+      (1L, Option(ts("2024-01-01 13:00:00")), "R_late"),
+      (1L, Option.empty[java.sql.Timestamp], "R_null"))
+      .toDF("k", "rt", "rtag")
+    val fwd = Relational.asofJoinForward(left, right, "k", "k",
+        "lt", "rt")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // forward scans time-DESC: an unfiltered NULL-time left row would
+    // sort FIRST (nulls last in desc ... i.e. Spark puts NULLs last in
+    // desc => actually first in scan order here) and frame the whole
+    // partition, matching R_early; it must instead drop. R_null must
+    // never be a fill source.
+    assert(fwd == Map("L_mid" -> "R_late"), s"fwd: $fwd")
+    val bwd = Relational.asofJoin(left, right, "k", "k", "lt", "rt")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bwd == Map("L_mid" -> "R_early"), s"bwd: $bwd")
+  }
+
+  test("profile: float columns render via double-widened micro-units " +
+    "(exact above the float 16.0 micro-unit cliff)") {
+    // 123.456789f is not representable in float micro-units: FLOAT
+    // multiply gives 123456792 (the float closest to 123456789);
+    // widening to double first keeps the value the oracle computes.
+    val f = 123.456789f
+    val df = Seq((1L, f)).toDF("id", "fv")
+    val got = Relational.profile(df, Seq("fv")).collect().head
+    val expected =
+      math.floor(f.toDouble * 1000000 + 0.5).toLong.toString
+    assert(got.getAs[String]("min_str") == expected &&
+      got.getAs[String]("max_str") == expected,
+      s"got $got, want $expected")
+    // regression guard: the FLOAT-precision product differs, so a
+    // revert to the unwidened multiply fails this test
+    assert((f * 1000000 + 0.5f).toLong.toString != expected)
+  }
+
+  test("rollup/cube/grouping-sets drop their temp views") {
+    val orders = Seq(("O", "1-URGENT", 10.0))
+      .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+    Relational.orderCube(orders).collect()
+    Relational.orderGroupingSets(orders).collect()
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_"))
+    assert(leaked.isEmpty, s"leaked views: ${leaked.toSeq}")
+  }
+}
