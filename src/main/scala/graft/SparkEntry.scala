@@ -14,7 +14,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  import org.apache.spark.sql.functions.{col, expr, get, length, lit, pmod}
+  import org.apache.spark.sql.functions.{col, expr, get, hex, length, lit, md5, pmod}
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -798,6 +798,28 @@ object SparkEntry {
           dims.map(i =>
             get(col("features"), lit(i)).cast("double").as(s"f$i"))): _*)
     }),
+
+    // Resize gate surface: the new metadata dims plus a checksum of the
+    // subsampled payload (md5 over its hex rendering — DuckDB 1.0 has
+    // no BLOB md5/substr, so the hex string is the cross-engine form).
+    "mm_resize" -> ((s, dir) => {
+      val resized = graft.multimodal.Multimodal.resize(
+        graft.multimodal.Multimodal.withPayload(docs(s, dir)))
+      resized.select(col("doc_id"), col("format"),
+        col("width"), col("height"),
+        length(col("data")).cast("long").as("n_bytes"),
+        md5(hex(col("data"))).as("data_md5"))
+    }),
+
+    // Frame-sampling gate surface: every 4th 16-byte frame with its
+    // index; the frame itself travels as its hex rendering (uppercase
+    // in both engines).
+    "mm_frames" -> ((s, dir) => {
+      graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.withPayload(docs(s, dir)))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+    }),
   )
 
   // Shared DuckDB CTE chain mirroring WikiText.tokens / TfIdfOps over the
@@ -1405,6 +1427,60 @@ object SparkEntry {
          |$fCols
          |FROM hx""".stripMargin
     },
+    // Resize replay: scale = min(1, 128/max(w,h,1)) in IEEE double both
+    // engines (DuckDB int/int division is double); the payload
+    // subsample is a prefix of the hex rendering (DuckDB 1.0 has no
+    // BLOB substr/md5). Spark's double→int cast truncates toward zero
+    // — DuckDB CAST rounds, so the twin goes through trunc(). upper()
+    // because DuckDB hex is lowercase while Spark's is uppercase.
+    "mm_resize" ->
+      """WITH pay AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |         WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |         ELSE 'webp' END AS format,
+        |    upper(hex(encode(text))) AS h,
+        |    octet_length(encode(text)) AS len,
+        |    CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 512 + 64
+        |      AS INTEGER) AS width,
+        |    CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 512 + 64
+        |      AS INTEGER) AS height
+        |  FROM documents
+        |), scaled AS (
+        |  SELECT doc_id, format, width, height, h, len,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      128 / greatest(width, height, 1)) AS scale
+        |  FROM pay
+        |), cut AS (
+        |  SELECT doc_id, format, width, height, h, scale,
+        |    greatest(CAST(trunc(len * scale) AS INTEGER), 1) AS new_len
+        |  FROM scaled
+        |)
+        |SELECT doc_id, format,
+        |  CAST(ceil(width * scale) AS INTEGER) AS width,
+        |  CAST(ceil(height * scale) AS INTEGER) AS height,
+        |  CAST(new_len AS BIGINT) AS n_bytes,
+        |  md5(substr(h, 1, 2 * new_len)) AS data_md5
+        |FROM cut""".stripMargin,
+    // Frame-sampling replay: frame i covers hex chars [32i+1, 32i+32]
+    // (16 bytes); generate_series is stop-inclusive with step, exactly
+    // like Spark's sequence. len//16-1 (int floor-div) equals Spark's
+    // trunc-toward-zero double path for every len >= 0 after the
+    // greatest(...,0) clamp.
+    "mm_frames" ->
+      """WITH pay AS (
+        |  SELECT doc_id, upper(hex(encode(text))) AS h,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, h,
+        |    unnest(generate_series(0, greatest(len // 16 - 1, 0), 4))
+        |      AS frame_idx
+        |  FROM pay
+        |)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  substr(h, frame_idx * 32 + 1, 32) AS frame_hex
+        |FROM fr""".stripMargin,
     "q1_tokens" ->
       s"WITH $tokenCtes SELECT doc_id, word FROM tokens",
     "q2_dictionary" ->
