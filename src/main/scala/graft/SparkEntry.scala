@@ -613,6 +613,13 @@ object SparkEntry {
       graft.streaming.EventsStream.eventsBySegment(s, dir)),
     "stream_stream_join" -> ((s, dir) =>
       graft.streaming.EventsStream.signupToPurchase(s, dir)),
+    // stream-stream LEFT OUTER with watermark state eviction actually
+    // firing (3-batch replay with empty carrier batches; see
+    // EventsStream.signupToPurchaseOuter) — unmatched signups emit
+    // NULL purchases only once the watermark passes s_ts + 1h
+    "stream_stream_outer" -> ((s, dir) =>
+      graft.streaming.EventsStream.signupToPurchaseOuter(
+        s, dir, scratchDir("sojoinstage"))),
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(s, dir)),
     // foreachBatch file-sink pattern; result read back from the files
@@ -3028,6 +3035,30 @@ object SparkEntry {
         |  ON s.user_id = p.user_id
         | AND s.event_type = 'signup' AND p.event_type = 'purchase'
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'"""
+        .stripMargin,
+
+    // Outer-join eviction replay: the terminal watermark is
+    // min(max signup ts, max purchase ts) - 1min (two event-time
+    // columns; global watermark = their min); a left row's unmatched
+    // emission requires its last matchable instant s.ts + 1h to be
+    // STRICTLY below W (probed: a row exactly at W stays in state —
+    // Round14Spec). Matched pairs are all produced in batch 0 (full
+    // data, watermark still MIN_VALUE).
+    "stream_stream_outer" ->
+      """WITH w AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'signup'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL '1 minute' AS wm
+        |)
+        |SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+        |  s.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
+        |WHERE p.event_id IS NOT NULL
+        |   OR s.ts + INTERVAL '1 hour' < (SELECT wm FROM w)"""
         .stripMargin,
 
     "rel_scalar_funcs" ->

@@ -155,6 +155,62 @@ object EventsStream {
           col("s_user").as("user_id"))
     }, "sjoin", "append")
 
+  /** Watermarked stream-stream LEFT OUTER join — the state-eviction
+    * emission semantics the inner variant never exercises: an unmatched
+    * signup row is emitted (purchase columns NULL) only when the
+    * watermark proves no future purchase can still match it.
+    *
+    * Replay shape (same 3-batch staging as [[hourlyCountsLate]], for
+    * the same reason): batch 0 carries ALL events — every inner match
+    * is produced there, while the watermark is still at MIN_VALUE so
+    * nothing is dropped on input; batches 1 and 2 are EMPTY carrier
+    * files whose only job is to bring batch 0's watermark into effect
+    * (the one-batch lag means a single trailing batch may still run
+    * against MIN_VALUE) so left-state eviction actually fires before
+    * AvailableNow terminates.
+    *
+    * The final row set is deterministic: every matched pair, plus the
+    * unmatched signups whose last matchable instant (s_ts + 1h) lies
+    * STRICTLY below the terminal watermark W = min(max signup ts,
+    * max purchase ts) - 1min (two event-time columns → the global
+    * watermark is their min; probed boundary: eviction is
+    * `s_ts + 1h < W` — a row exactly AT the watermark stays, pinned
+    * by Round14Spec). Unmatched signups at or above that stay in
+    * state at termination and are never
+    * emitted — exactly the production behavior users get wrong.
+    * Output: (signup_id, purchase_id nullable, user_id).
+    */
+  def signupToPurchaseOuter(spark: SparkSession, dir: String,
+                            stageDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    stageBatches(stageDir, raw, raw.limit(0), raw.limit(0))
+    val schema = raw.schema
+    def staged(s: SparkSession): DataFrame = graft.Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(stageDir))
+    runToMemory(spark, s => {
+      val signups = staged(s)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("user_id").as("s_user"), col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 minute")
+      val purchases = staged(s)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 minute")
+      signups.join(purchases,
+          col("s_user") === col("p_user") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("signup_id"), col("purchase_id"),
+          col("s_user").as("user_id"))
+    }, "sojoin", "append")
+  }
+
   /** Native session-window aggregation: Spark's `session_window` merges
     * an event into the current session while it falls within the
     * previous event's ts + gap extension INCLUSIVE of the boundary —

@@ -62,6 +62,42 @@ class Round14Spec extends SparkSpec {
     assert((f * 1000000 + 0.5f).toLong.toString != expected)
   }
 
+  test("stream-stream left outer: unmatched emission boundary is " +
+    "s_ts + 1h < watermark (STRICT); at-or-younger rows never emit") {
+    // Terminal watermark W = min(max signup ts, max purchase ts) - 1min.
+    // Plant T = 12:00:00 as both sides' max → W = 11:59:00, and three
+    // unmatched signups straddling the eviction boundary s_ts+1h vs W:
+    //   A: s_ts+1h == W      (10:59:00) → must NOT emit (boundary strict)
+    //   B: s_ts+1h == W-1s   (10:58:59) → must emit
+    //   C: s_ts+1h == W+1s   (10:59:01) → must NOT emit (still in state)
+    // plus a matched pair D and the max-ts anchors themselves.
+    def ev(id: Long, t: String, uid: Long, typ: String) =
+      (id, ts(t), uid, typ, 1.0, "{}")
+    val events = Seq(
+      ev(1, "2024-01-01 10:59:00", 101, "signup"),  // A
+      ev(2, "2024-01-01 10:58:59", 102, "signup"),  // B
+      ev(3, "2024-01-01 10:59:01", 103, "signup"),  // C
+      ev(4, "2024-01-01 09:00:00", 104, "signup"),  // D matched
+      ev(5, "2024-01-01 09:30:00", 104, "purchase"),
+      ev(6, "2024-01-01 12:00:00", 105, "signup"),  // max-ts anchors
+      ev(7, "2024-01-01 12:00:00", 106, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sso_fixture").toString
+    val stage = java.nio.file.Files
+      .createTempDirectory("sso_stage").toString
+    events.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = graft.streaming.EventsStream
+      .signupToPurchaseOuter(spark, dir, stage)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // only B emits unmatched (strictly below W); D emits matched; A
+    // (exactly at W), C, and the 12:00 signup stay in state
+    assert(got == Set((2L, -1L), (4L, 5L)), s"got: $got")
+  }
+
   test("rollup/cube/grouping-sets drop their temp views") {
     val orders = Seq(("O", "1-URGENT", 10.0))
       .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
