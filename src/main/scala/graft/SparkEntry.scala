@@ -14,7 +14,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  import org.apache.spark.sql.functions.{col, expr, get, hex, length, lit, md5, pmod}
+  import org.apache.spark.sql.functions.{col, concat, expr, get, hex, length, lit, md5, pmod}
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -116,6 +116,24 @@ object SparkEntry {
     // fixture, NOT the parquet documents table: the gate covers a user's
     // actual first input path (raw dump lines → parse → pipeline).
     "wiki_parse" -> ((s, _) => wikiDocs(s)),
+    // P1/P2 at corpus volume (the fixture gates above run over 10
+    // committed lines only): render the documents table into
+    // wikiextractor dump lines, write them through the text sink, read
+    // them back as the raw line source, and run the SAME parse. The
+    // twin re-renders and re-parses relationally, so the gate pins the
+    // whole render→write→read→parse loop — including the trailing
+    // '</doc' token fusion, which fires on EVERY doc here.
+    "wiki_parse_scale" -> ((s, dir) => {
+      val out = scratchDir("wikidump")
+      docs(s, dir).select(concat(
+          lit("<doc id=\""), col("doc_id").cast("string"),
+          lit("\" url=\"https://example.org/doc/"),
+          col("doc_id").cast("string"),
+          lit("\" title=\"d"), col("doc_id").cast("string"), lit("\">"),
+          col("text"), lit("</doc")).as("value"))
+        .write.mode("overwrite").text(out)
+      WikiText.parse(s.read.text(out))
+    }),
     "wiki_tokens" -> ((s, _) =>
       WikiText.tokens(wikiDocs(s), textCol = "body")),
     "wiki_tfidf" -> ((s, _) =>
@@ -1612,6 +1630,24 @@ object SparkEntry {
     // fixture-file parse CTE instead of the parquet documents table
     "wiki_parse" ->
       s"WITH $wikiDocCtes SELECT doc_id, text AS body FROM documents",
+    // Render+parse replay over the real corpus: build the same dump
+    // line, split on '>', take element 2 (1-based), strip tags, trim —
+    // the literal WikiText.parse semantics including the '</doc'
+    // fusion on every '>'-free body.
+    "wiki_parse_scale" ->
+      """WITH lines AS (
+        |  SELECT '<doc id="' || CAST(doc_id AS VARCHAR)
+        |    || '" url="https://example.org/doc/'
+        |    || CAST(doc_id AS VARCHAR)
+        |    || '" title="d' || CAST(doc_id AS VARCHAR) || '">'
+        |    || text || '</doc' AS value
+        |  FROM documents
+        |)
+        |SELECT regexp_extract(value, '<doc id="([^"]+)" url="', 1)
+        |    AS doc_id,
+        |  trim(regexp_replace(string_split(value, '>')[2],
+        |    '<[^>]+>', '', 'g')) AS body
+        |FROM lines""".stripMargin,
     "wiki_tokens" ->
       s"WITH $wikiDocCtes, $tokenCtes SELECT doc_id, word FROM tokens",
     "wiki_tfidf" ->
