@@ -661,6 +661,21 @@ object SparkEntry {
     "rel_scalar_funcs" -> ((s, dir) =>
       Relational.scalarFuncs(tbl(s, dir, "orders"))),
 
+    // keyed interval overlap join, emitted dedup-free (each pair in
+    // exactly one bucket — the one holding the overlap start); see
+    // Relational.intervalJoin
+    "rel_interval_join" -> ((s, dir) =>
+      Relational.purchaseClickAttribution(tbl(s, dir, "events"))),
+    // exact rank-selection order statistics (no interpolation — the
+    // emitted values are raw input doubles, engine-exact)
+    "rel_order_stats" -> ((s, dir) =>
+      Relational.orderStats(tbl(s, dir, "events"), "event_type",
+        "value")),
+    // multi-source BFS distance from in-plan-derived hub nodes
+    "rel_bfs_hops" -> ((s, dir) =>
+      Graph.purchaseHubDistance(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
+
     // --- skew-salted distinct (hot-key holistic agg; see operators.Skew) ---
     // Buckets partition the value space, so the per-bucket distinct
     // counts sum to the exact distinct count — the oracle is plain
@@ -898,6 +913,45 @@ object SparkEntry {
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, "rank"
        |FROM r$iters""".stripMargin
+  }
+
+  // Multi-source-BFS twin: `iters` rounds unrolled as (neighbor-min,
+  // merged-dist) CTE pairs over the same purchase-graph scaffolding;
+  // the double-coalesce merge is the literal Spark expression. All
+  // BIGINT — bit-exact.
+  private def BfsHopsSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS node, min(d.dist) + 1 AS nd
+         |  FROM d${i - 1} d JOIN edges e ON d.node = e.src
+         |  GROUP BY e.dst
+         |), d$i AS (
+         |  SELECT coalesce(d.node, s.node) AS node,
+         |    least(coalesce(d.dist, s.nd), coalesce(s.nd, d.dist))
+         |      AS dist
+         |  FROM d${i - 1} d FULL JOIN s$i s ON d.node = s.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM e0
+       |  UNION ALL SELECT s, c FROM e0
+       |), deg AS (
+       |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+       |), ne AS (SELECT count(*) AS ne FROM edges),
+       |nn AS (SELECT count(*) AS nn FROM deg),
+       |thr AS (SELECT 3 * (ne.ne // nn.nn) AS t FROM ne, nn),
+       |d0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM deg, thr
+       |  WHERE deg >= thr.t
+       |),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |  node // 2 AS key, CAST(dist AS BIGINT) AS dist
+       |FROM d$iters""".stripMargin
   }
 
   // Connected-components twin: k min-label steps unrolled as
@@ -3434,6 +3488,53 @@ object SparkEntry {
     // pairs — every quantity is BIGINT fixed-point, so `//` replays
     // Spark's `div` bit-identically (positive operands: both truncate)
     "rel_pagerank" -> PageRankSql(3),
+    "rel_bfs_hops" -> BfsHopsSql(3),
+
+    // Interval-join replay: the naive overlap join — the bucketed plan
+    // must emit the identical pair set (each pair exactly once).
+    "rel_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(ts) - 21600000000 AS ls, epoch_us(ts) AS le
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id AS c_user,
+        |    epoch_us(ts) AS rs, epoch_us(ts) + 1800000000 AS re
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.purchase_id, c.click_id, p.user_id,
+        |  least(p.le, c.re) - greatest(p.ls, c.rs) AS overlap_us
+        |FROM p JOIN c
+        |  ON p.user_id = c.c_user AND p.ls < c.re AND c.rs < p.le"""
+        .stripMargin,
+
+    // Rank-selection order statistics: the q-quantile is the element
+    // at 1-based rank floor(q*(n-1)) + 1 — integer rank targets, raw
+    // double values, no interpolation arithmetic anywhere.
+    "rel_order_stats" ->
+      """WITH nn AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, value, count(*) AS c FROM nn GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, value,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h
+        |), n AS (
+        |  SELECT event_type, count(*) AS n FROM nn GROUP BY 1
+        |)
+        |SELECT n.event_type, n.n,
+        |  min(CASE WHEN cum.cum >= 1 THEN cum.value END) AS min_v,
+        |  min(CASE WHEN cum.cum >= (n.n - 1) // 4 + 1
+        |    THEN cum.value END) AS p25_v,
+        |  min(CASE WHEN cum.cum >= (n.n - 1) // 2 + 1
+        |    THEN cum.value END) AS med_v,
+        |  min(CASE WHEN cum.cum >= ((n.n - 1) * 3) // 4 + 1
+        |    THEN cum.value END) AS p75_v,
+        |  min(CASE WHEN cum.cum >= n.n THEN cum.value END) AS max_v
+        |FROM cum JOIN n ON cum.event_type = n.event_type
+        |GROUP BY n.event_type, n.n""".stripMargin,
 
     // Components twin: 4 unrolled min-label steps, pure BIGINT
     "rel_components" -> ComponentsSql(4),

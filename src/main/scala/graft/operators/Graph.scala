@@ -318,4 +318,72 @@ object Graph {
           .otherwise(lit("supplier")).as("node_type"),
         expr("node div 2").as("key"), col("degree"))
   }
+
+  /** Multi-source BFS: dist(n) = min hop count from any source node,
+    * in `iters` synchronous rounds — after round k every node within
+    * distance k carries its exact BFS distance (and nodes farther away
+    * are absent), so a fixed-k gate is oracle-expressible by unrolling
+    * the rounds as CTE pairs (the [[minLabelPropagate]] argument, with
+    * `+1 per hop` instead of min-label).
+    *
+    * Each round is one keyed join + one keyed min-aggregate + one
+    * full-outer merge; the running dist set is referenced TWICE per
+    * round (neighbor expansion and merge), so it is re-rooted with
+    * `localCheckpoint(eager)` every round — plain persist would double
+    * the logical plan per round and Catalyst traversal would dominate
+    * by round 3 (measured on purchaseKCore's first cut; see
+    * [[peelNodes]]). At scale the classic refinement is to expand only
+    * the FRONTIER (nodes whose dist changed last round) — with
+    * synchronous rounds that is exactly dist == k-1 — but the full-set
+    * join is already edge-bounded per round.
+    * `sources` is (node); `edges0` is (src, dst), symmetrized.
+    * Output: (node, dist), only nodes within `iters` hops.
+    */
+  def bfsHops(sources: DataFrame, edges0: DataFrame,
+              iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val edges = edges0.persist()
+    var dist = sources.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val nbr = dist.join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg((min(col("dist")) + 1).as("nd"))
+      // least() would skip a NULL side here (Spark semantics), but the
+      // double-coalesce form is explicit AND engine-portable — the
+      // DuckDB twin uses the identical expression
+      dist = dist.join(nbr, col("node") === col("dst"), "full")
+        .select(
+          coalesce(col("node"), col("dst")).as("node"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Hub-distance gate over the purchase graph: how many hops is each
+    * node from the nearest HUB, where hubs are nodes of degree ≥
+    * 3 × mean degree (derived IN-PLAN like [[purchaseKCore]]'s k — a
+    * fixed threshold either selects nothing or everything as degree
+    * scales with SF; measured sources: 10 / 100 / 1000 hubs at
+    * sf0.001/0.01/0.1). The threshold is one 8-byte driver artifact;
+    * everything else is keyed joins. Output: (node_type, key, dist).
+    */
+  def purchaseHubDistance(orders: DataFrame, lineitem: DataFrame,
+                          iters: Int = 3): DataFrame = {
+    val edges = purchaseEdges(orders, lineitem).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val thr = edges.agg(count(lit(1)).as("ne"))
+      .crossJoin(deg.agg(count(lit(1)).as("nn")))
+      .select(expr("3 * (ne div nn)").as("t"))
+      .head().getLong(0)
+    val sources = deg.filter(col("deg") >= thr)
+      .select(col("src").as("node"))
+    bfsHops(sources, edges, iters)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("key"), col("dist"))
+  }
 }

@@ -389,6 +389,124 @@ object Relational {
         sum(dec(col("near_value"))).cast("double").as("sum_value"))
   }
 
+  /** Keyed INTERVAL overlap join — both sides are interval sets and a
+    * pair matches when the key is equal and the half-open intervals
+    * [lStart, lEnd) and [rStart, rEnd) overlap. The naive form is a
+    * key-equi-join with a residual overlap filter, which degenerates
+    * to per-key quadratic work on hot keys; this plan stays keyed and
+    * bucket-bounded:
+    *  - each interval expands to the `bucketUs`-grain buckets it
+    *    covers (an interval of span S covers at most S/bucket + 1),
+    *  - the join is an EQUI-join on (key, bucket),
+    *  - and each overlapping pair is emitted in exactly ONE bucket —
+    *    the bucket containing greatest(lStart, rStart), which both
+    *    intervals cover by construction — so there is NO distinct()
+    *    over the candidate expansion (invariant 10: nothing to dedup
+    *    in the first place).
+    * At 100 TB the shuffle key is (key, bucket), so a hot key's work
+    * splits across its active time range instead of landing on one
+    * reducer. Pick bucketUs near the typical interval span: expansion
+    * stays O(1) per row while buckets stay selective.
+    *
+    * Inputs carry epoch-µs long start/end columns; empty or inverted
+    * intervals (end <= start) match nothing and are filtered up front
+    * (also keeps ANSI `sequence` ascending). Column names must not
+    * collide across the two sides.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftStart: String, leftEnd: String,
+                   rightStart: String, rightEnd: String,
+                   bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1: $bucketUs")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin inputs share column names: ${overlap.mkString(", ")}")
+    def buckets(s: String, e: String): Column =
+      explode(sequence(expr(s"$s div $bucketUs"),
+        expr(s"($e - 1) div $bucketUs")))
+    val l = left.filter(col(leftEnd) > col(leftStart))
+      .withColumn("_lb", buckets(leftStart, leftEnd))
+    val r = right.filter(col(rightEnd) > col(rightStart))
+      .withColumn("_rb", buckets(rightStart, rightEnd))
+    l.join(r, l("_lb") === r("_rb") &&
+        col(leftKey) === col(rightKey) &&
+        col(leftStart) < col(rightEnd) &&
+        col(rightStart) < col(leftEnd) &&
+        l("_lb") === expr(
+          s"greatest($leftStart, $rightStart) div $bucketUs"))
+      .drop("_lb", "_rb")
+  }
+
+  /** Purchase attribution via [[intervalJoin]]: each purchase's 6-hour
+    * lookback window joined to the same user's click engagement spans
+    * (click ts + 30 min) — "which clicks could have driven this
+    * purchase". Bucket grain 6 h = the lookback span, so a purchase
+    * expands to at most 2 buckets and a click span to at most 2.
+    * Output: (purchase_id, click_id, user_id, overlap_us) — the
+    * overlap length is exact integer µs arithmetic.
+    */
+  def purchaseClickAttribution(events: DataFrame): DataFrame = {
+    val HourUs = 3600000000L
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"),
+        (unix_micros(col("ts")) - lit(6 * HourUs)).as("win_start"),
+        unix_micros(col("ts")).as("win_end"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("click_start"),
+        (unix_micros(col("ts")) + lit(HourUs / 2)).as("click_end"))
+    intervalJoin(p, c, "user_id", "c_user", "win_start", "win_end",
+        "click_start", "click_end", bucketUs = 6 * HourUs)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (least(col("win_end"), col("click_end")) -
+          greatest(col("win_start"), col("click_start"))).as("overlap_us"))
+  }
+
+  /** Exact per-group order statistics (min/p25/median/p75/max) WITHOUT
+    * interpolation: the q-quantile is the element at 1-based rank
+    * floor(q·(n-1)) + 1 — pure rank selection, so the emitted values
+    * are raw input doubles untouched by any arithmetic and the oracle
+    * matches bit-for-bit (percentile_cont-style interpolation would
+    * diverge in the last ulp between engines).
+    *
+    * Plan shape: a (group, value) count histogram, a cumulative-count
+    * window over the DISTINCT values of each group (the
+    * curriculum_scalable discipline — the window input is
+    * |distinct values| rows, not N), then one aggregate picking the
+    * smallest value whose cumulative count reaches each target rank.
+    * For a group whose value column is nearly continuous the histogram
+    * degenerates to ~N rows; at that scale quantize first (or use the
+    * approx-quantile contract) — the boundary-bucket rewrite in
+    * samp_cap_scalable shows the exact-within-one-bucket recipe.
+    * NULL values are excluded (SQL aggregate convention; NULL ordering
+    * differs between engines, so they must not reach the window).
+    * Output: (group, n, min_v, p25_v, med_v, p75_v, max_v).
+    */
+  def orderStats(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val nn = df.filter(col(valueCol).isNotNull)
+    val hist = nn.groupBy(col(groupCol), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(groupCol).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
+    val n = nn.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+    def pick(k: Column): Column = min(when(col("_cum") >= k, col("_v")))
+    cum.join(n, groupCol)
+      .groupBy(col(groupCol), col("n"))
+      .agg(
+        pick(lit(1L)).as("min_v"),
+        // integer `div`, not `/` (Spark long / long is DOUBLE division)
+        pick(expr("(n - 1) div 4 + 1")).as("p25_v"),
+        pick(expr("(n - 1) div 2 + 1")).as("med_v"),
+        pick(expr("((n - 1) * 3) div 4 + 1")).as("p75_v"),
+        pick(col("n")).as("max_v"))
+  }
+
   /** TPC-H Q14-flavored promo revenue share: lineitem ⋈ part on partkey,
     * monthly revenue split by whether the part is a promo type.
     * The join is a plain equi-join — part is a fraction of lineitem but

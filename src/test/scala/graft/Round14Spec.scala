@@ -98,6 +98,82 @@ class Round14Spec extends SparkSpec {
     assert(got == Set((2L, -1L), (4L, 5L)), s"got: $got")
   }
 
+  test("intervalJoin: equals the naive overlap join; multi-bucket " +
+    "pairs emit once; boundary and empty intervals behave") {
+    // bucket = 10 µs. Pairs engineered to cross bucket boundaries and
+    // to share SEVERAL buckets (the dedup-free emission must still
+    // produce each pair exactly once).
+    val left = Seq(
+      (1L, 10L, 5L, 35L),   // spans buckets 0..3
+      (2L, 10L, 8L, 12L),   // crosses boundary 10
+      (3L, 20L, 40L, 41L),  // key mismatch with right row 3
+      (4L, 30L, 7L, 7L))    // empty interval: matches nothing
+      .toDF("lid", "lk", "ls", "le")
+    val right = Seq(
+      (10L, 10L, 6L, 34L),  // overlaps 1 across buckets 0..3
+      (11L, 10L, 11L, 13L), // overlaps 1 and 2
+      (12L, 10L, 35L, 40L), // touches 1's end only: half-open, no match
+      (13L, 30L, 40L, 50L), // key 30 ≠ 20
+      (14L, 30L, 5L, 9L))   // would overlap 4's [7,7) if it were real
+      .toDF("rid", "rk", "rs", "re")
+    val got = Relational.intervalJoin(left, right, "lk", "rk",
+        "ls", "le", "rs", "re", bucketUs = 10L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = left.join(right,
+        col("lk") === col("rk") && col("ls") < col("re") &&
+          col("rs") < col("le") && col("le") > col("ls") &&
+          col("re") > col("rs"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"got $got, naive $naive")
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)),
+      s"got $got")
+    // exactly-once even though (1,10) shares four buckets
+    val n = Relational.intervalJoin(left, right, "lk", "rk",
+      "ls", "le", "rs", "re", bucketUs = 10L).count()
+    assert(n == 4L, s"row count $n")
+  }
+
+  test("orderStats: exact rank selection with ties, even/odd groups, " +
+    "NULL exclusion") {
+    val df = Seq(
+      // group "a": n=5 (odd), with a tie on 2.0
+      ("a", Option(1.0)), ("a", Option(2.0)), ("a", Option(2.0)),
+      ("a", Option(7.0)), ("a", Option(9.0)),
+      // group "b": n=4 (even) → med is element at rank (3 div 2)+1 = 2
+      ("b", Option(10.0)), ("b", Option(20.0)), ("b", Option(30.0)),
+      ("b", Option(40.0)),
+      // NULLs must not count toward n or ranks
+      ("b", Option.empty[Double]))
+      .toDF("g", "v")
+    val got = Relational.orderStats(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // a: ranks 1..5 over (1,2,2,7,9): p25=rank 2 → 2.0, med=rank 3 →
+    // 2.0 (the tie), p75=rank 4 → 7.0
+    assert(got("a") == ((5L, 1.0, 2.0, 2.0, 7.0, 9.0)), s"a: ${got("a")}")
+    // b: n=4 → p25 rank 1, med rank 2, p75 rank 3 (floor convention)
+    assert(got("b") == ((4L, 10.0, 10.0, 20.0, 30.0, 40.0)),
+      s"""b: ${got("b")}""")
+  }
+
+  test("bfsHops: multi-round cascade on a path graph; unreached " +
+    "nodes absent") {
+    // path 1-2-3-4-5, source {1}: dists 0,1,2,3; node 5 is 4 hops
+    // away and must be ABSENT after 3 rounds (the real-data gate is
+    // depth-2, so the cascade must be pinned here)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val sources = Seq(1L).toDF("node")
+    val got = graft.operators.Graph.bfsHops(sources, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"got $got")
+  }
+
   test("rollup/cube/grouping-sets drop their temp views") {
     val orders = Seq(("O", "1-URGENT", 10.0))
       .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
