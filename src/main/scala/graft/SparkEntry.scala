@@ -640,6 +640,11 @@ object SparkEntry {
         s, dir, scratchDir("sojoinstage"))),
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(s, dir)),
+    // raw-API sessionization with EventTimeTimeout state eviction
+    // (time-sliced 3-batch replay; see EventsStream.sessionsWithTimeout)
+    "stream_session_timeout" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionsWithTimeout(
+        s, dir, scratchDir("sesstostage"))),
     // foreachBatch file-sink pattern; result read back from the files
     // it wrote, so the gate checks the SINK, not just the aggregation
     // (scratchDir handles the per-JVM reap of prior invocations).
@@ -2883,6 +2888,45 @@ object SparkEntry {
         |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
         |    AS duration_sec
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    // Timeout-sessionization replay: the batch sessionize CTE, kept to
+    // sessions that either have a successor (same-user later session —
+    // closed in-batch by the gap break) or, for each user's LAST
+    // session, whose timeout instant (last_sec + 1800 s, in ms) lies
+    // STRICTLY below the terminal watermark max-event-ms - 60000
+    // (timeouts at the watermark do not fire; Round14Spec).
+    "stream_session_timeout" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, session_idx,
+        |    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |    count(*) AS n_events,
+        |    CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+        |      AS duration_sec,
+        |    epoch_us(max(ts)) // 1000000 AS last_sec,
+        |    max(session_idx) OVER (PARTITION BY user_id) AS max_idx
+        |  FROM s GROUP BY user_id, session_idx
+        |), wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 60000 AS w FROM events
+        |)
+        |SELECT user_id, session_start, n_events, duration_sec
+        |FROM sess
+        |WHERE session_idx < max_idx
+        |   OR (last_sec + 1800) * 1000 < (SELECT w FROM wm)"""
+        .stripMargin,
 
     "rel_event_props" ->
       """SELECT event_type, count(*) AS n,

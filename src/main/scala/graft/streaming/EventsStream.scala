@@ -377,6 +377,112 @@ object EventsStream {
       .agg(max(col("n_events")).as("n_events"))
   }
 
+  /** Open-session state for [[sessionsWithTimeout]] — seconds-floored
+    * times so the gap rule is the batch twin's whole-second diff. */
+  case class OpenSess(startSec: Long, lastSec: Long, n: Long)
+
+  /** Custom stateful sessionization with EVENT-TIME TIMEOUT — the
+    * GroupStateTimeout.EventTimeTimeout pattern [[sessionWindows]]'
+    * built-in session_window hides: state is the user's one open
+    * session; a session closes (and emits) either when a LATER event
+    * of the same user breaks the 30-min gap in-batch, or when the
+    * WATERMARK passes its timeout instant (last event + gap) and Spark
+    * invokes the group with hasTimedOut — the state-eviction callback
+    * users of the raw API must get right.
+    *
+    * Replay: the events are staged as three TIME-SLICED micro-batches
+    * (calendar cuts Jan 11 / Jan 21 — the generator's span is fixed,
+    * so the cuts hold at every SF). Time-ordering makes the semantics
+    * equal the batch [[graft.operators.Relational.sessionize]] rule:
+    * a session that might continue across a batch cut cannot have
+    * timed out first, because its timeout (last + 30 min) necessarily
+    * exceeds the watermark (max prior ts - 1 min < cut ≤ next event ≤
+    * last + 30 min). AvailableNow runs a final no-data batch that
+    * brings the terminal watermark into effect, so timeouts fire for
+    * every session except those within (gap + delay) of the stream's
+    * end — which stay OPEN in state, never emitted (the deterministic
+    * production behavior).
+    *
+    * Emitted set (oracle-replayable): every session with a same-user
+    * successor event, plus each user's LAST session iff
+    * (lastSec + 1800) * 1000 ms is STRICTLY below the terminal
+    * watermark (max event ms - 60000) — boundary probed and pinned by
+    * Round14Spec (a timeout exactly AT the watermark does not fire).
+    * Output: (user_id, session_start string, n_events, duration_sec).
+    */
+  def sessionsWithTimeout(spark: SparkSession, dir: String,
+                          stageDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val c1 = lit("2024-01-11").cast("timestamp")
+    val c2 = lit("2024-01-21").cast("timestamp")
+    stageBatches(stageDir,
+      raw.filter(col("ts") < c1),
+      raw.filter(col("ts") >= c1 && col("ts") < c2),
+      raw.filter(col("ts") >= c2))
+    val schema = raw.schema
+    val GapSec = 1800L
+    runToMemory(spark, s => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      graft.Tables.normalizeTs(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "b*.parquet")
+            .parquet(stageDir))
+        .withWatermark("ts", "1 minute")
+        .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp])
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[OpenSess, (Long, String, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+          case (uid, rows, state) =>
+            // formatter built in-function: DateTimeFormatter is not
+            // Serializable, so it must not be captured by this closure
+            def out(o: OpenSess) = (uid,
+              java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss")
+                .withZone(java.time.ZoneOffset.UTC)
+                .format(java.time.Instant.ofEpochSecond(o.startSec)),
+              o.n, o.lastSec - o.startSec)
+            if (state.hasTimedOut) {
+              val o = state.get
+              state.remove()
+              Iterator.single(out(o))
+            } else {
+              // floorDiv(ms) == the µs second floor (floors compose),
+              // so the gap rule is the twin's unix_timestamp diff
+              val secs = rows
+                .map(r => Math.floorDiv(r._2.getTime, 1000L))
+                .toArray.sorted
+              var open = state.getOption
+              val closed =
+                scala.collection.mutable.ArrayBuffer[OpenSess]()
+              secs.foreach { t =>
+                open match {
+                  case Some(o) if t - o.lastSec <= GapSec =>
+                    open = Some(OpenSess(o.startSec, t, o.n + 1))
+                  case Some(o) =>
+                    closed += o
+                    open = Some(OpenSess(t, t, 1))
+                  case None =>
+                    open = Some(OpenSess(t, t, 1))
+                }
+              }
+              val o = open.get
+              state.update(o)
+              // setTimeoutTimestamp rejects values at or below the
+              // current watermark; the clamp cannot fire on the
+              // time-sliced staging (see scaladoc) but keeps the
+              // operator total
+              state.setTimeoutTimestamp(math.max(
+                (o.lastSec + GapSec) * 1000L,
+                state.getCurrentWatermarkMs + 1))
+              closed.iterator.map(out)
+            }
+        }
+        .toDF("user_id", "session_start", "n_events", "duration_sec")
+    }, "sessto", "append")
+  }
+
   /** Per-user event totals via stateful streaming
     * (mapGroupsWithState, update mode): each micro-batch folds its rows
     * into a per-user running count held in GroupState. The memory sink

@@ -174,6 +174,47 @@ class Round14Spec extends SparkSpec {
       s"got $got")
   }
 
+  test("sessionsWithTimeout: strict timeout boundary, cross-batch " +
+    "session carry, in-batch gap-break emission") {
+    // Anchor (user 999) pins max ts = Jan 25 12:00:00 → terminal
+    // watermark W = 11:59:00. Timeout = last + 30 min, fires only
+    // STRICTLY below W:
+    //   A last 11:29:00 → timeout == W       → must NOT emit
+    //   B last 11:28:59 → timeout == W - 1 s → must emit
+    //   C last 11:29:01 → timeout == W + 1 s → must NOT emit
+    // D has two events > gap apart in one batch: the first session
+    // closes in-batch and emits regardless of W; the second stays.
+    // E's session SPANS the Jan 11 batch cut (23:55 → 00:10, 900 s
+    // apart): state must carry it across the cut as ONE session.
+    def ev(id: Long, t: String, uid: Long) =
+      (id, ts(t), uid, "view", 1.0, "{}")
+    val events = Seq(
+      ev(1, "2024-01-25 11:29:00", 101),  // A
+      ev(2, "2024-01-25 11:28:59", 102),  // B
+      ev(3, "2024-01-25 11:29:01", 103),  // C
+      ev(4, "2024-01-25 10:00:00", 104),  // D session 1
+      ev(5, "2024-01-25 11:30:01", 104),  // D session 2 (gap 5401 s)
+      ev(6, "2024-01-10 23:55:00", 105),  // E part 1 (batch 0)
+      ev(7, "2024-01-11 00:10:00", 105),  // E part 2 (batch 1)
+      ev(8, "2024-01-25 12:00:00", 999))  // max-ts anchor
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sto_fixture").toString
+    val stage = java.nio.file.Files
+      .createTempDirectory("sto_stage").toString
+    events.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = graft.streaming.EventsStream
+      .sessionsWithTimeout(spark, dir, stage)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (102L, "2024-01-25 11:28:59", 1L, 0L),
+      (104L, "2024-01-25 10:00:00", 1L, 0L),
+      (105L, "2024-01-10 23:55:00", 2L, 900L)), s"got: $got")
+  }
+
   test("rollup/cube/grouping-sets drop their temp views") {
     val orders = Seq(("O", "1-URGENT", 10.0))
       .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
