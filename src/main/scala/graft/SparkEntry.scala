@@ -175,6 +175,19 @@ object SparkEntry {
         out)
       graft.io.CompatIo.readOrc(s, out)
     }),
+    // additive schema evolution: batch 1 written with the 3-column v1
+    // schema, batch 2 with the 5-column v2; the mergeSchema read
+    // unions the footers and v1 rows carry NULL in the added columns
+    "io_merge_schema" -> ((s, dir) => {
+      val out = scratchDir("mergeschema")
+      val q6 = TfIdfOps.tfIdfPipeline(docs(s, dir)).persist()
+      q6.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "word", "cnt")
+        .write.mode("overwrite").parquet(s"$out/b1")
+      q6.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$out/b2")
+      graft.io.CompatIo.readMergedParquet(s, out)
+    }),
     // bucketed-table co-located join: both fact sides hash-bucketed on
     // the join key at write time, so the SMJ reads co-located buckets
     // with NO Exchange anywhere in the plan (Round7Spec pins that) —
@@ -1585,6 +1598,16 @@ object SparkEntry {
     "io_jsonl_roundtrip" -> q6Sql,
     // write→read identity on the ORC surface (same rows)
     "io_orc_roundtrip" -> q6Sql,
+    // Schema-evolution twin: even-doc rows are v1 (3 columns → NULL
+    // tf/tf_idf after the merge), odd-doc rows are v2 (all columns)
+    "io_merge_schema" ->
+      s"""WITH q6 AS ($q6Sql)
+         |SELECT doc_id, word, cnt,
+         |  CAST(NULL AS DOUBLE) AS tf, CAST(NULL AS DOUBLE) AS tf_idf
+         |FROM q6 WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT doc_id, word, cnt, tf, tf_idf
+         |FROM q6 WHERE doc_id % 2 = 1""".stripMargin,
 
     // Bucketed-join twin: the plain join — the bucketed layout must
     // change the PLAN (no Exchange, spec-pinned), never the rows

@@ -127,6 +127,22 @@ object CompatIo {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Schema-evolution read over a parquet lake directory whose batches
+    * were written with DIFFERENT (compatible) schemas: `mergeSchema`
+    * unions the per-file footer schemas and older batches surface the
+    * added columns as NULL — the additive-evolution contract every
+    * long-lived lake table ends up needing. Scale note: mergeSchema
+    * reads EVERY file footer to build the union (a driver-side
+    * O(#files) metadata pass) — at 100 TB the schema belongs in a
+    * catalog/metastore and this option stays off; this is the
+    * catalog-less surface. `recursiveFileLookup` because evolution
+    * batches land as plain subdirectories, not hive partitions. */
+  def readMergedParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(path)
+
   /** Bucketed external table write — the shuffle-elimination layout: a
     * fact table hash-bucketed (and sorted) on its join key joins any
     * same-bucketed table with NO Exchange in the plan, because the
