@@ -51,10 +51,33 @@ object Graph {
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
   }
 
-  def pageRank(orders: DataFrame, lineitem: DataFrame,
-               iters: Int = 3): DataFrame = {
-    require(iters >= 1 && iters <= 10,
-      s"iters must be in [1, 10] (twin unrolls them): $iters")
+  /** The shared PageRank machinery: degree/teleport setup over the
+    * purchase graph and the one-round transition, so the fixed-round
+    * gate form and the run-to-convergence form execute the IDENTICAL
+    * per-round plan (the spec pins their agreement directly). */
+  private[graft] final case class PrState(edges: DataFrame,
+                                          deg: DataFrame,
+                                          nAgg: DataFrame) {
+    private val teleport = expr(s"${Graph.TotalMass * 15 / 100} div n")
+    /** One synchronous PageRank round (keyed join + keyed sum). */
+    def step(ranks: DataFrame): DataFrame = {
+      val inMass = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("m"))
+      deg.crossJoin(broadcast(nAgg))
+        .join(inMass, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
+          (teleport + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
+    }
+    /** Uniform initial mass M div n per node. */
+    def init: DataFrame = deg.crossJoin(broadcast(nAgg))
+      .select(col("node"), col("deg"),
+        expr(s"${Graph.TotalMass} div n").as("rank"))
+  }
+
+  private[graft] def prSetup(orders: DataFrame,
+                             lineitem: DataFrame): PrState = {
     val edges = purchaseEdges(orders, lineitem).persist()
     // out-degree per node; undirected construction ⇒ this is also the
     // node set (no dangling nodes by construction)
@@ -64,27 +87,58 @@ object Graph {
     // N stays in-plan (a 1-row broadcast), not a driver count(): the
     // teleport constant is derived where it is used
     val nAgg = deg.agg(count(lit(1)).as("n"))
-    val teleport = expr(s"${TotalMass * 15 / 100} div n")
-    var ranks = deg.crossJoin(broadcast(nAgg))
-      .select(col("node"), col("deg"),
-        expr(s"$TotalMass div n").as("rank"))
-      .persist()
-    for (_ <- 1 to iters) {
-      val inMass = ranks
-        .join(edges, col("node") === col("src"))
-        .select(col("dst"), expr("rank div deg").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("m"))
-      ranks = deg.crossJoin(broadcast(nAgg))
-        .join(inMass, col("node") === col("dst"), "left")
-        .select(col("node"), col("deg"),
-          (teleport + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
-        .persist()
+    PrState(edges, deg, nAgg)
+  }
+
+  private def decodeNode(df: DataFrame, valueCols: Column*): DataFrame =
+    df.select(
+      (when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type") +:
+        expr("node div 2").as("key") +: valueCols): _*)
+
+  def pageRank(orders: DataFrame, lineitem: DataFrame,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val st = prSetup(orders, lineitem)
+    var ranks = st.init.persist()
+    for (_ <- 1 to iters) ranks = st.step(ranks).persist()
+    decodeNode(ranks, col("rank"))
+  }
+
+  /** Run-to-convergence PageRank — the production form of [[pageRank]]
+    * (whose FIXED round count is the oracle-expressible gate semantic).
+    * Iterates the identical [[PrState.step]] until the largest per-node
+    * rank movement is ≤ `tol` micro-mass units (max|Δ| is the classic
+    * L∞ PageRank stopping rule; with damping 0.85 it contracts ~0.85×
+    * per round, so rounds-to-tol is logarithmic in 1/tol and
+    * independent of graph size). The driver-side check per round is ONE
+    * 8-byte aggregate — the bounded-model-artifact discipline, not a
+    * row collect — and each round's state is re-rooted with
+    * `localCheckpoint(eager)` because the convergence join references
+    * it alongside the next round (the [[peelNodes]] lineage lesson).
+    * Integer fixed-point ranks cannot oscillate below tol ≥ 1 in
+    * practice, but `maxIters` bounds the loop regardless.
+    * Returns (decoded ranks, rounds executed).
+    */
+  def pageRankFixpoint(orders: DataFrame, lineitem: DataFrame,
+                       tol: Long = 1000000L, maxIters: Int = 60)
+  : (DataFrame, Int) = {
+    require(tol >= 1 && maxIters >= 1, s"tol/maxIters: $tol/$maxIters")
+    val st = prSetup(orders, lineitem)
+    var ranks = st.init.localCheckpoint(true)
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (delta > tol && rounds < maxIters) {
+      val next = st.step(ranks).localCheckpoint(true)
+      delta = next
+        .join(ranks.select(col("node"), col("rank").as("prev")), "node")
+        .agg(max(abs(col("rank") - col("prev"))).as("d"))
+        .head().getLong(0)
+      ranks = next
+      rounds += 1
     }
-    ranks.select(
-      when(col("node") % 2 === 0, lit("customer"))
-        .otherwise(lit("supplier")).as("node_type"),
-      expr("node div 2").as("key"),
-      col("rank"))
+    (decodeNode(ranks, col("rank")), rounds)
   }
 
   /** Generic k-step min-label propagation: each iteration is one
@@ -124,6 +178,42 @@ object Graph {
         .persist()
     }
     labels
+  }
+
+  /** Run-to-convergence min-label propagation — the production form of
+    * [[minLabelPropagate]] (fixed k is the gate semantic; convergence
+    * needs k ≥ the component diameter, which is unknowable up front on
+    * real graphs). Each round counts the rows whose label changed — a
+    * monotone quantity to drive the fixpoint: labels only DECREASE
+    * under min-propagation, so changed == 0 is a true fixpoint, not a
+    * cycle. The per-round driver check is one 8-byte count; per-round
+    * `localCheckpoint(eager)` re-roots the state because the change
+    * count references it alongside the next round's join (the
+    * [[peelNodes]] lineage lesson — plain persist doubles the plan per
+    * round). Returns (labels, rounds); rounds == converged-diameter+1
+    * (the last round verifies no change).
+    */
+  def minLabelFixpoint(labels0: DataFrame, edges0: DataFrame,
+                       maxIters: Int = 60): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters: $maxIters")
+    val edges = edges0.persist()
+    var labels = labels0.localCheckpoint(true)
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (changed > 0 && rounds < maxIters) {
+      val nbr = labels
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(min("lbl").as("nl"))
+      val next = labels
+        .join(nbr, col("node") === col("dst"), "left")
+        .select(col("node"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select("node", "lbl")
+      rounds += 1
+    }
+    (labels, rounds)
   }
 
   /** Per-node triangle counts by DEGREE-ORIENTED wedge closure — the
@@ -229,6 +319,45 @@ object Graph {
       .persist()
     val keep = peelNodes(e0, lit(k), iters)
     coreDegrees(e0, keep)
+  }
+
+  /** Run-to-convergence k-core — the production form of [[kCorePeel]]
+    * (fixed rounds are the gate semantic; convergence needs rounds ≥
+    * the longest peel CASCADE, which is data-dependent — a path graph
+    * peels one node per round). The fixpoint check rides the keep-set
+    * COUNT: peeling only removes nodes (K_i ⊆ K_{i-1}), so equal count
+    * ⟺ equal set ⟺ true fixpoint — one 8-byte driver aggregate per
+    * round, no row data. Round state is already re-rooted per round by
+    * [[peelNodes]]'s discipline (`localCheckpoint(eager)`), so the loop
+    * here just replays the same body with the monotone check. Returns
+    * (surviving (node, degree), rounds executed — the last round
+    * verifies no shrink).
+    */
+  def kCoreFixpoint(pairs: DataFrame, k: Int, maxIters: Int = 100)
+  : (DataFrame, Int) = {
+    require(k >= 1 && maxIters >= 1, s"k/maxIters: $k/$maxIters")
+    val e0 = pairs.select(col("key_a").as("a"), col("key_b").as("b"))
+      .persist()
+    var keep = e0.select(explode(array(col("a"), col("b"))).as("n"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = keep.count()
+    var rounds = 0
+    var shrunk = true
+    while (shrunk && rounds < maxIters) {
+      val live = e0
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+      keep = live.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= lit(k)).select("n")
+        .localCheckpoint(true)
+      val c = keep.count()
+      shrunk = c < prev
+      prev = c
+      rounds += 1
+    }
+    (coreDegrees(e0, keep), rounds)
   }
 
   /** The shared peel loop: iterate the KEEP NODE SET, not the edge

@@ -226,6 +226,31 @@ object ScaleProbe {
       .filter(col("key_a") < col("key_b"))
     time(big)("rel_kcore_synth")(
       Graph.kCorePeel(kEdges, k = 12, iters = 3).count())
+    // Run-to-convergence probes (round 7): rounds each driver fixpoint
+    // loop needs on the real sf0.1 purchase graph (and the synthetic
+    // skewed graph for k-core) — evidence the loops terminate in
+    // diameter/cascade-bounded rounds with one 8-byte driver check per
+    // round, independent of row counts.
+    val ordersSf = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    val liSf = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    time(big)("components_fixpoint") {
+      val edges = Graph.purchaseEdges(ordersSf, liSf)
+      val labels0 = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      val (lbl, r) = Graph.minLabelFixpoint(labels0, edges)
+      println(s"PROBE components_fixpoint rounds=$r")
+      lbl.count()
+    }
+    time(big)("kcore_fixpoint_synth") {
+      val (core, r) = Graph.kCoreFixpoint(kEdges, k = 12)
+      println(s"PROBE kcore_fixpoint_synth rounds=$r")
+      core.count()
+    }
+    time(big)("pagerank_fixpoint") {
+      val (ranks, r) = Graph.pageRankFixpoint(ordersSf, liSf)
+      println(s"PROBE pagerank_fixpoint rounds=$r")
+      ranks.count()
+    }
     spark.stop()
   }
 }

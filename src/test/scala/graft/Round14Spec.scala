@@ -218,10 +218,13 @@ class Round14Spec extends SparkSpec {
   test("rollup/cube/grouping-sets drop their temp views") {
     val orders = Seq(("O", "1-URGENT", 10.0))
       .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+    // other suites may legitimately hold temp views in the shared
+    // session — assert these calls add NONE, not that the catalog is
+    // empty
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
     Relational.orderCube(orders).collect()
     Relational.orderGroupingSets(orders).collect()
-    val leaked = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_"))
-    assert(leaked.isEmpty, s"leaked views: ${leaked.toSeq}")
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(after == before, s"leaked views: ${(after -- before).toSeq}")
   }
 }

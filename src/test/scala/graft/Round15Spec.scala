@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Round-7 fixpoint pins: the run-to-convergence variants of the
+  * iterative graph operators must (a) terminate via their monotone
+  * driver checks, (b) agree exactly with the fixed-round gate forms at
+  * the converged round count, and (c) be TRUE fixpoints — one more
+  * round of the identical step changes nothing (or, for PageRank,
+  * moves no rank by more than tol).
+  */
+class Round15Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val orders = Tables.load(spark, sf, "orders")
+  private lazy val lineitem = Tables.load(spark, sf, "lineitem")
+
+  test("minLabelFixpoint: converges on the purchase graph, equals the " +
+    "fixed-round form at its round count, and is a true fixpoint") {
+    val edges = Graph.purchaseEdges(orders, lineitem).persist()
+    val labels0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val (labels, r) = Graph.minLabelFixpoint(labels0, edges)
+    assert(r >= 2 && r < 60, s"rounds: $r")
+    // one more propagation round changes nothing
+    assert(rows(Graph.minLabelPropagate(labels, edges, 1)) ==
+      rows(labels))
+    // agreement with the gate form at the converged round count (the
+    // last fixpoint round is the no-change verify, so r-1 suffices,
+    // but r itself must also agree by idempotence)
+    if (r <= 10)
+      assert(rows(Graph.minLabelPropagate(labels0, edges, r)) ==
+        rows(labels))
+    edges.unpersist()
+  }
+
+  test("minLabelFixpoint: path-graph cascade needs diameter rounds " +
+    "(one verify round on top)") {
+    // path 1-2-3-4-5-6: min label 1 reaches node 6 after 5 rounds;
+    // round 6 verifies no change
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val labels0 = (1L to 6L).toDF("node")
+      .select(col("node"), col("node").as("lbl"))
+    val (labels, r) = Graph.minLabelFixpoint(labels0, edges)
+    assert(r == 6, s"rounds: $r")
+    val got = labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == (1L to 6L).map(_ -> 1L).toMap, s"got $got")
+  }
+
+  test("kCoreFixpoint: equals kCorePeel at its round count and " +
+    "survives further peeling unchanged; path graph peels to empty") {
+    // path graph, k=2: ends die one per round from both sides —
+    // 8 nodes peel to empty in 4 shrink rounds + 1 verify
+    val path = (1L to 7L).map(i => (s"n$i", s"n${i + 1}"))
+      .toDF("key_a", "key_b")
+    val (core, r) = Graph.kCoreFixpoint(path, k = 2)
+    assert(core.isEmpty && r == 5, s"rounds: $r")
+    // real graph: converged result == fixed-round result at r rounds,
+    // and peeling one more round keeps every (node, degree) row
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("key_a"),
+        (col("l_suppkey") * 2 + 1).as("key_b"))
+      .distinct().persist()
+    val k = 3
+    val (core2, r2) = Graph.kCoreFixpoint(pairs, k)
+    assert(r2 >= 1 && r2 < 100, s"rounds: $r2")
+    if (r2 <= 10)
+      assert(rows(Graph.kCorePeel(pairs, k, iters = r2)) == rows(core2))
+    if (r2 + 1 <= 10)
+      assert(rows(Graph.kCorePeel(pairs, k, iters = r2 + 1)) ==
+        rows(core2))
+    pairs.unpersist()
+  }
+
+  test("pageRankFixpoint: terminates, max per-node movement of one " +
+    "more identical step is <= tol, and rounds are monotone in tol") {
+    val tol = 50000000L // 5e7 micro-mass units keeps the spec fast
+    val (ranks, r) = Graph.pageRankFixpoint(orders, lineitem, tol = tol)
+    assert(r >= 2 && r < 60, s"rounds: $r")
+    // replay ONE more step of the identical transition from the
+    // returned (decoded) state and measure the L-infinity movement
+    val st = Graph.prSetup(orders, lineitem)
+    val undecoded = ranks
+      .select((col("key") * 2 +
+        when(col("node_type") === "supplier", 1).otherwise(0))
+        .as("node"), col("rank"))
+      .join(st.deg, "node")
+    val stepped = st.step(undecoded)
+    val delta = stepped
+      .join(undecoded.select(col("node"), col("rank").as("prev")), "node")
+      .agg(max(abs(col("rank") - col("prev"))).as("d"))
+      .head().getLong(0)
+    assert(delta <= tol, s"post-convergence step moved $delta > $tol")
+    // a looser tolerance can only stop sooner
+    val (_, rLoose) =
+      Graph.pageRankFixpoint(orders, lineitem, tol = tol * 100)
+    assert(rLoose <= r, s"loose $rLoose > tight $r")
+  }
+}
