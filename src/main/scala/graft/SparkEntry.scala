@@ -250,6 +250,17 @@ object SparkEntry {
         out, 8, "l_orderkey", "l_partkey")
       s.read.parquet(out)
     }),
+    // compaction EXECUTOR: Q6 scattered across 32 small parquet files,
+    // rewritten to one file per quota bin — row identity is the gate
+    // (q6's own twin); one-file-per-bin is pinned by Round15Spec
+    "io_compaction_exec" -> ((s, dir) => {
+      val out = scratchDir("compactexec")
+      TfIdfOps.tfIdfPipeline(docs(s, dir))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/small")
+      graft.io.CompatIo.compactLake(s, s"$out/small",
+        s"$out/compacted", targetBytes = 256L * 1024L)
+    }),
 
     // --- text analysis (north-star) ---
     "text_stats" -> ((s, dir) => TextStats.stats(docs(s, dir))),
@@ -1598,6 +1609,10 @@ object SparkEntry {
     "io_jsonl_roundtrip" -> q6Sql,
     // write→read identity on the ORC surface (same rows)
     "io_orc_roundtrip" -> q6Sql,
+    // compaction-executor twin: the rewrite is a pure physical
+    // re-layout, so the rows are Q6's own (the file-count contract is
+    // spec-pinned — DuckDB cannot see the layout)
+    "io_compaction_exec" -> q6Sql,
     // Schema-evolution twin: even-doc rows are v1 (3 columns → NULL
     // tf/tf_idf after the merge), odd-doc rows are v2 (all columns)
     "io_merge_schema" ->

@@ -291,4 +291,49 @@ object CompatIo {
       .withColumn("bin_files", count(lit(1)).over(byBin))
       .withColumn("bin_bytes", sum(col("bytes")).over(byBin))
   }
+
+  /** Execute a [[compactionPlan]]: rewrite a directory of small parquet
+    * files into one output file per plan bin. The listing is a
+    * driver-side metadata pass (O(#files), the [[readMergedParquet]]
+    * argument — at lake scale this is the catalog's job); the plan's
+    * (file → bin) map is metadata-sized and broadcast; the rewrite
+    * itself is ONE shuffle of the data keyed by bin. Rows are routed to
+    * bins by their source FILE (matched on file name via
+    * `input_file_name`), so the rewrite is a pure physical re-layout —
+    * row identity is the gate. `repartitionByRange` on the bin id puts
+    * each bin wholly in one task (range partitioning never splits equal
+    * keys), and `partitionBy("bin")` then writes exactly one file per
+    * bin directory — so output file count == |distinct plan bins|,
+    * which the spec pins. A file larger than `targetBytes` makes the
+    * quota binning SKIP bin indexes (the prefix sum jumps), so bins are
+    * counted distinct, not max+1. Parallelism scales as data/target —
+    * each output file is written by one task, the small-file problem in
+    * reverse, which is exactly the point.
+    * Returns the compacted data read back (bin column dropped).
+    */
+  def compactLake(spark: SparkSession, inDir: String, outDir: String,
+                  targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val inPath = new Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing = fs.listStatus(inPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen))
+      .sortBy(_._1)
+    require(listing.nonEmpty, s"no parquet files under $inDir")
+    import spark.implicits._
+    val plan = compactionPlan(listing.toSeq.toDF("fname", "bytes"),
+      targetBytes, idCol = "fname")
+    val binOf = plan.select(col("file_id").as("__fname"), col("bin"))
+    // |distinct bins| is a metadata-bounded driver scalar (≤ #files)
+    val nBins = binOf.select("bin").distinct().count().toInt
+    spark.read.parquet(inDir)
+      .withColumn("__fname",
+        regexp_extract(input_file_name(), "[^/]+$", 0))
+      .join(broadcast(binOf), "__fname")
+      .drop("__fname")
+      .repartitionByRange(nBins, col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    spark.read.parquet(outDir).drop("bin")
+  }
 }

@@ -103,4 +103,44 @@ class Round15Spec extends SparkSpec {
       Graph.pageRankFixpoint(orders, lineitem, tol = tol * 100)
     assert(rLoose <= r, s"loose $rLoose > tight $r")
   }
+
+  test("compactLake: row identity and EXACTLY one output file per " +
+    "distinct plan bin") {
+    val dir = java.nio.file.Files.createTempDirectory("cmpct").toString
+    val df = spark.range(0L, 1200L)
+      .select(col("id"), (col("id") % 7).as("v"))
+    df.repartition(12).write.mode("overwrite").parquet(s"$dir/small")
+    // quota = ~quarter of the lake → a handful of multi-file bins
+    val small = new java.io.File(s"$dir/small").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val target = small.map(_.length()).sum / 4
+    val got = graft.io.CompatIo.compactLake(spark, s"$dir/small",
+      s"$dir/out", targetBytes = target)
+    assert(rows(got) == rows(df))
+    // recompute the plan over the same listing: output file count must
+    // equal |distinct bins| (and be < the input file count)
+    import spark.implicits._
+    val plan = graft.io.CompatIo.compactionPlan(
+      small.map(f => (f.getName, f.length())).toSeq.sortBy(_._1)
+        .toDF("fname", "bytes"),
+      target, idCol = "fname")
+    val nBins = plan.select("bin").distinct().count()
+    val outFiles = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("bin="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(outFiles == nBins && nBins < 12,
+      s"outFiles=$outFiles nBins=$nBins")
+  }
+
+  test("compactionPlan: a file larger than the quota SKIPS bin " +
+    "indexes (the executor counts bins distinct, not max+1)") {
+    import spark.implicits._
+    val plan = graft.io.CompatIo.compactionPlan(
+      Seq(("a", 10L), ("b", 35L), ("c", 10L)).toDF("fname", "bytes"),
+      targetBytes = 10L, idCol = "fname", bytesCol = "bytes")
+    val bins = plan.select("file_id", "bin").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // excl prefix sums 0/10/45 → bins 0/1/4: indexes 2 and 3 skipped
+    assert(bins == Map("a" -> 0L, "b" -> 1L, "c" -> 4L), s"bins: $bins")
+  }
 }
