@@ -104,6 +104,27 @@ class Round15Spec extends SparkSpec {
     assert(rLoose <= r, s"loose $rLoose > tight $r")
   }
 
+  test("plan tripwires: q6_tfidf broadcasts the idf side and " +
+    "rel_skew_join never sort-merges on the bare hot key") {
+    // q6: the TF ⋈ IDF join must stay a broadcast hash join (the idf
+    // side is vocabulary-sized); a threshold/AQE config change or a
+    // dropped broadcast() hint that flips it to a shuffle join fails
+    // HERE, on plan shape, before any timing regression shows up
+    val p6 = SparkEntry.queries("q6_tfidf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p6.contains("BroadcastHashJoin"), s"q6 plan:\n$p6")
+    assert(!p6.contains("SortMergeJoin"), s"q6 plan:\n$p6")
+    // skew join: any sort-merge join in the plan must key on the salt
+    // (_ps) — a plain SMJ on the bare hot key funnels the key's rows
+    // through one task, the exact failure the operator exists to avoid
+    val ps = SparkEntry.queries("rel_skew_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val smj = ps.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("_ps")),
+      s"unsalted sort-merge join on the hot key:\n${smj.mkString("\n")}")
+    graft.Housekeeping.release(spark)
+  }
+
   test("compactLake: row identity and EXACTLY one output file per " +
     "distinct plan bin") {
     val dir = java.nio.file.Files.createTempDirectory("cmpct").toString
