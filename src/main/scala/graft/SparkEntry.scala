@@ -501,6 +501,24 @@ object SparkEntry {
             .otherwise(lit("U")))
       Relational.mergeApply(base, delta, Seq("user_id", "event_type"))
     }),
+    // SCD type-2 interval build: every change event becomes a version
+    // row [valid_from, valid_to) via one lead window, NULL-open while
+    // current — the interval form next to keep-latest's point form
+    "rel_scd2" -> ((s, dir) =>
+      Relational.scd2Build(tbl(s, dir, "events"))),
+    // incremental aggregate maintenance: pre-cutoff per-user state +
+    // post-cutoff delta batch merged in one keyed full-outer join must
+    // BIT-MATCH the plain groupBy over the whole feed (decimal-routed
+    // sums make the merge exact) — the materialized-view update step
+    "rel_incremental_agg" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Relational.mergeAggState(
+        Relational.aggState(
+          ev.filter(expr("unix_micros(ts) < 1706616000000000"))),
+        ev.filter(expr("unix_micros(ts) >= 1706616000000000")))
+        .select(col("user_id"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
     // pinned-values pivot: per-user event-type count/sum matrix — the
     // value list is explicit (no distinct-discovery scan, stable schema)
     "rel_pivot" -> ((s, dir) =>
@@ -3550,6 +3568,26 @@ object SparkEntry {
          |       ELSE 'update' END AS action
          |FROM j
          |WHERE NOT has_d OR op <> 'D'""".stripMargin,
+
+    // SCD2 twin: the same lead window, ties pinned by (ts, event_id);
+    // the open (current) version renders NULL valid_to + is_current
+    "rel_scd2" ->
+      """SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  event_id, value,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |  ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    // Incremental-agg twin: the FULL recompute — the merged
+    // state+delta must equal it exactly (decimal sums both engines)
+    "rel_incremental_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // Pivot twin: FILTER aggregates over the pinned value list —
     // count cells 0-fill, sum cells stay NULL on absent combinations

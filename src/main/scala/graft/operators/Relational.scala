@@ -1217,4 +1217,64 @@ object Relational {
       .select(col("d").cast("string").as("day"), col("active_users"),
         col("new_users"), col("cum_users"))
   }
+
+  /** Type-2 slowly-changing-dimension build from an append-only change
+    * feed: every change event becomes a VERSION row effective
+    * [valid_from, valid_to), valid_to being the key's next change time
+    * (NULL while current) — the warehouse-standard interval form that
+    * [[latestEventState]]'s keep-latest compaction throws away. ONE
+    * window (`lead` over each key's time-ordered history): the shuffle
+    * is keyed by (user_id, event_type) and each partition's work is
+    * that key's history — bounded by per-key activity, never corpus-
+    * sized, the same skew posture as sessionize. Ties pinned by
+    * (ts, event_id). Output: (user_id, event_type, valid_from,
+    * valid_to, event_id, value, is_current).
+    */
+  def scd2Build(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("_nts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("_nts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("event_id"), col("value"),
+        col("_nts").isNull.as("is_current"))
+  }
+
+  /** Incremental aggregate maintenance — the materialized-view update
+    * step: fold a delta batch into a stored per-key aggregate state
+    * without touching the history that produced the state. The batch
+    * partial-aggregates FIRST (map-side combine; the only shuffle is
+    * batch-keys-sized), then one keyed full-outer merge against the
+    * state adds counts and DECIMAL-routed sums (invariant: double
+    * addition is order-dependent; decimal is exact, so
+    * state + delta == full recompute BIT-IDENTICALLY, which is the
+    * gate: merged pre-cutoff state + post-cutoff batch must hash-match
+    * the plain groupBy over the whole feed). At 100 TB the state is
+    * |keys| rows and the recompute this replaces is corpus-sized —
+    * this op IS the reason to keep aggregate state.
+    * `state` is (user_id, n_events, sum_value) as produced by
+    * [[aggState]]; output the same shape.
+    */
+  def mergeAggState(state: DataFrame, batch: DataFrame): DataFrame = {
+    val delta = batch.groupBy("user_id")
+      .agg(count(lit(1)).as("_dn"),
+        sum(col("value").cast("decimal(18,6)")).as("_dsum"))
+    state
+      .join(delta, Seq("user_id"), "full")
+      .select(col("user_id"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("_dn"),
+          lit(0L))).as("n_events"),
+        (coalesce(col("sum_value"), lit(0).cast("decimal(18,6)")) +
+          coalesce(col("_dsum"), lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").as("sum_value"))
+  }
+
+  /** Per-key aggregate state in [[mergeAggState]]'s shape: (user_id,
+    * n_events, sum_value DECIMAL(18,6)). */
+  def aggState(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
 }

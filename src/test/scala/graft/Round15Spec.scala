@@ -153,6 +153,52 @@ class Round15Spec extends SparkSpec {
       s"outFiles=$outFiles nBins=$nBins")
   }
 
+  test("scd2Build: versions chain gaplessly, exactly one open " +
+    "version per key, and the open version is the keep-latest row") {
+    val ev = Tables.load(spark, sf, "events")
+    val scd = graft.operators.Relational.scd2Build(ev).persist()
+    // exactly one is_current per (user_id, event_type)
+    val openCounts = scd.filter(col("is_current"))
+      .groupBy("user_id", "event_type").count()
+      .filter(col("count") =!= 1).count()
+    assert(openCounts == 0)
+    // every closed version's valid_to is SOME version's valid_from of
+    // the same key (the chain has no gaps), and closed != current
+    val broken = scd.filter(!col("is_current")).alias("a")
+      .join(scd.select(col("user_id").as("u"),
+        col("event_type").as("t"), col("valid_from").as("vf")).alias("b"),
+        col("a.user_id") === col("u") &&
+          col("a.event_type") === col("t") &&
+          col("a.valid_to") === col("vf"), "left_anti")
+      .count()
+    assert(broken == 0)
+    // the open version per key == latestEventState's compacted row
+    val open = scd.filter(col("is_current"))
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        col("value").as("last_value"))
+    assert(rows(open) ==
+      rows(graft.operators.Relational.latestEventState(ev)))
+    scd.unpersist()
+  }
+
+  test("mergeAggState: state-only, delta-only, and overlapping keys " +
+    "all merge; result equals the full recompute exactly") {
+    import spark.implicits._
+    val pre = Seq((1L, 10.5), (1L, 2.25), (2L, 1.0)).toDF("user_id", "value")
+    val post = Seq((2L, 3.125), (3L, 7.75)).toDF("user_id", "value")
+    val merged = graft.operators.Relational.mergeAggState(
+      graft.operators.Relational.aggState(pre), post)
+    val full = graft.operators.Relational.aggState(pre.unionAll(post))
+    assert(rows(merged) == rows(full))
+    val m = merged.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        r.getDecimal(2).doubleValue())).toMap
+    assert(m == Map(1L -> ((2L, 12.75)), 2L -> ((2L, 4.125)),
+      3L -> ((1L, 7.75))), s"m: $m")
+  }
+
   test("compactionPlan: a file larger than the quota SKIPS bin " +
     "indexes (the executor counts bins distinct, not max+1)") {
     import spark.implicits._
