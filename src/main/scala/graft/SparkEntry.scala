@@ -907,6 +907,32 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           hex(col("frame")).as("frame_hex"))
     }),
+
+    // Pixel-budget batch packing over the media metadata — the
+    // multimodal twin of text_pack, as per-shard quota binning (no
+    // global window; see Multimodal.packBatches)
+    "mm_batch" -> ((s, dir) =>
+      graft.multimodal.Multimodal.packBatches(
+        graft.multimodal.Multimodal.withPayload(docs(s, dir)))),
+
+    // Adamic–Adar "customers who bought the same things" link
+    // prediction over the co-purchase bipartite graph (hub-capped
+    // wedge join; see Graph.adamicAdar)
+    "rel_link_predict" -> ((s, dir) =>
+      Graph.adamicAdar(tbl(s, dir, "orders"), tbl(s, dir, "lineitem"))),
+
+    // Exponentially-decayed daily revenue (power-of-two decay keeps
+    // the whole computation integer-exact; see
+    // Relational.ewmaDailyRevenue)
+    "rel_ewma" -> ((s, dir) =>
+      Relational.ewmaDailyRevenue(tbl(s, dir, "orders"))),
+
+    // Append-mode watermark-finalized hourly windows over the staged
+    // 3-batch replay — pins WHICH windows have been emitted (finalized)
+    // by end-of-stream vs held in state
+    "stream_append_final" -> ((s, dir) =>
+      graft.streaming.EventsStream.hourlyCountsAppend(
+        s, dir, scratchDir("appendfin"))),
   )
 
   // Shared DuckDB CTE chain mirroring WikiText.tokens / TfIdfOps over the
@@ -1607,6 +1633,79 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  substr(h, frame_idx * 32 + 1, 32) AS frame_hex
         |FROM fr""".stripMargin,
+
+    // Batch-packing replay: the same md5 metadata dims, md5 doc_id
+    // shard bucket, and per-shard exclusive-prefix-sum quota binning
+    // (window sum of BIGINT is HUGEINT in DuckDB — cast back)
+    "mm_batch" ->
+      """WITH pay AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 512 + 64
+        |      AS INTEGER) AS width,
+        |    CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 512 + 64
+        |      AS INTEGER) AS height
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16 AS shard,
+        |    CAST(width AS BIGINT) * height AS px
+        |  FROM pay
+        |), cum AS (
+        |  SELECT doc_id, shard, px,
+        |    CAST(coalesce(sum(px) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS excl
+        |  FROM m
+        |)
+        |SELECT doc_id, shard, px, excl // 1048576 AS batch
+        |FROM cum""".stripMargin,
+
+    // Adamic–Adar replay: distinct customer–part edges, hub-capped
+    // part degrees, wedge join, per-pair DECIMAL sum of the
+    // round2(1/ln(deg)) terms, top-20 pinned (score desc, a, b)
+    "rel_link_predict" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), d AS (
+        |  SELECT p, CAST(floor((1.0 / ln(count(*))) * 100 + 0.5) / 100
+        |    AS DECIMAL(18,2)) AS aa
+        |  FROM e GROUP BY p HAVING count(*) BETWEEN 2 AND 200
+        |)
+        |SELECT e1.c AS cust_a, e2.c AS cust_b,
+        |  CAST(sum(d.aa) AS DOUBLE) AS score
+        |FROM e e1 JOIN e e2 ON e1.p = e2.p AND e1.c < e2.c
+        |JOIN d ON d.p = e1.p
+        |GROUP BY 1, 2
+        |ORDER BY score DESC, cust_a ASC, cust_b ASC
+        |LIMIT 20""".stripMargin,
+
+    // EWMA replay: exact BIGINT cents per day, each day explodes its
+    // 8 decayed contributions (integer power-of-two weights) onto the
+    // target days, semi join back onto the day set, one keyed sum;
+    // the human-unit column is the single exact-int / 12800.0 IEEE
+    // division, round2-pinned
+    "rel_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), contrib AS (
+        |  SELECT d + CAST(k AS INTEGER) AS td,
+        |    cents * (1 << (7 - CAST(k AS INTEGER))) AS w
+        |  FROM daily CROSS JOIN range(0, 8) r(k)
+        |), agg AS (
+        |  SELECT td, CAST(sum(w) AS BIGINT) AS ewma_scaled
+        |  FROM contrib
+        |  JOIN (SELECT DISTINCT d FROM daily) dd ON dd.d = contrib.td
+        |  GROUP BY td
+        |)
+        |SELECT strftime(td, '%Y-%m-%d') AS day, ewma_scaled,
+        |  floor((ewma_scaled / 12800.0) * 100 + 0.5) / 100 AS ewma
+        |FROM agg""".stripMargin,
     "q1_tokens" ->
       s"WITH $tokenCtes SELECT doc_id, word FROM tokens",
     "q2_dictionary" ->
@@ -3036,6 +3135,36 @@ object SparkEntry {
         |    AS hour,
         |  event_type, count(*) AS n_events
         |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // Append-mode finalization replay (probed by tools/AppendProbe):
+    // kept rows follow stream_late_drop's rule (batch 2 filtered
+    // against W0 = max(ts over batch 0) - 1 min, equality drops);
+    // the final no-data micro-batch then applies the watermark from
+    // ALL data (Wf = global max ts - 1 min) and emits exactly the
+    // windows with end <= Wf — later windows stay in state, never
+    // emitted under AvailableNow
+    "stream_append_final" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events
+        |), w0 AS (
+        |  SELECT max(ts) - INTERVAL 1 MINUTE AS wm FROM ev
+        |  WHERE event_id % 10 >= 2
+        |), wf AS (
+        |  SELECT max(ts) - INTERVAL 1 MINUTE AS wm FROM ev
+        |), kept AS (
+        |  SELECT ts, event_type FROM ev WHERE event_id % 10 != 0
+        |  UNION ALL
+        |  SELECT e.ts, e.event_type FROM ev e, w0
+        |  WHERE e.event_id % 10 = 0
+        |    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > w0.wm
+        |)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour,
+        |  event_type, count(*) AS n_events
+        |FROM kept, wf
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wf.wm
+        |GROUP BY 1, 2""".stripMargin,
 
     // 1h windows sliding every 30m: an event at t is in the windows
     // starting at bucket30(t) and bucket30(t) - 30m

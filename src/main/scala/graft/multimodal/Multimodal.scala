@@ -151,6 +151,42 @@ object Multimodal {
       ceil(col("height") * scale).cast("int").as("height"))
   }
 
+  /** Pixel-budget batch packing — the multimodal twin of sequence
+    * packing: group images into training batches whose total pixel
+    * count (width × height from the typed metadata) stays within
+    * `pixelBudget`, so every batch costs the visual encoder roughly
+    * the same compute regardless of image-size mix.
+    *
+    * Shape: docs shard by an md5 bucket of doc_id (md5 because the
+    * oracle must replay the bucketing — invariant 8), then quota-bin
+    * within each shard exactly like the compaction planner: pinned
+    * doc_id order, exclusive running pixel total, batch = prefix div
+    * budget. Batch ids are (shard, batch) pairs, so the assignment is
+    * a pure function of the shard's member set — deterministic,
+    * replayable, and each non-final batch's total is pinned inside
+    * (budget − maxpx, budget + maxpx).
+    *
+    * Scale posture: the ordering window is PARTITIONED BY SHARD — no
+    * global sort, no single-partition window over N; nShards scales
+    * with the cluster, and per-worker batch formation is exactly what
+    * a training-data loader does. Output: (doc_id, shard, batch, px).
+    */
+  def packBatches(media: DataFrame, pixelBudget: Long = 1L << 20,
+                  nShards: Int = 16): DataFrame = {
+    require(pixelBudget >= 1, s"pixelBudget must be >= 1: $pixelBudget")
+    val w = org.apache.spark.sql.expressions.Window
+    val ordered = w.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    media.select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % nShards).as("shard"),
+        (col("width").cast("long") * col("height")).as("px"))
+      .withColumn("excl",
+        coalesce(sum(col("px")).over(ordered), lit(0L)))
+      .withColumn("batch", expr(s"excl div ${pixelBudget}L"))
+      .drop("excl")
+  }
+
   /** Deterministic frame sampling for a (fake) video payload: emits every
     * `stride`-th 16-byte "frame" with its index — the explode/posexplode
     * shape of a real frame sampler. Output: (doc_id, frame_idx, frame).

@@ -499,6 +499,52 @@ object Graph {
     * sf0.001/0.01/0.1). The threshold is one 8-byte driver artifact;
     * everything else is keyed joins. Output: (node_type, key, dist).
     */
+  /** Adamic–Adar link prediction over the customer–part co-purchase
+    * bipartite graph: score(a, b) = Σ over shared parts p of
+    * round2(1 / ln(deg(p))), where deg(p) counts distinct purchasing
+    * customers — the "customers who bought the same things" affinity
+    * that drives recommendation candidate generation.
+    *
+    * Scale posture: the wedge self-join through parts fans out by
+    * deg(p)² per part, so a celebrity part is the quadratic killer —
+    * `maxDeg` EXCLUDES parts above the ceiling, which is Adamic–Adar's
+    * own semantics (a hub that everyone bought carries ~0 bits; its
+    * weight 1/ln(deg) → 0 anyway), the same knob as tf-idf's
+    * maxDfFrac. With the cap, wedge work is ≤ maxDeg² × |parts| and
+    * everything is keyed equi-joins + one keyed agg + a global top-k
+    * (TakeOrderedAndProject — k rows per partition cross the shuffle,
+    * no full sort).
+    *
+    * Numeric determinism: each wedge term is round2(1/ln(deg)) — deg
+    * is an exact int, ln-then-divide is two IEEE ops round2'd at
+    * source (the text_drift/BM25 pattern) — and the per-pair sum
+    * routes through DECIMAL(18,2), so shuffle order cannot move the
+    * result. Ties in the top-k are pinned (score desc, cust_a,
+    * cust_b). Output: (cust_a, cust_b, score) with cust_a < cust_b,
+    * top `k` pairs.
+    */
+  def adamicAdar(orders: DataFrame, lineitem: DataFrame,
+                 maxDeg: Long = 200L, k: Int = 20): DataFrame = {
+    val e = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .persist()
+    val w = e.groupBy("p").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDeg)
+      .select(col("p"),
+        graft.functions.Fns.round2(lit(1.0) / log(col("deg")))
+          .cast("decimal(18,2)").as("aa"))
+    val e1 = e.select(col("p"), col("c").as("a"))
+    val e2 = e.select(col("p"), col("c").as("b"))
+    e1.join(e2, Seq("p")).filter(col("a") < col("b"))
+      .join(w, Seq("p"))
+      .groupBy(col("a").as("cust_a"), col("b").as("cust_b"))
+      .agg(sum(col("aa")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("cust_a"), col("cust_b"))
+      .limit(k)
+  }
+
   def purchaseHubDistance(orders: DataFrame, lineitem: DataFrame,
                           iters: Int = 3): DataFrame = {
     val edges = purchaseEdges(orders, lineitem).persist()

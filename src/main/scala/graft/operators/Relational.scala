@@ -1087,6 +1087,52 @@ object Relational {
         count(lit(1)).over(trail).as("n_days"))
   }
 
+  /** Exponentially-decayed daily revenue (EWMA with a one-day
+    * half-life, 8-day horizon): ewma(t) = Σ over k=0..7 of
+    * rev(t−k) / 2^k — the "recent revenue, older days count half as
+    * much per day" trend signal, with missing days contributing 0
+    * (a gap genuinely decays the average, unlike a ROWS frame that
+    * would reach across it).
+    *
+    * Numeric determinism via integer fixed-point, the pageRank
+    * discipline: daily revenue becomes exact BIGINT cents, each
+    * contribution is cents × 2^(7−k) (exact integer — power-of-two
+    * decay is WHY this is gate-able; w^k for general w needs pow,
+    * which IEEE only bounds within 1 ulp), and the per-day sum of
+    * longs is order-independent. The human-unit `ewma` column is that
+    * one exact integer divided by 12800.0 (2^7 × 100 cents) — a single
+    * correctly-rounded IEEE op — then round2-pinned.
+    *
+    * Shape: instead of a distance-weighted window (RANGE frames cannot
+    * weight by lag), each day EXPLODES its bounded 8-row contribution
+    * list onto the target days it decays into — an 8× expansion of the
+    * per-day aggregate, then one keyed agg. Scale posture: the
+    * windowed input is the per-day aggregate (|days| rows, bounded by
+    * the calendar), and even that never needs a single partition here —
+    * the contribution agg is keyed on target day. Only days that have
+    * revenue themselves are emitted (semi join back onto the day set).
+    * Output: (day, ewma_scaled, ewma), ewma_scaled = Σ cents·2^(7−k).
+    */
+  def ewmaDailyRevenue(orders: DataFrame): DataFrame = {
+    val horizon = 7
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("d"),
+        dec(col("o_totalprice")).as("p"))
+      .groupBy("d").agg((sum(col("p")) * 100).cast("long").as("cents"))
+      .persist()
+    val contrib = daily
+      .select(col("d"), col("cents"),
+        explode(sequence(lit(0), lit(horizon))).as("k"))
+      .select(date_add(col("d"), col("k")).as("td"),
+        (col("cents") * expr(s"shiftleft(1L, $horizon - k)")).as("w"))
+    contrib
+      .join(daily.select(col("d").as("td")), Seq("td"), "left_semi")
+      .groupBy("td").agg(sum(col("w")).as("ewma_scaled"))
+      .select(col("td").cast("string").as("day"), col("ewma_scaled"),
+        graft.functions.Fns.round2(
+          col("ewma_scaled").cast("double") / 12800.0).as("ewma"))
+  }
+
   /** Single-pass column profiler — the data-quality reconnaissance step
     * before promotion rules exist ([[dqAudit]] checks KNOWN contracts;
     * this measures the unknowns): per column, row/null/exact-distinct

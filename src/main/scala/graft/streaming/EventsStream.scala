@@ -377,6 +377,56 @@ object EventsStream {
       .agg(max(col("n_events")).as("n_events"))
   }
 
+  /** Probe-only accessor: drain an arbitrary append-mode build through
+    * the shared memory-sink harness (tools/AppendProbe). */
+  private[graft] def runToMemoryProbe(
+      spark: SparkSession,
+      build: SparkSession => DataFrame): DataFrame =
+    runToMemory(spark, build, "probe", "append")
+
+  /** Hourly tumbling counts in APPEND mode over the same 3-batch
+    * staged replay as [[hourlyCountsLate]] — the production output
+    * mode: a window is emitted ONCE, when the watermark passes its
+    * end, and its state is dropped. Complete mode re-emits the whole
+    * result every batch (fine for a gate, unbounded at scale); append
+    * is what a 100 TB hourly rollup actually runs, and what this gate
+    * pins is the finalization rule — which windows have been emitted
+    * by end-of-stream and which are still held in state (never
+    * emitted under AvailableNow).
+    *
+    * Emission rule (probed, same one-batch lag as the late-drop rule):
+    * at batch N the engine finalizes against the watermark computed
+    * after batch N−1, so by the final commit the emitted set is
+    * windows with end ≤ max(ts over batches 0..1) − 1 min; equality
+    * still held (the drop rule's `end <= wm` keeps, the emit rule's
+    * `end <= wm` fires — probed and spec-pinned). Batch 2's late rows
+    * are dropped by the same watermark first, so they can neither
+    * reopen an emitted window nor pad a held one.
+    * Output: (hour string, event_type, n_events) — finalized windows
+    * only. */
+  def hourlyCountsAppend(spark: SparkSession, dir: String,
+                         stageDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    stageBatches(stageDir,
+      raw.filter(col("event_id") % 10 >= 2),
+      raw.filter(col("event_id") % 10 === 1),
+      raw.filter(col("event_id") % 10 === 0))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    runToMemory(spark, s => graft.Tables.normalizeTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "b*.parquet")
+          .parquet(stageDir))
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"), col("n_events")),
+      "appendfin", "append")
+  }
+
   /** Open-session state for [[sessionsWithTimeout]] — seconds-floored
     * times so the gap rule is the batch twin's whole-second diff. */
   case class OpenSess(startSec: Long, lastSec: Long, n: Long)

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Relational}
+import graft.multimodal.Multimodal
+
+/** Round-7 second-session pins: Adamic–Adar link prediction, the
+  * integer-exact EWMA, pixel-budget batch packing, and the append-mode
+  * window-finalization rule.
+  */
+class Round16Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- adamicAdar ---
+
+  test("adamicAdar: shared-part score is the round2(1/ln deg) sum and " +
+    "the hub cap excludes hot parts") {
+    // parts: p1 bought by c1,c2 (deg 2); p2 by c1,c2,c3 (deg 3);
+    // p9 by everyone (hub, excluded at maxDeg=3... use 2 to exclude)
+    val orders = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1L, 100L), (2L, 100L),            // p100: c10, c20
+      (1L, 200L), (2L, 200L), (3L, 200L) // p200: c10, c20, c30 (hub)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Graph.adamicAdar(orders, lineitem, maxDeg = 2L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only p100 survives the cap: score(c10,c20) = round2(1/ln 2) = 1.44
+    assert(got.toSeq == Seq((10L, 20L, 1.44)))
+    // without the cap p200 adds round2(1/ln 3) = 0.91 to three pairs
+    val all = Graph.adamicAdar(orders, lineitem, maxDeg = 200L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(all == Seq((10L, 20L, 2.35), (10L, 30L, 0.91),
+      (20L, 30L, 0.91)))
+  }
+
+  test("adamicAdar: top-k ties break on (cust_a, cust_b) ascending") {
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    // two disjoint pairs with identical scores
+    val lineitem = Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.adamicAdar(orders, lineitem, maxDeg = 200L, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  // --- ewmaDailyRevenue ---
+
+  test("ewmaDailyRevenue: scaled value is the exact cents*2^(7-k) sum " +
+    "and a gap day decays the average") {
+    val orders = Seq(
+      ("1995-01-01", 100.00), // day 0
+      ("1995-01-02", 10.00),  // day 1
+      ("1995-01-04", 1.00)    // day 3 (day 2 missing)
+    ).toDF("o_orderdate", "o_totalprice")
+    val got = Relational.ewmaDailyRevenue(orders)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // day 0: 10000c*128 = 1280000; ewma = 1280000/12800 = 100.0
+    assert(got("1995-01-01") == ((1280000L, 100.0)))
+    // day 1: 10000*64 + 1000*128 = 768000 → 60.0
+    assert(got("1995-01-02") == ((768000L, 60.0)))
+    // day 3: 10000*16 + 1000*32 + 100*128 = 204800 → 16.0
+    // (the missing day 2 emitted nothing but still halved the decay)
+    assert(got("1995-01-04") == ((204800L, 16.0)))
+    assert(got.size == 3) // gap days and horizon tails are not emitted
+  }
+
+  // --- packBatches ---
+
+  test("packBatches: per-shard batch totals stay within budget + max " +
+    "item and batch ids are dense from 0") {
+    val media = Multimodal.withPayload(
+      (1L to 400L).map(i => (i, s"doc text $i ${"x" * (i.toInt % 37)}"))
+        .toDF("doc_id", "text"))
+    val budget = 400000L
+    val out = Multimodal.packBatches(media, pixelBudget = budget)
+      .persist()
+    val maxPx = out.agg(max("px")).head().getLong(0)
+    val batches = out.groupBy("shard", "batch")
+      .agg(sum("px").as("total"), count(lit(1)).as("n"))
+      .collect()
+    assert(batches.nonEmpty)
+    // every batch's start offset is inside its quota: total stays
+    // under budget + the largest member
+    batches.foreach { b =>
+      assert(b.getLong(2) < budget + maxPx,
+        s"shard ${b.getLong(0)} batch ${b.getLong(1)}: ${b.getLong(2)}")
+    }
+    // per shard, batch ids are 0..max dense
+    out.groupBy("shard").agg(countDistinct("batch").as("nb"),
+        max("batch").as("mb"))
+      .collect().foreach(r =>
+        assert(r.getLong(1) == r.getLong(2) + 1, r.toString))
+    out.unpersist()
+  }
+
+  test("packBatches: assignment is per-shard — appending docs to one " +
+    "shard never moves another shard's batches") {
+    val base = Multimodal.withPayload(
+      (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text"))
+    val before = Multimodal.packBatches(base).persist()
+    // find a doc id landing in some shard s0, then append a new doc
+    // in that same shard; other shards' assignments must be identical
+    val s0 = before.select("shard").head().getLong(0)
+    val extraId = spark.range(100000L, 100200L)
+      .select(col("id"),
+        (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 16).as("s"))
+      .filter(col("s") === s0).orderBy("id").head().getLong(0)
+    val withExtra = Multimodal.withPayload(
+      ((1L to 200L) :+ extraId).map(i => (i, s"text $i"))
+        .toDF("doc_id", "text"))
+    val after = Multimodal.packBatches(withExtra)
+    assert(rows(after.filter(col("shard") =!= s0)) ==
+      rows(before.filter(col("shard") =!= s0)))
+    before.unpersist()
+  }
+
+  // --- append-mode finalization ---
+
+  test("hourlyCountsAppend: emits exactly the windows finalized by the " +
+    "end-of-stream watermark; the boundary window (end == W0) is " +
+    "dropped-then-unfinalized, the tail window is held") {
+    def ev(id: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), typ)
+    val b0 = Seq(
+      ev(1, "2026-01-01 10:30:00", "a"),
+      ev(2, "2026-01-01 12:01:00", "a") // W0 = 12:00:00
+    ).toDF("event_id", "ts", "event_type")
+    val b1 = Seq(ev(6, "2026-01-01 10:45:00", "mid"))
+      .toDF("event_id", "ts", "event_type")
+    val b2 = Seq(
+      ev(3, "2026-01-01 10:15:00", "lt"), // late: end 11:00 <= W0
+      ev(4, "2026-01-01 11:15:00", "eq"), // late: end 12:00 == W0
+      ev(5, "2026-01-01 12:15:00", "gt"), // kept: end 13:00 > W0
+      ev(7, "2026-01-01 14:30:00", "hi")  // advances Wf to 14:29
+    ).toDF("event_id", "ts", "event_type")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_appendspec_").toString
+    graft.streaming.EventsStream.stageBatches(dir, b0, b1, b2)
+    val schema = spark.read.parquet(s"$dir/b00.parquet").schema
+    val out = graft.streaming.EventsStream.runToMemoryProbe(spark, s =>
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(dir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("window.start"), "HH:mm").as("hour"),
+          col("event_type"), col("n_events")))
+    // 10:00 finalized with the in-time rows only (id3 dropped late);
+    // 11:00 had only late rows → no state, nothing emitted;
+    // 12:00 finalized by the final no-data batch's watermark (14:29);
+    // 14:00 (id7's own window) held in state, never emitted.
+    assert(rows(out) == Seq("10:00|a|1", "10:00|mid|1", "12:00|a|1",
+      "12:00|gt|1").sorted)
+  }
+}
