@@ -83,7 +83,19 @@ object Bench {
     "text_lm_score_scalable" -> 1.88, "text_nb_classify" -> 2.34,
     "text_pack" -> 0.3, "text_quality_flags" -> 0.2, "text_redact" -> 0.18,
     "text_repetition" -> 1.1, "text_stats" -> 0.57, "text_token_ids" -> 1.32,
-    "wiki_parse" -> 0.04, "wiki_tfidf" -> 0.34, "wiki_tokens" -> 0.04)
+    "wiki_parse" -> 0.04, "wiki_tfidf" -> 0.34, "wiki_tokens" -> 0.04,
+    // Round-7 additions, stamped from per-query medians of three
+    // agreeing full cold runs (161.3/164.2/163.6 s @ load_ratio
+    // 0.72/0.72/0.80; run 3 zero flags; run 1/2 single-run flags did
+    // not repeat).
+    "io_compaction_exec" -> 2.38, "io_merge_schema" -> 1.59,
+    "mm_frames" -> 0.21, "mm_resize" -> 0.22, "rel_bfs_hops" -> 3.72,
+    "rel_incremental_agg" -> 0.28, "rel_interval_join" -> 0.23,
+    "rel_order_stats" -> 0.39, "rel_scd2" -> 0.4,
+    "stream_session_timeout" -> 2.23, "stream_stream_outer" -> 3.52,
+    "wiki_parse_scale" -> 0.39, "mm_batch" -> 0.32,
+    "rel_link_predict" -> 3.62, "rel_ewma" -> 0.55,
+    "stream_append_final" -> 1.97)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
