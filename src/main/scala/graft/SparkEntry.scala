@@ -342,6 +342,12 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e)
     }),
+    // MMR diversity re-rank of the brute candidates (greedy
+    // rel-vs-max-selected-sim trade at λ=1/2; see Similarity.mmrTopK)
+    "sim_mmr" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.mmrTopK(e.filter(col("vec_id") % 50 === 0), e)
+    }),
 
     "sim_topk_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -2311,6 +2317,74 @@ object SparkEntry {
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
          |FROM s
          |QUALIFY "rank" <= 10""".stripMargin,
+
+    // MMR replay: brute top-8 candidates, per-query candidate×candidate
+    // cosine matrix, then the greedy λ=1/2 selection unrolled as two
+    // [max-sim-to-selected → argmax] CTE rounds after the seed pick —
+    // the identical double-precision dot chain and (desc, vec_id asc)
+    // tie pins as the Spark plan
+    "sim_mmr" ->
+      s"""WITH $vecCtes, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM normed WHERE vec_id % 50 = 0 AND norm > 0
+         |), sc AS (
+         |  SELECT query_id, c.vec_id, c.v, c.norm,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS rel
+         |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |              AND c.norm > 0
+         |), cand AS (
+         |  SELECT query_id, vec_id, v, norm, rel FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, vec_id ASC) <= 8
+         |), ps AS (
+         |  SELECT a.query_id, a.vec_id AS d, b.vec_id AS s,
+         |    list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) / (a.norm * b.norm) AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+         |    AND a.vec_id != b.vec_id
+         |), sel1 AS (
+         |  SELECT query_id, vec_id, rel FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, vec_id ASC) = 1
+         |), rem1 AS (
+         |  SELECT c.query_id, c.vec_id, c.rel FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+         |    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)
+         |), m2 AS (
+         |  SELECT ps.query_id, ps.d, max(ps.sim) AS ms
+         |  FROM ps JOIN sel1 s ON s.query_id = ps.query_id
+         |    AND s.vec_id = ps.s
+         |  GROUP BY 1, 2
+         |), pick2 AS (
+         |  SELECT r.query_id, r.vec_id FROM rem1 r
+         |  JOIN m2 ON m2.query_id = r.query_id AND m2.d = r.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY r.query_id
+         |    ORDER BY r.rel * 0.5 - m2.ms * 0.5 DESC, r.vec_id ASC) = 1
+         |), sel2 AS (
+         |  SELECT query_id, vec_id FROM sel1
+         |  UNION ALL SELECT query_id, vec_id FROM pick2
+         |), rem2 AS (
+         |  SELECT r.query_id, r.vec_id, r.rel FROM rem1 r
+         |  WHERE NOT EXISTS (SELECT 1 FROM pick2 p
+         |    WHERE p.query_id = r.query_id AND p.vec_id = r.vec_id)
+         |), m3 AS (
+         |  SELECT ps.query_id, ps.d, max(ps.sim) AS ms
+         |  FROM ps JOIN sel2 s ON s.query_id = ps.query_id
+         |    AND s.vec_id = ps.s
+         |  GROUP BY 1, 2
+         |), pick3 AS (
+         |  SELECT r.query_id, r.vec_id FROM rem2 r
+         |  JOIN m3 ON m3.query_id = r.query_id AND m3.d = r.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY r.query_id
+         |    ORDER BY r.rel * 0.5 - m3.ms * 0.5 DESC, r.vec_id ASC) = 1
+         |)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(1 AS BIGINT) AS mmr_rank FROM sel1
+         |UNION ALL SELECT query_id, vec_id, CAST(2 AS BIGINT)
+         |FROM pick2
+         |UNION ALL SELECT query_id, vec_id, CAST(3 AS BIGINT)
+         |FROM pick3""".stripMargin,
 
     "text_quality_flags" ->
       s"""WITH $wsToksCte, c AS (

@@ -83,6 +83,87 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Maximal-marginal-relevance re-rank — the diversity pass a RAG
+    * retriever runs on its candidate list so the k results are not k
+    * near-duplicates: greedily select, from each query's `nCand`
+    * nearest candidates, the item maximizing
+    * λ·rel(q, d) − (1−λ)·max over selected s of sim(d, s), k times.
+    *
+    * Shape: candidate generation is the brute cosine join (broadcast
+    * query side, window-ranked to `nCand` per query — bounded); the
+    * candidate×candidate similarity matrix is a per-query keyed
+    * self-join (≤ nCand² rows per query, a constant); the greedy loop
+    * is k−1 rounds of [join selected-sims → keyed max → keyed argmax],
+    * all per-query-keyed — nothing in the plan is ever more than
+    * nCand²·|Q| rows, and the rounds are a fixed small constant, so
+    * the oracle unrolls them as CTE chains. λ = 1/2 so both weights
+    * are exact binary halves (one IEEE multiply each; a general λ
+    * would be fine too — it's one multiply — but 1/2 keeps the
+    * score's error profile identical across engines).
+    *
+    * Determinism: rel and sim come from the same double-precision
+    * fixed-order dot chain the brute oracle replays bit-identically;
+    * every argmax ties on vec_id asc. Output: (query_id, neighbor_id,
+    * mmr_rank 1..k).
+    */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, k: Int = 3,
+              nCand: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= nCand, s"need 1 <= k <= nCand: $k, $nCand")
+    val spark = queries.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+    val q = withNorm(queries, idCol, vecCol)
+      .withColumnsRenamed(Map("vec_id" -> "query_id", "vec" -> "qvec",
+        "norm" -> "qnorm"))
+    val c = withNorm(candidates, idCol, vecCol)
+    val byRel = w.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("vec"), col("norm"),
+        (dot(col("qvec"), col("vec"))
+          / nullif(col("qnorm") * col("norm"), lit(0.0))).as("rel"))
+      .filter(col("rel").isNotNull)
+      .withColumn("rn", row_number().over(byRel))
+      .filter(col("rn") <= nCand).drop("rn")
+      .persist()
+    // candidate×candidate cosine matrix, per query (≤ nCand² rows each)
+    val a = cand.select(col("query_id"), col("vec_id").as("d"),
+      col("vec").as("dv"), col("norm").as("dn"))
+    val b = cand.select(col("query_id"), col("vec_id").as("s"),
+      col("vec").as("sv"), col("norm").as("sn"))
+    val ps = a.join(b, Seq("query_id")).filter(col("d") =!= col("s"))
+      .select(col("query_id"), col("d"), col("s"),
+        (dot(col("dv"), col("sv")) / (col("dn") * col("sn"))).as("sim"))
+      .persist()
+    val slim = cand.select(col("query_id"), col("vec_id"), col("rel"))
+    var selected = slim
+      .withColumn("rn", row_number().over(byRel)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("mmr_rank"))
+    var remaining =
+      slim.join(selected, Seq("query_id", "vec_id"), "left_anti")
+    for (r <- 2 to k) {
+      val maxSim = ps
+        .join(selected.select(col("query_id"), col("vec_id").as("s")),
+          Seq("query_id", "s"))
+        .groupBy(col("query_id"), col("d")).agg(max(col("sim")).as("ms"))
+      val byMmr = w.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("vec_id").asc)
+      val pick = remaining
+        .join(maxSim, col("d") === col("vec_id") &&
+          maxSim("query_id") === remaining("query_id"))
+        .select(remaining("query_id"), col("vec_id"), col("rel"),
+          (col("rel") * 0.5 - col("ms") * 0.5).as("mmr"))
+        .withColumn("rn", row_number().over(byMmr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(r.toLong).as("mmr_rank"))
+      selected = selected.unionAll(pick).persist()
+      remaining =
+        remaining.join(selected, Seq("query_id", "vec_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      col("mmr_rank"))
+  }
+
   /** Label-purity evaluation of an embedding space — the standard
     * "do neighbors share my label" quality check run before training on
     * learned embeddings: for each query, the fraction of its top-k

@@ -121,6 +121,29 @@ class Round16Spec extends SparkSpec {
     before.unpersist()
   }
 
+  // --- mmrTopK ---
+
+  test("mmrTopK: demotes the near-duplicate the brute ranking puts " +
+    "second; ranks are dense 1..k") {
+    import graft.operators.Similarity
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Array(0.9f, 0.1f)),  // top rel (~0.994)
+      (2L, Array(0.8f, 0.2f)),  // near-dup of 1 (sim ~0.991, rel ~0.970)
+      (3L, Array(0.3f, -0.6f))  // diverse (rel ~0.447, sim-to-1 ~0.346)
+    ).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(q, cands, k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(brute == Seq(1L, 2L, 3L))
+    // MMR at λ=1/2: round 2 trades 2's rel (0.970) against its 0.991
+    // sim to the selected 1 (mmr −0.010) vs 3's 0.447 rel / 0.346 sim
+    // (mmr +0.051) — the diverse item wins
+    val mmr = Similarity.mmrTopK(q, cands, k = 3, nCand = 3)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getLong(2), r.getLong(1))).toSeq
+    assert(mmr == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
   // --- append-mode finalization ---
 
   test("hourlyCountsAppend: emits exactly the windows finalized by the " +
