@@ -933,6 +933,18 @@ object SparkEntry {
     "rel_ewma" -> ((s, dir) =>
       Relational.ewmaDailyRevenue(tbl(s, dir, "orders"))),
 
+    // Privacy-governance audit: per quasi-identifier group size and
+    // sensitive-value diversity with k/l risk flags (see
+    // Relational.kAnonymityAudit)
+    "rel_k_anonymity" -> ((s, dir) =>
+      Relational.kAnonymityAudit(tbl(s, dir, "customer"))),
+
+    // BPE tokenizer-training pair statistics: adjacent-character pair
+    // frequencies over the distinct-word dictionary (see
+    // TextStats.bpePairStats)
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextStats.bpePairStats(docs(s, dir))),
+
     // Append-mode watermark-finalized hourly windows over the staged
     // 3-batch replay — pins WHICH windows have been emitted (finalized)
     // by end-of-stream vs held in state
@@ -1712,6 +1724,51 @@ object SparkEntry {
         |SELECT strftime(td, '%Y-%m-%d') AS day, ewma_scaled,
         |  floor((ewma_scaled / 12800.0) * 100 + 0.5) / 100 AS ewma
         |FROM agg""".stripMargin,
+
+    // k-anonymity replay: QI grouping, banded sensitive attribute,
+    // size + distinct-band counts, k=5 / l=2 risk flags
+    "rel_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |    WHEN c_acctbal < 5000.0 THEN 'mid' ELSE 'high' END)
+        |    AS BIGINT) AS l_div,
+        |  (count(*) < 5 OR count(DISTINCT CASE WHEN c_acctbal < 0
+        |    THEN 'neg' WHEN c_acctbal < 5000.0 THEN 'mid'
+        |    ELSE 'high' END) < 2) AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2""".stripMargin,
+
+    // BPE pair replay: distinct-word frequency dictionary, adjacent
+    // character pairs per >=2-char word via SELECT-unnest (empty
+    // series drops the row, mirroring the pre-explode length filter),
+    // frequency-weighted counts, top-20 pinned (cnt desc, a, b)
+    "text_bpe_pairs" ->
+      """WITH nrm AS (
+        |  SELECT string_split(
+        |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))),
+        |    ' ') AS t
+        |  FROM documents
+        |), tk AS (
+        |  SELECT unnest(t) AS w FROM nrm
+        |), wf AS (
+        |  SELECT w, count(*) AS wf FROM tk
+        |  WHERE w != '' GROUP BY w HAVING length(w) >= 2
+        |), pos AS (
+        |  SELECT w, wf,
+        |    unnest(generate_series(1, length(w) - 1)) AS i
+        |  FROM wf
+        |), pr AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+        |    substr(w, CAST(i AS INTEGER) + 1, 1) AS b, wf
+        |  FROM pos
+        |)
+        |SELECT a, b, CAST(sum(wf) AS BIGINT) AS cnt,
+        |  CAST(row_number() OVER (ORDER BY sum(wf) DESC, a ASC, b ASC)
+        |    AS BIGINT) AS "rank"
+        |FROM pr GROUP BY a, b
+        |ORDER BY cnt DESC, a ASC, b ASC
+        |LIMIT 20""".stripMargin,
     "q1_tokens" ->
       s"WITH $tokenCtes SELECT doc_id, word FROM tokens",
     "q2_dictionary" ->

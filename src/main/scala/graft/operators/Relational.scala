@@ -1087,6 +1087,34 @@ object Relational {
         count(lit(1)).over(trail).as("n_days"))
   }
 
+  /** k-anonymity / l-diversity audit — the privacy-governance check a
+    * training-data release runs before publishing quasi-identifiable
+    * records: group by the quasi-identifier tuple (market segment ×
+    * nation), and flag every group that is either smaller than `k`
+    * (re-identification risk: fewer than k records share the QI
+    * combination) or carries fewer than `l` distinct sensitive values
+    * (homogeneity risk: knowing the QI reveals the sensitive
+    * attribute even inside a large group). The sensitive attribute is
+    * the account-balance band (negative / mid / high) — banded because
+    * l-diversity is defined over a categorical domain.
+    *
+    * Scale posture: one keyed aggregation (count + exact distinct over
+    * a 3-value band — a tiny holistic agg); output is |QI domain|
+    * rows, bounded by the attribute domains, never by N.
+    * Output: (c_mktsegment, c_nationkey, n, l_div, at_risk).
+    */
+  def kAnonymityAudit(customer: DataFrame, k: Long = 5L,
+                      l: Long = 2L): DataFrame = {
+    val band = when(col("c_acctbal") < 0, "neg")
+      .when(col("c_acctbal") < lit(5000.0), "mid").otherwise("high")
+    customer
+      .select(col("c_mktsegment"), col("c_nationkey"), band.as("sens"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("sens")).as("l_div"))
+      .withColumn("at_risk", col("n") < k || col("l_div") < l)
+  }
+
   /** Exponentially-decayed daily revenue (EWMA with a one-day
     * half-life, 8-day horizon): ewma(t) = Σ over k=0..7 of
     * rev(t−k) / 2^k — the "recent revenue, older days count half as

@@ -432,6 +432,42 @@ object TextStats {
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, WsRe, " ")))
 
+  /** Adjacent-symbol pair statistics — the counting step of BPE
+    * tokenizer training: for every pair of adjacent characters inside
+    * a word, its corpus frequency (the quantity BPE greedily merges
+    * on), top `k` pairs ranked (cnt desc, a asc, b asc).
+    *
+    * Scale posture: the pair expansion runs over the DISTINCT-word
+    * frequency table, not the corpus — the classic BPE-training trick:
+    * tokenize once (one keyed agg over N), then all per-symbol work is
+    * vocabulary-sized (Heaps' law: |V| ≪ N), weighted by the word
+    * frequency. Expansion is Σ|word| over distinct words; counts are
+    * keyed aggs; the top-k is TakeOrderedAndProject. Words shorter
+    * than 2 chars are filtered BEFORE the explode (Spark's
+    * `sequence(1, 0)` runs backwards — invariant 7).
+    * Output: (a, b, cnt, rank).
+    */
+  def bpePairStats(docs: DataFrame, k: Int = 20,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val wf = docs
+      .select(explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .filter(length(col("w")) >= 2)
+    wf.select(col("w"), col("wf"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(1)).as("a"),
+        col("w").substr(col("i") + 1, lit(1)).as("b"), col("wf"))
+      .groupBy("a", "b").agg(sum(col("wf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc))
+        .cast("long"))
+  }
+
   /** Document fingerprints:
     *  - fp_md5: md5 of the normalized text (exact-dup key);
     *  - fp_shingle: winnowing-style minimum over md5 hashes of 5-word

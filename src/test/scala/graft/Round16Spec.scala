@@ -121,6 +121,48 @@ class Round16Spec extends SparkSpec {
     before.unpersist()
   }
 
+  // --- bpePairStats ---
+
+  test("bpePairStats: pair counts are word-frequency-weighted over the " +
+    "distinct-word dictionary; 1-char words drop") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (1L, "ab ab x ba"),
+      (2L, "AB cd")  // normalization folds AB into ab
+    ).toDF("doc_id", "text")
+    val got = TextStats.bpePairStats(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // wf: ab=3, ba=1, cd=1; x is 1-char → filtered
+    assert(got(("a", "b")) == ((3L, 1L)))
+    assert(got(("b", "a")) == ((1L, 2L))) // cnt tie with (c,d): a < c
+    assert(got(("c", "d")) == ((1L, 3L)))
+    assert(got.size == 3)
+  }
+
+  // --- kAnonymityAudit ---
+
+  test("kAnonymityAudit: small groups and homogeneous groups flag; " +
+    "large diverse groups pass") {
+    import graft.operators.Relational
+    def cust(seg: String, nat: Long, bal: Double) = (seg, nat, bal)
+    val rows =
+      // group A: 5 members, 2 bands → safe
+      Seq.fill(3)(cust("AUTO", 1L, -10.0)) ++
+        Seq.fill(2)(cust("AUTO", 1L, 9000.0)) ++
+        // group B: 2 members (k violation) though diverse
+        Seq(cust("BLDG", 2L, -5.0), cust("BLDG", 2L, 100.0)) ++
+        // group C: 6 members, all 'mid' (l violation)
+        Seq.fill(6)(cust("MACH", 3L, 100.0))
+    val df = rows.toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = Relational.kAnonymityAudit(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("AUTO") == ((5L, 2L, false)))
+    assert(got("BLDG") == ((2L, 2L, true)))
+    assert(got("MACH") == ((6L, 1L, true)))
+  }
+
   // --- mmrTopK ---
 
   test("mmrTopK: demotes the near-duplicate the brute ranking puts " +
