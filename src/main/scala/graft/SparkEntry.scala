@@ -951,6 +951,15 @@ object SparkEntry {
     "stream_append_final" -> ((s, dir) =>
       graft.streaming.EventsStream.hourlyCountsAppend(
         s, dir, scratchDir("appendfin"))),
+
+    // Checkpointed stop-and-resume: drain 2 staged batches, append a
+    // third file, restart from the SAME checkpoint — state and source
+    // offsets must restore (exactly-once across the restart; see
+    // EventsStream.hourlyCountsResumed)
+    "stream_resume" -> ((s, dir) =>
+      graft.streaming.EventsStream.hourlyCountsResumed(
+        s, dir, scratchDir("resumestage"), scratchDir("resumeout"),
+        scratchDir("resumeckpt"))),
   )
 
   // Shared DuckDB CTE chain mirroring WikiText.tokens / TfIdfOps over the
@@ -3223,6 +3232,15 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "stream_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour,
+        |  event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Resume gate shares the plain hourly aggregate: equality over ALL
+    // events is exactly what breaks if the restarted query re-reads
+    // committed files (double counts) or loses state (missing hours)
+    "stream_resume" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour,
         |  event_type, count(*) AS n_events

@@ -335,10 +335,15 @@ object EventsStream {
     * FileStreamSource orders by (modTime, path), so with
     * maxFilesPerTrigger=1 the files replay as micro-batches in exactly
     * this sequence. */
-  private[graft] def stageBatches(stageDir: String,
-                                  batches: DataFrame*): Unit = {
+  /** [[stageBatches]] with an explicit starting file index — used by
+    * the resume gate to APPEND later micro-batch files to an
+    * already-drained stage directory without clobbering the files the
+    * checkpoint has committed. */
+  private[graft] def stageBatchesFrom(stageDir: String, startIdx: Int,
+                                      batches: DataFrame*): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    batches.zipWithIndex.foreach { case (df, i) =>
+    batches.zipWithIndex.foreach { case (df, off) =>
+      val i = startIdx + off
       val tmp = s"$stageDir/_stage$i"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -354,6 +359,67 @@ object EventsStream {
       } finally walk.close()
     }
   }
+
+  /** Checkpointed stop-and-resume: the exactly-once semantics a
+    * production streaming job actually depends on. Phase 1 stages
+    * batches 0–1 and drains them with a checkpoint; phase 2 appends a
+    * THIRD staged file to the same directory and starts a NEW query
+    * from the SAME checkpoint — the restarted query must restore its
+    * aggregation state and file-source offsets, process ONLY the new
+    * file, and emit the complete counts over all three batches. If
+    * restart re-read the committed files, every restored hour would
+    * double-count and the oracle hash (the plain batch aggregate)
+    * would catch it; if state were lost, phase-1 hours would vanish.
+    * The foreachBatch batch_id=N layout also pins offset restoration:
+    * the resumed run's directory continues the batch numbering
+    * (asserted by spec) instead of restarting at 0.
+    * Output: (hour string, event_type, n_events) over ALL events.
+    */
+  def hourlyCountsResumed(spark: SparkSession, dir: String,
+                          stageDir: String, outDir: String,
+                          ckptDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    stageBatchesFrom(stageDir, 0,
+      raw.filter(col("event_id") % 10 >= 2),
+      raw.filter(col("event_id") % 10 === 1))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    def drain(): Unit = {
+      val scoped = spark.newSession()
+      scoped.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.Tables.normalizeTs(
+          scoped.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "b*.parquet")
+            .parquet(stageDir))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"), col("n_events"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         batchId: Long) =>
+          batch.write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain() // phase 1: batches 0-1, checkpoint committed
+    stageBatchesFrom(stageDir, 2, raw.filter(col("event_id") % 10 === 0))
+    drain() // phase 2: resume — only the new file may be processed
+    val all = spark.read.parquet(outDir)
+    val last = all.agg(max(col("batch_id")).cast("long")).head().getLong(0)
+    all.filter(col("batch_id") === last).drop("batch_id")
+  }
+
+  private[graft] def stageBatches(stageDir: String,
+                                  batches: DataFrame*): Unit =
+    stageBatchesFrom(stageDir, 0, batches: _*)
 
   /** The watermarked hourly aggregation over a staged batch directory,
     * one file per micro-batch (see [[stageBatches]]). */

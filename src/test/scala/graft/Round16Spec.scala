@@ -186,6 +186,40 @@ class Round16Spec extends SparkSpec {
     assert(mmr == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
   }
 
+  // --- checkpointed resume ---
+
+  test("hourlyCountsResumed: the restarted query continues batch " +
+    "numbering (offsets restored), processes exactly one new batch, " +
+    "and the final counts equal the batch aggregate") {
+    import graft.streaming.EventsStream
+    def ev(id: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), typ)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_resumespec_").toString
+    // a tiny self-contained "events.parquet" so the operator's own
+    // %10-based batch split applies: ids 2..9 → batch 0, 1 → batch 1,
+    // 10 → the post-restart batch
+    val events = Seq(
+      ev(2, "2026-01-01 10:10:00", "a"), ev(3, "2026-01-01 10:20:00", "b"),
+      ev(1, "2026-01-01 11:10:00", "a"),
+      ev(10, "2026-01-01 10:40:00", "a") // arrives only after restart
+    ).toDF("event_id", "ts", "event_type")
+    events.coalesce(1).write.parquet(s"$tmp/events.parquet")
+    val out = EventsStream.hourlyCountsResumed(spark, tmp,
+      s"$tmp/stage", s"$tmp/out", s"$tmp/ckpt")
+    // state restored + only the late row added: 10:00 a=2 (1 pre + 1
+    // post restart), 10:00 b=1, 11:00 a=1
+    assert(rows(out) == Seq(
+      "2026-01-01 10:00:00|a|2", "2026-01-01 10:00:00|b|1",
+      "2026-01-01 11:00:00|a|1").sorted)
+    // batch ids are exactly 0,1 (first run) and 2 (resumed run): the
+    // restart neither reset numbering (no fresh checkpoint) nor
+    // re-read committed files (no ids 3/4)
+    val ids = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(ids.toSeq == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+  }
+
   // --- append-mode finalization ---
 
   test("hourlyCountsAppend: emits exactly the windows finalized by the " +
