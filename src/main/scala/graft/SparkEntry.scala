@@ -921,6 +921,16 @@ object SparkEntry {
       graft.multimodal.Multimodal.packBatches(
         graft.multimodal.Multimodal.withPayload(docs(s, dir)))),
 
+    // pHash-style media dedup over a cloned corpus (code bucket join +
+    // full-feature verify; see Multimodal.phashDedup)
+    "mm_phash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cloned = d.unionAll(d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.multimodal.Multimodal.phashDedup(
+        graft.multimodal.Multimodal.withPayload(cloned))
+    }),
+
     // Adamic–Adar "customers who bought the same things" link
     // prediction over the co-purchase bipartite graph (hub-capped
     // wedge join; see Graph.adamicAdar)
@@ -1445,6 +1455,19 @@ object SparkEntry {
       |JOIN full2 c ON s.vec_id = c.vec_id
       |QUALIFY rank <= 10""".stripMargin
 
+  // Stub-decoder feature replay, one SQL expression per dimension —
+  // shared by the mm_features and mm_phash twins. Expects the
+  // enclosing CTE to provide n_bytes (BIGINT) and h = hex(data).
+  private val mmFeatureColsSql: String = (0 until 8).map { d =>
+    s"""  CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_filter(generate_series(1, greatest(n_bytes, 1)),
+       |      i -> i <= n_bytes AND (i - 1) % 8 = $d)),
+       |    (acc, i) -> (acc * 31 +
+       |      ('0x' || substr(h, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT)
+       |      % 1000003)
+       |    / 1000003.0 AS FLOAT) AS DOUBLE) AS f$d""".stripMargin
+  }.mkString(",\n")
+
   private val vecCtes: String =
     """vecs AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1580,15 +1603,6 @@ object SparkEntry {
     // the double-scaled hash rounded through FLOAT exactly as the
     // production decoder stores them.
     "mm_features" -> {
-      val fCols = (0 until 8).map { d =>
-        s"""  CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |    list_filter(generate_series(1, greatest(n_bytes, 1)),
-           |      i -> i <= n_bytes AND (i - 1) % 8 = $d)),
-           |    (acc, i) -> (acc * 31 +
-           |      ('0x' || substr(h, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT)
-           |      % 1000003)
-           |    / 1000003.0 AS FLOAT) AS DOUBLE) AS f$d""".stripMargin
-      }.mkString(",\n")
       s"""WITH pay AS (
          |  SELECT doc_id, encode(text) AS data,
          |    CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 512 + 64
@@ -1603,8 +1617,42 @@ object SparkEntry {
          |  FROM pay
          |)
          |SELECT doc_id, width, height, n_bytes,
-         |$fCols
+         |$mmFeatureColsSql
          |FROM hx""".stripMargin
+    },
+
+    // pHash-dedup replay: the cloned corpus, the same 8 feature
+    // expressions, the 8-bit threshold code, bucket self-join on the
+    // code, equality verify on n_bytes + every dim
+    "mm_phash" -> {
+      val codeSql = (0 until 8)
+        .map(d => s"(CASE WHEN f$d >= 0.5 THEN ${1L << d} ELSE 0 END)")
+        .mkString(" + ")
+      val eqSql = (0 until 8).map(d => s"a.f$d = b.f$d")
+        .mkString(" AND ")
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 7 = 0
+         |), hx AS (
+         |  SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    hex(encode(text)) AS h
+         |  FROM docs2
+         |), feat AS (
+         |  SELECT doc_id, n_bytes,
+         |$mmFeatureColsSql
+         |  FROM hx
+         |), coded AS (
+         |  SELECT doc_id, n_bytes, f0, f1, f2, f3, f4, f5, f6, f7,
+         |    CAST($codeSql AS BIGINT) AS code
+         |  FROM feat
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.code
+         |FROM coded a JOIN coded b ON a.code = b.code
+         |  AND a.doc_id < b.doc_id AND a.n_bytes = b.n_bytes
+         |  AND $eqSql""".stripMargin
     },
     // Resize replay: scale = min(1, 128/max(w,h,1)) in IEEE double both
     // engines (DuckDB int/int division is double); the payload

@@ -187,6 +187,42 @@ object Multimodal {
       .drop("excl")
   }
 
+  /** Perceptual-hash-style media dedup — the image twin of MinHash/LSH
+    * dedup, shaped exactly like a production pHash pipeline: compact
+    * per-item code → bucket join on the code → full-feature verify
+    * inside the bucket. The code is 8 bits, one per feature dimension
+    * (f_d ≥ 1/2), so candidate generation is a keyed equi-join on a
+    * BIGINT — never an all-pairs compare — and each true pair lives in
+    * exactly ONE bucket (its own code), so no distinct is needed
+    * after the verify (invariant 10's ideal case).
+    *
+    * With the stub decoder the features are modular byte hashes, not
+    * locality-sensitive pixel signatures, so what the verify finds is
+    * payload-identical media (a real decoder would swap in DCT
+    * low-bands and a Hamming-ball verify — the plumbing around it is
+    * unchanged). Verification is equality of ALL feature dims plus
+    * n_bytes — replayed exactly by the oracle, so even a hash
+    * collision would affect both engines identically.
+    * Output: (id_a, id_b, code), id_a < id_b.
+    */
+  def phashDedup(media: DataFrame): DataFrame = {
+    val f = featuresInPlan(media)
+    val code = (0 until FeatureDims)
+      .map(d => when(col(s"f$d") >= 0.5, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val coded = f.withColumn("code", code).persist()
+    def side(tag: String) = coded.select(
+      (Seq(col("code"), col("doc_id").as(s"id_$tag"),
+        col("n_bytes").as(s"nb_$tag")) ++
+        (0 until FeatureDims).map(d => col(s"f$d").as(s"${tag}_f$d"))): _*)
+    val eq = (0 until FeatureDims)
+      .map(d => col(s"a_f$d") === col(s"b_f$d"))
+      .reduce(_ && _) && col("nb_a") === col("nb_b")
+    side("a").join(side("b"), Seq("code"))
+      .filter(col("id_a") < col("id_b") && eq)
+      .select(col("id_a"), col("id_b"), col("code"))
+  }
+
   /** Deterministic frame sampling for a (fake) video payload: emits every
     * `stride`-th 16-byte "frame" with its index — the explode/posexplode
     * shape of a real frame sampler. Output: (doc_id, frame_idx, frame).

@@ -186,6 +186,24 @@ class Round16Spec extends SparkSpec {
     assert(mmr == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
   }
 
+  // --- phashDedup ---
+
+  test("phashDedup: identical payloads pair via their code bucket; " +
+    "distinct payloads sharing no code never pair; pairs are unique") {
+    val docs = Seq(
+      (1L, "the same payload"), (2L, "the same payload"),
+      (3L, "a different payload"), (4L, "yet another one")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.phashDedup(Multimodal.withPayload(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+    // verify is equality of all dims: flipping one byte breaks it even
+    // if the code bucket happened to collide
+    val near = Seq((1L, "payload x"), (2L, "payload y"))
+      .toDF("doc_id", "text")
+    assert(Multimodal.phashDedup(Multimodal.withPayload(near)).isEmpty)
+  }
+
   // --- checkpointed resume ---
 
   test("hourlyCountsResumed: the restarted query continues batch " +
