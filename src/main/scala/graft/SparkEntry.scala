@@ -955,6 +955,20 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, dir) =>
       TextStats.bpePairStats(docs(s, dir))),
 
+    // One BPE merge round applied to the vocabulary — leftmost
+    // non-overlapping literal replace of the in-plan-derived top pair
+    // (see TextStats.bpeApplyTopMerge)
+    "text_bpe_merge" -> ((s, dir) =>
+      TextStats.bpeApplyTopMerge(docs(s, dir))),
+
+    // Group-leakage-safe split: the hash key is the GROUP (source),
+    // not the row, so every group lands wholly in one split — the
+    // contamination guard a benchmark-vs-train split actually needs
+    "samp_split_grouped" -> ((s, dir) =>
+      Sampling.splitByHash(docs(s, dir), SplitWeights,
+          keyCol = "source")
+        .select("doc_id", "source", "split")),
+
     // Append-mode watermark-finalized hourly windows over the staged
     // 3-batch replay — pins WHICH windows have been emitted (finalized)
     // by end-of-stream vs held in state
@@ -1826,6 +1840,42 @@ object SparkEntry {
         |FROM pr GROUP BY a, b
         |ORDER BY cnt DESC, a ASC, b ASC
         |LIMIT 20""".stripMargin,
+
+    // BPE merge replay: same dictionary + top-1 pair as a scalar CTE,
+    // literal replace() (leftmost non-overlapping in both engines),
+    // merge count from the +2-chars-per-merge length delta
+    "text_bpe_merge" ->
+      """WITH nrm AS (
+        |  SELECT string_split(
+        |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))),
+        |    ' ') AS t
+        |  FROM documents
+        |), tk AS (
+        |  SELECT unnest(t) AS w FROM nrm
+        |), wf AS (
+        |  SELECT w, count(*) AS wf FROM tk WHERE w != '' GROUP BY w
+        |), pos AS (
+        |  SELECT w, wf, unnest(generate_series(1, length(w) - 1)) AS i
+        |  FROM wf WHERE length(w) >= 2
+        |), top AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+        |    substr(w, CAST(i AS INTEGER) + 1, 1) AS b
+        |  FROM pos
+        |  GROUP BY 1, 2
+        |  ORDER BY sum(wf) DESC, a ASC, b ASC LIMIT 1
+        |)
+        |SELECT w, wf,
+        |  replace(w, a || b, '(' || a || b || ')') AS merged,
+        |  CAST((length(replace(w, a || b, '(' || a || b || ')'))
+        |    - length(w)) // 2 AS BIGINT) AS n_merges
+        |FROM wf CROSS JOIN top""".stripMargin,
+
+    // Group-safe split replay: the samp_split CASE over md5(source)
+    "samp_split_grouped" ->
+      s"""SELECT doc_id, source,
+         |  ${operators.Sampling.splitCaseSql(SplitWeights, "source",
+              "graft")} AS split
+         |FROM documents""".stripMargin,
     "q1_tokens" ->
       s"WITH $tokenCtes SELECT doc_id, word FROM tokens",
     "q2_dictionary" ->

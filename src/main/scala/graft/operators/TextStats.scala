@@ -447,14 +447,25 @@ object TextStats {
     * `sequence(1, 0)` runs backwards — invariant 7).
     * Output: (a, b, cnt, rank).
     */
-  def bpePairStats(docs: DataFrame, k: Int = 20,
-                   idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    val wf = docs
+  /** Distinct-word frequency dictionary — the shared input of the BPE
+    * operators (tokenize once over N, then everything downstream is
+    * vocabulary-sized). Output: (w, wf). */
+  private def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(split(normalized(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wf"))
-      .filter(length(col("w")) >= 2)
+
+  def bpePairStats(docs: DataFrame, k: Int = 20,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    pairStatsFromWf(wordFreq(docs, textCol), k)
+
+  /** [[bpePairStats]] over an already-built word-frequency dictionary
+    * — shared with the merge step so one corpus tokenize feeds both
+    * (invariant 9). */
+  private def pairStatsFromWf(wf0: DataFrame, k: Int): DataFrame = {
+    val wf = wf0.filter(length(col("w")) >= 2)
     wf.select(col("w"), col("wf"),
         explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
       .select(col("w").substr(col("i"), lit(1)).as("a"),
@@ -466,6 +477,35 @@ object TextStats {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("a").asc, col("b").asc))
         .cast("long"))
+  }
+
+  /** One BPE merge round applied to the vocabulary: take the top pair
+    * from [[bpePairStats]] (a 1-row broadcast plan literal, like
+    * purchaseKCore's in-plan k) and rewrite every word's occurrences
+    * of it, leftmost-first non-overlapping — which is exactly the
+    * semantics of LITERAL string `replace` in Spark and every SQL
+    * engine, so the overlap rule that makes BPE merging look
+    * sequential ("aaa" under pair (a,a) merges once, at the left) is
+    * engine-portable with no regex and no escaping. The merged symbol
+    * is rendered as `(ab)` so a later round can treat it as one unit.
+    *
+    * Scale posture: vocabulary-sized (the word-frequency dictionary),
+    * one broadcast of one row, one projection — the corpus was
+    * touched once, by the shared tokenize-count.
+    * Output: (w, wf, merged, n_merges) for every distinct word.
+    */
+  def bpeApplyTopMerge(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    // one tokenize pass serves both the top-pair derivation and the
+    // dictionary rewrite (invariant 9)
+    val wf = wordFreq(docs, textCol).persist()
+    val top = pairStatsFromWf(wf, k = 1).select(col("a"), col("b"))
+    wf.crossJoin(broadcast(top))
+      .withColumn("merged",
+        expr("replace(w, concat(a, b), concat('(', a, b, ')'))"))
+      .select(col("w"), col("wf"), col("merged"),
+        expr("(length(merged) - length(w)) div 2").cast("long")
+          .as("n_merges"))
   }
 
   /** Document fingerprints:

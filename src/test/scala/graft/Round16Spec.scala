@@ -140,6 +140,46 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- bpeApplyTopMerge ---
+
+  test("bpeApplyTopMerge: top pair merges leftmost non-overlapping " +
+    "(aaa merges once); non-matching words pass through") {
+    import graft.operators.TextStats
+    // wf: aaa=3, ab=1, xy=1 → pair (a,a) cnt 6 (2 per 'aaa' occurrence
+    // ... weighted: 2 positions × wf 3 = 6) beats (a,b)=1, (x,y)=1
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa xy"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bpeApplyTopMerge(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got("aaa") == ((3L, "(aa)a", 1L)))
+    assert(got("ab") == ((1L, "ab", 0L)))
+    assert(got("xy") == ((1L, "xy", 0L)))
+  }
+
+  // --- samp_split_grouped semantics ---
+
+  test("group-keyed splitByHash: every group lands wholly in one split") {
+    import graft.operators.Sampling
+    val docs = (1L to 300L)
+      .map(i => (i, s"src_${i % 17}")).toDF("doc_id", "source")
+    val out = Sampling.splitByHash(docs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      keyCol = "source")
+    val perGroup = out.groupBy("source")
+      .agg(countDistinct("split").as("ns")).collect()
+    assert(perGroup.nonEmpty)
+    perGroup.foreach(r => assert(r.getLong(1) == 1L, r.toString))
+    // and the split is a function of source only: same groups, fewer
+    // rows → identical assignment
+    val sub = Sampling.splitByHash(docs.filter(col("doc_id") <= 17),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      keyCol = "source").select("source", "split").distinct()
+    val full = out.select("source", "split").distinct()
+    assert(rows(sub) == rows(full.join(sub.select("source"),
+      Seq("source"), "left_semi").distinct()))
+  }
+
   // --- kAnonymityAudit ---
 
   test("kAnonymityAudit: small groups and homogeneous groups flag; " +
