@@ -969,6 +969,12 @@ object SparkEntry {
           keyCol = "source")
         .select("doc_id", "source", "split")),
 
+    // Recency-decayed retention: weekly age bands vs the in-plan max
+    // day, band b keeps a 2^-b md5-hash fraction (see
+    // Sampling.decaySample)
+    "samp_decay" -> ((s, dir) =>
+      Sampling.decaySample(tbl(s, dir, "events"))),
+
     // Append-mode watermark-finalized hourly windows over the staged
     // 3-batch replay — pins WHICH windows have been emitted (finalized)
     // by end-of-stream vs held in state
@@ -1876,6 +1882,22 @@ object SparkEntry {
          |  ${operators.Sampling.splitCaseSql(SplitWeights, "source",
               "graft")} AS split
          |FROM documents""".stripMargin,
+
+    // Decay-sample replay: same age bands vs the max event date, same
+    // md5 bucket, same floor-division halving threshold
+    "samp_decay" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+        |b AS (
+        |  SELECT event_id,
+        |    date_diff('day', CAST(ts AS DATE), mx.mx) // 7 AS band,
+        |    ('0x' || substr(md5('graft-decay' || '|' ||
+        |      CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |      AS bucket
+        |  FROM events, mx
+        |)
+        |SELECT event_id, CAST(band AS BIGINT) AS band FROM b
+        |WHERE bucket < 10000 // (1 << CAST(least(band, 30) AS INTEGER))"""
+        .stripMargin,
     "q1_tokens" ->
       s"WITH $tokenCtes SELECT doc_id, word FROM tokens",
     "q2_dictionary" ->

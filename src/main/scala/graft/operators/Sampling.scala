@@ -29,6 +29,38 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))),
       1, 8), 16, 10).cast("long")
 
+  /** Recency-decayed sampling — the "keep everything fresh, an
+    * exponentially thinning sample of history" retention policy a
+    * rolling training corpus runs on its event log: rows are banded
+    * by age (`bandDays` per band, newest band 0, age measured against
+    * the in-plan max event date — a fixed date constant would go
+    * stale), and band b keeps a 2^-b fraction via the md5 hash
+    * threshold — so the kept set is a pure row-local function of
+    * (event_id, max_day), deterministic under reruns, and each band's
+    * sample is a SUBSET of what a younger band would have kept (the
+    * same hash, a halving threshold: thinning history never resamples
+    * it, the property that makes incremental re-runs append-only).
+    *
+    * All integer arithmetic: bucket in [0, 10000), threshold
+    * 10000 div 2^min(b, 30) (floor division, identical both engines;
+    * bands past 13 floor to 0 = drop — the min() only guards the
+    * shift). One scan, one 8-byte broadcast, no shuffle at all.
+    * Output: (event_id, band) for kept rows.
+    */
+  def decaySample(events: DataFrame, bandDays: Int = 7,
+                  salt: String = "graft-decay"): DataFrame = {
+    require(bandDays >= 1, s"bandDays must be >= 1: $bandDays")
+    val mx = events.agg(max(to_date(col("ts"))).as("mx"))
+    events.crossJoin(broadcast(mx))
+      .select(col("event_id"),
+        expr(s"datediff(mx, cast(ts as date)) div $bandDays")
+          .cast("long").as("band"),
+        (hashValue(col("event_id"), salt) % 10000L).as("bucket"))
+      .filter(col("bucket") <
+        expr("10000L div shiftleft(1L, cast(least(band, 30) as int))"))
+      .select(col("event_id"), col("band"))
+  }
+
   /** The integer threshold a fraction maps to (rows with hash below it
     * are kept): floor(p · 2^32), exact for p in [0, 1]. */
   def thresholdFor(p: Double): Long = {

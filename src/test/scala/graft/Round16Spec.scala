@@ -140,6 +140,35 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- decaySample ---
+
+  test("decaySample: band 0 keeps everything, each band halves the " +
+    "threshold, and thinning is subset-monotone (no resampling)") {
+    import graft.operators.Sampling
+    def ev(id: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(t))
+    // 200 ids in each of band 0 (day 0) and band 2 (day 15)
+    val events = ((1L to 200L).map(i => ev(i, "2026-03-01 12:00:00")) ++
+      (201L to 400L).map(i => ev(i, "2026-02-14 12:00:00")))
+      .toDF("event_id", "ts")
+    val out = Sampling.decaySample(events).persist()
+    val byBand = out.groupBy("band").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBand(0L) == 200L) // threshold 10000: nothing dropped
+    // band 2 threshold 2500: roughly a quarter kept, and exactly the
+    // ids whose bucket < 2500 — verify subset-monotonicity: the band-2
+    // keeps are a subset of what band 1's 5000 threshold would keep
+    assert(byBand(2L) > 0L && byBand(2L) < 200L)
+    val kept2 = out.filter(col("band") === 2).select("event_id")
+    val hypo1 = events.filter(col("event_id") >= 201L)
+      .select(col("event_id"),
+        (Sampling.hashValue(col("event_id"), "graft-decay") % 10000L)
+          .as("bucket"))
+      .filter(col("bucket") < 5000).select("event_id")
+    assert(kept2.join(hypo1, Seq("event_id"), "left_anti").isEmpty)
+    out.unpersist()
+  }
+
   // --- bpeApplyTopMerge ---
 
   test("bpeApplyTopMerge: top pair merges leftmost non-overlapping " +
