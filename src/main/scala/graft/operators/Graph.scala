@@ -535,10 +535,18 @@ object Graph {
       .select(col("p"),
         graft.functions.Fns.round2(lit(1.0) / log(col("deg")))
           .cast("decimal(18,2)").as("aa"))
-    val e1 = e.select(col("p"), col("c").as("a"))
-    val e2 = e.select(col("p"), col("c").as("b"))
-    e1.join(e2, Seq("p")).filter(col("a") < col("b"))
-      .join(w, Seq("p"))
+    // join the capped weight table onto the edges BEFORE the wedge
+    // self-join: the cap must prune a hot part's edges ahead of the d²
+    // expansion (joining w afterwards would still generate every wedge
+    // of an excluded celebrity part and then drop it — the exact
+    // failure the cap exists to prevent), and carrying `aa` on the
+    // a-side keeps the post-expansion plan join-free. No broadcast
+    // hint on w: it is |parts|-sized (data-scaled), the planner can
+    // pick broadcast when it fits (the k-core lesson).
+    val ew = e.join(w, Seq("p")).persist()
+    ew.select(col("p"), col("c").as("a"), col("aa"))
+      .join(ew.select(col("p"), col("c").as("b")), Seq("p"))
+      .filter(col("a") < col("b"))
       .groupBy(col("a").as("cust_a"), col("b").as("cust_b"))
       .agg(sum(col("aa")).cast("double").as("score"))
       .orderBy(col("score").desc, col("cust_a"), col("cust_b"))
