@@ -975,6 +975,16 @@ object SparkEntry {
     "samp_decay" -> ((s, dir) =>
       Sampling.decaySample(tbl(s, dir, "events"))),
 
+    // Incremental partition diff: per-day xor fingerprints of the
+    // pre-cutoff snapshot vs the full table → added/changed/unchanged
+    // days (see Relational.partitionDiff; snapshot_diff's µs cutoff)
+    "rel_partition_diff" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Relational.partitionDiff(
+        ev.filter(expr("unix_micros(ts) < 1706616000000000")), ev,
+        Seq("event_id", "user_id", "event_type"))
+    }),
+
     // Append-mode watermark-finalized hourly windows over the staged
     // 3-batch replay — pins WHICH windows have been emitted (finalized)
     // by end-of-stream vs held in state
@@ -1898,6 +1908,33 @@ object SparkEntry {
         |SELECT event_id, CAST(band AS BIGINT) AS band FROM b
         |WHERE bucket < 10000 // (1 << CAST(least(band, 30) AS INTEGER))"""
         .stripMargin,
+
+    // Partition-diff replay: per-day bit_xor of the 60-bit md5 slice
+    // over the same canonical row rendering, full-outer on day
+    "rel_partition_diff" ->
+      """WITH fo AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    bit_xor(('0x' || substr(md5(
+        |      CAST(event_id AS VARCHAR) || '|' ||
+        |      CAST(user_id AS VARCHAR) || '|' || event_type),
+        |      1, 15))::BIGINT) AS fp
+        |  FROM events WHERE epoch_us(ts) < 1706616000000000
+        |  GROUP BY 1
+        |), fn AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    bit_xor(('0x' || substr(md5(
+        |      CAST(event_id AS VARCHAR) || '|' ||
+        |      CAST(user_id AS VARCHAR) || '|' || event_type),
+        |      1, 15))::BIGINT) AS fp
+        |  FROM events
+        |  GROUP BY 1
+        |)
+        |SELECT coalesce(fo.day, fn.day) AS day,
+        |  CASE WHEN fo.fp IS NULL THEN 'added'
+        |       WHEN fn.fp IS NULL THEN 'removed'
+        |       WHEN fo.fp = fn.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM fo FULL OUTER JOIN fn ON fo.day = fn.day""".stripMargin,
     "q1_tokens" ->
       s"WITH $tokenCtes SELECT doc_id, word FROM tokens",
     "q2_dictionary" ->

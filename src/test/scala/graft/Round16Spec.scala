@@ -140,6 +140,36 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- partitionDiff ---
+
+  test("partitionDiff: all four statuses fire and the fingerprint is " +
+    "row-order-insensitive") {
+    import graft.operators.Relational
+    def ev(id: Long, t: String, typ: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(t), typ, u)
+    val oldDf = Seq(
+      ev(1, "2026-01-01 10:00:00", "a", 7), // day 1: unchanged
+      ev(2, "2026-01-02 10:00:00", "a", 7), // day 2: will change
+      ev(3, "2026-01-03 10:00:00", "a", 7)  // day 3: removed
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val newDf = Seq(
+      ev(1, "2026-01-01 10:00:00", "a", 7),
+      ev(2, "2026-01-02 10:00:00", "b", 7), // payload changed
+      ev(4, "2026-01-04 10:00:00", "a", 7)  // day 4: added
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val cols = Seq("event_id", "user_id", "event_type")
+    val got = Relational.partitionDiff(oldDf, newDf, cols)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("2026-01-01" -> "unchanged",
+      "2026-01-02" -> "changed", "2026-01-03" -> "removed",
+      "2026-01-04" -> "added"))
+    // xor fingerprint: permuting rows within a day changes nothing
+    val shuffled = newDf.orderBy(col("event_type").desc)
+    val got2 = Relational.partitionDiff(newDf, shuffled, cols)
+      .collect().map(_.getString(1)).distinct.toSeq
+    assert(got2 == Seq("unchanged"))
+  }
+
   // --- decaySample ---
 
   test("decaySample: band 0 keeps everything, each band halves the " +
