@@ -975,6 +975,12 @@ object SparkEntry {
     "samp_decay" -> ((s, dir) =>
       Sampling.decaySample(tbl(s, dir, "events"))),
 
+    // Mergeable-HLL distinct maintenance: union-of-sketches ==
+    // single-pass sketch, pinned as booleans per the sketch-contract
+    // pattern (see Relational.hllMaintain)
+    "rel_hll_maintain" -> ((s, dir) =>
+      Relational.hllMaintain(tbl(s, dir, "events"))),
+
     // Incremental partition diff: per-day xor fingerprints of the
     // pre-cutoff snapshot vs the full table → added/changed/unchanged
     // days (see Relational.partitionDiff; snapshot_diff's µs cutoff)
@@ -1908,6 +1914,15 @@ object SparkEntry {
         |SELECT event_id, CAST(band AS BIGINT) AS band FROM b
         |WHERE bucket < 10000 // (1 << CAST(least(band, 30) AS INTEGER))"""
         .stripMargin,
+
+    // HLL-maintenance contract replay: exact distincts + both contract
+    // booleans pinned TRUE (estimates are sketch-impl-specific — the
+    // engine-stable contract is what crosses engines; the CMS pattern)
+    "rel_hll_maintain" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS inc_within_rel_err, TRUE AS full_within_rel_err
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Partition-diff replay: per-day bit_xor of the 60-bit md5 slice
     // over the same canonical row rendering, full-outer on day

@@ -1087,6 +1087,58 @@ object Relational {
         count(lit(1)).over(trail).as("n_days"))
   }
 
+  /** Incremental distinct-count maintenance via mergeable HLL
+    * sketches — the state shape that makes "distinct users per type,
+    * updated nightly" an O(delta) job instead of an O(history)
+    * rescan: the stored state is a Datasketches HLL sketch per key,
+    * each delta batch is sketched alone, and the union of the two
+    * sketches IS the sketch of the union (HLL merge takes the
+    * register-wise max — so the union covers exactly the union of the
+    * streams). NOTE, measured at sf0.1: the union's ESTIMATE is not
+    * bit-equal to the single-pass one — Datasketches HLL serves
+    * estimates from the stream-order-dependent HIP estimator, which a
+    * union cannot preserve (it falls back to the composite estimator)
+    * — so the honest mergeability contract is "both estimates land
+    * within the error bound", not bitwise equality.
+    *
+    * Sketch estimates are implementation-specific, so the gate
+    * follows the CMS/HLL contract pattern (rel_heavy_hitters): emit
+    * the EXACT count plus engine-stable booleans the oracle pins TRUE
+    * — the incremental and the full-rescan estimate each land within
+    * the 5% relative-error contract (lgK 12 → rsd ~1.6%).
+    * Scale posture: sketches are KB-sized mergeable state,
+    * the classic lambda-architecture aggregate; the exact distinct
+    * exists only to audit the contract (a production job would drop
+    * it — it is the O(history) cost being replaced).
+    * Output: (event_type, n_exact, inc_within_rel_err,
+    * full_within_rel_err).
+    */
+  def hllMaintain(events: DataFrame,
+                  cutoffMicros: Long = 1706616000000000L): DataFrame = {
+    val pre = events.filter(expr(s"unix_micros(ts) < ${cutoffMicros}L"))
+    val post = events.filter(expr(s"unix_micros(ts) >= ${cutoffMicros}L"))
+    val sPre = pre.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk_pre"))
+    val sPost = post.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk_post"))
+    val full = events.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk_full"),
+        countDistinct(col("user_id")).as("n_exact"))
+    full.join(sPre, Seq("event_type"), "left")
+      .join(sPost, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_exact"),
+        expr("""hll_sketch_estimate(CASE
+          WHEN sk_pre IS NULL THEN sk_post
+          WHEN sk_post IS NULL THEN sk_pre
+          ELSE hll_union(sk_pre, sk_post) END)""").as("est_inc"),
+        expr("hll_sketch_estimate(sk_full)").as("est_full"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est_inc") - col("n_exact"))
+          <= col("n_exact") * 0.05).as("inc_within_rel_err"),
+        (abs(col("est_full") - col("n_exact"))
+          <= col("n_exact") * 0.05).as("full_within_rel_err"))
+  }
+
   /** Incremental-processing partition diff — the "which partitions
     * must recompute" primitive a 100 TB nightly pipeline runs INSTEAD
     * of full recomputation: fingerprint every (day) partition of the

@@ -140,6 +140,29 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- hllMaintain ---
+
+  test("hllMaintain: both contract booleans hold on a split with " +
+    "overlapping users, and exact counts are unioned not summed") {
+    import graft.operators.Relational
+    def ev(id: Long, t: String, typ: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(t), typ, u)
+    // users 1..400 pre-cutoff, 201..600 post → exact distinct 600
+    // (a sum-based "merge" would say 800 — the overlap is the point)
+    val cutoff = "2024-01-30 12:00:00" // unix_micros 1706616000000000
+    val events = ((1L to 400L).map(u =>
+      ev(u, "2024-01-15 10:00:00", "a", u)) ++
+      (201L to 600L).map(u => ev(1000 + u, "2024-02-10 10:00:00", "a", u)))
+      .toDF("event_id", "ts", "event_type", "user_id")
+    assert(spark.sql(s"SELECT unix_micros(TIMESTAMP '$cutoff')")
+      .head().getLong(0) == 1706616000000000L)
+    val got = Relational.hllMaintain(events).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 600L)
+    assert(r.getBoolean(2) && r.getBoolean(3), r.toString)
+  }
+
   // --- partitionDiff ---
 
   test("partitionDiff: all four statuses fire and the fingerprint is " +
