@@ -94,8 +94,18 @@ object Bench {
     "rel_order_stats" -> 0.39, "rel_scd2" -> 0.4,
     "stream_session_timeout" -> 2.23, "stream_stream_outer" -> 3.52,
     "wiki_parse_scale" -> 0.39, "mm_batch" -> 0.32,
-    "rel_link_predict" -> 3.62, "rel_ewma" -> 0.55,
-    "stream_append_final" -> 1.97)
+    "rel_ewma" -> 0.55, "stream_append_final" -> 1.97,
+    // Second-session additions, stamped from medians of three agreeing
+    // full cold runs (178.3/175.0/174.8 s @ load 0.87/0.74/0.72; each
+    // run's 2-3 flags were disjoint and did not repeat — jitter).
+    // rel_link_predict re-stamped here: its plan changed after the
+    // first-session stamp (cap pruned before the wedge expansion).
+    "sim_mmr" -> 1.63, "rel_k_anonymity" -> 0.19,
+    "text_bpe_pairs" -> 0.45, "text_bpe_merge" -> 0.5,
+    "samp_split_grouped" -> 0.15, "samp_decay" -> 0.28,
+    "stream_resume" -> 2.54, "mm_phash" -> 0.98,
+    "rel_partition_diff" -> 0.5, "rel_hll_maintain" -> 0.43,
+    "rel_link_predict" -> 2.74)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
