@@ -975,6 +975,16 @@ object SparkEntry {
     "samp_decay" -> ((s, dir) =>
       Sampling.decaySample(tbl(s, dir, "events"))),
 
+    // Deadline-bounded funnel: each stage within 24h of the previous
+    // frontier (see Relational.funnelWindowed)
+    "rel_funnel_window" -> ((s, dir) =>
+      Relational.funnelWindowed(tbl(s, dir, "events"))),
+
+    // Revenue decile concentration (Lorenz/Gini table; see
+    // Relational.revenueDeciles)
+    "rel_revenue_deciles" -> ((s, dir) =>
+      Relational.revenueDeciles(tbl(s, dir, "orders"))),
+
     // Mergeable-HLL distinct maintenance: union-of-sketches ==
     // single-pass sketch, pinned as booleans per the sketch-contract
     // pattern (see Relational.hllMaintain)
@@ -4363,6 +4373,54 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM f2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM f3"""
         .stripMargin,
+
+    // Windowed-funnel twin: the same iterated-min chain with the 24h
+    // deadline against the previous frontier
+    "rel_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), f1 AS (
+        |  SELECT user_id, min(tus) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), f2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e
+        |  JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND e.tus > f1.t
+        |    AND e.tus <= f1.t + 86400000000
+        |  GROUP BY e.user_id
+        |), f3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e
+        |  JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > f2.t
+        |    AND e.tus <= f2.t + 86400000000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |  count(*) AS n_users FROM f1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM f2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM f3"""
+        .stripMargin,
+
+    // Decile twin: per-customer DECIMAL spend, ntile(10) over the
+    // pinned (spend desc, custkey) order, exact-decimal decile sums,
+    // share as floor(x·10000+0.5) basis points
+    "rel_revenue_deciles" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1
+        |), d AS (
+        |  SELECT o_custkey, spend,
+        |    CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC)
+        |      AS BIGINT) AS decile
+        |  FROM pc
+        |), t AS (SELECT sum(spend) AS total FROM pc)
+        |SELECT decile, count(*) AS n_customers,
+        |  CAST(sum(spend) AS DOUBLE) AS revenue,
+        |  CAST(floor(CAST(sum(spend) AS DOUBLE)
+        |    / CAST(t.total AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |    AS share_bp
+        |FROM d, t GROUP BY decile, t.total""".stripMargin,
 
     // DQ-audit twin: 9 independent aggregate checks UNIONed, with the
     // pinned NULL semantics (NULL keys belong to null_key only; NULL

@@ -684,6 +684,78 @@ object Relational {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[funnel]] with a conversion deadline — the form product
+    * analytics actually reports ("purchased within 24h of clicking"):
+    * each stage's qualifying event must land strictly after the
+    * previous frontier AND within `maxGapHours` of it. Same
+    * iterated-frontier shape (per-stage keyed min joins — never a
+    * whole-stream window), same strictly-after µs discipline; the gap
+    * bound is measured against the previous stage's FRONTIER (its
+    * earliest qualifying time), the standard first-touch attribution
+    * rule. Output: (stage, event_type, n_users).
+    */
+  def funnelWindowed(events: DataFrame,
+                     stages: Seq[String] = Seq("view", "click", "purchase"),
+                     maxGapHours: Long = 24L): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapHours >= 1, s"maxGapHours must be >= 1: $maxGapHours")
+    val gapUs = maxGapHours * 3600L * 1000000L
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("tus").as("t"))
+    val frontiers = stages.tail.scanLeft(first) { (prev, stage) =>
+      e.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")),
+          "user_id")
+        .filter(col("tus") > col("prev_t") &&
+          col("tus") <= col("prev_t") + gapUs)
+        .groupBy("user_id").agg(min("tus").as("t"))
+    }
+    stages.zip(frontiers).zipWithIndex.map { case ((stage, f), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(stage).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Revenue decile concentration — the "how concentrated is revenue
+    * across customers" report (decile shares, the table behind a
+    * Lorenz curve / Gini figure): customers bucket into 10 spend
+    * deciles and each decile reports its customer count and exact
+    * share of total revenue.
+    *
+    * Scale posture: the deciles come from `ntile` over the PER-CUSTOMER
+    * aggregate (|customers| rows — one keyed agg over N first), with
+    * the total order pinned (spend desc, custkey asc) so tie placement
+    * is deterministic; a |customers|-row single-partition window is
+    * the documented small-dimension case (same argument as the day
+    * spine — at true catalog scale swap in the curriculum histogram
+    * binning, which samp_curriculum_scalable already demonstrates).
+    * Revenue sums stay DECIMAL end-to-end; the share is one division
+    * of exact decimals, round2'd at 4 dp via micro-basis-points
+    * (floor(x·10000+0.5)/10000 — the round2 discipline at 4 digits).
+    * Output: (decile, n_customers, revenue, share_bp).
+    */
+  def revenueDeciles(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
+      .groupBy("o_custkey").agg(sum(col("p")).as("spend"))
+      .persist()
+    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+    val tot = perCust.agg(sum(col("spend")).as("total"))
+    perCust
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("rev"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"),
+        col("rev").cast("double").as("revenue"),
+        (floor(col("rev").cast("double") / col("total").cast("double")
+          * 10000 + 0.5)).cast("long").as("share_bp"))
+  }
+
   /** Data-quality audit — the constraint sweep a pipeline runs before
     * promoting a batch: key uniqueness, referential integrity,
     * value-range and enum-domain checks, timestamp bounds. One output

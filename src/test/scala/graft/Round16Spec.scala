@@ -140,6 +140,54 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- funnelWindowed ---
+
+  test("funnelWindowed: the deadline is inclusive at exactly maxGap " +
+    "and measured against the previous frontier, not any later event") {
+    import graft.operators.Relational
+    def ev(id: Long, t: String, typ: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(t), typ, u)
+    val events = Seq(
+      // user 1: click exactly 24h after the view frontier → kept
+      ev(1, "2026-01-01 10:00:00", "view", 1),
+      ev(2, "2026-01-02 10:00:00", "click", 1),
+      // user 2: click 24h + 1s → dropped
+      ev(3, "2026-01-01 10:00:00", "view", 2),
+      ev(4, "2026-01-02 10:00:01", "click", 2),
+      // user 3: has a LATER view inside the window, but the frontier
+      // is the FIRST view — click lands outside 24h of it → dropped
+      ev(5, "2026-01-01 10:00:00", "view", 3),
+      ev(6, "2026-01-02 09:00:00", "view", 3),
+      ev(7, "2026-01-03 08:00:00", "click", 3)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+      .select("user_id", "event_type", "ts")
+    val got = Relational.funnelWindowed(events,
+      Seq("view", "click"), maxGapHours = 24L)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("view" -> 3L, "click" -> 1L))
+  }
+
+  // --- revenueDeciles ---
+
+  test("revenueDeciles: highest spenders land in decile 1, shares sum " +
+    "to ~10000 bp, and counts cover every customer") {
+    import graft.operators.Relational
+    // 20 customers: spend 100, 200, ..., 2000 (2 per decile)
+    val orders = (1L to 20L).map(c => (c, c * 100.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Relational.revenueDeciles(orders)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.size == 10)
+    assert(got.values.map(_._1).sum == 20L)
+    // decile 1 = the two biggest spenders (2000 + 1900)
+    assert(got(1L)._2 == 3900.0)
+    // total spend 21000; decile-1 share = 3900/21000 ≈ 1857 bp
+    assert(got(1L)._3 == 1857L)
+    val bpSum = got.values.map(_._3).sum
+    assert(bpSum >= 9995L && bpSum <= 10005L, s"bp sum $bpSum")
+  }
+
   // --- hllMaintain ---
 
   test("hllMaintain: both contract booleans hold on a split with " +
