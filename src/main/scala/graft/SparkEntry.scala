@@ -533,6 +533,11 @@ object SparkEntry {
     // undirected customer-supplier purchase graph (3 unrolled iters)
     "rel_pagerank" -> ((s, dir) =>
       Graph.pageRank(tbl(s, dir, "orders"), tbl(s, dir, "lineitem"))),
+    // personalized PageRank: teleport mass pinned to the in-plan hub
+    // source set — rank = proximity to the hubs, not centrality
+    "rel_ppr" -> ((s, dir) =>
+      Graph.personalizedPageRank(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     // distributed connected components: 4-step min-label propagation —
     // the at-scale arm of dedup_assign's bounded driver union-find
     "rel_components" -> ((s, dir) =>
@@ -1063,6 +1068,54 @@ object SparkEntry {
        |), n AS (SELECT count(*) AS n FROM deg),
        |r0 AS (
        |  SELECT node, deg, $total // n.n AS rank FROM deg, n
+       |),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |  node // 2 AS key, "rank"
+       |FROM r$iters""".stripMargin
+  }
+
+  // Personalized-PageRank twin: the PageRankSql scaffolding with the
+  // teleport redirected to the in-plan hub source set (deg >= 3 ×
+  // mean; is_src ∈ {0,1} multiplies both the seed and the per-round
+  // teleport). All-BIGINT `//` arithmetic, bit-exact.
+  private def PprSql(iters: Int): String = {
+    val total = operators.Graph.TotalMass
+    val tele = total * 15 / 100
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS node, sum(r.rank // r.deg) AS m
+         |  FROM r${i - 1} r JOIN edges e ON r.node = e.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT d.node, d.deg, d.is_src,
+         |    CAST(d.is_src * coalesce($tele // nullif(ns.ns, 0), 0)
+         |      + (85 * coalesce(s$i.m, 0)) // 100 AS BIGINT) AS rank
+         |  FROM degs d CROSS JOIN ns LEFT JOIN s$i ON d.node = s$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM e0
+       |  UNION ALL SELECT s, c FROM e0
+       |), deg AS (
+       |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+       |), thr AS (
+       |  SELECT 3 * ((SELECT count(*) FROM edges)
+       |    // (SELECT count(*) FROM deg)) AS thr
+       |), degs AS (
+       |  SELECT node, deg,
+       |    CASE WHEN deg >= thr.thr THEN 1 ELSE 0 END AS is_src
+       |  FROM deg, thr
+       |), ns AS (SELECT sum(is_src) AS ns FROM degs),
+       |r0 AS (
+       |  SELECT node, deg, is_src,
+       |    CAST(is_src * coalesce($total // nullif(ns.ns, 0), 0)
+       |      AS BIGINT) AS rank
+       |  FROM degs, ns
        |),
        |$steps
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
@@ -4068,6 +4121,7 @@ object SparkEntry {
     // pairs — every quantity is BIGINT fixed-point, so `//` replays
     // Spark's `div` bit-identically (positive operands: both truncate)
     "rel_pagerank" -> PageRankSql(3),
+    "rel_ppr" -> PprSql(3),
     "rel_bfs_hops" -> BfsHopsSql(3),
 
     // Interval-join replay: the naive overlap join — the bucketed plan

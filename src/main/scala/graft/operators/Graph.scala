@@ -106,6 +106,58 @@ object Graph {
     decodeNode(ranks, col("rank"))
   }
 
+  /** Personalized PageRank — the recommendation-engine workhorse:
+    * identical transition to [[pageRank]], but ALL teleport mass
+    * returns to a source set instead of spreading uniformly, so ranks
+    * measure proximity to the sources rather than global centrality.
+    * Sources here are the purchase-graph hubs (degree ≥ 3 × mean,
+    * derived IN-PLAN exactly like [[purchaseHubDistance]] — a fixed
+    * threshold either selects nothing or everything as degree scales
+    * with SF; the "3×" keeps |S| a stable fraction of nodes).
+    *
+    * Same integer fixed-point discipline: mass M div |S| seeds each
+    * source, each round is one edge-keyed join + node-keyed sum with
+    * `div` arithmetic — bit-replayable, the twin unrolls the rounds.
+    * Non-source nodes get teleport 0 (the `is_src` multiplier), so
+    * rank decays with hop distance from the hub set.
+    * Output: (node_type, key, rank) — micro-units of mass.
+    */
+  def personalizedPageRank(orders: DataFrame, lineitem: DataFrame,
+                           iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val st = prSetup(orders, lineitem)
+    val thrAgg = st.edges.agg(count(lit(1)).as("ne"))
+      .crossJoin(broadcast(st.deg.agg(count(lit(1)).as("nn"))))
+      .select(expr("3 * (ne div nn)").as("thr"))
+    val degS = st.deg.crossJoin(broadcast(thrAgg))
+      .select(col("node"), col("deg"),
+        (col("deg") >= col("thr")).cast("long").as("is_src"))
+      .persist()
+    val nsAgg = degS.agg(sum("is_src").as("ns"))
+    val tele = Graph.TotalMass * 15 / 100
+    def step(ranks: DataFrame): DataFrame = {
+      val inMass = ranks
+        .join(st.edges, col("node") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("m"))
+      degS.crossJoin(broadcast(nsAgg))
+        .join(inMass, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), col("is_src"),
+          // nullif: a graph with NO hubs (ns = 0) has no teleport
+          // targets — every rank is 0, not a DIVIDE_BY_ZERO
+          (expr(s"is_src * coalesce(${tele}L div nullif(ns, 0), 0)")
+            + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
+    }
+    var ranks = degS.crossJoin(broadcast(nsAgg))
+      .select(col("node"), col("deg"), col("is_src"),
+        expr(s"is_src * coalesce(${Graph.TotalMass}L div nullif(ns, 0), 0)")
+          .as("rank"))
+      .persist()
+    for (_ <- 1 to iters) ranks = step(ranks).persist()
+    decodeNode(ranks, col("rank"))
+  }
+
   /** Run-to-convergence PageRank — the production form of [[pageRank]]
     * (whose FIXED round count is the oracle-expressible gate semantic).
     * Iterates the identical [[PrState.step]] until the largest per-node

@@ -140,6 +140,29 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- personalizedPageRank ---
+
+  test("personalizedPageRank: on a star the hub is the sole source, " +
+    "rank decays from it, leaves stay symmetric, and mass is " +
+    "conserved up to floor leakage") {
+    // customer 1 buys from suppliers 1..8 → star: customer node deg 8
+    // (mean degree 16/9 = 1, thr 3 → hub is the only source)
+    val orders = (1L to 8L).map(i => (i, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 8L).map(i => (i, i))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = Graph.personalizedPageRank(orders, lineitem)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val hub = got(("customer", 1L))
+    val leaves = got.filter(_._1._1 == "supplier").values.toSeq
+    assert(leaves.size == 8 && leaves.distinct.size == 1)
+    assert(hub > leaves.head, s"hub $hub vs leaf ${leaves.head}")
+    val total = hub + leaves.sum
+    val M = Graph.TotalMass
+    assert(total <= M && total > M - 1000L, s"mass $total")
+  }
+
   // --- funnelWindowed ---
 
   test("funnelWindowed: the deadline is inclusive at exactly maxGap " +
