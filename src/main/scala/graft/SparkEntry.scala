@@ -807,6 +807,11 @@ object SparkEntry {
     "samp_mix" -> ((s, dir) =>
       Sampling.mixtureSample(docs(s, dir), MixTargets)
         .select("doc_id", "lang")),
+    // token-share mixture: stratum sizes are TOKEN sums, the form an
+    // LLM data mix specifies (see Sampling.mixtureSampleByTokens)
+    "samp_mix_tokens" -> ((s, dir) =>
+      Sampling.mixtureSampleByTokens(docs(s, dir), MixTargets)
+        .select("doc_id", "lang")),
     // temperature-2 rebalance: weights sqrt(count) derived in-plan
     // (sqrt is correctly rounded per IEEE 754 → oracle-pinnable; other
     // temperatures go through pow and are not)
@@ -2878,6 +2883,31 @@ object SparkEntry {
     "samp_mix" ->
       s"""WITH cnt AS (
          |  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+         |), w AS (
+         |  SELECT lang, c,
+         |    CASE ${SparkEntry.MixTargets.toSeq.sortBy(_._1).map {
+               case (l, p) => s"WHEN lang = '$l' THEN $p"
+             }.mkString(" ")} ELSE 0.0 END AS w
+         |  FROM cnt
+         |), t AS (
+         |  SELECT min(c / w) AS tstar FROM w WHERE w > 0
+         |), f AS (
+         |  SELECT lang, CAST(floor(w * tstar / c * 4294967296.0)
+         |    AS BIGINT) AS thr
+         |  FROM w, t WHERE w > 0
+         |)
+         |SELECT doc_id, lang FROM documents JOIN f USING (lang)
+         |WHERE ('0x' || substr(md5('graft' || '|' ||
+         |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
+
+    // Token-share mixture twin: identical machinery with the stratum
+    // size as the exact-integer token sum (the TF raw-len convention)
+    "samp_mix_tokens" ->
+      s"""WITH cnt AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+         |      AS c
+         |  FROM documents GROUP BY lang
          |), w AS (
          |  SELECT lang, c,
          |    CASE ${SparkEntry.MixTargets.toSeq.sortBy(_._1).map {

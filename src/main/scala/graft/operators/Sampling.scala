@@ -299,6 +299,42 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** [[mixtureSample]] with TOKEN-share targets — the form an LLM data
+    * mix actually specifies ("30% of training TOKENS from lang X"):
+    * the stratum size C_s is its token sum, not its row count, so a
+    * stratum of long documents is down-weighted accordingly. The keep
+    * decision stays per-ROW (hash threshold at fraction w_s·T* / C_s) —
+    * kept token mass matches the target in expectation, the standard
+    * row-level approximation (exact token-budget selection is what
+    * [[tokenBudgetSelect]] does within one stratum). Same in-plan
+    * threshold machinery, same determinism argument; token counts are
+    * exact integers (the TF raw-len convention), so C_s/w_s is one
+    * IEEE division per stratum, identical cross-engine.
+    */
+  def mixtureSampleByTokens(df: DataFrame, targets: Map[String, Double],
+                            stratumCol: String = "lang",
+                            keyCol: String = "doc_id",
+                            textCol: String = "text",
+                            salt: String = "graft"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive weights")
+    val wExpr = targets.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0)) { case ((s, w), rest) =>
+        when(col(stratumCol) === s, lit(w)).otherwise(rest)
+      }
+    val withW = df.groupBy(stratumCol)
+      .agg(sum(graft.functions.Fns.rawTokenCount(col(textCol))).as("_c"))
+      .withColumn("_w", wExpr).filter(col("_w") > 0)
+    val tstar = withW.agg(min(col("_c") / col("_w")).as("_tstar"))
+    val thresholds = withW.crossJoin(broadcast(tstar))
+      .select(col(stratumCol),
+        floor(col("_w") * col("_tstar") / col("_c") * lit(HashRange))
+          .cast("long").as("_thr"))
+    df.join(broadcast(thresholds), stratumCol)
+      .filter(hashValue(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Temperature-scaled mixture resampling — the multilingual-corpus
     * reweighting trick (mBERT/XLM-R style): stratum shares are
     * rebalanced toward count^(1/T), down-weighting dominant strata and

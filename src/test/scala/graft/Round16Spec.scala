@@ -140,6 +140,29 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- mixtureSampleByTokens ---
+
+  test("mixtureSampleByTokens: long-doc strata are sized by tokens, " +
+    "so equal targets keep fewer of their rows than a row-count mix") {
+    import graft.operators.Sampling
+    // stratum a: 100 docs of 1 token; stratum b: 100 docs of 10
+    // tokens. Equal targets → token mix must keep ~10% of b's ROWS
+    // (its token mass is 10×), where the row mix keeps ~100%.
+    val docs = ((1L to 100L).map(i => (i, "x", "a")) ++
+      (101L to 200L).map(i => (i, Seq.fill(10)("x").mkString(" "), "b")))
+      .toDF("doc_id", "text", "lang")
+    val targets = Map("a" -> 0.5, "b" -> 0.5)
+    val tok = Sampling.mixtureSampleByTokens(docs, targets)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tok("a") == 100L) // smallest token stratum keeps all
+    assert(tok.getOrElse("b", 0L) < 25L, tok.toString) // ~10 expected
+    val rows = Sampling.mixtureSample(docs, targets)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("a") == 100L && rows("b") == 100L)
+  }
+
   // --- personalizedPageRank ---
 
   test("personalizedPageRank: on a star the hub is the sole source, " +
