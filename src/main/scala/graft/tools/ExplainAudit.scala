@@ -44,7 +44,17 @@ object ExplainAudit {
         "rel_profile", "text_drift", "dedup_chunks",
         "rel_rate_anomaly", "io_compaction_plan", "rel_kcore",
         "rel_cumulative_users", "samp_balance", "sim_trunc_eval",
-        "rel_asof_forward", "rel_grouping_sets")
+        "rel_asof_forward", "rel_grouping_sets",
+        // round-7 surface (streaming gates excluded: explain would
+        // stage and drain the stream, not just plan)
+        "rel_interval_join", "rel_order_stats", "rel_bfs_hops",
+        "rel_scd2", "rel_incremental_agg", "io_merge_schema",
+        "mm_resize", "mm_frames", "mm_batch", "mm_phash",
+        "rel_link_predict", "rel_ewma", "sim_mmr", "rel_k_anonymity",
+        "text_bpe_pairs", "text_bpe_merge", "samp_split_grouped",
+        "samp_decay", "rel_partition_diff", "rel_hll_maintain",
+        "rel_funnel_window", "rel_revenue_deciles", "rel_ppr",
+        "samp_mix_tokens")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
