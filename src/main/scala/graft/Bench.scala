@@ -105,7 +105,11 @@ object Bench {
     "samp_split_grouped" -> 0.15, "samp_decay" -> 0.28,
     "stream_resume" -> 2.54, "mm_phash" -> 0.98,
     "rel_partition_diff" -> 0.5, "rel_hll_maintain" -> 0.43,
-    "rel_link_predict" -> 2.74)
+    "rel_link_predict" -> 2.74,
+    // Final second-session batch, medians of three zero-flag runs
+    // (167.3/178.1/162.6 s @ load 0.64/0.73/0.68).
+    "rel_funnel_window" -> 0.41, "rel_revenue_deciles" -> 0.49,
+    "rel_ppr" -> 4.03, "samp_mix_tokens" -> 0.38)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
