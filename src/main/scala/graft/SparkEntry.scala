@@ -729,6 +729,10 @@ object SparkEntry {
     "rel_order_stats" -> ((s, dir) =>
       Relational.orderStats(tbl(s, dir, "events"), "event_type",
         "value")),
+    // Tukey-fence outlier flags off the exact quartiles (see
+    // Relational.iqrOutliers)
+    "rel_outliers" -> ((s, dir) =>
+      Relational.iqrOutliers(tbl(s, dir, "events"))),
     // multi-source BFS distance from in-plan-derived hub nodes
     "rel_bfs_hops" -> ((s, dir) =>
       Graph.purchaseHubDistance(tbl(s, dir, "orders"),
@@ -4199,6 +4203,37 @@ object SparkEntry {
         |  min(CASE WHEN cum.cum >= n.n THEN cum.value END) AS max_v
         |FROM cum JOIN n ON cum.event_type = n.event_type
         |GROUP BY n.event_type, n.n""".stripMargin,
+
+    // Outlier twin: the same exact-quartile chain, Tukey fences as
+    // the identical IEEE op sequence (q1 - (q3-q1)*1.5), flags only
+    "rel_outliers" ->
+      """WITH nn AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, value, count(*) AS c FROM nn GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, value,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h
+        |), n AS (
+        |  SELECT event_type, count(*) AS n FROM nn GROUP BY 1
+        |), q AS (
+        |  SELECT n.event_type,
+        |    min(CASE WHEN cum.cum >= (n.n - 1) // 4 + 1
+        |      THEN cum.value END) AS p25_v,
+        |    min(CASE WHEN cum.cum >= ((n.n - 1) * 3) // 4 + 1
+        |      THEN cum.value END) AS p75_v
+        |  FROM cum JOIN n ON cum.event_type = n.event_type
+        |  GROUP BY n.event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value < q.p25_v - (q.p75_v - q.p25_v) * 1.5
+        |    THEN 'low' ELSE 'high' END AS side
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |WHERE e.value < q.p25_v - (q.p75_v - q.p25_v) * 1.5
+        |   OR e.value > q.p75_v + (q.p75_v - q.p25_v) * 1.5"""
+        .stripMargin,
 
     // Components twin: 4 unrolled min-label steps, pure BIGINT
     "rel_components" -> ComponentsSql(4),

@@ -507,6 +507,28 @@ object Relational {
         pick(col("n")).as("max_v"))
   }
 
+  /** Tukey-fence outlier flags — the box-plot rule ("outside
+    * quartile ± 1.5·IQR") applied per group, on the EXACT
+    * rank-selection quartiles of [[orderStats]] (no interpolation —
+    * the fences derive from raw input values through a fixed chain of
+    * IEEE ops, so the flag replays bit-identically). Scale posture:
+    * the stats side is |groups| rows (the planner broadcasts it);
+    * flagging is one scan with a pushed comparison — output only the
+    * outliers. Output: (event_id, event_type, value, side).
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String = "event_type",
+                  valueCol: String = "value",
+                  idCol: String = "event_id"): DataFrame = {
+    val stats = orderStats(df, groupCol, valueCol)
+      .select(col(groupCol), col("p25_v"), col("p75_v"))
+    val lo = col("p25_v") - (col("p75_v") - col("p25_v")) * 1.5
+    val hi = col("p75_v") + (col("p75_v") - col("p25_v")) * 1.5
+    df.join(stats, groupCol)
+      .filter(col(valueCol) < lo || col(valueCol) > hi)
+      .select(col(idCol), col(groupCol), col(valueCol),
+        when(col(valueCol) < lo, "low").otherwise("high").as("side"))
+  }
+
   /** TPC-H Q14-flavored promo revenue share: lineitem ⋈ part on partkey,
     * monthly revenue split by whether the part is a promo type.
     * The join is a plain equi-join — part is a fraction of lineitem but

@@ -140,6 +140,24 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- iqrOutliers ---
+
+  test("iqrOutliers: flags exactly the values outside the Tukey " +
+    "fences of the exact quartiles; NULLs never flag") {
+    import graft.operators.Relational
+    // n=11 values 0..10 → q1 = value at rank (10 div 4)+1 = 3rd = 2,
+    // q3 = rank (30 div 4)+1 = 8th = 7, IQR 5 → fences [-5.5, 14.5];
+    // add 20 (high), -20 (low) and a NULL → n=13: ranks shift to
+    // q1 = 4th of sorted {-20,0..10,20} = 2, q3 = 10th = 8, IQR 6 →
+    // fences [-7, 17] → outliers: -20 (low), 20 (high)
+    val events = ((0 to 10).map(i => (i.toLong, "a", Some(i.toDouble))) ++
+      Seq((90L, "a", Some(20.0)), (91L, "a", Some(-20.0)),
+        (92L, "a", None))).toDF("event_id", "event_type", "value")
+    val got = Relational.iqrOutliers(events)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq.sorted
+    assert(got == Seq((90L, "high"), (91L, "low")))
+  }
+
   // --- mixtureSampleByTokens ---
 
   test("mixtureSampleByTokens: long-doc strata are sized by tokens, " +
