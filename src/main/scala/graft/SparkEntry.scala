@@ -154,6 +154,19 @@ object SparkEntry {
         "doc_id" -> "bigint", "word" -> "string", "cnt" -> "bigint",
         "tf" -> "double", "tf_idf" -> "double"))
     }),
+    // RFC-4180 quoted-CSV round-trip: write→read identity on the raw
+    // documents table (quotes doubled, newlines legal inside quotes,
+    // multiLine read) — the real-world CSV dialect, oracle = identity
+    "io_csv_quoted" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = scratchDir("quotedcsv")
+      graft.io.CompatIo.writeQuotedCsv(
+        docs(s, dir).select("doc_id", "text", "lang"), out)
+      graft.io.CompatIo.readQuotedCsv(s, out, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType))))
+    }),
+
     // JSONL write→read identity on the same Q6 rows (shares q6Sql) —
     // the LLM-training-data interchange surface next to the
     // reference's ", "-CSV one
@@ -1963,6 +1976,10 @@ object SparkEntry {
         |  CAST((length(replace(w, a || b, '(' || a || b || ')'))
         |    - length(w)) // 2 AS BIGINT) AS n_merges
         |FROM wf CROSS JOIN top""".stripMargin,
+
+    // Quoted-CSV twin: pure identity — the round-trip must be lossless
+    "io_csv_quoted" ->
+      "SELECT doc_id, text, lang FROM documents",
 
     // Group-safe split replay: the samp_split CASE over md5(source)
     "samp_split_grouped" ->

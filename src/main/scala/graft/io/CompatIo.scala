@@ -89,6 +89,33 @@ object CompatIo {
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .write.mode(SaveMode.Overwrite).text(outDir)
 
+  /** RFC-4180-style quoted CSV round-trip — the real-world CSV dialect
+    * next to the reference's positional `", "` one: every field
+    * quoted, embedded quotes doubled (escape = quote char), embedded
+    * newlines legal inside quotes. The read side sets `multiLine` (a
+    * quoted newline spans physical lines — without it the parser
+    * splits records mid-field) and the same escape, plus an explicit
+    * schema (never inference). Lossless for arbitrary NON-EMPTY text —
+    * the gate is an identity twin against the source table, and the
+    * spec injects quotes/commas/newlines directly. Known lossy corner
+    * (spec-pinned): an empty string writes as `""` but reads back as
+    * NULL (the reader's nullValue default) — CSV cannot distinguish
+    * the two; JSONL can, use it when empties are semantic.
+    */
+  def writeQuotedCsv(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(outDir)
+
+  def readQuotedCsv(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType)
+  : DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+
   /** Read-side of [[writeJsonl]]: explicit schema (never inference —
     * an inference pass both scans twice and can widen types). */
   def readJsonl(spark: SparkSession, path: String,
