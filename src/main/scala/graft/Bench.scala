@@ -109,7 +109,11 @@ object Bench {
     // Final second-session batch, medians of three zero-flag runs
     // (167.3/178.1/162.6 s @ load 0.64/0.73/0.68).
     "rel_funnel_window" -> 0.41, "rel_revenue_deciles" -> 0.49,
-    "rel_ppr" -> 4.03, "samp_mix_tokens" -> 0.38)
+    "rel_ppr" -> 4.03, "samp_mix_tokens" -> 0.38,
+    // Last pair, medians of three runs (176.4/188.3/184.3 @ load
+    // 0.69/0.74/0.76; the middle run was globally slow with two
+    // non-repeating flags — its outlier samples were medianed out).
+    "rel_outliers" -> 0.46, "io_csv_quoted" -> 0.43)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
