@@ -1011,6 +1011,10 @@ object SparkEntry {
     // Relational.revenueDeciles)
     "rel_revenue_deciles" -> ((s, dir) =>
       Relational.revenueDeciles(tbl(s, dir, "orders"))),
+    // Exact Gini coefficient of customer spend (see
+    // Relational.giniSpend)
+    "rel_gini" -> ((s, dir) =>
+      Relational.giniSpend(tbl(s, dir, "orders"))),
 
     // Mergeable-HLL distinct maintenance: union-of-sketches ==
     // single-pass sketch, pinned as booleans per the sketch-contract
@@ -4220,6 +4224,31 @@ object SparkEntry {
         |  min(CASE WHEN cum.cum >= n.n THEN cum.value END) AS max_v
         |FROM cum JOIN n ON cum.event_type = n.event_type
         |GROUP BY n.event_type, n.n""".stripMargin,
+
+    // Gini twin: exact integer cents/rank-products through the final
+    // two IEEE divisions, 4-dp round2
+    "rel_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents ASC,
+        |    o_custkey ASC) AS i
+        |  FROM pc
+        |), a AS (
+        |  SELECT count(*) AS n, sum(cents) AS total_cents,
+        |    sum(cents * i) AS wsum
+        |  FROM r
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue,
+        |  floor((CAST(wsum AS DOUBLE) * 2.0
+        |      / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS gini
+        |FROM a""".stripMargin,
 
     // Outlier twin: the same exact-quartile chain, Tukey fences as
     // the identical IEEE op sequence (q1 - (q3-q1)*1.5), flags only

@@ -778,6 +778,38 @@ object Relational {
           * 10000 + 0.5)).cast("long").as("share_bp"))
   }
 
+  /** Exact Gini coefficient of customer spend — the single-number
+    * companion of [[revenueDeciles]]: G = (2·Σ i·x_i) / (n·Σx) −
+    * (n+1)/n over spends x sorted ASCENDING (ties broken by custkey
+    * so the rank assignment is total). Everything up to the final
+    * division is exact integer arithmetic in DECIMAL — spends become
+    * cents (exact BIGINT-valued decimals), rank·cents products and
+    * both Σ route through DECIMAL(38,0), so partition order cannot
+    * move a unit — and the result is two IEEE divisions and one
+    * subtraction, round2-pinned at 4 dp. Same |customers|-window
+    * posture argument as the deciles. Output: one row
+    * (n_customers, total_revenue, gini).
+    */
+  def giniSpend(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
+      .groupBy("o_custkey")
+      .agg((sum(col("p")) * 100).cast("decimal(38,0)").as("cents"))
+    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    perCust
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("cents") * col("i")).cast("decimal(38,0)").as("wsum"))
+      .select(col("n").as("n_customers"),
+        (col("total_cents").cast("double") / 100.0)
+          .as("total_revenue"),
+        (floor((col("wsum").cast("double") * 2.0
+            / (col("n").cast("double") * col("total_cents").cast("double"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"))
+          * 10000 + 0.5) / 10000).as("gini"))
+  }
+
   /** Data-quality audit — the constraint sweep a pipeline runs before
     * promoting a batch: key uniqueness, referential integrity,
     * value-range and enum-domain checks, timestamp bounds. One output

@@ -140,6 +140,23 @@ class Round16Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  // --- giniSpend ---
+
+  test("giniSpend: uniform spends give gini 0; extreme concentration " +
+    "approaches (n-1)/n") {
+    import graft.operators.Relational
+    val uniform = (1L to 10L).map(c => (c, 100.0))
+      .toDF("o_custkey", "o_totalprice")
+    val g0 = Relational.giniSpend(uniform).head()
+    assert(g0.getLong(0) == 10L && g0.getDouble(2) == 0.0)
+    // one customer holds ~everything: G → (n-1)/n = 0.9 − ε
+    val concentrated = ((1L to 9L).map(c => (c, 0.01)) :+ (10L, 10000.0))
+      .toDF("o_custkey", "o_totalprice")
+    val g1 = Relational.giniSpend(concentrated).head().getDouble(2)
+    // 4-dp rounding lands exactly on the (n-1)/n = 0.9 limit
+    assert(g1 > 0.89 && g1 <= 0.9, s"gini $g1")
+  }
+
   // --- quoted CSV round-trip ---
 
   test("writeQuotedCsv/readQuotedCsv: quotes, commas, newlines, and " +
