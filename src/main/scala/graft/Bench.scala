@@ -113,7 +113,10 @@ object Bench {
     // Last pair, medians of three runs (176.4/188.3/184.3 @ load
     // 0.69/0.74/0.76; the middle run was globally slow with two
     // non-repeating flags — its outlier samples were medianed out).
-    "rel_outliers" -> 0.46, "io_csv_quoted" -> 0.43)
+    "rel_outliers" -> 0.46, "io_csv_quoted" -> 0.43,
+    // Gini, from two agreeing zero-flag runs (170.0/175.4 s @ load
+    // 0.74/0.67).
+    "rel_gini" -> 0.31)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
