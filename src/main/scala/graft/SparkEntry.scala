@@ -39,6 +39,24 @@ object SparkEntry {
         .filter(length(trim(col("value"))) > 0))
   }
 
+  /** Committed HTML-pages fixture (one full page per line, CommonCrawl
+    * WET-shaped) — pins every HtmlText.extract rule: region priority
+    * (article > main > body > whole page), each boilerplate block tag,
+    * comment-before-block order, entity decode order (`&amp;lt;` →
+    * literal `&lt;`), uppercase tags, http-equiv and single-quoted
+    * charset forms, the attribute-quoted-`>` truncation quirk, a fake
+    * `</scriptx>` close inside a script, first-article-wins, and the
+    * empty page. Absolute path: this JVM and the driver's DuckDB read
+    * the same checkout file (the WikiFixturePath pattern). */
+  val HtmlFixturePath =
+    "/root/repo/src/main/resources/graft/html_pages.txt"
+
+  private def htmlPages(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{length, trim}
+    s.read.text(HtmlFixturePath)
+      .filter(length(trim(col("value"))) > 0)
+  }
+
   /** Per-JVM scratch root for gate queries that must round-trip through
     * a filesystem sink (foreachBatch, ", "-CSV compat). Prior
     * invocations' dirs are reaped first — repeated bench/verify runs
@@ -138,6 +156,25 @@ object SparkEntry {
       WikiText.tokens(wikiDocs(s), textCol = "body")),
     "wiki_tfidf" -> ((s, _) =>
       TfIdfOps.tfIdfPipeline(wikiDocs(s), textCol = "body")),
+
+    // --- raw-HTML ingestion (CommonCrawl-shaped; round-7 verdict #2) ---
+    // Fixture gate: every extraction rule pinned on the committed
+    // 15-page file (see HtmlFixturePath scaladoc); the twin replays the
+    // identical regex chain over the same file.
+    "text_html_extract" -> ((s, _) =>
+      HtmlText.extract(htmlPages(s))),
+    // Corpus volume (the wiki_parse_scale pattern): render every
+    // documents row into a full template page — head script, header/
+    // nav/aside/footer boilerplate, canonical link — write through the
+    // text sink, read back as raw lines, extract. Pins the whole
+    // render→write→read→extract loop with every removal rule firing
+    // on every page; the twin renders + extracts relationally.
+    "text_html_extract_scale" -> ((s, dir) => {
+      val out = scratchDir("htmlpages")
+      HtmlText.renderPages(docs(s, dir))
+        .write.mode("overwrite").text(out)
+      HtmlText.extract(s.read.text(out))
+    }),
 
     // --- ", "-CSV compatibility round-trip (S2/S6 + T4 ordering) ---
     // Writes the full Q6 result through the reference-format text sink
@@ -1342,6 +1379,51 @@ object SparkEntry {
        |  FROM wlines WHERE length(trim(value)) > 0
        |)""".stripMargin
 
+  // DuckDB twin of HtmlText.extract over a relation exposing one page
+  // per row in column `value` — generated from the SAME regex/entity
+  // constants as the Scala operator, so a rule change lands in both
+  // engines by construction (the splitCaseSql discipline).
+  private def htmlExtractSelect(from: String): String = {
+    import operators.HtmlText._
+    def re(p: String) = "'" + p.replace("'", "''") + "'"
+    def rx(v: String, p: String) = s"regexp_extract($v, ${re(p)}, 1)"
+    def gsub(v: String, p: String) =
+      s"regexp_replace($v, ${re(p)}, ' ', 'g')"
+    def ws(v: String) = s"trim(regexp_replace($v, ${re(WsRe)}, ' ', 'g'))"
+    def ent(v: String) = Entities.foldLeft(v) { case (acc, (e, r)) =>
+      s"replace($acc, '$e', '${r.replace("'", "''")}')"
+    }
+    val region = s"coalesce(nullif(${rx("value", ArticleRe)}, '')," +
+      s" nullif(${rx("value", MainRe)}, '')," +
+      s" nullif(${rx("value", BodyRe)}, ''), value)"
+    val noBlocks = BlockTags.foldLeft(gsub(region, CommentRe))(
+      (c, t) => gsub(c, blockRe(t)))
+    s"""SELECT ${rx("value", CanonicalRe)} AS url,
+       |  ${rx("value", LangRe)} AS lang,
+       |  lower(${rx("value", CharsetRe)}) AS charset,
+       |  ${ws(ent(rx("value", TitleRe)))} AS title,
+       |  ${ws(ent(gsub(noBlocks, TagRe)))} AS text
+       |FROM $from""".stripMargin
+  }
+
+  // The template-page render as SQL concatenation — the same
+  // HtmlText.PageTemplate fragments the Spark render concatenates.
+  private def htmlRenderCte: String = {
+    val t = operators.HtmlText.PageTemplate
+      .map(f => "'" + f.replace("'", "''") + "'")
+    // NOTE: the enclosing oracle string re-applies stripMargin, which
+    // would truncate a line-LEADING `||` to `|` — keep concatenation
+    // operators at line ends
+    s"""hpages AS (
+       |  SELECT ${t(0)} || lang || ${t(1)} ||
+       |    CAST(doc_id AS VARCHAR) || ${t(2)} ||
+       |    CAST(doc_id AS VARCHAR) || ${t(3)} ||
+       |    CAST(doc_id AS VARCHAR) || ${t(4)} ||
+       |    text || ${t(5)} AS value
+       |  FROM documents
+       |)""".stripMargin
+  }
+
   // Whitespace tokens (leading/trailing empties removed) — the TextStats
   // tokenizer's DuckDB twin.
   private val wsToksCte: String =
@@ -2025,7 +2107,7 @@ object SparkEntry {
         |    bit_xor(('0x' || substr(md5(
         |      CAST(event_id AS VARCHAR) || '|' ||
         |      CAST(user_id AS VARCHAR) || '|' || event_type),
-        |      1, 15))::BIGINT) AS fp
+        |      1, 15))::BIGINT) AS fp, count(*) AS cnt
         |  FROM events WHERE epoch_us(ts) < 1706616000000000
         |  GROUP BY 1
         |), fn AS (
@@ -2033,14 +2115,14 @@ object SparkEntry {
         |    bit_xor(('0x' || substr(md5(
         |      CAST(event_id AS VARCHAR) || '|' ||
         |      CAST(user_id AS VARCHAR) || '|' || event_type),
-        |      1, 15))::BIGINT) AS fp
+        |      1, 15))::BIGINT) AS fp, count(*) AS cnt
         |  FROM events
         |  GROUP BY 1
         |)
         |SELECT coalesce(fo.day, fn.day) AS day,
         |  CASE WHEN fo.fp IS NULL THEN 'added'
         |       WHEN fn.fp IS NULL THEN 'removed'
-        |       WHEN fo.fp = fn.fp THEN 'unchanged'
+        |       WHEN fo.fp = fn.fp AND fo.cnt = fn.cnt THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM fo FULL OUTER JOIN fn ON fo.day = fn.day""".stripMargin,
     "q1_tokens" ->
@@ -2199,6 +2281,20 @@ object SparkEntry {
         |  trim(regexp_replace(string_split(value, '>')[2],
         |    '<[^>]+>', '', 'g')) AS body
         |FROM lines""".stripMargin,
+    // HTML ingestion twins: the fixture-file extract and the
+    // corpus-volume render+extract replay (see htmlExtractSelect).
+    "text_html_extract" ->
+      s"""WITH hlines AS (
+         |  SELECT unnest(string_split(content, chr(10))) AS value
+         |  FROM read_text('$HtmlFixturePath')
+         |), hpages AS (
+         |  SELECT value FROM hlines WHERE length(trim(value)) > 0
+         |)
+         |${htmlExtractSelect("hpages")}""".stripMargin,
+    "text_html_extract_scale" ->
+      s"""WITH $htmlRenderCte
+         |${htmlExtractSelect("hpages")}""".stripMargin,
+
     "wiki_tokens" ->
       s"WITH $wikiDocCtes, $tokenCtes SELECT doc_id, word FROM tokens",
     "wiki_tfidf" ->

@@ -102,7 +102,15 @@ object Graph {
       s"iters must be in [1, 10] (twin unrolls them): $iters")
     val st = prSetup(orders, lineitem)
     var ranks = st.init.persist()
-    for (_ <- 1 to iters) ranks = st.step(ranks).persist()
+    for (_ <- 1 to iters) {
+      // unpersist the superseded frame as soon as its successor is
+      // marked — a linear chain is evaluated once, so only the LAST
+      // persist can ever be re-read; keeping all iterations cached was
+      // pure storage leak (round-7 verdict item 3)
+      val next = st.step(ranks).persist()
+      ranks.unpersist()
+      ranks = next
+    }
     decodeNode(ranks, col("rank"))
   }
 
@@ -154,7 +162,12 @@ object Graph {
         expr(s"is_src * coalesce(${Graph.TotalMass}L div nullif(ns, 0), 0)")
           .as("rank"))
       .persist()
-    for (_ <- 1 to iters) ranks = step(ranks).persist()
+    for (_ <- 1 to iters) {
+      // same superseded-frame unpersist discipline as [[pageRank]]
+      val next = step(ranks).persist()
+      ranks.unpersist()
+      ranks = next
+    }
     decodeNode(ranks, col("rank"))
   }
 

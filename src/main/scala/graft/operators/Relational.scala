@@ -1272,15 +1272,24 @@ object Relational {
     * changed / unchanged. Downstream jobs then touch only the
     * non-unchanged days.
     *
-    * The fingerprint is bit_xor over a 60-bit md5 slice of the
-    * canonical row rendering — xor because it is order-independent
-    * and overflow-free (sum of longs would wrap under ANSI), md5
-    * because the oracle must replay it (invariant 8). A fingerprint
-    * collision (2^-60 per pair) would mark a changed day unchanged in
-    * BOTH engines identically — the trade every content-hash diff
-    * makes. Scale posture: one keyed agg per snapshot over its rows,
-    * one |days|-sized full-outer join; nothing is ever row-joined
-    * across snapshots.
+    * The fingerprint is (bit_xor over a 60-bit md5 slice of the
+    * canonical row rendering, row count) — xor because it is
+    * order-independent and overflow-free (sum of longs would wrap
+    * under ANSI), md5 because the oracle must replay it (invariant 8),
+    * and the COUNT alongside because xor alone is parity-blind:
+    * adding or removing an EVEN number of copies of one identical row
+    * cancels in the xor (x⊕x = 0), so without the count a
+    * duplicate-doubling day would read 'unchanged'. The count catches
+    * every multiplicity change of a single row value; what remains
+    * undetectable is a count-preserving swap of xor-cancelling row
+    * SETS (e.g. drop 2×A, add 2×B) — astronomically unlikely unless
+    * rowCols fails to identify rows, so callers on duplicate-bearing
+    * tables should still include a unique id in rowCols. A residual
+    * md5 collision (2^-60 per pair) would mark a changed day
+    * unchanged in BOTH engines identically — the trade every
+    * content-hash diff makes. Scale posture: one keyed agg per
+    * snapshot over its rows, one |days|-sized full-outer join;
+    * nothing is ever row-joined across snapshots.
     * Output: (day, status), status ∈ added|removed|changed|unchanged.
     */
   def partitionDiff(oldDf: DataFrame, newDf: DataFrame,
@@ -1290,14 +1299,17 @@ object Relational {
         conv(substring(md5(concat_ws("|",
           rowCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
           .cast("long").as("h"))
-      .groupBy("day").agg(expr("bit_xor(h)").as("fp"))
-    fps(oldDf).select(col("day"), col("fp").as("fp_old"))
-      .join(fps(newDf).select(col("day"), col("fp").as("fp_new")),
-        Seq("day"), "full_outer")
+      .groupBy("day").agg(expr("bit_xor(h)").as("fp"),
+        count(lit(1)).as("cnt"))
+    fps(oldDf).select(col("day"), col("fp").as("fp_old"),
+        col("cnt").as("cnt_old"))
+      .join(fps(newDf).select(col("day"), col("fp").as("fp_new"),
+        col("cnt").as("cnt_new")), Seq("day"), "full_outer")
       .select(col("day"),
         when(col("fp_old").isNull, "added")
           .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .when(col("fp_old") === col("fp_new")
+            && col("cnt_old") === col("cnt_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

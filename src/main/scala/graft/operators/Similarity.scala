@@ -156,7 +156,15 @@ object Similarity {
         .withColumn("rn", row_number().over(byMmr))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), lit(r.toLong).as("mmr_rank"))
+      // unpersist the superseded selection frame as soon as its
+      // successor is marked — only cand/ps (reused k times in the
+      // final plan) earn a lasting cache; those two are released by
+      // the session-level Housekeeping.release AFTER the caller
+      // materializes the returned frame (they are load-bearing in its
+      // plan, so unpersisting them here would forfeit the reuse)
+      val prev = selected
       selected = selected.unionAll(pick).persist()
+      prev.unpersist()
       remaining =
         remaining.join(selected, Seq("query_id", "vec_id"), "left_anti")
     }

@@ -54,7 +54,12 @@ object ExplainAudit {
         "text_bpe_pairs", "text_bpe_merge", "samp_split_grouped",
         "samp_decay", "rel_partition_diff", "rel_hll_maintain",
         "rel_funnel_window", "rel_revenue_deciles", "rel_ppr",
-        "samp_mix_tokens")
+        "samp_mix_tokens",
+        // late round-7 additions the list predated (ADVICE r7);
+        // io_csv_quoted's build-time fixture write (the query fn
+        // stages the file before the read plan exists) is the same
+        // accepted trade as io_sorted_write / io_zorder_write above
+        "rel_outliers", "rel_gini", "io_csv_quoted")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
