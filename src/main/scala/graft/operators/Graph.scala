@@ -206,6 +206,58 @@ object Graph {
     (decodeNode(ranks, col("rank")), rounds)
   }
 
+  /** Run-to-convergence PageRank with an ORACLE-EXPRESSIBLE stopping
+    * rule (round-7 verdict #5 — the convergence loop itself, gated):
+    * iterate [[PrState.step]] until the L∞ rank movement falls to
+    * `1/residualDiv` of the FIRST round's movement (the classic
+    * relative-residual criterion of iterative solvers), capped at
+    * `maxRounds`. Everything is exact BIGINT micro-mass arithmetic, so
+    * the twin unrolls `maxRounds` rounds, computes every per-round
+    * delta, and selects the first round at/under tol — bit-identical
+    * rounds_executed and ranks in both engines.
+    *
+    * Relative (not absolute) tolerance on purpose: with damping 0.85
+    * the residual contracts ~0.85× per round INDEPENDENT of graph
+    * size (measured: Δ ratios 0.849±0.001 at sf0.001/0.01/0.1,
+    * tools/PrProbe), so rounds-to-tol is a property of the divisor
+    * alone — div 3 ⇒ 8 rounds at every test SF — while an absolute
+    * micro-mass tol scales with per-node mass (1/n) and would need
+    * per-SF retuning plus a 30+-round unroll at [[pageRankFixpoint]]'s
+    * production default. The driver-side check per round is ONE 8-byte
+    * aggregate over a frame that CARRIES prev_rank (the delta fuses
+    * into the step's own job — no extra per-round join pass), and each
+    * round re-roots with `localCheckpoint(eager)` (the [[peelNodes]]
+    * lineage lesson). Output: (node_type, key, rank, rounds) — rounds
+    * = rounds executed, constant per run.
+    */
+  def pageRankConverged(orders: DataFrame, lineitem: DataFrame,
+                        residualDiv: Long = 3,
+                        maxRounds: Int = 12): DataFrame = {
+    require(residualDiv >= 2 && maxRounds >= 1 && maxRounds <= 20,
+      s"residualDiv/maxRounds: $residualDiv/$maxRounds")
+    val st = prSetup(orders, lineitem)
+    var ranks = st.init.localCheckpoint(true)
+    var rounds = 0
+    var tol = -1L
+    var done = false
+    while (!done && rounds < maxRounds) {
+      // fuse prev_rank into the step output so the convergence check
+      // is an aggregate over the round's own frame, not a second join
+      val next = st.step(ranks)
+        .join(ranks.select(col("node"), col("rank").as("prev")), "node")
+        .select(col("node"), col("deg"), col("rank"), col("prev"))
+        .localCheckpoint(true)
+      val d = next.agg(max(abs(col("rank") - col("prev"))).as("d"))
+        .head().getLong(0)
+      rounds += 1
+      if (tol < 0) tol = d / residualDiv
+      ranks = next.drop("prev")
+      if (d <= tol) done = true
+    }
+    decodeNode(ranks, col("rank"),
+      lit(rounds.toLong).as("rounds"))
+  }
+
   /** Generic k-step min-label propagation: each iteration is one
     * edge-sized keyed join + one node-keyed `min` aggregate — the
     * distributed shape that replaces a driver-side union-find when the
@@ -556,6 +608,42 @@ object Graph {
     dist
   }
 
+  /** Frontier-only BFS — the at-scale refinement [[bfsHops]]'s own
+    * scaladoc names (round-7 verdict #6): with synchronous unweighted
+    * rounds a node's distance never improves after first assignment,
+    * so round k only needs to expand the nodes REACHED IN round k-1
+    * (the frontier), not the whole running dist set. Per round:
+    * frontier⋈edges (edge work proportional to the frontier's
+    * adjacency, not |reached|), a distinct, and one anti-join against
+    * the reached set (the membership structure a production engine
+    * backs with a bitmap/Bloom). On a saturating graph the frontier
+    * empties and later rounds cost ~nothing, where the full-set form
+    * re-joins the ENTIRE reached set against the edge list every
+    * round — measured in tools/BfsProbe (BASELINE.md). Emits exactly
+    * [[bfsHops]]'s output (the fixed-round gate semantics; the spec
+    * pins equality), and the rel_bfs_frontier gate shares
+    * rel_bfs_hops' unrolled twin.
+    */
+  def bfsHopsFrontier(sources: DataFrame, edges0: DataFrame,
+                      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val edges = edges0.persist()
+    var dist = sources.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (k <- 1 to iters) {
+      val reached = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+      val newNodes = reached.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionAll(newNodes).localCheckpoint(true)
+      frontier = newNodes
+    }
+    dist
+  }
+
   /** Hub-distance gate over the purchase graph: how many hops is each
     * node from the nearest HUB, where hubs are nodes of degree ≥
     * 3 × mean degree (derived IN-PLAN like [[purchaseKCore]]'s k — a
@@ -619,7 +707,8 @@ object Graph {
   }
 
   def purchaseHubDistance(orders: DataFrame, lineitem: DataFrame,
-                          iters: Int = 3): DataFrame = {
+                          iters: Int = 3,
+                          frontierOnly: Boolean = false): DataFrame = {
     val edges = purchaseEdges(orders, lineitem).persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val thr = edges.agg(count(lit(1)).as("ne"))
@@ -628,10 +717,12 @@ object Graph {
       .head().getLong(0)
     val sources = deg.filter(col("deg") >= thr)
       .select(col("src").as("node"))
-    bfsHops(sources, edges, iters)
-      .select(
-        when(col("node") % 2 === 0, lit("customer"))
-          .otherwise(lit("supplier")).as("node_type"),
-        expr("node div 2").as("key"), col("dist"))
+    val hops =
+      if (frontierOnly) bfsHopsFrontier(sources, edges, iters)
+      else bfsHops(sources, edges, iters)
+    hops.select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"), col("dist"))
   }
 }

@@ -508,6 +508,134 @@ object TextStats {
           .as("n_merges"))
   }
 
+  /** Full BPE tokenizer training — the iterative loop
+    * [[bpePairStats]]/[[bpeApplyTopMerge]] take one step of: `rounds`
+    * greedy merges, each picking the corpus-frequency-max adjacent
+    * SYMBOL pair (ties pinned cnt desc, a asc, b asc) and rewriting the
+    * vocabulary, so the trained tokenizer's vocab size is
+    * |base symbols| + rounds. The returned merge table (round, a, b,
+    * cnt) IS the tokenizer artifact a trainer ships (apply merges in
+    * round order to encode new text).
+    *
+    * Representation: each distinct word is a SPACE-joined symbol
+    * string ("hello" → "h e l l o") — words are split on spaces
+    * upstream, so a space can never occur inside a symbol and the
+    * join is unambiguous at every round (merged symbols concatenate,
+    * e.g. "th"). A merge round rewrites every word's symbol sequence
+    * leftmost-first non-overlapping via a left fold (string
+    * accumulator; "a a a" under (a,a) → "aa a"), which both engines
+    * express natively (Spark `aggregate`, DuckDB `list_reduce` over
+    * the ''-prepended list).
+    *
+    * Driver-loop discipline = [[graft.operators.Similarity.trainCodebook]]
+    * (round-7 verdict #3): per round ONE 3-field row (the argmax pair)
+    * crosses to the driver — a bounded model artifact, not row data —
+    * and the per-round rewrite is a vocabulary-sized projection. The
+    * corpus is touched exactly once (the shared tokenize-count);
+    * every subsequent round is |V|-sized work (Heaps' law: |V| ≪ N),
+    * so 100 TB of text trains at the cost of one corpus aggregation
+    * plus `rounds` dictionary passes. Stops early if the vocabulary
+    * runs out of adjacent pairs. Output: (round, a, b, cnt), one row
+    * per executed merge round, round = 1..rounds.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 6,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val (merges, vocab) = bpeTrainLoop(docs, rounds, textCol)
+    vocab.unpersist()
+    merges
+  }
+
+  /** The shared trainer: returns (merge table, trained vocabulary) —
+    * the vocabulary is (w, wf, repr) with repr the word's final
+    * space-joined symbol sequence, LEFT PERSISTED for the caller
+    * ([[bpeEncode]] joins it; Housekeeping.release reclaims it after
+    * the query materializes — the mmrTopK cand/ps pattern). */
+  private def bpeTrainLoop(docs: DataFrame, rounds: Int,
+                           textCol: String): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20] (twin unrolls them): $rounds")
+    val spark = docs.sparkSession
+    var cur = wordFreq(docs, textCol)
+      .select(col("w"), col("wf"),
+        array_join(filter(split(col("w"), ""), x => x =!= ""), " ")
+          .as("repr"))
+      .persist()
+    // the superseded frame is unpersisted only AFTER its successor has
+    // materialized (the take() below runs the round's aggregation over
+    // `cur`, populating its cache) — dropping it at hand-off would
+    // force the next action to recompute the whole chain from the
+    // corpus
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val top = cur
+        .select(col("wf"), split(col("repr"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("wf"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"),
+          col("t"))
+        .select(element_at(col("t"), col("i")).as("a"),
+          element_at(col("t"), col("i") + 1).as("b"), col("wf"))
+        .groupBy("a", "b").agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .take(1)
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, cnt))
+        // leftmost non-overlapping merge fold; symbol-boundary-exact
+        // because symbols are space-free (see scaladoc)
+        val next = cur.select(col("w"), col("wf"),
+          aggregate(split(col("repr"), " "), lit(""), (acc, x) =>
+            when(acc === "", x)
+              .when(x === lit(b) &&
+                (acc === lit(a) || acc.endsWith(lit(" " + a))),
+                concat(acc.substr(lit(1), length(acc) - lit(a.length)),
+                  lit(a + b)))
+              .otherwise(concat(acc, lit(" "), x))).as("repr"))
+          .persist()
+        prev = cur
+        cur = next
+        r += 1
+      }
+    }
+    if (prev != null) prev.unpersist()
+    import spark.implicits._
+    (merges.toSeq.toDF("round", "a", "b", "cnt"), cur)
+  }
+
+  /** ENCODE with the trained tokenizer — the apply half of
+    * [[bpeTrain]]: trains the same `rounds` merges, then maps every
+    * document's words through the trained vocabulary and counts the
+    * resulting subword tokens. This is the token count a training-data
+    * budget actually bills by (the ws/regex counts in [[stats]] are
+    * pre-tokenizer heuristics). The trained dictionary is |V|-sized →
+    * BROADCAST to the corpus-sized word join (one shuffle-free pass
+    * over N after the trainer's one corpus aggregation).
+    * Output: (doc_id, n_words, n_bpe_tokens).
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 6,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val (_, vocab) = bpeTrainLoop(docs, rounds, textCol)
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    words
+      .join(broadcast(vocab.select(col("w"),
+        size(split(col("repr"), " ")).cast("long").as("n_sym"))), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
   /** Document fingerprints:
     *  - fp_md5: md5 of the normalized text (exact-dup key);
     *  - fp_shingle: winnowing-style minimum over md5 hashes of 5-word

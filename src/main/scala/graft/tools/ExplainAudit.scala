@@ -59,7 +59,14 @@ object ExplainAudit {
         // io_csv_quoted's build-time fixture write (the query fn
         // stages the file before the read plan exists) is the same
         // accepted trade as io_sorted_write / io_zorder_write above
-        "rel_outliers", "rel_gini", "io_csv_quoted")
+        "rel_outliers", "rel_gini", "io_csv_quoted",
+        // round-8 surface (driver-looped gates run their bounded
+        // per-round actions at build time — cheap at the audit SF —
+        // and the printed plan is the final round's)
+        "text_html_extract", "text_html_extract_scale",
+        "text_bpe_train", "sim_topk_ivf_persisted",
+        "rel_pagerank_converged", "rel_bfs_frontier",
+        "text_bpe_encode", "sim_topk_ivf_updated")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.HtmlText
+import graft.operators.{Graph, HtmlText, Similarity, TextStats}
 
 /** Round-8 pins: the HTML ingestion rules (region priority, boilerplate
   * removal order, entity decode order, the attribute-`>` quirk) and the
@@ -75,6 +75,136 @@ class Round17Spec extends SparkSpec {
       .collect().head
     assert(got.toSeq === Seq("https://example.org/p/7", "de", "utf-8",
       "doc 7", "some doc text"))
+  }
+
+  // --- bpeTrain ---
+
+  test("bpeTrain: round 2 can merge a MERGED symbol (iterative pair " +
+    "stats over symbol sequences, not characters)") {
+    // corpus: "abab" ×3, "ab" ×2 → round 1 pairs: (a,b) cnt 3*2+2=8,
+    // (b,a) cnt 3 → merge (a,b) → reprs "ab ab" / "ab".
+    // round 2 pairs: ("ab","ab") cnt 3 → merges the merged symbol.
+    val docs = Seq((1L, "abab abab abab ab ab"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bpeTrain(docs, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got === Seq((1L, "a", "b", 8L), (2L, "ab", "ab", 3L)))
+  }
+
+  test("bpeTrain: the merge fold is leftmost-first non-overlapping " +
+    "('aaa' under (a,a) merges once) and stops when pairs run dry") {
+    // "aaa" ×2, "aa" ×1 → round 1: (a,a) cnt 2*2+1=5 → "aa a" / "aa".
+    // round 2: ("aa","a") cnt 2 → "aaa"/"aa". round 3: no pairs → dry.
+    val docs = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val got = TextStats.bpeTrain(docs, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got === Seq((1L, "a", "a", 5L), (2L, "aa", "a", 2L)))
+  }
+
+  // --- pageRankConverged ---
+
+  test("pageRankConverged: a regular graph starts at its fixed point " +
+    "and stops after one round; ranks match the fixed-round form") {
+    // 2 customers × 2 suppliers, complete bipartite: all degrees 2 →
+    // uniform mass is stationary → round-1 delta 0 → rounds = 1
+    val orders = Seq((1L, 10L), (2L, 20L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = Graph.pageRankConverged(orders, lineitem)
+    assert(got.select("rounds").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(rows(got.drop("rounds")) ===
+      rows(Graph.pageRank(orders, lineitem, iters = 1)))
+  }
+
+  test("pageRankConverged: a star graph needs several rounds and the " +
+    "final ranks equal the fixed-round form at rounds_executed") {
+    // one hub supplier shared by 4 customers, plus one private
+    // supplier — irregular degrees, so mass moves for several rounds
+    val orders = (1L to 4L).map(i => (i, i * 10)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)) ++
+      Seq((1L, 6L))).toDF("l_orderkey", "l_suppkey")
+    val got = Graph.pageRankConverged(orders, lineitem, maxRounds = 12)
+    val r = got.select("rounds").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    assert(r.size == 1 && r.head >= 2 && r.head <= 12)
+    assert(rows(got.drop("rounds")) ===
+      rows(Graph.pageRank(orders, lineitem, iters = r.head.toInt)))
+  }
+
+  // --- bfsHopsFrontier ---
+
+  test("bfsHopsFrontier emits exactly bfsHops' rows: multi-source min " +
+    "dist, unreachable nodes absent, saturation before iters") {
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val edges = edges0.unionAll(
+      edges0.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = Seq(1L, 10L).toDF("node")
+    for (iters <- Seq(1, 2, 5)) {
+      val full = Graph.bfsHops(sources, edges, iters)
+      val front = Graph.bfsHopsFrontier(sources, edges, iters)
+      assert(rows(front) === rows(full), s"iters=$iters")
+    }
+    // node 20 exists nowhere near a source — absent from the output
+    assert(!rows(Graph.bfsHopsFrontier(sources, edges, 5))
+      .exists(_.startsWith("20|")))
+  }
+
+  // --- persisted IVF index ---
+
+  test("ivfIndexWrite→ivfTopKFromIndex is bit-identical to the " +
+    "in-plan ivfTopK ranking") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (math.sin(i * 31 + d) * 100).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString
+    Similarity.ivfIndexWrite(emb, dir, nCentroids = 4)
+    val q = emb.filter(col("vec_id") % 5 === 0)
+    val inPlan = Similarity.ivfTopK(q, emb, k = 3, nCentroids = 4)
+    val served = Similarity.ivfTopKFromIndex(q, dir, k = 3)
+    assert(rows(served) === rows(inPlan))
+    assert(new java.io.File(s"$dir/codebook").exists &&
+      new java.io.File(s"$dir/postings").exists)
+  }
+
+  test("bpeEncode: per-doc subword counts reflect the trained merges") {
+    // one merge round on "abab ... ab" merges (a,b): "abab" → 2
+    // symbols, "ab" → 1, "c" → 1 (untouched single char)
+    val docs = Seq((1L, "abab abab abab ab ab"), (2L, "ab c"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bpeEncode(docs, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // doc 1: 5 words; 3×"abab"(2 sym) + 2×"ab"(1 sym) = 8 tokens
+    // doc 2: 2 words; "ab"(1) + "c"(1) = 2 tokens
+    assert(got === Seq((1L, 5L, 8L), (2L, 2L, 2L)))
+  }
+
+  test("ivfIndexAppend then serve equals a full rebuild over the " +
+    "union (fixed codebook ⇒ per-vector-independent assignment)") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (math.cos(i * 17 + d) * 100).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfupd_spec").toString
+    val build = emb.filter(col("vec_id") % 3 =!= 0)
+    Similarity.ivfIndexWrite(build, dir, nCentroids = 4)
+    Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 3 === 0), dir)
+    val q = emb.filter(col("vec_id") % 5 === 0)
+    val served = Similarity.ivfTopKFromIndex(q, dir, k = 3)
+    // rebuild twin: same codebook (4 lowest-id BUILD vectors) over ALL
+    val rebuilt = Similarity.ivfTopK(q, emb, k = 3, nCentroids = 4,
+      codebook = Some(
+        Similarity.withNorm(build).filter(col("norm") > 0)
+          .orderBy(col("vec_id").asc).limit(4)
+          .select(col("vec_id").as("cid"), col("vec").as("centroid"))))
+    assert(rows(served) === rows(rebuilt))
   }
 
   // --- partitionDiff count-fold (ADVICE r7) ---
