@@ -116,7 +116,16 @@ object Bench {
     "rel_outliers" -> 0.46, "io_csv_quoted" -> 0.43,
     // Gini, from two agreeing zero-flag runs (170.0/175.4 s @ load
     // 0.74/0.67).
-    "rel_gini" -> 0.31)
+    "rel_gini" -> 0.31,
+    // Round-8 additions, medians of three full cold runs
+    // (201.9/205.7/205.3 s @ load 0.70/0.77/0.78; runs 1-2 flagged
+    // sim_mmr at 1.4-1.5× — a real regression from eagerly
+    // unpersisting its per-round selection frames, reverted before
+    // run 3, which was zero-flag with sim_mmr back at 1.20×).
+    "text_html_extract" -> 0.05, "text_html_extract_scale" -> 0.45,
+    "text_bpe_train" -> 1.4, "text_bpe_encode" -> 2.11,
+    "sim_topk_ivf_persisted" -> 1.73, "sim_topk_ivf_updated" -> 2.27,
+    "rel_pagerank_converged" -> 7.81, "rel_bfs_frontier" -> 3.86)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

@@ -156,15 +156,15 @@ object Similarity {
         .withColumn("rn", row_number().over(byMmr))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), lit(r.toLong).as("mmr_rank"))
-      // unpersist the superseded selection frame as soon as its
-      // successor is marked — only cand/ps (reused k times in the
-      // final plan) earn a lasting cache; those two are released by
-      // the session-level Housekeeping.release AFTER the caller
-      // materializes the returned frame (they are load-bearing in its
-      // plan, so unpersisting them here would forfeit the reuse)
-      val prev = selected
+      // every selection frame stays persisted on purpose: selected_r
+      // is referenced TWICE downstream (round r+1's max-sim join AND
+      // the union chain), so the caches are load-bearing during the
+      // single final materialization — eagerly unpersisting superseded
+      // frames re-measured sim_mmr at 1.4-1.5× (round-8 bench). The
+      // bounded k+1 cached plans (≤ nCand rows per query each) are
+      // reclaimed by the session-level Housekeeping.release after the
+      // caller materializes the result (ADVICE r7 adjudication).
       selected = selected.unionAll(pick).persist()
-      prev.unpersist()
       remaining =
         remaining.join(selected, Seq("query_id", "vec_id"), "left_anti")
     }
