@@ -622,6 +622,11 @@ object SparkEntry {
     "rel_components" -> ((s, dir) =>
       Graph.connectedComponents(tbl(s, dir, "orders"),
         tbl(s, dir, "lineitem"))),
+    // run-to-convergence components: min-label until zero changes
+    // (3/4/5 rounds at the test SFs), rounds in the output
+    "rel_components_converged" -> ((s, dir) =>
+      Graph.connectedComponentsConverged(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     // exact one-vs-rest ROC-AUC (midrank ties) of the 2-dp-quantized
     // value score per event type — histogram-windowed, never row-ranked
     "rel_auc" -> ((s, dir) =>
@@ -729,6 +734,11 @@ object SparkEntry {
     // path graph in Round12Spec
     "rel_kcore" -> ((s, dir) =>
       Graph.purchaseKCore(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
+    // run-to-convergence k-core: peel until the keep set stops
+    // shrinking (2 rounds at every test SF), rounds in the output
+    "rel_kcore_converged" -> ((s, dir) =>
+      Graph.purchaseKCoreConverged(tbl(s, dir, "orders"),
         tbl(s, dir, "lineitem"))),
     // class-balanced downsample: every lang stratum capped to the
     // smallest stratum's size, deterministic (md5, key) rank order
@@ -1361,6 +1371,108 @@ object SparkEntry {
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, lbl AS component
        |FROM l$iters""".stripMargin
+  }
+
+  // Run-to-convergence components twin: `cap` unrolled min-label
+  // steps (MATERIALIZED — the change-count and pick subqueries
+  // re-reference every round), per-round changed-label counts,
+  // rounds_executed = first zero-change round (else the cap), labels
+  // picked from exactly that round — the literal
+  // Graph.connectedComponentsConverged semantics.
+  private def ComponentsConvergedSql(cap: Int): String = {
+    val steps = (1 to cap).map { i =>
+      s"""n$i AS (
+         |  SELECT e.dst AS node, min(l.lbl) AS nl
+         |  FROM l${i - 1} l JOIN edges e ON l.node = e.src
+         |  GROUP BY e.dst
+         |), l$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.lbl, coalesce(n$i.nl, l.lbl)) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN n$i ON l.node = n$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    val chs = (1 to cap).map { i =>
+      s"""SELECT $i AS k,
+         |    (SELECT count(*) FROM l$i a JOIN l${i - 1} b
+         |     ON a.node = b.node WHERE a.lbl != b.lbl) AS ch""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val picks = (1 to cap).map { i =>
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS node_type,
+         |  node // 2 AS key, lbl AS component,
+         |  (SELECT re FROM re) AS rounds
+         |FROM l$i WHERE (SELECT re FROM re) = $i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS MATERIALIZED (
+       |  SELECT c AS src, s AS dst FROM e0
+       |  UNION ALL SELECT s, c FROM e0
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+       |),
+       |$steps,
+       |dl AS MATERIALIZED (
+       |  $chs
+       |),
+       |re AS MATERIALIZED (
+       |  SELECT CAST(coalesce(min(k), $cap) AS BIGINT) AS re FROM dl
+       |  WHERE ch = 0
+       |)
+       |$picks""".stripMargin
+  }
+
+  // Run-to-convergence k-core twin: `cap` unrolled peel rounds with
+  // per-round keep-set counts; rounds_executed = the first round whose
+  // count equals its predecessor's (the monotone-shrink fixpoint
+  // rule), degrees emitted from that round's edge set.
+  private def KCoreConvergedSql(cap: Int): String = {
+    val steps = (1 to cap).map { i =>
+      s"""d$i AS (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT a AS n FROM e${i - 1} UNION ALL
+         |    SELECT b FROM e${i - 1}) GROUP BY n
+         |), k$i AS MATERIALIZED (
+         |  SELECT n FROM d$i, kk WHERE d >= k
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i x ON e.a = x.n JOIN k$i y ON e.b = y.n
+         |)""".stripMargin
+    }.mkString(",\n")
+    val cnts = (0 to cap).map { i =>
+      val src = if (i == 0)
+        s"(SELECT count(DISTINCT n) FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0))"
+      else s"(SELECT count(*) FROM k$i)"
+      s"SELECT $i AS k, $src AS c"
+    }.mkString("\n  UNION ALL ")
+    val picks = (1 to cap).map { i =>
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS node_type,
+         |  node // 2 AS key, degree, (SELECT re FROM re) AS rounds
+         |FROM (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+         |  GROUP BY node)
+         |WHERE (SELECT re FROM re) = $i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |), kk AS MATERIALIZED (
+       |  SELECT (SELECT count(*) FROM e0) //
+       |    (SELECT count(DISTINCT n) FROM (
+       |       SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)) AS k
+       |),
+       |$steps,
+       |cnts AS MATERIALIZED (
+       |  $cnts
+       |),
+       |re AS MATERIALIZED (
+       |  SELECT CAST(coalesce(min(a.k), $cap) AS BIGINT) AS re
+       |  FROM cnts a JOIN cnts b ON b.k = a.k - 1
+       |  WHERE a.c = b.c AND a.k >= 1
+       |)
+       |$picks""".stripMargin
   }
 
   // Entity-resolution twin generator: the fuzzy-join vocab/variant CTEs
@@ -4597,6 +4709,8 @@ object SparkEntry {
 
     // Components twin: 4 unrolled min-label steps, pure BIGINT
     "rel_components" -> ComponentsSql(4),
+    "rel_components_converged" -> ComponentsConvergedSql(8),
+    "rel_kcore_converged" -> KCoreConvergedSql(6),
 
     // AUC twin: per-(score, class) histogram, cumulative-below window
     // over DISTINCT scores, exact integer rank sums, one final IEEE

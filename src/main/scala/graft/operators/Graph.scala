@@ -414,6 +414,35 @@ object Graph {
       col("lbl").as("component"))
   }
 
+  /** Run-to-convergence connected components, gated (the
+    * [[pageRankConverged]] pattern applied to [[minLabelFixpoint]]):
+    * min-label propagation until NO label changes, rounds_executed in
+    * the output. The change count is exact-integer and label
+    * propagation is bit-deterministic, so the twin unrolls `maxRounds`
+    * label steps, counts per-round diffs, and picks the first
+    * zero-change round. Measured fixpoint on the purchase graph: 3/4/5
+    * rounds at sf0.001/0.01/0.1 (tools/CcProbe) — cap 8 covers with
+    * margin, and if a graph ever exceeded the cap both engines would
+    * agree on the capped state anyway.
+    * Output: (node_type, key, component, rounds).
+    */
+  def connectedComponentsConverged(orders: DataFrame,
+                                   lineitem: DataFrame,
+                                   maxRounds: Int = 8): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 12,
+      s"maxRounds (twin unrolls them): $maxRounds")
+    val edges = purchaseEdges(orders, lineitem)
+    val labels0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val (lbl, rounds) = minLabelFixpoint(labels0, edges, maxRounds)
+    lbl.select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("lbl").as("component"),
+      lit(rounds.toLong).as("rounds"))
+  }
+
   /** Fixed-round k-core peeling: `iters` rounds of "drop every node
     * with degree < k, then drop edges touching dropped nodes" over the
     * canonical (a < b) undirected pair list — the standard community-
@@ -563,6 +592,39 @@ object Graph {
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
         expr("node div 2").as("key"), col("degree"))
+  }
+
+  /** Run-to-convergence k-core over the purchase graph, gated: peel
+    * with the in-plan mean-degree threshold until the keep set stops
+    * shrinking ([[kCoreFixpoint]]'s monotone-count rule — equal count
+    * ⟺ equal set), rounds_executed in the output. Measured fixpoint: 2
+    * rounds (1 peel + 1 verify) at every test SF (tools/CcProbe) —
+    * the mean-degree core is shallow on this graph; cap 6 covers any
+    * cascade the testdata could produce, and past the cap both
+    * engines agree on the capped state.
+    * Output: (node_type, key, degree, rounds).
+    */
+  def purchaseKCoreConverged(orders: DataFrame, lineitem: DataFrame,
+                             maxRounds: Int = 6): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 10,
+      s"maxRounds (twin unrolls them): $maxRounds")
+    val e0 = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("key_a"),
+        (col("l_suppkey") * 2 + 1).as("key_b"))
+      .distinct().persist()
+    val kVal = e0.agg(count(lit(1)).as("ne"))
+      .crossJoin(e0.select(col("key_a").as("n"))
+        .unionAll(e0.select(col("key_b").as("n")))
+        .agg(countDistinct(col("n")).as("nn")))
+      .select(expr("ne div nn").as("k"))
+      .head().getLong(0)
+    val (core, rounds) = kCoreFixpoint(e0, kVal.toInt, maxRounds)
+    core.select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"), col("degree"),
+      lit(rounds.toLong).as("rounds"))
   }
 
   /** Multi-source BFS: dist(n) = min hop count from any source node,

@@ -66,7 +66,8 @@ object ExplainAudit {
         "text_html_extract", "text_html_extract_scale",
         "text_bpe_train", "sim_topk_ivf_persisted",
         "rel_pagerank_converged", "rel_bfs_frontier",
-        "text_bpe_encode", "sim_topk_ivf_updated")
+        "text_bpe_encode", "sim_topk_ivf_updated",
+        "rel_components_converged", "rel_kcore_converged")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -134,6 +134,40 @@ class Round17Spec extends SparkSpec {
       rows(Graph.pageRank(orders, lineitem, iters = r.head.toInt)))
   }
 
+  test("connectedComponentsConverged: labels equal the fixed-round " +
+    "form at rounds_executed, and the last round verifies no change") {
+    // two components: {c10,s5,c20,s6} path and {c30,s7} edge
+    val orders = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 5L), (2L, 5L), (2L, 6L), (3L, 7L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = Graph.connectedComponentsConverged(orders, lineitem)
+    val r = got.select("rounds").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    assert(r.size == 1 && r.head >= 2 && r.head <= 8)
+    assert(rows(got.drop("rounds")) ===
+      rows(Graph.connectedComponents(orders, lineitem,
+        iters = r.head.toInt)))
+    assert(got.select("component").distinct().count() === 2)
+  }
+
+  test("purchaseKCoreConverged: degrees equal the fixed-round form " +
+    "at rounds_executed") {
+    // complete 5×5 bipartite core (25 edges) + one pendant customer
+    // (deg 1): 26 edges / 12 nodes → derived k = 2, the pendant peels
+    // in round 1, round 2 verifies
+    val orders = ((1L to 5L).map(i => (i, i * 10)) :+ ((9L, 99L)))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = ((for (o <- 1L to 5L; sp <- 1L to 5L) yield (o, sp))
+      :+ ((9L, 1L))).toDF("l_orderkey", "l_suppkey")
+    val got = Graph.purchaseKCoreConverged(orders, lineitem)
+    val r = got.select("rounds").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    assert(r.size == 1 && r.head >= 1 && r.head <= 6)
+    assert(rows(got.drop("rounds")) ===
+      rows(Graph.purchaseKCore(orders, lineitem, iters = r.head.toInt)))
+  }
+
   // --- bfsHopsFrontier ---
 
   test("bfsHopsFrontier emits exactly bfsHops' rows: multi-source min " +
