@@ -125,7 +125,12 @@ object Bench {
     "text_html_extract" -> 0.05, "text_html_extract_scale" -> 0.45,
     "text_bpe_train" -> 1.4, "text_bpe_encode" -> 2.11,
     "sim_topk_ivf_persisted" -> 1.73, "sim_topk_ivf_updated" -> 2.27,
-    "rel_pagerank_converged" -> 7.81, "rel_bfs_frontier" -> 3.86)
+    "rel_pagerank_converged" -> 7.81, "rel_bfs_frontier" -> 3.86,
+    // Second round-8 batch, medians of three runs (199.2 @ 0.76 —
+    // its one flag, rel_ppr 1.37x, did not repeat — 184.7 @ 0.76 and
+    // 194.2 @ 0.72, both zero-flag).
+    "rel_components_converged" -> 4.18, "rel_kcore_converged" -> 2.34,
+    "text_html_langid" -> 0.43)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

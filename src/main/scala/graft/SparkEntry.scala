@@ -175,6 +175,24 @@ object SparkEntry {
         .write.mode("overwrite").text(out)
       HtmlText.extract(s.read.text(out))
     }),
+    // Ingestion QA composition: declared-language attribute vs the
+    // n-gram detector over the EXTRACTED main content — the
+    // lang-agreement audit a crawl pipeline runs before trusting
+    // either signal. zh pages fall to 'en' (the detector's 4-language
+    // stopword sets score 0 everywhere and ties break en-first) —
+    // exactly the disagreement row the audit exists to surface.
+    "text_html_langid" -> ((s, dir) => {
+      val out = scratchDir("htmlqa")
+      HtmlText.renderPages(docs(s, dir))
+        .write.mode("overwrite").text(out)
+      val ex = HtmlText.extract(s.read.text(out))
+        .select(col("lang").as("declared"), col("text"))
+      TextStats.langId(ex, idCol = "declared", textCol = "text")
+        .select(col("doc_id").as("declared"), col("lang_pred"))
+        .groupBy("declared", "lang_pred")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_pages"))
+    }),
 
     // --- ", "-CSV compatibility round-trip (S2/S6 + T4 ordering) ---
     // Writes the full Q6 result through the reference-format text sink
@@ -2610,6 +2628,40 @@ object SparkEntry {
     "text_html_extract_scale" ->
       s"""WITH $htmlRenderCte
          |${htmlExtractSelect("hpages")}""".stripMargin,
+    // Ingestion QA twin: render + extract, then the text_langid hit
+    // counts + argmax CASE over the EXTRACTED text, grouped into the
+    // (declared, detected) agreement matrix.
+    "text_html_langid" ->
+      s"""WITH $htmlRenderCte,
+         |ex AS (
+         |${htmlExtractSelect("hpages")}
+         |), xt AS (
+         |  SELECT lang AS declared,
+         |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |      t -> t != '') AS toks
+         |  FROM ex
+         |), h AS (
+         |  SELECT declared,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t)))) AS en_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.DeStopwords)}, lower(t)))) AS de_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EsStopwords)}, lower(t)))) AS es_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.FrStopwords)}, lower(t)))) AS fr_hits
+         |  FROM xt
+         |), p AS (
+         |  SELECT declared,
+         |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |              AND en_hits >= fr_hits THEN 'en'
+         |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |         WHEN es_hits >= fr_hits THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM h
+         |)
+         |SELECT declared, lang_pred, count(*) AS n_pages
+         |FROM p GROUP BY 1, 2""".stripMargin,
 
     "wiki_tokens" ->
       s"WITH $wikiDocCtes, $tokenCtes SELECT doc_id, word FROM tokens",

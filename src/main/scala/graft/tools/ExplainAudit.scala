@@ -67,7 +67,8 @@ object ExplainAudit {
         "text_bpe_train", "sim_topk_ivf_persisted",
         "rel_pagerank_converged", "rel_bfs_frontier",
         "text_bpe_encode", "sim_topk_ivf_updated",
-        "rel_components_converged", "rel_kcore_converged")
+        "rel_components_converged", "rel_kcore_converged",
+        "text_html_langid")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
