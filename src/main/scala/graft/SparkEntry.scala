@@ -181,6 +181,37 @@ object SparkEntry {
     // either signal. zh pages fall to 'en' (the detector's 4-language
     // stopword sets score 0 everywhere and ties break en-first) —
     // exactly the disagreement row the audit exists to surface.
+    // URL canonicalization dedup (the mm_phash cloned-corpus pattern):
+    // four in-plan variants per doc — host/scheme case + default port,
+    // tracking params, fragment, trailing slash — MUST collapse to
+    // exactly one canonical URL per doc (n_variants = 4)
+    "dedup_url" -> ((s, dir) => {
+      val base = concat(lit("https://example.org/p/"),
+        col("doc_id").cast("string"))
+      docs(s, dir).select(col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.array(
+            base,
+            concat(base, lit("/")),
+            concat(lit("HTTPS://EXAMPLE.ORG:443/p/"),
+              col("doc_id").cast("string"),
+              lit("?utm_source=feed&utm_medium=rss")),
+            concat(base, lit("#top")))).as("url"))
+        .select(col("doc_id"),
+          Dedup.canonicalUrl(col("url")).as("url_canon"))
+        .groupBy("url_canon")
+        .agg(org.apache.spark.sql.functions.min(col("doc_id"))
+            .as("doc_id"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n_variants"))
+    }),
+
+    // Streaming ingestion composition: the SAME HtmlText.extract plan
+    // over a text-file STREAM (stateless map ⇒ streaming-composable),
+    // per-language page counts via the staged-replay harness
+    "stream_html_ingest" -> ((s, dir) =>
+      graft.streaming.EventsStream.htmlIngestCounts(
+        s, dir, scratchDir("htmlstream"))),
+
     "text_html_langid" -> ((s, dir) => {
       val out = scratchDir("htmlqa")
       HtmlText.renderPages(docs(s, dir))
@@ -1695,6 +1726,23 @@ object SparkEntry {
        |FROM dwords d JOIN v$rounds v USING (w)
        |GROUP BY d.doc_id""".stripMargin
 
+  // Dedup.canonicalUrl as one nested DuckDB expression over column
+  // `url` — generated from the SAME pattern constants; replacements
+  // use \1 (DuckDB) where Spark uses $1.
+  private val dedupUrlCanonSql: String = {
+    import operators.Dedup._
+    def re(p: String) = "'" + p.replace("'", "''") + "'"
+    val pfx = s"regexp_extract(url, ${re(UrlPrefixRe)}, 1)"
+    val c0 = s"(lower($pfx) || substr(url, length($pfx) + 1))"
+    val c1 = s"regexp_replace($c0, ${re(UrlDefaultPortHttpRe)}, '\\1\\2')"
+    val c2 = s"regexp_replace($c1, ${re(UrlDefaultPortHttpsRe)}, '\\1\\2')"
+    val c3 = s"regexp_replace($c2, ${re(UrlFragmentRe)}, '')"
+    val c4 = s"regexp_replace($c3, ${re(UrlTrackingRe)}, '\\1', 'g')"
+    val c5 = s"regexp_replace($c4, ${re(UrlDelimRunRe)}, '\\1', 'g')"
+    val c6 = s"regexp_replace($c5, ${re(UrlTrailingJunkRe)}, '')"
+    s"regexp_replace($c6, ${re(UrlTrailingSlashRe)}, '')"
+  }
+
   // DuckDB twin of HtmlText.extract over a relation exposing one page
   // per row in column `value` — generated from the SAME regex/entity
   // constants as the Scala operator, so a rule change lands in both
@@ -2628,6 +2676,36 @@ object SparkEntry {
     "text_html_extract_scale" ->
       s"""WITH $htmlRenderCte
          |${htmlExtractSelect("hpages")}""".stripMargin,
+    // URL-canonicalization twin: the same four variants per doc and
+    // the same regex chain (dedupUrlCanonSql shares Dedup's pattern
+    // constants; replacements use DuckDB's \1 syntax, 'g' only where
+    // a pattern can match more than once).
+    "dedup_url" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, unnest([
+         |    'https://example.org/p/' || CAST(doc_id AS VARCHAR),
+         |    'https://example.org/p/' || CAST(doc_id AS VARCHAR) || '/',
+         |    'HTTPS://EXAMPLE.ORG:443/p/' || CAST(doc_id AS VARCHAR) ||
+         |      '?utm_source=feed&utm_medium=rss',
+         |    'https://example.org/p/' || CAST(doc_id AS VARCHAR) || '#top'
+         |  ]) AS url
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, $dedupUrlCanonSql AS url_canon FROM v
+         |)
+         |SELECT url_canon, min(doc_id) AS doc_id,
+         |  count(*) AS n_variants
+         |FROM c GROUP BY 1""".stripMargin,
+
+    // Streaming-ingest twin: the batch render+extract relational
+    // replay grouped by language — AvailableNow drain ≡ batch.
+    "stream_html_ingest" ->
+      s"""WITH $htmlRenderCte,
+         |ex AS (
+         |${htmlExtractSelect("hpages")}
+         |)
+         |SELECT lang, count(*) AS n_pages FROM ex GROUP BY lang""".stripMargin,
+
     // Ingestion QA twin: render + extract, then the text_langid hit
     // counts + argmax CASE over the EXTRACTED text, grouped into the
     // (declared, detected) agreement matrix.

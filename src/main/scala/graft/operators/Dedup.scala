@@ -988,6 +988,47 @@ object Dedup {
     * persisted for its two consumers (invariant 9). Output: (doc_id,
     * n_chunks, n_dup_chunks, dup_frac).
     */
+  // URL canonicalization regexes — shared with the DuckDB twin (the
+  // HtmlText constant-sharing discipline). Replacement strings differ
+  // per engine ($1 vs \1) and live at each call site.
+  val UrlPrefixRe = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+  val UrlDefaultPortHttpRe = "^(http://[^/?#:]*):80([/?#]|$)"
+  val UrlDefaultPortHttpsRe = "^(https://[^/?#:]*):443([/?#]|$)"
+  val UrlFragmentRe = "#.*$"
+  val UrlTrackingRe = "([?&])(utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*"
+  val UrlDelimRunRe = "([?&])[?&]+"
+  val UrlTrailingJunkRe = "[?&]+$"
+  val UrlTrailingSlashRe = "/+$"
+
+  /** URL canonicalization — the dedup key a CommonCrawl-scale pipeline
+    * groups fetches by before any content hashing (the same page is
+    * crawled under scheme/host case variants, default ports, tracking
+    * params, fragments, and trailing slashes):
+    *  1. lowercase scheme://host[:port] (the case-insensitive parts;
+    *     path/query case is preserved — they are case-sensitive);
+    *  2. drop the default port (:80 for http, :443 for https);
+    *  3. drop the #fragment (never sent to the server);
+    *  4. drop utm_* / gclid / fbclid tracking params, then collapse the
+    *     delimiter runs the removal leaves ("?&&x" → "?x") and any
+    *     trailing "?"/"&";
+    *  5. drop trailing slashes (uniformly, including the root — a
+    *     pinned convention; both engines agree by construction).
+    * Schemeless strings pass through steps 3-5 only (step 1's prefix
+    * match is empty). Pure chained regexp_replace — codegen'd,
+    * map-only, the twin replays the same patterns.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val pfx = regexp_extract(u, UrlPrefixRe, 1)
+    val c0 = concat(lower(pfx), u.substr(length(pfx) + 1, length(u)))
+    val c1 = regexp_replace(c0, UrlDefaultPortHttpRe, "$1$2")
+    val c2 = regexp_replace(c1, UrlDefaultPortHttpsRe, "$1$2")
+    val c3 = regexp_replace(c2, UrlFragmentRe, "")
+    val c4 = regexp_replace(c3, UrlTrackingRe, "$1")
+    val c5 = regexp_replace(c4, UrlDelimRunRe, "$1")
+    val c6 = regexp_replace(c5, UrlTrailingJunkRe, "")
+    regexp_replace(c6, UrlTrailingSlashRe, "")
+  }
+
   def chunkDupStats(docs: DataFrame, avgTokens: Int = 16): DataFrame = {
     val chunks = TextStats.cdcChunk(docs, avgTokens)
       .select("doc_id", "chunk_md5").persist()

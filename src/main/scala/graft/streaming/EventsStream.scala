@@ -72,6 +72,30 @@ object EventsStream {
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, s => hourlyAgg(s, dir), "hourly", "complete")
 
+  /** Streaming raw-HTML ingestion: the batch
+    * [[graft.operators.HtmlText.extract]] projection applied UNCHANGED
+    * to a text-file stream — it is a stateless map, so it is
+    * streaming-composable by construction (this gate PROVES it) —
+    * rolled up into per-language page counts (complete mode,
+    * AvailableNow). `stageDir` first receives the rendered pages
+    * through the text sink: the staged-file replay pattern every
+    * file-stream gate here uses. At scale this is the continuous-crawl
+    * shape: raw page files land in a directory, the stream picks them
+    * up incrementally, and the same extraction plan serves batch and
+    * streaming. Output: (lang, n_pages).
+    */
+  def htmlIngestCounts(spark: SparkSession, dir: String,
+                       stageDir: String): DataFrame = {
+    graft.operators.HtmlText.renderPages(
+        graft.Tables.load(spark, dir, "documents"))
+      .write.mode("overwrite").text(stageDir)
+    runToMemory(spark, s =>
+      graft.operators.HtmlText.extract(s.readStream.text(stageDir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pages")),
+      "htmlingest", "complete")
+  }
+
   /** Sliding-window event counts (1-hour windows every 30 minutes —
     * each event lands in two windows), watermarked, AvailableNow.
     * Output: (hour string, event_type, n_events).

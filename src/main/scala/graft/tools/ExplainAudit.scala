@@ -68,7 +68,10 @@ object ExplainAudit {
         "rel_pagerank_converged", "rel_bfs_frontier",
         "text_bpe_encode", "sim_topk_ivf_updated",
         "rel_components_converged", "rel_kcore_converged",
-        "text_html_langid")
+        "text_html_langid",
+        // (stream_html_ingest excluded with the other streaming gates:
+        // explain would stage and drain the stream)
+        "dedup_url")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

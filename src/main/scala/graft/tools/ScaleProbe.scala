@@ -251,6 +251,30 @@ object ScaleProbe {
       println(s"PROBE pagerank_fixpoint rounds=$r")
       ranks.count()
     }
+    // BPE training (round 8): the corpus is touched ONCE (the shared
+    // tokenize-count); every merge round is vocabulary-sized. The
+    // clones multiply corpus volume but NOT the vocabulary (identical
+    // text), so time should grow only with the one corpus aggregation
+    // — the Heaps'-law argument, measured.
+    time(big)("bpe_train_6r")(TextStats.bpeTrain(big).count())
+    // HTML ingestion (round 8): render + extract is a stateless
+    // map-only projection chain — K-linear by construction; the row
+    // rules out a hidden shuffle or regex blowup at volume.
+    time(big)("html_render_extract")(
+      graft.operators.HtmlText.extract(
+        graft.operators.HtmlText.renderPages(big)).count())
+    // URL canonicalization (round 8): map + one keyed agg over 4K×N
+    // variant rows.
+    time(big)("dedup_url_canon") {
+      val base = concat(lit("https://example.org/p/"),
+        col("doc_id").cast("string"))
+      big.select(col("doc_id"), explode(array(
+          base, concat(base, lit("/")),
+          concat(base, lit("?utm_source=f")),
+          concat(base, lit("#t")))).as("url"))
+        .select(Dedup.canonicalUrl(col("url")).as("u"))
+        .groupBy("u").count().count()
+    }
     spark.stop()
   }
 }
