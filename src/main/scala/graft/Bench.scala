@@ -130,7 +130,12 @@ object Bench {
     // its one flag, rel_ppr 1.37x, did not repeat — 184.7 @ 0.76 and
     // 194.2 @ 0.72, both zero-flag).
     "rel_components_converged" -> 4.18, "rel_kcore_converged" -> 2.34,
-    "text_html_langid" -> 0.43)
+    "text_html_langid" -> 0.43,
+    // Third round-8 batch, medians of three zero-flag runs
+    // (194.2 @ 0.70, 191.9 @ 0.70, 204.5 @ 0.71).
+    "dedup_url" -> 0.45, "stream_html_ingest" -> 0.98,
+    // SF-independent 4-file fixture read; warmed OneQuery runs.
+    "text_html_extract_files" -> 0.15)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

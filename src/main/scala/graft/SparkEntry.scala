@@ -51,6 +51,15 @@ object SparkEntry {
   val HtmlFixturePath =
     "/root/repo/src/main/resources/graft/html_pages.txt"
 
+  /** Committed MULTI-LINE per-file HTML fixture (real pages are
+    * multi-line; the one-page-per-line fixture above cannot exercise
+    * that): four .html files read via Spark's `wholetext` text source
+    * (one row per FILE) and DuckDB's read_text glob. Pins tags and
+    * comments spanning lines, multi-line scripts/styles inside the
+    * region, and the same entity/charset rules on the per-file path. */
+  val HtmlSiteDir =
+    "/root/repo/src/main/resources/graft/html_site"
+
   private def htmlPages(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.{length, trim}
     s.read.text(HtmlFixturePath)
@@ -163,6 +172,12 @@ object SparkEntry {
     // identical regex chain over the same file.
     "text_html_extract" -> ((s, _) =>
       HtmlText.extract(htmlPages(s))),
+    // Per-FILE multi-line ingestion (wholetext source): one row per
+    // .html file — the (?s)-flagged regex chain must handle tags,
+    // comments and blocks spanning lines
+    "text_html_extract_files" -> ((s, _) =>
+      HtmlText.extract(
+        s.read.option("wholetext", "true").text(HtmlSiteDir))),
     // Corpus volume (the wiki_parse_scale pattern): render every
     // documents row into a full template page — head script, header/
     // nav/aside/footer boilerplate, canonical link — write through the
@@ -2675,6 +2690,14 @@ object SparkEntry {
          |${htmlExtractSelect("hpages")}""".stripMargin,
     "text_html_extract_scale" ->
       s"""WITH $htmlRenderCte
+         |${htmlExtractSelect("hpages")}""".stripMargin,
+    // Per-file multi-line twin: one row per .html file via the
+    // read_text glob.
+    "text_html_extract_files" ->
+      s"""WITH hpages AS (
+         |  SELECT content AS value
+         |  FROM read_text('$HtmlSiteDir/*.html')
+         |)
          |${htmlExtractSelect("hpages")}""".stripMargin,
     // URL-canonicalization twin: the same four variants per doc and
     // the same regex chain (dedupUrlCanonSql shares Dedup's pattern

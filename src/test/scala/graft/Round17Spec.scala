@@ -241,6 +241,19 @@ class Round17Spec extends SparkSpec {
     assert(rows(served) === rows(rebuilt))
   }
 
+  test("html: multi-line pages — tags, comments and blocks spanning " +
+    "lines extract correctly (the (?s) flags are load-bearing)") {
+    val page = "<html lang=\"en\">\n<head>\n  <title>\n    Two\n" +
+      "    Lines\n  </title>\n  <script>\n    var x = 1;\n  </script>\n" +
+      "</head>\n<body>\n  <article>\n    <p>Line one\n" +
+      "       continues.</p>\n    <!-- multi\n    line <b>comment</b>" +
+      " -->\n    <p>Line two.</p>\n  </article>\n</body>\n</html>"
+    val (_, lang, _, title, text) = extractOne(page)
+    assert(lang === "en")
+    assert(title === "Two Lines")
+    assert(text === "Line one continues. Line two.")
+  }
+
   // --- canonicalUrl ---
 
   test("canonicalUrl: each normalization rule and its boundaries") {
