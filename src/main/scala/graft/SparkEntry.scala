@@ -1191,6 +1191,16 @@ object SparkEntry {
         Seq("event_id", "user_id", "event_type"))
     }),
 
+    // The diff DRIVING a refresh: keep unchanged days' old aggregates,
+    // recompute only dirty days, splice — must equal the full
+    // recompute bit-for-bit (see Relational.incrementalRefresh)
+    "rel_incremental_refresh" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Relational.incrementalRefresh(
+        ev.filter(expr("unix_micros(ts) < 1706616000000000")), ev,
+        Seq("event_id", "user_id", "event_type"))
+    }),
+
     // Append-mode watermark-finalized hourly windows over the staged
     // 3-batch replay — pins WHICH windows have been emitted (finalized)
     // by end-of-stream vs held in state
@@ -4725,6 +4735,15 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, event_type
         |  ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    // Diff-driven-refresh twin: the FULL daily recompute over the new
+    // snapshot — the spliced kept+recomputed result must equal it
+    "rel_incremental_refresh" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Incremental-agg twin: the FULL recompute — the merged
     // state+delta must equal it exactly (decimal sums both engines)

@@ -71,7 +71,8 @@ object ExplainAudit {
         "text_html_langid",
         // (stream_html_ingest excluded with the other streaming gates:
         // explain would stage and drain the stream)
-        "dedup_url")
+        "dedup_url", "text_html_extract_files",
+        "rel_incremental_refresh")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

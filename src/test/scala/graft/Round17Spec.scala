@@ -320,6 +320,48 @@ class Round17Spec extends SparkSpec {
     assert(gotTokens === wantTokens)
   }
 
+  test("incrementalRefresh: splice of kept + recomputed days equals " +
+    "the full recompute; removed days are dropped") {
+    def mk(rows: Seq[(String, Long, Double)]) = rows
+      .toDF("ts0", "event_id", "value")
+      .select(col("ts0").cast("timestamp").as("ts"), col("event_id"),
+        col("value"))
+    val oldDf = mk(Seq(
+      ("2024-01-01 10:00:00", 1L, 5.0),   // unchanged day
+      ("2024-01-02 10:00:00", 2L, 7.0),   // changed day (row added)
+      ("2024-01-03 10:00:00", 3L, 9.0)))  // removed day
+    val newDf = mk(Seq(
+      ("2024-01-01 10:00:00", 1L, 5.0),
+      ("2024-01-02 10:00:00", 2L, 7.0),
+      ("2024-01-02 11:00:00", 4L, 1.5),
+      ("2024-01-04 10:00:00", 5L, 2.0))) // added day
+    val got = operators.Relational
+      .incrementalRefresh(oldDf, newDf, Seq("event_id"))
+    val full = newDf
+      .groupBy(org.apache.spark.sql.functions.to_date(col("ts"))
+        .cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(
+          col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+    assert(rows(got) === rows(full))
+    assert(!rows(got).exists(_.startsWith("2024-01-03")))
+  }
+
+  test("HtmlText.extract never throws on garbage input and keeps its " +
+    "schema (robust ingestion)") {
+    val rnd = new scala.util.Random(7)
+    val garbage = (1 to 40).map { _ =>
+      (1 to rnd.nextInt(60)).map(_ =>
+        "<>/\"'&;ab= \tx!#?".charAt(rnd.nextInt(16))).mkString
+    } ++ Seq("<", ">", "<<<>>>", "<script>", "</article>", "&amp",
+      "<!--", "<title>", "a" * 500)
+    val out = HtmlText.extract(garbage.toDF("value"))
+    assert(out.columns.toSeq ===
+      Seq("url", "lang", "charset", "title", "text"))
+    assert(out.count() === garbage.length.toLong)
+  }
+
   // --- partitionDiff count-fold (ADVICE r7) ---
 
   test("partitionDiff: an even number of added identical-row copies " +
