@@ -135,7 +135,10 @@ object Bench {
     // (194.2 @ 0.70, 191.9 @ 0.70, 204.5 @ 0.71).
     "dedup_url" -> 0.45, "stream_html_ingest" -> 0.98,
     // SF-independent 4-file fixture read; warmed OneQuery runs.
-    "text_html_extract_files" -> 0.15)
+    "text_html_extract_files" -> 0.15,
+    // Final round-8 stamp, median of the three session-end zero-flag
+    // runs (191.2 @ 0.74, 202.4 @ 0.73, 180.0 @ 0.67).
+    "rel_incremental_refresh" -> 0.8)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
