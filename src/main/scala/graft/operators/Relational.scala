@@ -1337,7 +1337,11 @@ object Relational {
       .groupBy(to_date(col("ts")).cast("string").as("day"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sv"))
-    val diff = partitionDiff(oldDf, newDf, rowCols)
+    // persisted: the diff feeds BOTH splice branches — without the
+    // cache each branch re-fingerprints both snapshots (the
+    // ExplainAudit round-8 finding: two extra full scans per branch);
+    // |days|-sized, reclaimed by Housekeeping.release post-query
+    val diff = partitionDiff(oldDf, newDf, rowCols).persist()
     val unchanged = diff.filter(col("status") === "unchanged")
       .select("day")
     val dirty = diff.filter(col("status").isin("added", "changed"))
