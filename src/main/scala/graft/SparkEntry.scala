@@ -1147,6 +1147,18 @@ object SparkEntry {
     "text_bpe_encode" -> ((s, dir) =>
       TextStats.bpeEncode(docs(s, dir), rounds = BpeTrainRounds)),
 
+    // Tokenizer-as-artifact (round-8 verdict #1): train the 6-merge
+    // tokenizer ONCE, persist merges+vocab as parquet, and encode from
+    // the RE-READ artifact — the oracle is text_bpe_encode's own twin,
+    // so the gate proves train→persist→apply is bit-identical to the
+    // in-plan encode (the sim_topk_ivf_persisted precedent)
+    "text_bpe_apply_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = scratchDir("bpetok")
+      TextStats.bpeArtifactWrite(d, out, rounds = BpeTrainRounds)
+      TextStats.bpeEncodeFromArtifact(d, out)
+    }),
+
     // Group-leakage-safe split: the hash key is the GROUP (source),
     // not the row, so every group lands wholly in one split — the
     // contamination guard a benchmark-vs-train split actually needs
@@ -1685,7 +1697,11 @@ object SparkEntry {
   // The shared WITH-body: word-frequency dictionary → v0 symbol
   // rendering → `rounds` (pair-count, argmax, merge-fold) CTE triples.
   // v$i carries (w, wf, repr) so the encode twin can join documents'
-  // words to their trained symbol sequences.
+  // words to their trained symbol sequences. v$i LEFT JOINs its argmax
+  // pair t$i (one row or empty): a dried-out vocabulary (t$i empty)
+  // keeps repr unchanged instead of collapsing v$i to zero rows —
+  // mirroring bpeTrainLoop's early stop, which encodes with the last
+  // non-empty vocabulary.
   private def bpeChainSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""s$i AS (
@@ -1700,14 +1716,16 @@ object SparkEntry {
          |  FROM q$i GROUP BY 1, 2
          |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
          |), v$i AS (
-         |  SELECT w, wf, list_reduce(list_prepend('', string_split(repr, ' ')),
+         |  SELECT w, wf,
+         |    CASE WHEN t$i.a IS NULL THEN repr
+         |    ELSE list_reduce(list_prepend('', string_split(repr, ' ')),
          |      (acc, x) -> CASE WHEN acc = '' THEN x
          |        WHEN x = t$i.b AND (acc = t$i.a
          |          OR ends_with(acc, ' ' || t$i.a))
          |        THEN substr(acc, 1, length(acc) - length(t$i.a)) ||
          |          t$i.a || t$i.b
-         |        ELSE acc || ' ' || x END) AS repr
-         |  FROM v${i - 1} CROSS JOIN t$i
+         |        ELSE acc || ' ' || x END) END AS repr
+         |  FROM v${i - 1} LEFT JOIN t$i ON TRUE
          |)""".stripMargin
     }.mkString(",\n")
     s"""nrm AS (
@@ -2469,6 +2487,9 @@ object SparkEntry {
     "text_bpe_train" -> bpeTrainSql(BpeTrainRounds),
     // Tokenizer-apply replay: the same chain + the per-doc word join
     "text_bpe_encode" -> bpeEncodeSql(BpeTrainRounds),
+    // stored-artifact apply ≡ in-plan encode, by the shared-tail
+    // construction — same twin
+    "text_bpe_apply_stored" -> bpeEncodeSql(BpeTrainRounds),
 
     // Quoted-CSV twin: pure identity — the round-trip must be lossless
     "io_csv_quoted" ->

@@ -624,6 +624,17 @@ object TextStats {
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val (_, vocab) = bpeTrainLoop(docs, rounds, textCol)
+    encodeWithVocab(docs, vocab, idCol, textCol)
+  }
+
+  /** The encode tail shared VERBATIM by [[bpeEncode]] (in-plan trained
+    * vocabulary) and [[bpeEncodeFromArtifact]] (vocabulary re-read from
+    * parquet) — the [[graft.operators.Similarity.ivfServe]] discipline:
+    * train-then-serve is bit-identical to train-and-serve by
+    * construction, because both run this exact plan over a (w, repr)
+    * frame. */
+  private def encodeWithVocab(docs: DataFrame, vocab: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
     val words = docs
       .select(col(idCol).as("doc_id"),
         explode(split(normalized(col(textCol)), " ")).as("w"))
@@ -635,6 +646,43 @@ object TextStats {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sym")).as("n_bpe_tokens"))
   }
+
+  /** Train the BPE tokenizer ONCE and persist it as parquet — the
+    * tokenizer-as-artifact half of the story (the
+    * [[graft.operators.Similarity.ivfIndexWrite]] pattern applied to
+    * text): production tokenizers are trained by one batch job and
+    * shipped; every downstream encode applies the stored artifact,
+    * never re-running the merge loop. Layout under `dir`:
+    *  - `merges/` — (round, a, b, cnt): the ordered merge table, THE
+    *    tokenizer artifact (apply merges in round order to encode text
+    *    the training corpus never saw);
+    *  - `vocab/` — (w, wf, repr): every training-corpus word's final
+    *    space-joined symbol sequence — the precomputed fast path that
+    *    [[bpeEncodeFromArtifact]] broadcast-joins, exactly the staged
+    *    train-once/apply-many shape of the reference's idf.csv
+    *    (reference `Code/TF_IDFWorker.java:22-39` consumes a staged
+    *    artifact rather than re-deriving it).
+    * Strings round-trip parquet exactly, so the served encode is
+    * bit-identical to the in-plan one (the gate pins this). */
+  def bpeArtifactWrite(docs: DataFrame, dir: String, rounds: Int = 6,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): Unit = {
+    val (merges, vocab) = bpeTrainLoop(docs, rounds, textCol)
+    merges.write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    vocab.unpersist()
+  }
+
+  /** ENCODE from a persisted [[bpeArtifactWrite]] tokenizer — the
+    * identical [[encodeWithVocab]] tail over the re-read vocabulary.
+    * The merge loop never runs here: a 100 TB encode job reads the
+    * |V|-sized artifact, broadcasts it, and makes one shuffle-free
+    * pass over the corpus. Output: (doc_id, n_words, n_bpe_tokens). */
+  def bpeEncodeFromArtifact(docs: DataFrame, dir: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    encodeWithVocab(docs,
+      docs.sparkSession.read.parquet(s"$dir/vocab"), idCol, textCol)
 
   /** Document fingerprints:
     *  - fp_md5: md5 of the normalized text (exact-dup key);
