@@ -1213,6 +1213,23 @@ object SparkEntry {
         Seq("event_id", "user_id", "event_type"))
     }),
 
+    // Refresh from a MATERIALIZED rollup artifact (round-8 verdict #3):
+    // write rollup+fingerprints from the old snapshot, refresh against
+    // the full table reading ONLY the artifact (the old snapshot is
+    // never scanned), write the new artifact, serve from it — the
+    // full round-trip must equal the full recompute (same twin as
+    // rel_incremental_refresh)
+    "rel_refresh_artifact" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val out0 = scratchDir("rollup0")
+      val out1 = scratchDir("rollup1")
+      Relational.rollupArtifactWrite(
+        ev.filter(expr("unix_micros(ts) < 1706616000000000")), out0,
+        Seq("event_id", "user_id", "event_type"))
+      Relational.incrementalRefreshFromArtifact(ev, out0, out1,
+        Seq("event_id", "user_id", "event_type"))
+    }),
+
     // Append-mode watermark-finalized hourly windows over the staged
     // 3-batch replay — pins WHICH windows have been emitted (finalized)
     // by end-of-stream vs held in state
@@ -4760,6 +4777,15 @@ object SparkEntry {
     // Diff-driven-refresh twin: the FULL daily recompute over the new
     // snapshot — the spliced kept+recomputed result must equal it
     "rel_incremental_refresh" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Artifact-refresh twin: identical contract — the materialized
+    // write→refresh→serve round-trip must equal the full recompute
+    "rel_refresh_artifact" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)

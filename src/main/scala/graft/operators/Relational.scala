@@ -1293,17 +1293,32 @@ object Relational {
     * Output: (day, status), status ∈ added|removed|changed|unchanged.
     */
   def partitionDiff(oldDf: DataFrame, newDf: DataFrame,
-                    rowCols: Seq[String]): DataFrame = {
-    def fps(df: DataFrame) = df
-      .select(to_date(col("ts")).cast("string").as("day"),
-        conv(substring(md5(concat_ws("|",
-          rowCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .groupBy("day").agg(expr("bit_xor(h)").as("fp"),
-        count(lit(1)).as("cnt"))
-    fps(oldDf).select(col("day"), col("fp").as("fp_old"),
+                    rowCols: Seq[String]): DataFrame =
+    diffFingerprints(dayFingerprints(oldDf, rowCols),
+      dayFingerprints(newDf, rowCols))
+
+  /** The per-day (fp, cnt) fingerprint aggregate [[partitionDiff]]'s
+    * scaladoc specifies — factored out so the persisted-artifact
+    * refresh ([[rollupArtifactWrite]] / [[incrementalRefreshFromArtifact]])
+    * stores and replays the IDENTICAL fingerprint it would compute
+    * in-plan. Output: (day, fp, cnt). */
+  private def dayFingerprints(df: DataFrame,
+                              rowCols: Seq[String]): DataFrame = df
+    .select(to_date(col("ts")).cast("string").as("day"),
+      conv(substring(md5(concat_ws("|",
+        rowCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    .groupBy("day").agg(expr("bit_xor(h)").as("fp"),
+      count(lit(1)).as("cnt"))
+
+  /** Classify days between two (day, fp, cnt) fingerprint frames —
+    * shared by the two-snapshot [[partitionDiff]] and the
+    * stored-fingerprint artifact refresh. */
+  private def diffFingerprints(oldFps: DataFrame,
+                               newFps: DataFrame): DataFrame =
+    oldFps.select(col("day"), col("fp").as("fp_old"),
         col("cnt").as("cnt_old"))
-      .join(fps(newDf).select(col("day"), col("fp").as("fp_new"),
+      .join(newFps.select(col("day"), col("fp").as("fp_new"),
         col("cnt").as("cnt_new")), Seq("day"), "full_outer")
       .select(col("day"),
         when(col("fp_old").isNull, "added")
@@ -1311,7 +1326,6 @@ object Relational {
           .when(col("fp_old") === col("fp_new")
             && col("cnt_old") === col("cnt_new"), "unchanged")
           .otherwise("changed").as("status"))
-  }
 
   /** Partition-diff-DRIVEN incremental refresh — the composition the
     * [[partitionDiff]] scaladoc promises ("downstream jobs then touch
@@ -1330,28 +1344,109 @@ object Relational {
     * 100 TB history). The old snapshot is read only for its (already
     * materialized, in production) daily aggregate and the
     * fingerprints. Output: (day, n_events, sum_value).
-    */
+    *
+    * The per-row fingerprint hashes `rowCols` PLUS the aggregate's
+    * input column (`value`) — `rowCols` identifies rows, but a row
+    * whose identity survived while its `value` mutated between
+    * snapshots must still classify its day 'changed', or the splice
+    * would keep a stale sum (round-8 ADVICE). */
   def incrementalRefresh(oldDf: DataFrame, newDf: DataFrame,
                          rowCols: Seq[String]): DataFrame = {
-    def daily(df: DataFrame) = df
-      .groupBy(to_date(col("ts")).cast("string").as("day"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).as("sv"))
     // persisted: the diff feeds BOTH splice branches — without the
     // cache each branch re-fingerprints both snapshots (the
     // ExplainAudit round-8 finding: two extra full scans per branch);
     // |days|-sized, reclaimed by Housekeeping.release post-query
-    val diff = partitionDiff(oldDf, newDf, rowCols).persist()
+    val diff = partitionDiff(oldDf, newDf, fpCols(rowCols)).persist()
     val unchanged = diff.filter(col("status") === "unchanged")
       .select("day")
     val dirty = diff.filter(col("status").isin("added", "changed"))
       .select("day")
-    val kept = daily(oldDf).join(broadcast(unchanged), Seq("day"),
+    val kept = dailyRollup(oldDf).join(broadcast(unchanged), Seq("day"),
       "left_semi")
-    val recomputed = daily(newDf
+    val recomputed = dailyRollup(newDf
       .join(broadcast(dirty),
         to_date(col("ts")).cast("string") === dirty("day"), "left_semi"))
     kept.unionByName(recomputed)
+      .select(col("day"), col("n_events"),
+        col("sv").cast("double").as("sum_value"))
+  }
+
+  /** Fingerprint columns for the daily-rollup refresh family: the
+    * caller's row identity plus every column [[dailyRollup]] reads
+    * beyond the day key (`value`, the sum input) — see the
+    * [[incrementalRefresh]] scaladoc for why the aggregate inputs
+    * must be folded in. */
+  private def fpCols(rowCols: Seq[String]): Seq[String] =
+    (rowCols :+ "value").distinct
+
+  /** The daily aggregate the refresh family maintains. `sv` stays
+    * DECIMAL(18,6) internally (and in the stored artifact): the splice
+    * is only exact because partial sums are decimal — and a parquet
+    * decimal round-trips bit-exactly, so kept artifact rows equal
+    * recomputed ones. */
+  private def dailyRollup(df: DataFrame): DataFrame = df
+    .groupBy(to_date(col("ts")).cast("string").as("day"))
+    .agg(count(lit(1)).as("n_events"),
+      sum(col("value").cast("decimal(18,6)")).as("sv"))
+
+  /** MATERIALIZE the daily rollup as a parquet artifact — the missing
+    * half of the nightly-refresh story (round-8 verdict #3): in
+    * production the rollup is a stored table maintained night over
+    * night, not something recomputed from the old snapshot on every
+    * refresh. Layout under `dir`:
+    *  - `rollup/` — (day, n_events, sv DECIMAL(18,6)): the aggregate;
+    *  - `fingerprints/` — (day, fp, cnt): the [[partitionDiff]]
+    *    fingerprints of the snapshot the rollup was built from, so the
+    *    NEXT refresh can classify days without ever reading the old
+    *    snapshot.
+    */
+  def rollupArtifactWrite(df: DataFrame, dir: String,
+                          rowCols: Seq[String]): Unit = {
+    dailyRollup(df).write.mode("overwrite").parquet(s"$dir/rollup")
+    dayFingerprints(df, fpCols(rowCols))
+      .write.mode("overwrite").parquet(s"$dir/fingerprints")
+  }
+
+  /** Refresh FROM the materialized artifact: diff the STORED
+    * fingerprints against the new snapshot's, keep stored rollup rows
+    * for unchanged days, recompute only added/changed days from the
+    * new snapshot, drop removed days — then WRITE the refreshed
+    * artifact (rollup + fingerprints) to `newDir`, ready to serve the
+    * next night. Returns the refreshed rollup RE-READ from `newDir`,
+    * so the gate pins the full write→refresh→write→read round-trip
+    * against the full recompute's twin.
+    *
+    * Scale posture: the OLD SNAPSHOT IS NEVER SCANNED — its entire
+    * contribution arrives through the |days|-sized artifact (this is
+    * what [[incrementalRefresh]]'s scaladoc could only promise). The
+    * new snapshot is scanned once for fingerprints (a cheap hash agg —
+    * and the scan next night's refresh needs anyway) plus a
+    * dirty-day-pruned pass for the recompute; with a day-partitioned
+    * source that second pass touches only the dirty partitions.
+    */
+  def incrementalRefreshFromArtifact(newDf: DataFrame, oldDir: String,
+                                     newDir: String,
+                                     rowCols: Seq[String]): DataFrame = {
+    require(oldDir != newDir,
+      "newDir must differ from oldDir (overwrite-while-read)")
+    val spark = newDf.sparkSession
+    // persisted: feeds the artifact write AND the diff (|days|-sized)
+    val newFps = dayFingerprints(newDf, fpCols(rowCols)).persist()
+    val diff = diffFingerprints(
+      spark.read.parquet(s"$oldDir/fingerprints"), newFps).persist()
+    val unchanged = diff.filter(col("status") === "unchanged")
+      .select("day")
+    val dirty = diff.filter(col("status").isin("added", "changed"))
+      .select("day")
+    val kept = spark.read.parquet(s"$oldDir/rollup")
+      .join(broadcast(unchanged), Seq("day"), "left_semi")
+    val recomputed = dailyRollup(newDf
+      .join(broadcast(dirty),
+        to_date(col("ts")).cast("string") === dirty("day"), "left_semi"))
+    kept.unionByName(recomputed)
+      .write.mode("overwrite").parquet(s"$newDir/rollup")
+    newFps.write.mode("overwrite").parquet(s"$newDir/fingerprints")
+    spark.read.parquet(s"$newDir/rollup")
       .select(col("day"), col("n_events"),
         col("sv").cast("double").as("sum_value"))
   }

@@ -1,11 +1,15 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextStats
+import graft.operators.{Relational, TextStats}
 
 /** Round-9 pins: the persisted-tokenizer artifact (train→write→apply
-  * bit-identity with the in-plan encode, artifact layout contract).
+  * bit-identity with the in-plan encode, artifact layout contract) and
+  * the materialized-rollup refresh (artifact round-trip ≡ full
+  * recompute, value-mutation days classify 'changed').
   */
 class Round18Spec extends SparkSpec {
 
@@ -66,5 +70,82 @@ class Round18Spec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got.map(_._1) === Seq(9L))
     assert(got.head._2 === 1L) // only the in-vocab word counted
+  }
+
+  // --- materialized-rollup incremental refresh ---
+
+  private def ev(id: Long, user: Long, typ: String, day: Int,
+                 value: Double) =
+    (id, user, typ, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"),
+      value)
+
+  private def evDf(rows: (Long, Long, String, Timestamp, Double)*) =
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  private val RowCols = Seq("event_id", "user_id", "event_type")
+
+  private def fullDaily(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(to_date(col("ts")).cast("string").as("day"))
+    .agg(count(lit(1)).as("n_events"),
+      sum(col("value").cast("decimal(18,6)")).cast("double")
+        .as("sum_value"))
+
+  test("incrementalRefreshFromArtifact: write→refresh→serve round-trip " +
+    "equals the full recompute (added, changed, removed, unchanged days)") {
+    val oldDf = evDf(
+      ev(1, 1, "click", 1, 1.5), ev(2, 2, "view", 1, 2.5), // unchanged
+      ev(3, 1, "click", 2, 3.0),                           // changed
+      ev(4, 3, "purchase", 3, 9.0))                        // removed
+    val newDf = evDf(
+      ev(1, 1, "click", 1, 1.5), ev(2, 2, "view", 1, 2.5),
+      ev(3, 1, "click", 2, 3.0), ev(5, 4, "view", 2, 4.0),
+      ev(6, 5, "click", 4, 7.0))                           // added day
+    val d0 = scratch("rollup_a")
+    val d1 = scratch("rollup_b")
+    Relational.rollupArtifactWrite(oldDf, d0, RowCols)
+    val got = Relational.incrementalRefreshFromArtifact(
+      newDf, d0, d1, RowCols)
+    assert(rows(got) === rows(fullDaily(newDf)))
+    // the refreshed artifact is itself servable: a THIRD night's
+    // refresh from d1 with no data change returns the same rollup
+    val d2 = scratch("rollup_c")
+    val again = Relational.incrementalRefreshFromArtifact(
+      newDf, d1, d2, RowCols)
+    assert(rows(again) === rows(fullDaily(newDf)))
+  }
+
+  test("refresh family: a day whose row IDENTITIES survived but whose " +
+    "value mutated classifies 'changed' — no stale sum is kept") {
+    val oldDf = evDf(ev(1, 1, "click", 1, 10.0), ev(2, 2, "view", 2, 5.0))
+    // same event_id/user_id/event_type rows; day 1's value changed
+    val newDf = evDf(ev(1, 1, "click", 1, 20.0), ev(2, 2, "view", 2, 5.0))
+    // in-plan form (round-8 ADVICE: the fingerprint folds `value` in)
+    val inplan = Relational.incrementalRefresh(oldDf, newDf, RowCols)
+    assert(rows(inplan) === rows(fullDaily(newDf)))
+    // artifact form
+    val d0 = scratch("rollup_mut_a")
+    val d1 = scratch("rollup_mut_b")
+    Relational.rollupArtifactWrite(oldDf, d0, RowCols)
+    val stored = Relational.incrementalRefreshFromArtifact(
+      newDf, d0, d1, RowCols)
+    assert(rows(stored) === rows(fullDaily(newDf)))
+    assert(rows(stored).exists(_.contains("20.0")))
+  }
+
+  test("incrementalRefreshFromArtifact: the old snapshot is never " +
+    "an input — refresh sees only the artifact and the new snapshot") {
+    // structural pin of the scale contract: the refresh signature takes
+    // (newDf, oldDir, newDir) — there is no old-snapshot DataFrame to
+    // scan. Feeding a WRONG old snapshot's artifact changes nothing as
+    // long as fingerprints mark every day dirty: all days recompute
+    // from newDf alone.
+    val bogusOld = evDf(ev(99, 9, "view", 5, 1.0))
+    val newDf = evDf(ev(1, 1, "click", 1, 2.0), ev(2, 2, "view", 2, 3.0))
+    val d0 = scratch("rollup_bogus_a")
+    val d1 = scratch("rollup_bogus_b")
+    Relational.rollupArtifactWrite(bogusOld, d0, RowCols)
+    val got = Relational.incrementalRefreshFromArtifact(
+      newDf, d0, d1, RowCols)
+    assert(rows(got) === rows(fullDaily(newDf)))
   }
 }
