@@ -896,6 +896,13 @@ object SparkEntry {
     "rel_bfs_frontier" -> ((s, dir) =>
       Graph.purchaseHubDistance(tbl(s, dir, "orders"),
         tbl(s, dir, "lineitem"), frontierOnly = true)),
+    // bounded-round Bellman-Ford (round-8 verdict #4): cheapest
+    // <=3-edge path cost in exact cents from the in-plan hub set over
+    // l_extendedprice-weighted purchase edges; twin unrolls the
+    // relax-merge rounds as CTE pairs
+    "rel_sssp" -> ((s, dir) =>
+      Graph.purchaseHubCost(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
 
     // --- skew-salted distinct (hot-key holistic agg; see operators.Skew) ---
     // Buckets partition the value space, so the per-bucket distinct
@@ -1445,6 +1452,48 @@ object SparkEntry {
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, CAST(dist AS BIGINT) AS dist
        |FROM d$iters""".stripMargin
+  }
+
+  // Bounded Bellman-Ford twin: BfsHopsSql's relax-merge rounds with
+  // min(dist + w) over cent-exact weighted edges (min price per
+  // distinct partner pair, DECIMAL(18,2) ×100 → BIGINT in both
+  // engines); hub sources reuse the same in-plan degree threshold.
+  private def SsspSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS node, min(d.dist + e.w) AS nd
+         |  FROM d${i - 1} d JOIN edges e ON d.node = e.src
+         |  GROUP BY e.dst
+         |), d$i AS (
+         |  SELECT coalesce(d.node, s.node) AS node,
+         |    least(coalesce(d.dist, s.nd), coalesce(s.nd, d.dist))
+         |      AS dist
+         |  FROM d${i - 1} d FULL JOIN s$i s ON d.node = s.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+       |    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+       |      AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT c AS src, s AS dst, w FROM e0
+       |  UNION ALL SELECT s, c, w FROM e0
+       |), deg AS (
+       |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+       |), ne AS (SELECT count(*) AS ne FROM edges),
+       |nn AS (SELECT count(*) AS nn FROM deg),
+       |thr AS (SELECT 3 * (ne.ne // nn.nn) AS t FROM ne, nn),
+       |d0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM deg, thr
+       |  WHERE deg >= thr.t
+       |),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |  node // 2 AS key, CAST(dist AS BIGINT) AS cost
+       |FROM d$rounds""".stripMargin
   }
 
   // Connected-components twin: k min-label steps unrolled as
@@ -4823,6 +4872,7 @@ object SparkEntry {
     "rel_ppr" -> PprSql(3),
     "rel_bfs_hops" -> BfsHopsSql(3),
     "rel_bfs_frontier" -> BfsHopsSql(3),
+    "rel_sssp" -> SsspSql(3),
 
     // Interval-join replay: the naive overlap join — the bucketed plan
     // must emit the identical pair set (each pair exactly once).

@@ -706,6 +706,92 @@ object Graph {
     dist
   }
 
+  /** WEIGHTED purchase edges for shortest-path analytics: one edge per
+    * distinct customer–supplier pair (the [[purchaseEdges]] node space),
+    * weighted by the CHEAPEST lineitem price that ever linked them, in
+    * exact BIGINT cents — min over DECIMAL(18,2) then ×100 is
+    * engine-exact, so path costs add with no float drift (the
+    * [[TotalMass]] fixed-point discipline applied to weights).
+    * Output: (src, dst, w), both directions. */
+  def purchaseWeightedEdges(orders: DataFrame,
+                            lineitem: DataFrame): DataFrame = {
+    val e0 = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"))
+      .groupBy("c", "s")
+      .agg((min(col("p")) * 100).cast("long").as("w"))
+    e0.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionAll(e0.select(col("s").as("src"), col("c").as("dst"),
+        col("w")))
+  }
+
+  /** Bounded-round single-source (multi-source) shortest path —
+    * synchronous Bellman–Ford, the weighted member of the iterative
+    * family [[bfsHops]] anchors: per round every known distance relaxes
+    * its out-edges (`min(dist + w)` per neighbor) and merges with the
+    * running dist set. After round k every node carries the exact
+    * cheapest cost over paths of ≤ k edges — the bounded-round
+    * semantics a fixed-k gate can pin and the twin can unroll as CTE
+    * pairs (negative-cycle-safe by construction: rounds are bounded,
+    * and purchase weights are positive anyway).
+    *
+    * Costs are BIGINT cents ([[purchaseWeightedEdges]]), so `dist + w`
+    * and `min` are exact and order-independent in both engines. Each
+    * round is one keyed join + keyed min-agg + full-outer merge,
+    * re-rooted with `localCheckpoint(eager)` like [[bfsHops]] (the
+    * dist set is referenced twice per round). Unlike unweighted BFS a
+    * settled node CAN improve in a later round (a cheaper many-edge
+    * path), so the frontier refinement is dist-changed nodes, not
+    * first-reached nodes — at 100× the round-k delta set shrinks the
+    * same way BfsProbe measured for frontiers.
+    * `sources` is (node); output (node, dist) for nodes within
+    * `rounds` edges of a source. */
+  def ssspBounded(sources: DataFrame, wedges0: DataFrame,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"rounds must be in [1, 10] (twin unrolls them): $rounds")
+    val wedges = wedges0.persist()
+    var dist = sources.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(wedges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("nd"))
+      // the explicit double-coalesce min (engine-portable NULL
+      // handling) — see bfsHops
+      dist = dist.join(relaxed, col("node") === col("dst"), "full")
+        .select(
+          coalesce(col("node"), col("dst")).as("node"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Hub-cost gate over the weighted purchase graph: the cheapest
+    * ≤-`rounds`-edge path cost (in cents) from each node to the nearest
+    * hub, hubs derived in-plan exactly as [[purchaseHubDistance]]
+    * (degree ≥ 3 × mean; the threshold is the same one 8-byte driver
+    * artifact — weighted edges are one per distinct partner pair, so
+    * the degree sets coincide). Output: (node_type, key, cost). */
+  def purchaseHubCost(orders: DataFrame, lineitem: DataFrame,
+                      rounds: Int = 3): DataFrame = {
+    val wedges = purchaseWeightedEdges(orders, lineitem).persist()
+    val deg = wedges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val thr = wedges.agg(count(lit(1)).as("ne"))
+      .crossJoin(deg.agg(count(lit(1)).as("nn")))
+      .select(expr("3 * (ne div nn)").as("t"))
+      .head().getLong(0)
+    val sources = deg.filter(col("deg") >= thr)
+      .select(col("src").as("node"))
+    ssspBounded(sources, wedges, rounds).select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"), col("dist").as("cost"))
+  }
+
   /** Hub-distance gate over the purchase graph: how many hops is each
     * node from the nearest HUB, where hubs are nodes of degree ≥
     * 3 × mean degree (derived IN-PLAN like [[purchaseKCore]]'s k — a

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, TextStats}
+import graft.operators.{Graph, Relational, TextStats}
 
 /** Round-9 pins: the persisted-tokenizer artifact (train→write→apply
   * bit-identity with the in-plan encode, artifact layout contract) and
@@ -147,5 +147,48 @@ class Round18Spec extends SparkSpec {
     val got = Relational.incrementalRefreshFromArtifact(
       newDf, d0, d1, RowCols)
     assert(rows(got) === rows(fullDaily(newDf)))
+  }
+
+  // --- bounded-round weighted shortest path ---
+
+  test("ssspBounded: a cheaper two-edge path beats a direct expensive " +
+    "edge, and later rounds improve settled nodes") {
+    //   1 --100--> 2          (direct)
+    //   1 --10--> 3 --10--> 2 (cheaper, two edges)
+    //   2 --5--> 4            (reachable only via 2)
+    val wedges = Seq(
+      (1L, 2L, 100L), (1L, 3L, 10L), (3L, 2L, 10L), (2L, 4L, 5L))
+      .toDF("src", "dst", "w")
+    val sources = Seq(1L).toDF("node")
+    def dists(rounds: Int): Map[Long, Long] =
+      Graph.ssspBounded(sources, wedges, rounds)
+        .as[(Long, Long)].collect().toMap
+    // round 1: only direct edges
+    assert(dists(1) === Map(1L -> 0L, 2L -> 100L, 3L -> 10L))
+    // round 2: node 2 IMPROVES from 100 to 20 (weighted relaxation is
+    // not first-reached-wins), node 4 appears via the old dist of 2
+    assert(dists(2) === Map(1L -> 0L, 2L -> 20L, 3L -> 10L, 4L -> 105L))
+    // round 3: node 4 improves through the now-cheaper node 2
+    assert(dists(3) === Map(1L -> 0L, 2L -> 20L, 3L -> 10L, 4L -> 25L))
+  }
+
+  test("ssspBounded: multi-source takes the per-node minimum over " +
+    "sources") {
+    val wedges = Seq((1L, 2L, 7L), (5L, 2L, 3L))
+      .toDF("src", "dst", "w")
+    val got = Graph.ssspBounded(Seq(1L, 5L).toDF("node"), wedges, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 3L))
+  }
+
+  test("purchaseWeightedEdges: weight is the cheapest linking price " +
+    "in exact cents, symmetric") {
+    val orders = Seq((100L, 1L), (101L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((100L, 9L, 12.34), (101L, 9L, 10.01))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+    val got = Graph.purchaseWeightedEdges(orders, lineitem)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 19L, 1001L), (19L, 2L, 1001L)))
   }
 }
