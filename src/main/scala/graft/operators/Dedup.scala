@@ -587,6 +587,7 @@ object Dedup {
       // changed-row count as the convergence test: overflow-free
       // (a label SUM overflows Long under ANSI at ~1e9 large ids)
       converged = next.filter(col("label") =!= col("prev")).isEmpty
+      Graph.releaseCheckpoint(labels) // superseded (round-8 ADVICE)
       labels = next.select("id", "label")
       iter += 1
     }

@@ -90,6 +90,23 @@ object Graph {
     PrState(edges, deg, nAgg)
   }
 
+  /** Release the cached blocks behind a SUPERSEDED
+    * `localCheckpoint(eager)` frame (round-8 ADVICE — the persist-side
+    * twin of pageRank's round-7 unpersist fix): an eager local
+    * checkpoint truncates lineage to cached RDD blocks, and
+    * `Dataset.unpersist()` does not reach them (they are not in the
+    * CacheManager), so a convergence loop otherwise keeps every
+    * round's frame resident until session cleanup. Call ONLY after the
+    * successor frame has materialized and every aggregate reading the
+    * old frame has run — a released checkpoint is unrecoverable (its
+    * lineage is gone by construction). */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def decodeNode(df: DataFrame, valueCols: Column*): DataFrame =
     df.select(
       (when(col("node") % 2 === 0, lit("customer"))
@@ -200,6 +217,7 @@ object Graph {
         .join(ranks.select(col("node"), col("rank").as("prev")), "node")
         .agg(max(abs(col("rank") - col("prev"))).as("d"))
         .head().getLong(0)
+      releaseCheckpoint(ranks) // superseded; the delta agg has run
       ranks = next
       rounds += 1
     }
@@ -251,6 +269,7 @@ object Graph {
         .head().getLong(0)
       rounds += 1
       if (tol < 0) tol = d / residualDiv
+      releaseCheckpoint(ranks) // superseded once `next` materialized
       ranks = next.drop("prev")
       if (d <= tol) done = true
     }
@@ -327,6 +346,7 @@ object Graph {
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("prev")).count()
+      releaseCheckpoint(labels) // superseded once `next` materialized
       labels = next.select("node", "lbl")
       rounds += 1
     }
@@ -494,10 +514,13 @@ object Graph {
       val live = e0
         .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-      keep = live.select(explode(array(col("a"), col("b"))).as("n"))
+      val nextKeep = live
+        .select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= lit(k)).select("n")
         .localCheckpoint(true)
+      releaseCheckpoint(keep) // superseded once nextKeep materialized
+      keep = nextKeep
       val c = keep.count()
       shrunk = c < prev
       prev = c
@@ -538,10 +561,13 @@ object Graph {
       val live = e0
         .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-      keep = live.select(explode(array(col("a"), col("b"))).as("n"))
+      val nextKeep = live
+        .select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("n")
         .localCheckpoint(true)
+      releaseCheckpoint(keep) // superseded once nextKeep materialized
+      keep = nextKeep
     }
     keep
   }
@@ -660,12 +686,14 @@ object Graph {
       // least() would skip a NULL side here (Spark semantics), but the
       // double-coalesce form is explicit AND engine-portable — the
       // DuckDB twin uses the identical expression
-      dist = dist.join(nbr, col("node") === col("dst"), "full")
+      val next = dist.join(nbr, col("node") === col("dst"), "full")
         .select(
           coalesce(col("node"), col("dst")).as("node"),
           least(coalesce(col("dist"), col("nd")),
             coalesce(col("nd"), col("dist"))).as("dist"))
         .localCheckpoint(true)
+      releaseCheckpoint(dist) // superseded once `next` materialized
+      dist = next
     }
     dist
   }
@@ -700,9 +728,15 @@ object Graph {
       val newNodes = reached.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(k.toLong).as("dist"))
         .localCheckpoint(true)
-      dist = dist.unionAll(newNodes).localCheckpoint(true)
+      val nextDist = dist.unionAll(newNodes).localCheckpoint(true)
+      // both round-(k-1) frames are superseded once nextDist has
+      // materialized; in round 1 frontier aliases dist (release once)
+      if (frontier ne dist) releaseCheckpoint(frontier)
+      releaseCheckpoint(dist)
+      dist = nextDist
       frontier = newNodes
     }
+    releaseCheckpoint(frontier) // the last round's newNodes
     dist
   }
 
@@ -760,12 +794,14 @@ object Graph {
         .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("nd"))
       // the explicit double-coalesce min (engine-portable NULL
       // handling) — see bfsHops
-      dist = dist.join(relaxed, col("node") === col("dst"), "full")
+      val next = dist.join(relaxed, col("node") === col("dst"), "full")
         .select(
           coalesce(col("node"), col("dst")).as("node"),
           least(coalesce(col("dist"), col("nd")),
             coalesce(col("nd"), col("dist"))).as("dist"))
         .localCheckpoint(true)
+      releaseCheckpoint(dist) // superseded once `next` materialized
+      dist = next
     }
     dist
   }

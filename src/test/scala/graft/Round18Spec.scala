@@ -181,6 +181,23 @@ class Round18Spec extends SparkSpec {
     assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 3L))
   }
 
+  test("iterative loops release superseded checkpoint blocks: only " +
+    "O(1) frames stay resident after a multi-round run") {
+    val sc = spark.sparkContext
+    val chain = (1L to 40L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val before = sc.getPersistentRDDs.size
+    Graph.bfsHopsFrontier(Seq(1L).toDF("node"),
+      chain.toDF("src", "dst"), 8).count()
+    Graph.ssspBounded(Seq(1L).toDF("node"),
+      chain.map { case (a, b) => (a, b, 2L) }.toDF("src", "dst", "w"),
+      8).count()
+    val leaked = sc.getPersistentRDDs.size - before
+    // 8 rounds each would hold ~25 superseded frames without the
+    // release discipline; what may stay is the two final dist frames
+    // plus the two persisted edge lists
+    assert(leaked <= 4, s"resident frames grew by $leaked (expected <= 4)")
+  }
+
   test("purchaseWeightedEdges: weight is the cheapest linking price " +
     "in exact cents, symmetric") {
     val orders = Seq((100L, 1L), (101L, 1L))
