@@ -30,7 +30,17 @@ object SparkEntry {
     * re-parses the SAME file with regexp/string_split equivalents.
     * Absolute path: both this JVM and the driver's DuckDB process read
     * it straight off the repo checkout. */
-  val WikiFixturePath = "/root/repo/src/main/resources/graft/wiki_dump.txt"
+  /** Checkout root shared by the JVM fixture readers AND the generated
+    * DuckDB `read_text` SQL (round-8 ADVICE: no literal checkout
+    * path). Both processes run from the repo root — Verify/Bench via
+    * sbt's forked run, the driver's DuckDB gate over the oracle JSON
+    * Verify emitted from the same working directory — so `user.dir` is
+    * the right default; `-Dgraft.repo.root` overrides for anything
+    * launched elsewhere. */
+  val RepoRoot: String =
+    sys.props.getOrElse("graft.repo.root", System.getProperty("user.dir"))
+
+  val WikiFixturePath = s"$RepoRoot/src/main/resources/graft/wiki_dump.txt"
 
   private def wikiDocs(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.{length, trim}
@@ -49,7 +59,7 @@ object SparkEntry {
     * empty page. Absolute path: this JVM and the driver's DuckDB read
     * the same checkout file (the WikiFixturePath pattern). */
   val HtmlFixturePath =
-    "/root/repo/src/main/resources/graft/html_pages.txt"
+    s"$RepoRoot/src/main/resources/graft/html_pages.txt"
 
   /** Committed MULTI-LINE per-file HTML fixture (real pages are
     * multi-line; the one-page-per-line fixture above cannot exercise
@@ -58,7 +68,7 @@ object SparkEntry {
     * comments spanning lines, multi-line scripts/styles inside the
     * region, and the same entity/charset rules on the per-file path. */
   val HtmlSiteDir =
-    "/root/repo/src/main/resources/graft/html_site"
+    s"$RepoRoot/src/main/resources/graft/html_site"
 
   private def htmlPages(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.{length, trim}

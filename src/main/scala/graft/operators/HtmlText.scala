@@ -63,11 +63,46 @@ object HtmlText {
     "(?i)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\""
   val CharsetRe = "(?i)charset=[\"']?([a-zA-Z0-9_-]+)"
   val WsRe = "[ \\t\\n\\f\\r]+"
-  /** (entity, replacement) in APPLICATION ORDER — `&amp;` must stay
-    * last (see scaladoc step 4). */
-  val Entities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+  /** Numeric character references (round-8 verdict #5): the frequent
+    * ASCII / Latin-1 / typographic codes real crawl data carries.
+    * Literal replace cannot compute chr(code) from a capture (neither
+    * engine has replace-with-callback in the shared subset), so the
+    * decode is a PINNED code table expanded to its common renderings:
+    * decimal (`&#160;`), zero-padded decimal for the 2-digit codes
+    * (`&#039;`), and the hex form in both digit cases
+    * (`&#xa0;`/`&#xA0;`; the rare capital-X `&#X..;` rendering is out
+    * of scope). The `&`-valued refs decode in the LAST group with
+    * `&amp;` — see [[Entities]]. */
+  val NumericCodes: Seq[(Int, String)] = Seq(
+    160 -> " ", 34 -> "\"", 39 -> "'", 60 -> "<", 62 -> ">",
+    169 -> "©", 174 -> "®", 176 -> "°",
+    8211 -> "–", 8212 -> "—", 8216 -> "‘",
+    8217 -> "’", 8220 -> "“", 8221 -> "”",
+    8230 -> "…")
+
+  /** The rendered reference forms of one numeric code, in application
+    * order (decimal, zero-padded, hex lower, hex upper). */
+  def refForms(code: Int): Seq[String] = {
+    val hex = code.toHexString
+    (Seq(s"&#$code;") ++
+      (if (code < 100) Seq(f"&#0$code%d;") else Nil) ++
+      Seq(s"&#x${hex.toLowerCase};", s"&#x${hex.toUpperCase};")).distinct
+  }
+
+  /** (entity, replacement) in APPLICATION ORDER — the `&`-valued
+    * entities (`&amp;`, `&#38;`, `&#038;`, `&#x26;`) must stay in the
+    * last group (see scaladoc step 4): `&amp;lt;` and `&amp;#160;`
+    * decode exactly one level, to the literal texts `&lt;` / `&#160;`.
+    * The amp-escaped rendering of a ref never CONTAINS the bare ref
+    * (`&amp;#160;` has `amp;` between `&` and `#`), so the earlier
+    * numeric passes cannot touch it. */
+  val Entities: Seq[(String, String)] = (
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&nbsp;" -> " ") ++
+      NumericCodes.flatMap { case (c, r) => refForms(c).map(_ -> r) } ++
+      Seq("&#38;" -> "&", "&#038;" -> "&", "&#x26;" -> "&",
+        "&amp;" -> "&")
+    ).distinct
 
   private def decodeEntities(c: Column): Column =
     Entities.foldLeft(c) { case (acc, (e, r)) =>

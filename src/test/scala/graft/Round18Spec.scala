@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Relational, TextStats}
+import graft.operators.{Graph, HtmlText, Relational, TextStats}
 
 /** Round-9 pins: the persisted-tokenizer artifact (train→write→apply
   * bit-identity with the in-plan encode, artifact layout contract) and
@@ -70,6 +70,34 @@ class Round18Spec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got.map(_._1) === Seq(9L))
     assert(got.head._2 === 1L) // only the in-vocab word counted
+  }
+
+  // --- HTML numeric character references ---
+
+  private def htmlText(page: String): String =
+    HtmlText.extract(Seq(page).toDF("value")).collect().head.getString(4)
+
+  test("html numeric refs: decimal, zero-padded, and both hex digit " +
+    "cases decode; typographic codes render their Unicode chars") {
+    assert(htmlText("<html><body><article>A&#160;B&#xa0;C&#xA0;D" +
+      "</article></body></html>") === "A B C D")
+    assert(htmlText("<html><body><article>it&#039;s &#x27;q&#x27; " +
+      "&#034;d&#034; &#8211; &#8212; &#8216;a&#8217; &#8220;b&#8221; " +
+      "&#8230; &#169;&#174;&#176;</article></body></html>") ===
+      "it's 'q' \"d\" – — ‘a’ “b” … ©®°")
+  }
+
+  test("html numeric refs: the &-valued refs decode in the LAST group " +
+    "— one decode level, no double-decode") {
+    // &amp;#160; -> literal "&#160;" (order pin vs &amp;)
+    assert(htmlText("<html><body><article>X &amp;#160; Y" +
+      "</article></body></html>") === "X &#160; Y")
+    // &#38;lt; -> "&lt;" (a numeric amp cannot cascade into &lt;)
+    assert(htmlText("<html><body><article>A &#38;lt; B &#x26;gt; C" +
+      "</article></body></html>") === "A &lt; B &gt; C")
+    // a decoded '<' from a numeric ref is never re-parsed as a tag
+    assert(htmlText("<html><body><article>lt &#060;b&#062; end" +
+      "</article></body></html>") === "lt <b> end")
   }
 
   // --- materialized-rollup incremental refresh ---
