@@ -233,6 +233,14 @@ object SparkEntry {
     // Streaming ingestion composition: the SAME HtmlText.extract plan
     // over a text-file STREAM (stateless map ⇒ streaming-composable),
     // per-language page counts via the staged-replay harness
+    // crawl-ingest dedup composition (round-8 verdict #7): stream
+    // extract -> canonicalize URL -> dropDuplicates; every page staged
+    // twice (canonical + tracking-noise recrawl variant), one survivor
+    // per canonical URL (see EventsStream.urlDedupIngest)
+    "stream_url_dedup" -> ((s, dir) =>
+      graft.streaming.EventsStream.urlDedupIngest(
+        s, dir, scratchDir("urlstage"))),
+
     "stream_html_ingest" -> ((s, dir) =>
       graft.streaming.EventsStream.htmlIngestCounts(
         s, dir, scratchDir("htmlstream"))),
@@ -2826,6 +2834,29 @@ object SparkEntry {
          |SELECT url_canon, min(doc_id) AS doc_id,
          |  count(*) AS n_variants
          |FROM c GROUP BY 1""".stripMargin,
+
+    // Stream-URL-dedup twin: render both variants (the canonical page
+    // and the tracking-noise recrawl, same regex constants, \1 for
+    // Spark's $1), extract, canonicalize, DISTINCT — the AvailableNow
+    // drain of extract→canonicalUrl→dropDuplicates must equal it.
+    "stream_url_dedup" -> {
+      val vre = graft.streaming.EventsStream.UrlVariantRe
+        .replace("'", "''")
+      val vsub = ("\\1" + graft.streaming.EventsStream.UrlVariantNoise)
+        .replace("'", "''")
+      s"""WITH $htmlRenderCte,
+         |hp2 AS (
+         |  SELECT value FROM hpages
+         |  UNION ALL
+         |  SELECT regexp_replace(value, '$vre', '$vsub') AS value
+         |  FROM hpages
+         |), ex AS (
+         |${htmlExtractSelect("hp2")}
+         |)
+         |SELECT DISTINCT
+         |  ${dedupUrlCanonSql} AS curl, lang
+         |FROM ex""".stripMargin
+    },
 
     // Streaming-ingest twin: the batch render+extract relational
     // replay grouped by language — AvailableNow drain ≡ batch.

@@ -96,6 +96,49 @@ object EventsStream {
       "htmlingest", "complete")
   }
 
+  /** Recrawl-variant URL rewrite shared by the Spark staging and the
+    * DuckDB twin (group-1 keeps the canonical href prefix; the
+    * replacement appends tracking noise that
+    * [[graft.operators.Dedup.canonicalUrl]] must strip). Spark
+    * substitutes `$1`, DuckDB `\1` — same pattern constants, the
+    * splitCaseSql discipline. */
+  private[graft] val UrlVariantRe =
+    "(href=\"https://example\\.org/p/[0-9]+)\""
+  private[graft] val UrlVariantNoise =
+    "?utm_source=feed&fbclid=x9\""
+
+  /** Streaming dedup-by-canonical-URL — the crawl-ingest composition
+    * (round-8 verdict #7): every document page is staged TWICE, once at
+    * its canonical URL and once as a tracking-parameter recrawl
+    * variant (`?utm_source=feed&fbclid=…`), then the stream extracts,
+    * canonicalizes the URL in-flight
+    * ([[graft.operators.Dedup.canonicalUrl]] is a stateless projection,
+    * streaming-composable exactly like the extract), and
+    * `dropDuplicates` on the canonical URL keeps one page per real
+    * document — the continuous-crawl reality where the same page
+    * re-arrives under URL noise. Append mode: each canonical URL is
+    * emitted exactly once. At scale the dedup state is bounded with
+    * `dropDuplicatesWithinWatermark` over the crawl timestamp (the
+    * [[dedupPairsBounded]] contract); the staged replay here carries
+    * no event time, so the gate pins the unbounded-state form.
+    * Output: (curl, lang) — one row per canonical URL.
+    */
+  def urlDedupIngest(spark: SparkSession, dir: String,
+                     stageDir: String): DataFrame = {
+    val pages = graft.operators.HtmlText.renderPages(
+      graft.Tables.load(spark, dir, "documents"))
+    pages.unionAll(pages.select(
+        regexp_replace(col("value"), UrlVariantRe,
+          "$1" + UrlVariantNoise).as("value")))
+      .write.mode("overwrite").text(stageDir)
+    runToMemory(spark, s =>
+      graft.operators.HtmlText.extract(s.readStream.text(stageDir))
+        .select(graft.operators.Dedup.canonicalUrl(col("url"))
+          .as("curl"), col("lang"))
+        .dropDuplicates("curl"),
+      "urldedup", "append")
+  }
+
   /** Sliding-window event counts (1-hour windows every 30 minutes —
     * each event lands in two windows), watermarked, AvailableNow.
     * Output: (hour string, event_type, n_events).
