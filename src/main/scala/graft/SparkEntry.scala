@@ -1184,6 +1184,18 @@ object SparkEntry {
       TextStats.bpeEncodeFromArtifact(d, out)
     }),
 
+    // The FROZEN-tokenizer apply on data it never saw: train+persist on
+    // 6/7 of the corpus, encode the held-out 1/7 by unfolding the
+    // stored merge table into in-plan folds — OOV words encode instead
+    // of dropping (see TextStats.bpeEncodeOov)
+    "text_bpe_encode_oov" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = scratchDir("bpeoov")
+      TextStats.bpeArtifactWrite(d.filter(col("doc_id") % 7 =!= 0), out,
+        rounds = BpeTrainRounds)
+      TextStats.bpeEncodeOov(d.filter(col("doc_id") % 7 === 0), out)
+    }),
+
     // Group-leakage-safe split: the hash key is the GROUP (source),
     // not the row, so every group lands wholly in one split — the
     // contamination guard a benchmark-vs-train split actually needs
@@ -1786,7 +1798,7 @@ object SparkEntry {
   // keeps repr unchanged instead of collapsing v$i to zero rows —
   // mirroring bpeTrainLoop's early stop, which encodes with the last
   // non-empty vocabulary.
-  private def bpeChainSql(rounds: Int): String = {
+  private def bpeChainSql(rounds: Int, where: String = ""): String = {
     val steps = (1 to rounds).map { i =>
       s"""s$i AS (
          |  SELECT wf, string_split(repr, ' ') AS t FROM v${i - 1}
@@ -1816,7 +1828,7 @@ object SparkEntry {
        |  SELECT string_split(
        |    lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))),
        |    ' ') AS t
-       |  FROM documents
+       |  FROM documents $where
        |), tk AS (
        |  SELECT unnest(t) AS w FROM nrm
        |), wf AS (
@@ -1852,6 +1864,45 @@ object SparkEntry {
        |    AS n_bpe_tokens
        |FROM dwords d JOIN v$rounds v USING (w)
        |GROUP BY d.doc_id""".stripMargin
+
+  // OOV-apply twin: train the merge chain on the TRAIN subset
+  // (doc_id % 7 != 0), then replay the stored merges per
+  // encode-subset word as `rounds` fold CTEs (w0..w$rounds) — the
+  // literal TextStats.bpeEncodeOov semantics: char-split every word,
+  // apply each round's argmax pair leftmost-first, count final
+  // symbols. The LEFT JOIN ON TRUE keeps repr unchanged on a
+  // dried-out round, mirroring the trainer's early stop.
+  private def bpeEncodeOovSql(rounds: Int): String = {
+    val folds = (1 to rounds).map { i =>
+      s"""w$i AS (
+         |  SELECT doc_id,
+         |    CASE WHEN t$i.a IS NULL THEN repr
+         |    ELSE list_reduce(list_prepend('', string_split(repr, ' ')),
+         |      (acc, x) -> CASE WHEN acc = '' THEN x
+         |        WHEN x = t$i.b AND (acc = t$i.a
+         |          OR ends_with(acc, ' ' || t$i.a))
+         |        THEN substr(acc, 1, length(acc) - length(t$i.a)) ||
+         |          t$i.a || t$i.b
+         |        ELSE acc || ' ' || x END) END AS repr
+         |  FROM w${i - 1} LEFT JOIN t$i ON TRUE
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeChainSql(rounds, "WHERE doc_id % 7 != 0")},
+       |dwords AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(
+       |    lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))),
+       |    ' '), t -> t != '')) AS w
+       |  FROM documents WHERE doc_id % 7 = 0
+       |), w0 AS (
+       |  SELECT doc_id, array_to_string(string_split(w, ''), ' ') AS repr
+       |  FROM dwords
+       |),
+       |$folds
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(repr, ' '))) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM w$rounds GROUP BY doc_id""".stripMargin
+  }
 
   // Dedup.canonicalUrl as one nested DuckDB expression over column
   // `url` — generated from the SAME pattern constants; replacements
@@ -2574,6 +2625,7 @@ object SparkEntry {
     // stored-artifact apply ≡ in-plan encode, by the shared-tail
     // construction — same twin
     "text_bpe_apply_stored" -> bpeEncodeSql(BpeTrainRounds),
+    "text_bpe_encode_oov" -> bpeEncodeOovSql(BpeTrainRounds),
 
     // Quoted-CSV twin: pure identity — the round-trip must be lossless
     "io_csv_quoted" ->

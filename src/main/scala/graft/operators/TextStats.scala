@@ -677,12 +677,67 @@ object TextStats {
     * identical [[encodeWithVocab]] tail over the re-read vocabulary.
     * The merge loop never runs here: a 100 TB encode job reads the
     * |V|-sized artifact, broadcasts it, and makes one shuffle-free
-    * pass over the corpus. Output: (doc_id, n_words, n_bpe_tokens). */
+    * pass over the corpus. In-vocab fast path: words absent from the
+    * training vocabulary drop out of the join — use [[bpeEncodeOov]]
+    * when the corpus can contain unseen words.
+    * Output: (doc_id, n_words, n_bpe_tokens). */
   def bpeEncodeFromArtifact(docs: DataFrame, dir: String,
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame =
     encodeWithVocab(docs,
       docs.sparkSession.read.parquet(s"$dir/vocab"), idCol, textCol)
+
+  /** The per-word merge application: char-split `word`, then replay
+    * every trained merge in round order with the IDENTICAL
+    * leftmost-first non-overlapping fold the trainer used — so for any
+    * word the training corpus contained, this reproduces the stored
+    * vocabulary repr exactly (same deterministic process), and for an
+    * UNSEEN word it produces what the trainer would have produced had
+    * the word been present with frequency 0 (the real BPE apply
+    * semantics every shipped tokenizer implements). */
+  private def applyMerges(word: Column,
+                          merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
+      array_join(filter(split(word, ""), x => x =!= ""), " ")) {
+      case (repr, (a, b)) =>
+        aggregate(split(repr, " "), lit(""), (acc, x) =>
+          when(acc === "", x)
+            .when(x === lit(b) &&
+              (acc === lit(a) || acc.endsWith(lit(" " + a))),
+              concat(acc.substr(lit(1), length(acc) - lit(a.length)),
+                lit(a + b)))
+            .otherwise(concat(acc, lit(" "), x)))
+    }
+
+  /** ENCODE ANY corpus — including words the tokenizer never saw —
+    * from a persisted [[bpeArtifactWrite]] merge table: the stored
+    * (round, a, b) rows are the tokenizer model (≤ 20 rows by the
+    * trainer's cap — a bounded driver artifact, the codebook
+    * discipline) and unfold into a chain of `rounds` in-plan merge
+    * folds applied to every word. No vocabulary join at all: the
+    * encode is a pure stateless projection + one keyed count — works
+    * in streaming, needs no broadcast, and bills OOV words correctly
+    * instead of dropping them. This is the apply path a production
+    * pipeline runs on NEW data with a FROZEN tokenizer; the vocab-join
+    * form ([[bpeEncodeFromArtifact]]) is its in-vocab fast path (the
+    * spec pins their agreement on in-vocab corpora).
+    * Output: (doc_id, n_words, n_bpe_tokens). */
+  def bpeEncodeOov(docs: DataFrame, dir: String,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val merges = docs.sparkSession.read.parquet(s"$dir/merges")
+      .orderBy("round").select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), applyMerges(col("w"), merges).as("repr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("repr"), " ")).cast("long"))
+          .as("n_bpe_tokens"))
+  }
 
   /** Document fingerprints:
     *  - fp_md5: md5 of the normalized text (exact-dup key);

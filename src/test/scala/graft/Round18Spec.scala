@@ -72,6 +72,28 @@ class Round18Spec extends SparkSpec {
     assert(got.head._2 === 1L) // only the in-vocab word counted
   }
 
+  test("bpeEncodeOov: replaying stored merges equals the vocab join " +
+    "on in-vocab corpora, and encodes UNSEEN words instead of " +
+    "dropping them") {
+    val train = Seq(
+      (1L, "the theme thesis"),
+      (2L, "breathe the loathe")).toDF("doc_id", "text")
+    val dir = scratch("bpeoov")
+    TextStats.bpeArtifactWrite(train, dir, rounds = 3)
+    // in-vocab corpus: both artifact paths agree
+    assert(rows(TextStats.bpeEncodeOov(train, dir)) ===
+      rows(TextStats.bpeEncodeFromArtifact(train, dir)))
+    // OOV corpus: 'theory' was never seen — the vocab join drops it,
+    // the merge replay encodes it with the trained merges applied
+    val oov = Seq((9L, "theory")).toDF("doc_id", "text")
+    assert(TextStats.bpeEncodeFromArtifact(oov, dir).count() === 0L)
+    val got = TextStats.bpeEncodeOov(oov, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((9L, 1L)))
+    // 6 chars, with the trained merges that apply to 'theory' folded in
+    assert(got.head._3 < 6L && got.head._3 >= 1L)
+  }
+
   // --- HTML numeric character references ---
 
   private def htmlText(page: String): String =
