@@ -72,7 +72,12 @@ object ExplainAudit {
         // (stream_html_ingest excluded with the other streaming gates:
         // explain would stage and drain the stream)
         "dedup_url", "text_html_extract_files",
-        "rel_incremental_refresh")
+        "rel_incremental_refresh",
+        // round-9 surface (artifact gates build+write at audit SF —
+        // the printed plan is the serve path; stream_url_dedup
+        // excluded with the other streaming gates)
+        "rel_sssp", "rel_refresh_artifact", "text_bpe_apply_stored",
+        "text_bpe_encode_oov")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
