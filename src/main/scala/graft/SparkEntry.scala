@@ -921,6 +921,12 @@ object SparkEntry {
     "rel_sssp" -> ((s, dir) =>
       Graph.purchaseHubCost(tbl(s, dir, "orders"),
         tbl(s, dir, "lineitem"))),
+    // delta-frontier Bellman-Ford: expands only the nodes whose dist
+    // improved last round; MUST emit exactly rel_sssp's rows, so it
+    // shares the unrolled twin (the rel_bfs_frontier precedent)
+    "rel_sssp_delta" -> ((s, dir) =>
+      Graph.purchaseHubCost(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"), deltaOnly = true)),
 
     // --- skew-salted distinct (hot-key holistic agg; see operators.Skew) ---
     // Buckets partition the value space, so the per-bucket distinct
@@ -4966,6 +4972,7 @@ object SparkEntry {
     "rel_bfs_hops" -> BfsHopsSql(3),
     "rel_bfs_frontier" -> BfsHopsSql(3),
     "rel_sssp" -> SsspSql(3),
+    "rel_sssp_delta" -> SsspSql(3),
 
     // Interval-join replay: the naive overlap join — the bucketed plan
     // must emit the identical pair set (each pair exactly once).

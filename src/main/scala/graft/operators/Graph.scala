@@ -806,6 +806,52 @@ object Graph {
     dist
   }
 
+  /** Delta-frontier Bellman–Ford — the at-scale refinement
+    * [[ssspBounded]]'s own scaladoc names (the [[bfsHopsFrontier]]
+    * precedent, weighted): a round-k relaxation through node n can
+    * only produce a NEW minimum if n's own distance changed in round
+    * k-1 (an unchanged node's offers were already made and absorbed),
+    * so each round expands only the CHANGED set instead of the whole
+    * running dist table — the classic queue-based/delta-stepping
+    * property. Per round: delta⋈edges (edge work proportional to the
+    * delta set's adjacency), one full-outer merge that also flags
+    * improvements, and the flagged rows become the next delta. On a
+    * converging graph the delta empties and later rounds cost
+    * ~nothing, where the full-set form re-joins ALL reached nodes
+    * against the edge list every round — measured in tools/SsspProbe
+    * (BASELINE.md). Emits exactly [[ssspBounded]]'s rows (the spec
+    * pins equality round for round), so the gate shares the unrolled
+    * twin. */
+  def ssspBoundedDelta(sources: DataFrame, wedges0: DataFrame,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"rounds must be in [1, 10] (twin unrolls them): $rounds")
+    val wedges = wedges0.persist()
+    var dist = sources.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var delta = dist
+    for (_ <- 1 to rounds) {
+      val relaxed = delta.join(wedges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("nd"))
+      val merged = dist.join(relaxed, col("node") === col("dst"), "full")
+        .select(
+          coalesce(col("node"), col("dst")).as("node"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"),
+          (col("nd").isNotNull &&
+            (col("node").isNull || col("nd") < col("dist"))).as("improved"))
+        .localCheckpoint(true)
+      val nextDelta = merged.filter(col("improved"))
+        .select("node", "dist").localCheckpoint(true)
+      if (delta ne dist) releaseCheckpoint(delta)
+      releaseCheckpoint(dist)
+      dist = merged.select("node", "dist")
+      delta = nextDelta
+    }
+    releaseCheckpoint(delta) // the last round's changed set
+    dist
+  }
+
   /** Hub-cost gate over the weighted purchase graph: the cheapest
     * ≤-`rounds`-edge path cost (in cents) from each node to the nearest
     * hub, hubs derived in-plan exactly as [[purchaseHubDistance]]
@@ -813,7 +859,8 @@ object Graph {
     * artifact — weighted edges are one per distinct partner pair, so
     * the degree sets coincide). Output: (node_type, key, cost). */
   def purchaseHubCost(orders: DataFrame, lineitem: DataFrame,
-                      rounds: Int = 3): DataFrame = {
+                      rounds: Int = 3,
+                      deltaOnly: Boolean = false): DataFrame = {
     val wedges = purchaseWeightedEdges(orders, lineitem).persist()
     val deg = wedges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val thr = wedges.agg(count(lit(1)).as("ne"))
@@ -822,7 +869,10 @@ object Graph {
       .head().getLong(0)
     val sources = deg.filter(col("deg") >= thr)
       .select(col("src").as("node"))
-    ssspBounded(sources, wedges, rounds).select(
+    val sssp =
+      if (deltaOnly) ssspBoundedDelta(sources, wedges, rounds)
+      else ssspBounded(sources, wedges, rounds)
+    sssp.select(
       when(col("node") % 2 === 0, lit("customer"))
         .otherwise(lit("supplier")).as("node_type"),
       expr("node div 2").as("key"), col("dist").as("cost"))

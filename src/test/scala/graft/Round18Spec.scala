@@ -222,6 +222,18 @@ class Round18Spec extends SparkSpec {
     assert(dists(3) === Map(1L -> 0L, 2L -> 20L, 3L -> 10L, 4L -> 25L))
   }
 
+  test("ssspBoundedDelta: emits exactly ssspBounded's rows round for " +
+    "round (including the settled-node-improvement rounds)") {
+    val wedges = Seq(
+      (1L, 2L, 100L), (1L, 3L, 10L), (3L, 2L, 10L), (2L, 4L, 5L),
+      (4L, 5L, 1L), (2L, 5L, 50L))
+      .toDF("src", "dst", "w")
+    val sources = Seq(1L).toDF("node")
+    for (r <- 1 to 5)
+      assert(rows(Graph.ssspBoundedDelta(sources, wedges, r)) ===
+        rows(Graph.ssspBounded(sources, wedges, r)), s"rounds=$r")
+  }
+
   test("ssspBounded: multi-source takes the per-node minimum over " +
     "sources") {
     val wedges = Seq((1L, 2L, 7L), (5L, 2L, 3L))
