@@ -927,6 +927,12 @@ object SparkEntry {
     "rel_sssp_delta" -> ((s, dir) =>
       Graph.purchaseHubCost(tbl(s, dir, "orders"),
         tbl(s, dir, "lineitem"), deltaOnly = true)),
+    // spend-weighted PageRank: transition mass proportional to edge
+    // weight via ppm-quantized integer shares (see
+    // Graph.pageRankWeighted); twin unrolls the rounds
+    "rel_pagerank_weighted" -> ((s, dir) =>
+      Graph.pageRankWeighted(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
 
     // --- skew-salted distinct (hot-key holistic agg; see operators.Skew) ---
     // Buckets partition the value space, so the per-bucket distinct
@@ -1488,6 +1494,51 @@ object SparkEntry {
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, CAST(dist AS BIGINT) AS dist
        |FROM d$iters""".stripMargin
+  }
+
+  // Weighted-PageRank twin: PageRankSql's round pairs with the
+  // ppm-quantized weighted transition — (rank * ppm) // 1e6 replays
+  // Spark's exact-integer share arithmetic bit for bit.
+  private def PageRankWeightedSql(iters: Int): String = {
+    val total = operators.Graph.TotalMass
+    val tele = total * 15 / 100
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT sh.dst AS node,
+         |    sum((r.rank * sh.ppm) // 1000000) AS m
+         |  FROM r${i - 1} r JOIN sh ON r.node = sh.src
+         |  GROUP BY sh.dst
+         |), r$i AS (
+         |  SELECT nd.node,
+         |    CAST($tele // n.n + (85 * coalesce(s$i.m, 0)) // 100
+         |      AS BIGINT) AS rank
+         |  FROM nd CROSS JOIN n LEFT JOIN s$i ON nd.node = s$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+       |    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+       |      AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT c AS src, s AS dst, w FROM e0
+       |  UNION ALL SELECT s, c, w FROM e0
+       |), sw AS (
+       |  SELECT src, sum(w) AS sw FROM edges GROUP BY src
+       |), sh AS (
+       |  SELECT e.src, e.dst, (e.w * 1000000) // s.sw AS ppm
+       |  FROM edges e JOIN sw s ON e.src = s.src
+       |), nd AS (SELECT src AS node FROM sw),
+       |n AS (SELECT count(*) AS n FROM nd),
+       |r0 AS (
+       |  SELECT node, $total // n.n AS rank FROM nd, n
+       |),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |  node // 2 AS key, "rank"
+       |FROM r$iters""".stripMargin
   }
 
   // Bounded Bellman-Ford twin: BfsHopsSql's relax-merge rounds with
@@ -4973,6 +5024,7 @@ object SparkEntry {
     "rel_bfs_frontier" -> BfsHopsSql(3),
     "rel_sssp" -> SsspSql(3),
     "rel_sssp_delta" -> SsspSql(3),
+    "rel_pagerank_weighted" -> PageRankWeightedSql(3),
 
     // Interval-join replay: the naive overlap join — the bucketed plan
     // must emit the identical pair set (each pair exactly once).

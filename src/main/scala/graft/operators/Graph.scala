@@ -806,6 +806,56 @@ object Graph {
     dist
   }
 
+  /** WEIGHTED PageRank over the purchase graph — transition mass
+    * proportional to edge weight ([[purchaseWeightedEdges]]' cheapest
+    * linking price) instead of the uniform 1/deg of [[pageRank]]: the
+    * centrality a spend-weighted supplier network actually wants.
+    *
+    * Integer exactness under the weighted transition: edge shares are
+    * pre-quantized ONCE to parts-per-million of the source's
+    * out-weight (`ppm = (w × 1e6) div Σw`), so the per-round multiply
+    * `rank × ppm` stays inside BIGINT (rank ≤ 1e12 mass units,
+    * ppm ≤ 1e6 → product ≤ 1e18 < 2^63) and every round is exact,
+    * order-independent integer arithmetic the twin replays with `//`.
+    * Floor leakage: ≤ 1 µ-unit per edge at the share quantization plus
+    * the per-round div leakage the unweighted form documents — both
+    * engines leak identically. Same keyed join + keyed sum shape and
+    * persist hand-off discipline as [[pageRank]].
+    * Output: (node_type, key, rank).
+    */
+  def pageRankWeighted(orders: DataFrame, lineitem: DataFrame,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val wedges = purchaseWeightedEdges(orders, lineitem).persist()
+    val sw = wedges.groupBy("src").agg(sum(col("w")).as("sw"))
+    val shares = wedges.join(sw, "src")
+      .select(col("src"), col("dst"),
+        expr("(w * 1000000) div sw").as("ppm"))
+      .persist()
+    // out-weight keys = node set (undirected construction, no dangling)
+    val nodes = sw.select(col("src").as("node")).persist()
+    val nAgg = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nAgg))
+      .select(col("node"), expr(s"$TotalMass div n").as("rank"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val inMass = ranks.join(shares, col("node") === col("src"))
+        .select(col("dst"),
+          expr("(rank * ppm) div 1000000").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("m"))
+      val next = nodes.crossJoin(broadcast(nAgg))
+        .join(inMass, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr(s"${TotalMass * 15 / 100} div n")
+            + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
+        .persist()
+      ranks.unpersist()
+      ranks = next
+    }
+    decodeNode(ranks, col("rank"))
+  }
+
   /** Delta-frontier Bellman–Ford — the at-scale refinement
     * [[ssspBounded]]'s own scaladoc names (the [[bfsHopsFrontier]]
     * precedent, weighted): a round-k relaxation through node n can

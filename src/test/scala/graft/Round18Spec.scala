@@ -260,6 +260,23 @@ class Round18Spec extends SparkSpec {
     assert(leaked <= 4, s"resident frames grew by $leaked (expected <= 4)")
   }
 
+  test("pageRankWeighted: mass follows edge weight — the heavier " +
+    "supplier outranks the lighter one where uniform PageRank ties") {
+    val orders = Seq((100L, 1L), (101L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((100L, 8L, 99.0), (101L, 9L, 1.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+    val ranks = Graph.pageRankWeighted(orders, lineitem, iters = 3)
+      .as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(ranks(("supplier", 8L)) > ranks(("supplier", 9L)))
+    // uniform PageRank cannot distinguish them (same degree/topology)
+    val uni = Graph.pageRank(orders, lineitem, iters = 3)
+      .as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(uni(("supplier", 8L)) === uni(("supplier", 9L)))
+  }
+
   test("purchaseWeightedEdges: weight is the cheapest linking price " +
     "in exact cents, symmetric") {
     val orders = Seq((100L, 1L), (101L, 1L))
