@@ -241,6 +241,14 @@ object SparkEntry {
       graft.streaming.EventsStream.urlDedupIngest(
         s, dir, scratchDir("urlstage"))),
 
+    // streaming materialized view: 3-batch replay, each batch merges
+    // its daily partials into a versioned rollup artifact; final
+    // artifact == the one-shot batch recompute (see
+    // EventsStream.rollupMaintain)
+    "stream_rollup_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.rollupMaintain(
+        s, dir, scratchDir("rollstage"), scratchDir("rollart"))),
+
     "stream_html_ingest" -> ((s, dir) =>
       graft.streaming.EventsStream.htmlIngestCounts(
         s, dir, scratchDir("htmlstream"))),
@@ -4976,6 +4984,15 @@ object SparkEntry {
     // Diff-driven-refresh twin: the FULL daily recompute over the new
     // snapshot — the spliced kept+recomputed result must equal it
     "rel_incremental_refresh" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Streaming-materialized-view twin: the same full-recompute
+    // contract — three merged micro-batch partials must equal it
+    "stream_rollup_maintain" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)

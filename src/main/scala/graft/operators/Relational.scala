@@ -1384,7 +1384,7 @@ object Relational {
     * is only exact because partial sums are decimal — and a parquet
     * decimal round-trips bit-exactly, so kept artifact rows equal
     * recomputed ones. */
-  private def dailyRollup(df: DataFrame): DataFrame = df
+  private[graft] def dailyRollup(df: DataFrame): DataFrame = df
     .groupBy(to_date(col("ts")).cast("string").as("day"))
     .agg(count(lit(1)).as("n_events"),
       sum(col("value").cast("decimal(18,6)")).as("sv"))

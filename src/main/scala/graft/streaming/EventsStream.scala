@@ -358,6 +358,72 @@ object EventsStream {
     all.filter(col("batch_id") === last).drop("batch_id")
   }
 
+  /** Streaming MATERIALIZED-AGGREGATE maintenance — the production
+    * "streaming materialized view" composition of the foreachBatch
+    * sink and the rollup artifact (round-9; completes the
+    * [[graft.operators.Relational.rollupArtifactWrite]] story): the
+    * events stream replays as three staged micro-batches, and each
+    * batch MERGES its daily partial aggregate into a batch_id-VERSIONED
+    * rollup artifact — v(N) = day-keyed sum-merge of v(N-1) and
+    * dailyRollup(batch N). State between batches lives in the ARTIFACT,
+    * not in Spark state stores, so the view survives restarts for free;
+    * versioned dirs make replays idempotent (a retried batch overwrites
+    * exactly its own version, reading its predecessor — the
+    * exactly-once file-sink recipe of [[hourlyViaForeachBatch]]).
+    * DECIMAL partial sums make the merge exact under ANY batch split,
+    * so the final artifact equals the one-shot batch recompute — the
+    * gate shares rel_incremental_refresh's full-recompute twin.
+    * Output: (day, n_events, sum_value).
+    */
+  def rollupMaintain(spark: SparkSession, dir: String, stageDir: String,
+                     artDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    stageBatches(stageDir,
+      raw.filter(col("event_id") % 3 === 0),
+      raw.filter(col("event_id") % 3 === 1),
+      raw.filter(col("event_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = graft.Tables.normalizeTs(
+        scoped.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "b*.parquet")
+          .parquet(stageDir))
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val part = graft.operators.Relational.dailyRollup(batch)
+          .withColumnsRenamed(Map("n_events" -> "bn", "sv" -> "bsv"))
+        val prevDir = new java.io.File(s"$artDir/v${batchId - 1}")
+        val merged =
+          if (!prevDir.isDirectory) part
+            .select(col("day"), col("bn").as("n_events"),
+              col("bsv").as("sv"))
+          else s2.read.parquet(prevDir.getPath)
+            .join(part, Seq("day"), "full_outer")
+            .select(col("day"),
+              (coalesce(col("n_events"), lit(0L))
+                + coalesce(col("bn"), lit(0L))).as("n_events"),
+              (coalesce(col("sv"), lit(BigDecimal(0)).cast(
+                "decimal(18,6)"))
+                + coalesce(col("bsv"), lit(BigDecimal(0)).cast(
+                "decimal(18,6)"))).cast("decimal(18,6)").as("sv"))
+        merged.write.mode("overwrite").parquet(s"$artDir/v$batchId")
+      }
+      .start()
+    q.awaitTermination()
+    val versions = Option(new java.io.File(artDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    val last = versions.max
+    spark.read.parquet(s"$artDir/v$last")
+      .select(col("day"), col("n_events"),
+        col("sv").cast("double").as("sum_value"))
+  }
+
   /** Late-data drop gate: the events stream replayed as THREE
     * deterministic micro-batches so the watermark actually FIRES.
     *
