@@ -1250,6 +1250,19 @@ object SparkEntry {
     "rel_hll_maintain" -> ((s, dir) =>
       Relational.hllMaintain(tbl(s, dir, "events"))),
 
+    // Sketch-as-artifact: persist the pre-cutoff HLL sketches as
+    // parquet, merge the post-cutoff delta against the RE-READ
+    // artifact (old events never scanned), estimate within the 5%
+    // contract (see Relational.hllArtifactWrite/hllArtifactMerge)
+    "rel_hll_artifact" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val out = scratchDir("hllart")
+      Relational.hllArtifactWrite(
+        ev.filter(expr("unix_micros(ts) < 1706616000000000")), out)
+      Relational.hllArtifactMerge(
+        ev.filter(expr("unix_micros(ts) >= 1706616000000000")), ev, out)
+    }),
+
     // Incremental partition diff: per-day xor fingerprints of the
     // pre-cutoff snapshot vs the full table → added/changed/unchanged
     // days (see Relational.partitionDiff; snapshot_diff's µs cutoff)
@@ -2726,6 +2739,15 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS inc_within_rel_err, TRUE AS full_within_rel_err
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Sketch-artifact twin: the same sketch-contract shape — exact
+    // distinct per type, the artifact-merged estimate must sit inside
+    // the 5% band
+    "rel_hll_artifact" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS merged_within_rel_err
         |FROM events GROUP BY 1""".stripMargin,
 
     // Partition-diff replay: per-day bit_xor of the 60-bit md5 slice

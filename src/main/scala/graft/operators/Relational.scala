@@ -1265,6 +1265,46 @@ object Relational {
           <= col("n_exact") * 0.05).as("full_within_rel_err"))
   }
 
+  /** Persist the per-type HLL sketches as a parquet artifact (binary
+    * sketch column) — the mergeable-sketch half of the artifact family
+    * (the ivf/bpe/rollup pattern applied to approximate state): at
+    * 100 TB the per-partition sketches are materialized once and every
+    * refresh absorbs a delta at delta cost, never re-reading history.
+    * A parquet binary round-trips byte-exact, so the re-read sketch
+    * unions identically to the in-memory one. */
+  def hllArtifactWrite(events: DataFrame, dir: String): Unit =
+    events.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Merge a DELTA's sketches against the STORED artifact and gate the
+    * union estimate against the exact distinct over the full history —
+    * the [[hllMaintain]] sketch-contract shape with the pre-cutoff
+    * side arriving from parquet instead of a scan: the old events are
+    * never read (their entire contribution is the |types|-sized
+    * artifact). Output: (event_type, n_exact,
+    * merged_within_rel_err). */
+  def hllArtifactMerge(delta: DataFrame, full: DataFrame,
+                       dir: String): DataFrame = {
+    val spark = delta.sparkSession
+    val stored = spark.read.parquet(dir)
+      .withColumnsRenamed(Map("sk" -> "sk_pre"))
+    val sDelta = delta.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk_post"))
+    val exact = full.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(stored, Seq("event_type"), "left")
+      .join(sDelta, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_exact"),
+        expr("""hll_sketch_estimate(CASE
+          WHEN sk_pre IS NULL THEN sk_post
+          WHEN sk_post IS NULL THEN sk_pre
+          ELSE hll_union(sk_pre, sk_post) END)""").as("est"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact"))
+          <= col("n_exact") * 0.05).as("merged_within_rel_err"))
+  }
+
   /** Incremental-processing partition diff — the "which partitions
     * must recompute" primitive a 100 TB nightly pipeline runs INSTEAD
     * of full recomputation: fingerprint every (day) partition of the
