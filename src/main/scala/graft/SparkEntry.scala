@@ -974,6 +974,18 @@ object SparkEntry {
       Dedup.decontaminateBloom(d.filter(col("doc_id") % 20 =!= 0),
         d.filter(col("doc_id") % 20 === 0), n = 4)
     }),
+    // decontamination-index artifact: the frozen benchmark's shingles
+    // + Bloom words persisted once, the corpus decontaminated from the
+    // RE-READ index (raw benchmark never touched) — same exact oracle,
+    // third physical plan (see Dedup.decontamIndexWrite)
+    "dedup_decontam_artifact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = scratchDir("decontamidx")
+      Dedup.decontamIndexWrite(d.filter(col("doc_id") % 20 === 0), out,
+        n = 4)
+      Dedup.decontaminateFromIndex(d.filter(col("doc_id") % 20 =!= 0),
+        out, n = 4)
+    }),
 
     // --- composed curation pipeline (north-star) ---
     "pipe_curate" -> ((s, dir) => Curate.curate(docs(s, dir))),
@@ -3619,6 +3631,8 @@ object SparkEntry {
     // the bloom prefilter never changes the result — ONE oracle, two
     // physical plans under test
     "dedup_decontam_bloom" -> decontamOracle,
+    // ...and a third: the persisted-index round-trip
+    "dedup_decontam_artifact" -> decontamOracle,
 
     // The composed curation twin: langid + quality + recursive canonical
     // components + the hash-sample predicate, assembled from the same
