@@ -472,6 +472,23 @@ object SparkEntry {
     // via band joins + exact verify, never corpus×corpus
     "dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalMinHash(docs(s, dir))),
+    // the persisted-lake-table form of the same dedup: corpus bands +
+    // shingles written once (incl. an append cycle), the delta deduped
+    // against the RE-READ index — shares dedup_incremental's twin (the
+    // shared-tail construction). The corpus is split 2/5+2/5 across
+    // write+append so the append path is exercised on real rows.
+    "dedup_index_artifact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = scratchDir("dedupidx")
+      Dedup.dedupIndexWrite(
+        d.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        out)
+      Dedup.dedupIndexAppend(
+        d.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        out)
+      Dedup.incrementalMinHashFromIndex(
+        d.filter(col("doc_id") % 5 === 0), out)
+    }),
 
     // --- similarity search (north-star) ---
     "sim_topk_brute" -> ((s, dir) => {
@@ -1994,6 +2011,50 @@ object SparkEntry {
        |FROM w$rounds GROUP BY doc_id""".stripMargin
   }
 
+  private val dedupIncrementalOracle: String =
+      """WITH sh0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 1)),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM sh0
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), dd AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        |), dsh AS (
+        |  SELECT * FROM sh WHERE doc_id % 5 = 0
+        |), csh AS (
+        |  SELECT * FROM sh WHERE doc_id % 5 != 0
+        |), com_c AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM dsh a JOIN csh b ON a.s = b.s GROUP BY 1, 2
+        |), jc_c AS (
+        |  SELECT da FROM com_c
+        |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE c / (x.n + y.n - c) >= 0.8
+        |), com_d AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jc_d AS (
+        |  SELECT db FROM com_d
+        |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE c / (x.n + y.n - c) >= 0.8
+        |), nc AS (
+        |  SELECT da AS id, count(*) AS n_corpus_dups FROM jc_c GROUP BY da
+        |), nd AS (
+        |  SELECT db AS id, count(*) AS n_delta_dups FROM jc_d GROUP BY db
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(nc.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+        |  CAST(coalesce(nd.n_delta_dups, 0) AS BIGINT) AS n_delta_dups,
+        |  coalesce(nc.n_corpus_dups, 0) = 0
+        |    AND coalesce(nd.n_delta_dups, 0) = 0 AS keep
+        |FROM dd d LEFT JOIN nc ON d.doc_id = nc.id
+        |LEFT JOIN nd ON d.doc_id = nd.id""".stripMargin
+
   // Dedup.canonicalUrl as one nested DuckDB expression over column
   // `url` — generated from the SAME pattern constants; replacements
   // use \1 (DuckDB) where Spark uses $1.
@@ -3247,49 +3308,12 @@ object SparkEntry {
     // delta→corpus and delta→delta(a<b) orientations, aggregated per
     // delta doc; the Spark LSH path's verified candidates must land on
     // exactly these pairs (the dedup_minhash_lsh miss-prob argument)
-    "dedup_incremental" ->
-      """WITH sh0 AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(t) - 2, 1)),
-        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
-        |  FROM sh0
-        |), sz AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), dd AS (
-        |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
-        |), dsh AS (
-        |  SELECT * FROM sh WHERE doc_id % 5 = 0
-        |), csh AS (
-        |  SELECT * FROM sh WHERE doc_id % 5 != 0
-        |), com_c AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-        |  FROM dsh a JOIN csh b ON a.s = b.s GROUP BY 1, 2
-        |), jc_c AS (
-        |  SELECT da FROM com_c
-        |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-        |  WHERE c / (x.n + y.n - c) >= 0.8
-        |), com_d AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-        |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), jc_d AS (
-        |  SELECT db FROM com_d
-        |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-        |  WHERE c / (x.n + y.n - c) >= 0.8
-        |), nc AS (
-        |  SELECT da AS id, count(*) AS n_corpus_dups FROM jc_c GROUP BY da
-        |), nd AS (
-        |  SELECT db AS id, count(*) AS n_delta_dups FROM jc_d GROUP BY db
-        |)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(nc.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
-        |  CAST(coalesce(nd.n_delta_dups, 0) AS BIGINT) AS n_delta_dups,
-        |  coalesce(nc.n_corpus_dups, 0) = 0
-        |    AND coalesce(nd.n_delta_dups, 0) = 0 AS keep
-        |FROM dd d LEFT JOIN nc ON d.doc_id = nc.id
-        |LEFT JOIN nd ON d.doc_id = nd.id""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalOracle,
+
+    // persisted-index round-trip: same delta/corpus sets (corpus =
+    // doc_id % 5 != 0 across write+append), same contract — shares the
+    // twin above by the shared-tail construction
+    "dedup_index_artifact" -> dedupIncrementalOracle,
 
     // SimHash twin: identical signatures from the md5 word basis (bit j
     // of the first 16 md5 hex chars as u64), then ALL-PAIRS hamming —

@@ -276,8 +276,20 @@ object Dedup {
     // shingles feed signatures + two verifies — materialize once
     val sh = shingles(docs, n).persist()
     val bandSigs = bandSignatures(sh, numPerm, bands).persist()
-    val deltaB = bandSigs.filter(isDelta)
-    val corpusB = bandSigs.filter(!isDelta)
+    incrementalTail(docs.filter(isDelta).select(col("doc_id")), sh,
+      bandSigs.filter(isDelta), bandSigs.filter(!isDelta), threshold)
+  }
+
+  /** The candidate-then-verify tail shared VERBATIM by
+    * [[incrementalMinHash]] (both sides in-plan) and
+    * [[incrementalMinHashFromIndex]] (corpus side re-read from the
+    * persisted index) — the ivfServe discipline: build-then-serve is
+    * bit-identical to build-and-serve by construction. `sh` must cover
+    * the shingles of BOTH sides (the exact-Jaccard verify reads
+    * them). */
+  private def incrementalTail(deltaDocs: DataFrame, sh: DataFrame,
+                              deltaB: DataFrame, corpusB: DataFrame,
+                              threshold: Double): DataFrame = {
     val candCorpus = deltaB.as("l")
       .join(corpusB.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
@@ -299,7 +311,7 @@ object Dedup {
     val nDelta = verDelta.groupBy("doc_b")
       .agg(count(lit(1)).as("n_delta_dups"))
       .select(col("doc_b").as("d_id"), col("n_delta_dups"))
-    docs.filter(isDelta).select(col("doc_id"))
+    deltaDocs
       .join(nCorpus, col("doc_id") === col("c_id"), "left")
       .join(nDelta, col("doc_id") === col("d_id"), "left")
       .select(col("doc_id"),
@@ -307,6 +319,63 @@ object Dedup {
         coalesce(col("n_delta_dups"), lit(0L)).as("n_delta_dups"))
       .withColumn("keep",
         col("n_corpus_dups") === 0 && col("n_delta_dups") === 0)
+  }
+
+  /** Persist the near-dup index as a parquet artifact — the
+    * "persisted lake table built once per batch cycle" the
+    * [[incrementalMinHash]] scaladoc describes, made real (the
+    * ivfIndexWrite pattern applied to dedup). Layout under `dir`:
+    *  - `bands/` — (doc_id, sig, band), PARTITIONED BY band: the LSH
+    *    buckets as physical directories, so a band-keyed probe prunes
+    *    at the scan;
+    *  - `shingles/` — (doc_id, s): the exact-verify side.
+    * The LSH parameters are part of the index contract — pass the same
+    * (n, numPerm, bands) to the readers. */
+  def dedupIndexWrite(corpus: DataFrame, dir: String, n: Int = 3,
+                      numPerm: Int = 128, bands: Int = 32): Unit = {
+    val sh = shingles(corpus, n).persist()
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    bandSignatures(sh, numPerm, bands)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/bands")
+    sh.unpersist()
+  }
+
+  /** APPEND a deduped delta's signatures and shingles to the stored
+    * index — the nightly-cycle maintenance step: band signatures are
+    * per-doc independent given fixed parameters, so append-then-probe
+    * equals a full index rebuild over the union (the ivfIndexAppend
+    * argument). Call with the KEPT delta docs. */
+  def dedupIndexAppend(keptDelta: DataFrame, dir: String, n: Int = 3,
+                       numPerm: Int = 128, bands: Int = 32): Unit = {
+    val sh = shingles(keptDelta, n).persist()
+    sh.write.mode("append").parquet(s"$dir/shingles")
+    bandSignatures(sh, numPerm, bands)
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$dir/bands")
+    sh.unpersist()
+  }
+
+  /** Dedup a delta against the persisted [[dedupIndexWrite]] index:
+    * the identical [[incrementalTail]] with the corpus side arriving
+    * from the artifact — the raw corpus is never re-shingled, the
+    * probe joins are delta-sized, and the verify touches only the
+    * stored shingles of banded candidates.
+    * Output: (doc_id, n_corpus_dups, n_delta_dups, keep). */
+  def incrementalMinHashFromIndex(delta: DataFrame, dir: String,
+                                  threshold: Double = 0.8, n: Int = 3,
+                                  numPerm: Int = 128,
+                                  bands: Int = 32): DataFrame = {
+    val spark = delta.sparkSession
+    val shDelta = shingles(delta, n).persist()
+    val deltaB = bandSignatures(shDelta, numPerm, bands).persist()
+    val corpusB = spark.read.parquet(s"$dir/bands")
+      .select(col("doc_id"), col("band").cast("int").as("band"),
+        col("sig"))
+    val shAll = shDelta
+      .unionByName(spark.read.parquet(s"$dir/shingles"))
+    incrementalTail(delta.select(col("doc_id")), shAll, deltaB, corpusB,
+      threshold)
   }
 
   /** SimHash near-dup pairs. 64-bit signature: bit j is the sign of the
