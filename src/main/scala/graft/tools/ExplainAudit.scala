@@ -77,7 +77,9 @@ object ExplainAudit {
         // the printed plan is the serve path; stream_url_dedup
         // excluded with the other streaming gates)
         "rel_sssp", "rel_refresh_artifact", "text_bpe_apply_stored",
-        "text_bpe_encode_oov")
+        "text_bpe_encode_oov", "rel_sssp_delta", "rel_pagerank_weighted",
+        "rel_hll_artifact", "dedup_decontam_artifact",
+        "dedup_index_artifact")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -74,7 +74,8 @@ class PlanInvariantSpec extends SparkSpec {
     "rel_merge_upsert", "rel_snapshot_diff", "rel_partition_diff",
     "rel_incremental_refresh", "rel_heavy_hitters", "rel_pagerank",
     "rel_components", "rel_kcore", "rel_triangles", "rel_link_predict",
-    "rel_bfs_hops", "rel_sssp", "rel_ppr", "rel_funnel", "rel_cohort",
+    "rel_bfs_hops", "rel_sssp", "rel_pagerank_weighted", "rel_ppr",
+    "rel_funnel", "rel_cohort",
     "rel_activity_spine", "rel_hll_maintain", "rel_k_anonymity",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_embedding", "dedup_decontam", "dedup_decontam_bloom",
