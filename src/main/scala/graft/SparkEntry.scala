@@ -1017,6 +1017,11 @@ object SparkEntry {
     "samp_hash" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), 0.25)
         .select("doc_id", "lang", "n_chars")),
+    // exact-count eval-set carve: top-k of the md5 permutation
+    // (TakeOrderedAndProject — no global sort; see
+    // Sampling.fixedSizeSample)
+    "samp_fixed_k" -> ((s, dir) =>
+      Sampling.fixedSizeSample(docs(s, dir), 137)),
     // length-proportional keep probability — the token-budget sampler
     "samp_weighted" -> ((s, dir) =>
       Sampling.weightedSample(docs(s, dir),
@@ -3743,6 +3748,15 @@ object SparkEntry {
          |WHERE ('0x' || substr(md5('graft' || '|' ||
          |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
          |  < ${operators.Sampling.thresholdFor(0.25)}""".stripMargin,
+
+    // fixed-k twin: the same md5 permutation order, LIMIT k
+    "samp_fixed_k" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ('0x' || substr(md5('graft-fix' || '|' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  ORDER BY h ASC, doc_id ASC LIMIT 137
+        |)""".stripMargin,
 
     // identical float64 threshold arithmetic on both engines:
     // floor(clamp01(n_chars/3000) * 2^32)

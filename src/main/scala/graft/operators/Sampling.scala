@@ -195,6 +195,27 @@ object Sampling {
       .select(col(keyCol), col("shard"), col("pos"))
   }
 
+  /** Deterministic FIXED-SIZE uniform sample — "carve an eval set of
+    * exactly k docs": the first k rows of the md5-random permutation
+    * ([[shardAssign]]'s hash order, ties broken by key, so the order
+    * is total and the kept set identical across runs, partitionings,
+    * and engines). Complements [[hashSample]], whose REALIZED size is
+    * binomial around p·N — an eval/holdout set needs an exact count.
+    * Scale posture: sort-limit plans as TakeOrderedAndProject — k rows
+    * per partition cross the shuffle, no global sort ever
+    * materializes. Output: (key), exactly min(k, N) rows.
+    */
+  def fixedSizeSample(df: DataFrame, k: Int, keyCol: String = "doc_id",
+                      salt: String = "graft-fix"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val h = hashValue(col(keyCol), salt)
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), h.as("h"))
+      .orderBy(col("h").asc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol))
+  }
+
   /** Per-stratum cap — the "domain cap" of corpus mixing: keeps at most
     * `maxPerStratum` rows per stratum, chosen deterministically by hash
     * order (not arrival/partition order, so the kept set is stable

@@ -79,7 +79,7 @@ object ExplainAudit {
         "rel_sssp", "rel_refresh_artifact", "text_bpe_apply_stored",
         "text_bpe_encode_oov", "rel_sssp_delta", "rel_pagerank_weighted",
         "rel_hll_artifact", "dedup_decontam_artifact",
-        "dedup_index_artifact")
+        "dedup_index_artifact", "samp_fixed_k")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -82,7 +82,8 @@ class PlanInvariantSpec extends SparkSpec {
     "dedup_url", "dedup_semantic", "dedup_chunks", "dedup_substring",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_pq",
     "sim_docs_tfidf_pruned", "sim_hard_negatives", "sim_label_eval",
-    "samp_hash", "samp_stratified", "samp_token_budget_scalable",
+    "samp_hash", "samp_fixed_k", "samp_stratified",
+    "samp_token_budget_scalable",
     "samp_split_grouped", "samp_mix_tokens",
     "text_stats", "text_bm25", "text_lm_score_scalable",
     "text_nb_classify", "text_html_extract_scale", "text_token_ids",
