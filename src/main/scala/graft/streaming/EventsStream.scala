@@ -412,6 +412,17 @@ object EventsStream {
                 + coalesce(col("bsv"), lit(BigDecimal(0)).cast(
                 "decimal(18,6)"))).cast("decimal(18,6)").as("sv"))
         merged.write.mode("overwrite").parquet(s"$artDir/v$batchId")
+        // retention: a retry of batch N re-reads only v(N-1), so v(N-2)
+        // is dead once vN lands — reap it or the artifact dir grows one
+        // full rollup copy per micro-batch forever
+        val stale = new java.io.File(s"$artDir/v${batchId - 2}")
+        if (stale.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
       }
       .start()
     q.awaitTermination()
