@@ -429,6 +429,10 @@ object SparkEntry {
     // unigram drift between the benchmark split and the rest: add-one
     // smoothed p/q and round2-ln KL terms, all bit-replayable
     "text_drift" -> ((s, dir) => TextStats.tokenDrift(docs(s, dir))),
+    // bigram PMI collocations: corpus association mining for phrase
+    // detection — broadcast unigram model, in-plan N/B totals, top-100
+    "text_pmi" -> ((s, dir) =>
+      TextStats.pmiCollocations(docs(s, dir), minCount = 5L, k = 100)),
     // chunk-level duplication profile over CDC chunks: share of each
     // doc made of chunks that also appear in other docs
     "dedup_chunks" -> ((s, dir) => Dedup.chunkDupStats(docs(s, dir))),
@@ -467,6 +471,10 @@ object SparkEntry {
     // exact duplicated-span (substring) coverage, w=5 token windows
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), w = 5)),
+    // the REWRITE counterpart: cut all-but-first occurrences of every
+    // duplicated 8-token chunk and reassemble the cleaned documents
+    "dedup_chunk_rewrite" -> ((s, dir) =>
+      Dedup.chunkDedupRewrite(docs(s, dir), w = 8)),
     // delta-vs-corpus incremental dedup (the daily-ingestion pattern):
     // new-batch docs (doc_id ≡ 0 mod 5) dedup against the corpus rest
     // via band joins + exact verify, never corpus×corpus
@@ -1238,6 +1246,15 @@ object SparkEntry {
       TextStats.bpeEncodeFromArtifact(d, out)
     }),
 
+    // Per-language fertility / compression of the STORED tokenizer —
+    // the health report a tokenizer artifact ships with
+    "text_bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = scratchDir("bpefert")
+      TextStats.bpeArtifactWrite(d, out, rounds = BpeTrainRounds)
+      TextStats.bpeFertility(d, out)
+    }),
+
     // The FROZEN-tokenizer apply on data it never saw: train+persist on
     // 6/7 of the corpus, encode the held-out 1/7 by unfolding the
     // stored merge table into in-plan folds — OOV words encode instead
@@ -1984,6 +2001,30 @@ object SparkEntry {
   // apply each round's argmax pair leftmost-first, count final
   // symbols. The LEFT JOIN ON TRUE keeps repr unchanged on a
   // dried-out round, mirroring the trainer's early stop.
+  // Fertility twin: the trained vocabulary's per-word symbol counts
+  // joined back to the corpus words WITH their language, rolled up per
+  // language; ratios are round2 of one BIGINT/BIGINT division in the
+  // same order as the Spark expression.
+  private def bpeFertilitySql(rounds: Int): String =
+    s"""WITH ${bpeChainSql(rounds)},
+       |dwords AS (
+       |  SELECT lang, unnest(list_filter(string_split(
+       |    lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))),
+       |    ' '), t -> t != '')) AS w
+       |  FROM documents
+       |), agg AS (
+       |  SELECT lang, count(*) AS n_words,
+       |    CAST(sum(len(string_split(v.repr, ' '))) AS BIGINT)
+       |      AS n_bpe_tokens,
+       |    CAST(sum(length(d.w)) AS BIGINT) AS n_chars
+       |  FROM dwords d JOIN v$rounds v USING (w)
+       |  GROUP BY lang
+       |)
+       |SELECT lang, n_words, n_bpe_tokens, n_chars,
+       |  floor(n_bpe_tokens / n_words * 100 + 0.5) / 100 AS fertility,
+       |  floor(n_chars / n_bpe_tokens * 100 + 0.5) / 100 AS chars_per_token
+       |FROM agg""".stripMargin
+
   private def bpeEncodeOovSql(rounds: Int): String = {
     val folds = (1 to rounds).map { i =>
       s"""w$i AS (
@@ -2782,6 +2823,9 @@ object SparkEntry {
     // construction — same twin
     "text_bpe_apply_stored" -> bpeEncodeSql(BpeTrainRounds),
     "text_bpe_encode_oov" -> bpeEncodeOovSql(BpeTrainRounds),
+    // fertility twin: the same trained chain, grouped by language —
+    // count/symbol/char sums are exact BIGINTs, the two ratios round2
+    "text_bpe_fertility" -> bpeFertilitySql(BpeTrainRounds),
 
     // Quoted-CSV twin: pure identity — the round-trip must be lossless
     "io_csv_quoted" ->
@@ -3201,6 +3245,40 @@ object SparkEntry {
     // (c1 = Σ_w2 c2) — one oracle pins both implementations
     "text_lm_score_scalable" -> lmScoreSql,
 
+    // PMI twin: lmScoreSql's bigram construction, unigram/bigram
+    // totals, and the ONE fixed association order shared with the
+    // Spark expression so the IEEE double (then round2) agrees
+    "text_pmi" ->
+      """WITH nrm AS (
+        |  SELECT string_split(
+        |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS t
+        |  FROM documents
+        |), idx AS (
+        |  SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+        |  FROM nrm
+        |), bg AS (
+        |  SELECT t[i] AS a, t[i+1] AS b FROM idx WHERE t[i+1] IS NOT NULL
+        |), uc AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM nrm) u
+        |  WHERE w <> '' GROUP BY w
+        |), nu AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc
+        |), nb AS (
+        |  SELECT count(*) AS n_big FROM bg
+        |), cab AS (
+        |  SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+        |  HAVING count(*) >= 5
+        |)
+        |SELECT cab.a, cab.b, cab.c_ab,
+        |  floor(log10(((CAST(cab.c_ab AS DOUBLE) * nu.n_uni) * nu.n_uni) /
+        |    ((CAST(nb.n_big AS DOUBLE) * ua.c) * ub.c)) * 100 + 0.5) / 100
+        |    AS pmi
+        |FROM cab
+        |JOIN uc ua ON cab.a = ua.w
+        |JOIN uc ub ON cab.b = ub.w, nu, nb
+        |ORDER BY pmi DESC, a, b LIMIT 100""".stripMargin,
+
     // chunkTokens=64, overlap=16 ⇒ stride 48; both engines 1-based
     // inclusive slicing; zero-token docs emit nothing
     "text_chunk" ->
@@ -3247,6 +3325,39 @@ object SparkEntry {
          |SELECT doc_id, n_chunks, n_dup_chunks,
          |  floor(n_dup_chunks / n_chunks * 100 + 0.5) / 100 AS dup_frac
          |FROM r""".stripMargin,
+
+    // chunk-rewrite twin: same tiling as the Spark side, two-step
+    // lexicographic argmin (min doc_id, then min ci within it) for the
+    // corpus-wide first occurrence, ordered FILTER-style string_agg
+    // (NULL entries skip) for the in-order reassembly
+    "dedup_chunk_rewrite" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents
+        |), nc AS (
+        |  SELECT doc_id, t, CAST(floor((len(t) + 7) / 8.0) AS BIGINT) AS n
+        |  FROM tok WHERE len(t) > 0
+        |), ex AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, n - 1)) AS ci FROM nc
+        |), ch AS (
+        |  SELECT doc_id, ci,
+        |    array_to_string(t[(ci*8+1):(ci*8+8)], ' ') AS ctext
+        |  FROM ex
+        |), fd AS (
+        |  SELECT ctext, min(doc_id) AS fdoc FROM ch GROUP BY ctext
+        |), fo AS (
+        |  SELECT c.ctext, f.fdoc, min(c.ci) AS fci
+        |  FROM ch c JOIN fd f ON c.ctext = f.ctext AND c.doc_id = f.fdoc
+        |  GROUP BY c.ctext, f.fdoc
+        |)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN c.doc_id = o.fdoc AND c.ci = o.fci
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN c.doc_id = o.fdoc AND c.ci = o.fci
+        |    THEN c.ctext END, ' ' ORDER BY c.ci), '') AS text_clean
+        |FROM ch c JOIN fo o ON c.ctext = o.ctext
+        |GROUP BY c.doc_id""".stripMargin,
 
     // unigram drift twin: same normalization as text_repetition,
     // conditional split counts, add-one-smoothed single-division p/q,

@@ -1180,4 +1180,66 @@ object Dedup {
         graft.functions.Fns.round2(col("n_dup_chunks") / col("n_chunks"))
           .as("dup_frac"))
   }
+
+  /** Duplicated-chunk REMOVAL with document reconstruction — the
+    * rewrite counterpart of [[duplicatedSpans]]/[[chunkDupStats]]
+    * (which only profile duplication): tile each document into
+    * consecutive non-overlapping `w`-token chunks, keep only the
+    * corpus-wide FIRST occurrence of every distinct chunk text
+    * (lexicographic min over (doc_id, chunk_idx) — within-doc repeats
+    * collapse too), and reassemble each document from its surviving
+    * chunks in order. This is the production shape of exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): the duplicated boilerplate is CUT from
+    * all but one occurrence, not merely counted. Documents that lose
+    * every chunk stay in the output with empty text (the downstream
+    * length filter decides their fate, not this operator).
+    *
+    * Scale posture: chunking is a per-row explode (no shuffle); the
+    * first-occurrence argmin is ONE hash aggregation keyed on chunk
+    * text (`min(struct(doc_id, idx))` — no window over the corpus-wide
+    * chunk table); the join-back is an equi-join on the same key, so
+    * the whole plan is two exchanges of the chunk table. Reassembly
+    * sorts only WITHIN a document (collect_list + array_sort over a
+    * doc's own ≤⌈n/w⌉ chunks), never globally. At 100 TB the chunk key
+    * should be a 128-bit hash with the text resolved on collision; the
+    * gate keys on raw text because the DuckDB twin must reproduce the
+    * grouping byte-for-byte.
+    * Output: (doc_id, n_chunks, n_dropped, text_clean) for every
+    * document with ≥ 1 token.
+    */
+  def chunkDedupRewrite(docs: DataFrame, w: Int = 32,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(w >= 1, s"chunk width must be >= 1 token: $w")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), x => x =!= "")
+    val n = size(col("t"))
+    // integer ceil-div via floor on the positive double division (the
+    // [[graft.operators.TextStats.chunk]] idiom, shared by the twin)
+    val nChunks = floor((n + lit(w - 1)) / lit(w))
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), nChunks - 1)).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        concat_ws(" ", slice(col("t"),
+          (col("ci") * w + 1).cast("int"), lit(w))).as("ctext"))
+      .persist() // two consumers: first-occurrence argmin + join-back
+    val firstOcc = chunks.groupBy("ctext")
+      .agg(min(struct(col("doc_id"), col("ci"))).as("fo"))
+    chunks.join(firstOcc, "ctext")
+      .withColumn("kept",
+        col("doc_id") === col("fo.doc_id") && col("ci") === col("fo.ci"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips the NULL (dropped) entries; array_sort on
+        // (ci, ctext) structs restores document order — ci is unique
+        // within a doc, so the order is total and deterministic
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("ci"), col("ctext"))))),
+          x => x("ctext")), " ").as("text_clean"))
+  }
 }

@@ -282,6 +282,61 @@ object TextStats {
         (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
   }
 
+  /** Bigram PMI collocations — the corpus-level association mining
+    * behind phrase detection (word2vec-style phrase joining, stopword
+    * lists, tokenizer pre-merge candidates): for every adjacent token
+    * pair with ≥ `minCount` occurrences,
+    * PMI = log10(P(a,b) / (P(a)·P(b))) with P(a,b) over bigram
+    * occurrences and P(·) over unigram occurrences, ranked top-`k`
+    * (pmi desc, a asc, b asc — a total order, so ties are pinned).
+    *
+    * The PMI double is computed as ONE fixed association order —
+    * ((c_ab·N)·N) / ((B·c_a)·c_b) — shared character-for-character
+    * with the DuckDB twin, so IEEE double equality holds cross-engine;
+    * round2 caps the comparison at the printed precision anyway.
+    *
+    * Scale posture: bigram and unigram models are keyed aggregations
+    * (partial-agg map-side); the unigram side joined twice is |V|-sized
+    * (Heaps' law) and broadcast; N and B are in-plan 1-row aggregates
+    * (no driver count); the final rank is TakeOrderedAndProject, never
+    * a global sort. minCount bounds the surviving bigram model exactly
+    * like [[lmScoreScalable]]'s vocabulary cutoff.
+    * Output: (a, b, c_ab, pmi).
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 100,
+                      textCol: String = "text"): DataFrame = {
+    val t = split(normalized(col(textCol)), " ")
+    val bigrams = docs.select(
+        explode(transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
+          i => struct(get(t, i - 1).as("a"), get(t, i).as("b"))))
+          .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("b").isNotNull) // single-token docs have no bigram
+      .persist() // three consumers: c_ab model, B total, (via uni) N
+    val uni = docs
+      .select(explode(t).as("w")).filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist() // three consumers: two model joins + the N total
+    val nUni = uni.agg(sum(col("c")).cast("long").as("n_uni"))
+    val nBig = bigrams.agg(count(lit(1)).as("n_big"))
+    val cAb = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    cAb
+      .join(broadcast(uni.select(col("w").as("a"), col("c").as("c_a"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("c").as("c_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBig))
+      .select(col("a"), col("b"), col("c_ab"),
+        graft.functions.Fns.round2(log10(
+          ((col("c_ab").cast("double") * col("n_uni")) * col("n_uni")) /
+            ((col("n_big").cast("double") * col("c_a")) * col("c_b"))))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Token-window document chunking — the context-length splitter of a
     * training-data pipeline: each document becomes ⌈(n−overlap)/stride⌉
     * chunks of up to `chunkTokens` whitespace tokens, consecutive chunks
@@ -686,6 +741,45 @@ object TextStats {
                             textCol: String = "text"): DataFrame =
     encodeWithVocab(docs,
       docs.sparkSession.read.parquet(s"$dir/vocab"), idCol, textCol)
+
+  /** Tokenizer FERTILITY / compression evaluation from the stored
+    * [[bpeArtifactWrite]] artifact — the standard per-language
+    * tokenizer health check (a tokenizer trained on one language mix
+    * over-fragments under-represented languages; fertility is how that
+    * is measured and reported): per language, tokens-per-word
+    * (`fertility`) and characters-per-token (`chars_per_token`) of the
+    * stored vocabulary applied to the corpus.
+    *
+    * Scale posture: identical to [[bpeEncodeFromArtifact]] — one
+    * shuffle-free corpus pass against the broadcast |V|-sized
+    * vocabulary, then a languages-sized keyed aggregation. The
+    * round2'd ratios divide the two exact BIGINT sums once, in the
+    * same order as the twin.
+    * Output: (lang, n_words, n_bpe_tokens, n_chars, fertility,
+    * chars_per_token).
+    */
+  def bpeFertility(docs: DataFrame, dir: String,
+                   textCol: String = "text",
+                   langCol: String = "lang"): DataFrame = {
+    val vocab = docs.sparkSession.read.parquet(s"$dir/vocab")
+      .select(col("w"),
+        size(split(col("repr"), " ")).cast("long").as("n_sym"))
+    docs
+      .select(col(langCol).as("lang"),
+        explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        graft.functions.Fns.round2(col("n_bpe_tokens") / col("n_words"))
+          .as("fertility"),
+        graft.functions.Fns.round2(col("n_chars") / col("n_bpe_tokens"))
+          .as("chars_per_token"))
+  }
 
   /** The per-word merge application: char-split `word`, then replay
     * every trained merge in round order with the IDENTICAL
