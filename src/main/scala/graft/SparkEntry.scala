@@ -742,6 +742,12 @@ object SparkEntry {
     "rel_components_converged" -> ((s, dir) =>
       Graph.connectedComponentsConverged(tbl(s, dir, "orders"),
         tbl(s, dir, "lineitem"))),
+    // LPA communities: mode-label (ties → smallest) for 3 sync rounds
+    // — density clustering WITHIN components, the cheap distributed
+    // community detector
+    "rel_label_prop" -> ((s, dir) =>
+      Graph.purchaseCommunities(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     // exact one-vs-rest ROC-AUC (midrank ties) of the 2-dp-quantized
     // value score per event type — histogram-windowed, never row-ranked
     "rel_auc" -> ((s, dir) =>
@@ -1681,6 +1687,41 @@ object SparkEntry {
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, lbl AS component
+       |FROM l$iters""".stripMargin
+  }
+
+  // LPA twin: k unrolled mode-label steps — per-(node, label) neighbor
+  // counts, argmax via row_number ordered (c DESC, lbl ASC) — the same
+  // smallest-label tie pin as the Spark max(struct(c, -lbl)) trick.
+  private def LabelPropSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""n$i AS (
+         |  SELECT e.dst AS node, l.lbl, count(*) AS c
+         |  FROM l${i - 1} l JOIN edges e ON l.node = e.src
+         |  GROUP BY e.dst, l.lbl
+         |), b$i AS (
+         |  SELECT node, lbl AS nl FROM (
+         |    SELECT node, lbl, row_number() OVER
+         |      (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM n$i) q WHERE rn = 1
+         |), l$i AS (
+         |  SELECT l.node, coalesce(b$i.nl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN b$i ON l.node = b$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM e0
+       |  UNION ALL SELECT s, c FROM e0
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+       |),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+       |            ELSE 'supplier' END AS node_type,
+       |  node // 2 AS key, lbl AS community
        |FROM l$iters""".stripMargin
   }
 
@@ -5332,6 +5373,7 @@ object SparkEntry {
 
     // Components twin: 4 unrolled min-label steps, pure BIGINT
     "rel_components" -> ComponentsSql(4),
+    "rel_label_prop" -> LabelPropSql(3),
     "rel_components_converged" -> ComponentsConvergedSql(8),
     "rel_kcore_converged" -> KCoreConvergedSql(6),
 

@@ -463,6 +463,68 @@ object Graph {
       lit(rounds.toLong).as("rounds"))
   }
 
+  /** Generic k-step synchronous label propagation (LPA community
+    * detection, Raghavan et al. 2007) — the MODE-label sibling of
+    * [[minLabelPropagate]]: each round every node adopts the most
+    * frequent label among its neighbors (ties broken by SMALLEST
+    * label — the pin that makes fixed-k oracle-expressible), isolated
+    * nodes keep their seed. Where min-label converges to connected
+    * components, mode-label density-clusters WITHIN a component —
+    * the cheap distributed community detector (no modularity
+    * objective, no driver state).
+    *
+    * Each round is one edge-sized keyed join + TWO keyed aggregations:
+    * count per (node, label) — partial-aggregated map-side, so a hub
+    * node's neighbor list spreads across reducers by label — then one
+    * argmax per node via `max(struct(cnt, -label))` (no per-node
+    * window over the corpus-wide count table). Labels only need
+    * non-negative BIGINTs (node ids here) for the negation trick;
+    * per-round persist keeps lineage flat, superseded frames release
+    * at hand-off. Synchronous LPA on a bipartite graph can oscillate
+    * rather than converge — irrelevant to a fixed-k gate, which both
+    * engines replay deterministically either way.
+    */
+  def labelPropagate(labels0: DataFrame, edges0: DataFrame,
+                     iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val edges = edges0.persist()
+    var labels = labels0.persist()
+    for (_ <- 1 to iters) {
+      val cnt = labels
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy("dst")
+        .agg(max(struct(col("c").as("c"), (-col("lbl")).as("nl")))
+          .as("m"))
+        .select(col("dst"), (-col("m.nl")).as("nl"))
+      val next = labels
+        .join(best, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .persist()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
+  /** LPA communities over the purchase graph — [[labelPropagate]]
+    * seeded with each node's own id, `iters` fixed rounds (the gate
+    * semantic, like [[connectedComponents]]).
+    * Output: (node_type, key, community).
+    */
+  def purchaseCommunities(orders: DataFrame, lineitem: DataFrame,
+                          iters: Int = 3): DataFrame = {
+    val edges = purchaseEdges(orders, lineitem)
+    val labels0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    labelPropagate(labels0, edges, iters).select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("key"),
+      col("lbl").as("community"))
+  }
+
   /** Fixed-round k-core peeling: `iters` rounds of "drop every node
     * with degree < k, then drop edges touching dropped nodes" over the
     * canonical (a < b) undirected pair list — the standard community-

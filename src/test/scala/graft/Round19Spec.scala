@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextStats}
+import graft.operators.{Dedup, Graph, TextStats}
 
 /** Round-9 pins, batch 2: duplicated-chunk REMOVAL with document
   * reconstruction (first-occurrence-wins, in-order reassembly), bigram
@@ -84,6 +84,45 @@ class Round19Spec extends SparkSpec {
     val out = TextStats.pmiCollocations(docs, minCount = 2L, k = 10)
       .collect()
     assert(out.map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  // --- Graph.labelPropagate (LPA communities) ---
+
+  private def symEdges(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("labelPropagate: one round adopts the mode neighbor label, " +
+    "ties break to the smallest, isolated keeps seed") {
+    // triangle 1-2-3, pendant 4 on 3, isolated 5
+    val edges = symEdges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val labels0 = Seq(1L, 2L, 3L, 4L, 5L).map(n => (n, n))
+      .toDF("node", "lbl")
+    val r1 = Graph.labelPropagate(labels0, edges, iters = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // node1 nbr labels {2,3} tie -> 2; node2 {1,3} -> 1;
+    // node3 {1,2,4} -> 1; node4 {3} -> 3; node5 isolated -> 5
+    assert(r1 === Array((1L, 2L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 5L)))
+  }
+
+  test("labelPropagate: two rounds converge the triangle+pendant to " +
+    "one community") {
+    val edges = symEdges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val labels0 = Seq(1L, 2L, 3L, 4L, 5L).map(n => (n, n))
+      .toDF("node", "lbl")
+    val r2 = Graph.labelPropagate(labels0, edges, iters = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r2 === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L)))
+  }
+
+  test("labelPropagate: mode beats smaller minority label") {
+    // star: node 10 has three neighbors labeled 7 and one labeled 1 —
+    // mode 7 wins although 1 is smaller
+    val edges = symEdges((10L, 2L), (10L, 3L), (10L, 4L), (10L, 1L))
+    val labels0 = Seq((10L, 10L), (1L, 1L), (2L, 7L), (3L, 7L), (4L, 7L))
+      .toDF("node", "lbl")
+    val r1 = Graph.labelPropagate(labels0, edges, iters = 1)
+      .filter(col("node") === 10L).collect()
+    assert(r1(0).getLong(1) === 7L)
   }
 
   // --- TextStats.bpeFertility ---
