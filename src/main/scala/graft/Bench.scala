@@ -138,7 +138,19 @@ object Bench {
     "text_html_extract_files" -> 0.15,
     // Final round-8 stamp, median of the three session-end zero-flag
     // runs (191.2 @ 0.74, 202.4 @ 0.73, 180.0 @ 0.67).
-    "rel_incremental_refresh" -> 0.8)
+    "rel_incremental_refresh" -> 0.8,
+    // Round-9 stamps (16 new queries), medians of three full cold runs
+    // on the frozen 196-gate tree (245.6 @ 0.72, 239.6 @ 0.76,
+    // 240.7 @ 0.68; the only stamped-query flag across the three was
+    // rel_ppr at 1.37× — see the BASELINE.md round-9 note).
+    "dedup_chunk_rewrite" -> 0.92, "dedup_decontam_artifact" -> 2.2,
+    "dedup_index_artifact" -> 5.8, "rel_hll_artifact" -> 0.41,
+    "rel_label_prop" -> 9.82, "rel_pagerank_weighted" -> 4.38,
+    "rel_refresh_artifact" -> 1.7, "rel_sssp" -> 4.14,
+    "rel_sssp_delta" -> 3.67, "samp_fixed_k" -> 0.22,
+    "stream_rollup_maintain" -> 1.82, "stream_url_dedup" -> 1.14,
+    "text_bpe_apply_stored" -> 2.16, "text_bpe_encode_oov" -> 2.0,
+    "text_bpe_fertility" -> 2.24, "text_pmi" -> 1.06)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

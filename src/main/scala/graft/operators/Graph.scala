@@ -489,6 +489,14 @@ object Graph {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (twin unrolls them): $iters")
     val edges = edges0.persist()
+    // The struct argmax is the MEASURED winner (tools/LpaProbe,
+    // interleaved same-JVM reps on the sf0.1 purchase graph): struct
+    // ~9.2 s, single-BIGINT packed key ~11.6 s, packed+broadcast-labels
+    // ~9.6 s for 3 rounds — ObjectHashAggregate on the 2-field struct
+    // is NOT the bottleneck; the round cost is the (dst, lbl) count
+    // aggregation itself, whose ~|E| distinct keys defeat map-side
+    // partial aggregation in round 1 by construction (every neighbor
+    // label distinct), an inherent property of mode-label counting.
     var labels = labels0.persist()
     for (_ <- 1 to iters) {
       val cnt = labels
