@@ -365,6 +365,26 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           col("lang").cast("string").as("lang"))
     }),
+    // Dynamic partition overwrite (the nightly-restatement write):
+    // land the full day-partitioned table, restate every 3rd day with
+    // 10% of its rows dropped, and verify untouched partitions kept
+    // their files' rows while restated days show ONLY the new rows
+    "io_dynamic_overwrite" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, dayofmonth, sum, to_date}
+      val ev = tbl(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          col("user_id"), col("value"), col("event_id"))
+      val out = scratchDir("dynow")
+      graft.io.CompatIo.writePartitioned(ev, out, "day")
+      val restated = ev
+        .filter(dayofmonth(col("day")) % 3 === 0)
+        .filter(col("event_id") % 10 =!= 0)
+      graft.io.CompatIo.overwritePartitionsDynamic(restated, out, "day")
+      s.read.parquet(out).groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+    }),
     // globally-sorted lake layout: range-exchange into disjoint
     // increasing per-file key ranges + in-file sort, read back — the
     // layout must never change the ROWS (identity twin); the plan
@@ -405,6 +425,9 @@ object SparkEntry {
     // --- text analysis (north-star) ---
     "text_stats" -> ((s, dir) => TextStats.stats(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextStats.langId(docs(s, dir))),
+    // chunk-level language ID → per-doc code-switch profile (dominant
+    // language + its chunk share + distinct-language count)
+    "text_langid_mix" -> ((s, dir) => TextStats.langIdMix(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
     // Hash-gated against a full DuckDB twin: the bucketing basis is md5
     // (engine-portable), so the sparse integer bucket sums value-match
@@ -446,6 +469,9 @@ object SparkEntry {
     // aggregates (class-word counts, priors, vocab size) derive and
     // broadcast inside the same Catalyst plan that scores every doc
     "text_nb_classify" -> ((s, dir) => Classify.nbLang(docs(s, dir))),
+    // per-class precision/recall/F1 report of the NB classifier
+    // against the true labels (exact-integer F1 identity)
+    "text_nb_eval" -> ((s, dir) => Classify.nbEval(docs(s, dir))),
 
     // --- deduplication (north-star) ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -592,6 +618,10 @@ object SparkEntry {
     // --- BM25 relevance ranking (north-star text retrieval) ---
     "text_bm25" -> ((s, dir) =>
       Search.bm25TopK(docs(s, dir), TestProbeWords)),
+    // hybrid lexical+dense retrieval: BM25 top-20 and embedded-query
+    // cosine top-20 fused by reciprocal-rank (rrf = Σ 1/(60+rank))
+    "text_hybrid_rrf" -> ((s, dir) =>
+      Search.hybridRrf(docs(s, dir), TestProbeWords)),
 
     // --- composed retrieval index (the pipe_curate pattern for RAG) ---
     // chunk → hashing-trick sparse embedding → exact integer-cosine
@@ -747,6 +777,11 @@ object SparkEntry {
     // community detector
     "rel_label_prop" -> ((s, dir) =>
       Graph.purchaseCommunities(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
+    // Newman modularity Q of the 3-round LPA partition — exact-integer
+    // numerator Σ(in_c·E − d_c²), one division, 6-dp round
+    "rel_modularity" -> ((s, dir) =>
+      Graph.purchaseModularity(tbl(s, dir, "orders"),
         tbl(s, dir, "lineitem"))),
     // exact one-vs-rest ROC-AUC (midrank ties) of the 2-dp-quantized
     // value score per event type — histogram-windowed, never row-ranked
@@ -1690,10 +1725,11 @@ object SparkEntry {
        |FROM l$iters""".stripMargin
   }
 
-  // LPA twin: k unrolled mode-label steps — per-(node, label) neighbor
-  // counts, argmax via row_number ordered (c DESC, lbl ASC) — the same
-  // smallest-label tie pin as the Spark max(struct(c, -lbl)) trick.
-  private def LabelPropSql(iters: Int): String = {
+  // LPA twin chain: k unrolled mode-label steps — per-(node, label)
+  // neighbor counts, argmax via row_number ordered (c DESC, lbl ASC) —
+  // the same smallest-label tie pin as the Spark max(struct(c, -lbl))
+  // trick. Shared by the community gate and the modularity gate.
+  private def lpaChainSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""n$i AS (
          |  SELECT e.dst AS node, l.lbl, count(*) AS c
@@ -1709,7 +1745,7 @@ object SparkEntry {
          |  FROM l${i - 1} l LEFT JOIN b$i ON l.node = b$i.node
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |), edges AS (
@@ -1718,12 +1754,44 @@ object SparkEntry {
        |), l0 AS (
        |  SELECT DISTINCT src AS node, src AS lbl FROM edges
        |),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def LabelPropSql(iters: Int): String =
+    s"""WITH ${lpaChainSql(iters)}
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, lbl AS community
        |FROM l$iters""".stripMargin
-  }
+
+  // Modularity twin: the LPA chain's final labels, intra-community
+  // directed edge counts, community degree sums, then ONE exact
+  // integer numerator Σ(in_c·E − d_c²) divided by E² and rounded to
+  // 6 dp — the literal Graph.modularity arithmetic.
+  private def ModularitySql(iters: Int): String =
+    s"""WITH ${lpaChainSql(iters)},
+       |ee AS (SELECT count(*) AS e FROM edges),
+       |el AS (
+       |  SELECT ls.lbl AS sl, ld.lbl AS dl
+       |  FROM edges g JOIN l$iters ls ON g.src = ls.node
+       |    JOIN l$iters ld ON g.dst = ld.node
+       |), inc AS (
+       |  SELECT sl AS cls, count(*) AS in_c FROM el
+       |  WHERE sl = dl GROUP BY sl
+       |), dc AS (
+       |  SELECT l.lbl AS cls, count(*) AS d_c
+       |  FROM edges g JOIN l$iters l ON g.src = l.node
+       |  GROUP BY l.lbl
+       |), terms AS (
+       |  SELECT d.cls,
+       |    coalesce(i.in_c, 0) * ee.e - d.d_c * d.d_c AS t, ee.e AS e
+       |  FROM dc d LEFT JOIN inc i ON d.cls = i.cls, ee
+       |)
+       |SELECT count(*) AS n_communities, max(e) AS m_directed,
+       |  floor(CAST(sum(t) AS DOUBLE) /
+       |    (CAST(max(e) AS DOUBLE) * max(e)) * 1000000 + 0.5) / 1000000
+       |    AS q_modularity
+       |FROM terms""".stripMargin
 
   // Run-to-convergence components twin: `cap` unrolled min-label
   // steps (MATERIALIZED — the change-count and pick subqueries
@@ -1883,6 +1951,44 @@ object SparkEntry {
       |    FROM toks)
       |  WHERE length(word) > 0
       |)""".stripMargin
+
+  // Naive-Bayes prediction chain (train + score + argmax), shared by
+  // the classify gate and the per-class evaluation gate.
+  private lazy val nbPredCtes: String =
+    s"""$tokenCtes, twl AS (
+       |  SELECT t.doc_id, t.word, d.lang
+       |  FROM tokens t JOIN documents d USING (doc_id)
+       |), docw AS (
+       |  SELECT doc_id, word, count(*) AS cnt
+       |  FROM tokens GROUP BY 1, 2
+       |), cwt AS (
+       |  SELECT lang, word, count(*) AS cw FROM twl GROUP BY 1, 2
+       |), ctot AS (
+       |  SELECT lang, count(*) AS tot FROM twl GROUP BY 1
+       |), pri AS (
+       |  SELECT lang, count(*) AS nc FROM documents GROUP BY 1
+       |), nn AS (SELECT count(*) AS n FROM documents),
+       |vv AS (SELECT count(DISTINCT word) AS v FROM tokens),
+       |cls AS (
+       |  SELECT p.lang, c.tot,
+       |    floor(ln(p.nc / nn.n) * 100 + 0.5) / 100 AS prior_ll
+       |  FROM pri p JOIN ctot c USING (lang) CROSS JOIN nn
+       |), sc0 AS (
+       |  SELECT dw.doc_id, cls.lang, cls.prior_ll,
+       |    dw.cnt * (floor(ln((coalesce(w.cw, 0) + 1) /
+       |      (cls.tot + vv.v)) * 100 + 0.5) / 100) AS contrib
+       |  FROM docw dw CROSS JOIN cls CROSS JOIN vv
+       |  LEFT JOIN cwt w ON w.lang = cls.lang AND w.word = dw.word
+       |), sc AS (
+       |  SELECT doc_id, lang,
+       |    floor((CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+       |      + prior_ll) * 100 + 0.5) / 100 AS score
+       |  FROM sc0 GROUP BY doc_id, lang, prior_ll
+       |), pred AS (
+       |  SELECT doc_id, lang AS pred_lang, score FROM sc
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, lang ASC) = 1
+       |)""".stripMargin
 
   private val tfCtes: String = tokenCtes +
     """, cnts AS (
@@ -2988,6 +3094,19 @@ object SparkEntry {
     "io_partition_prune" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE lang = 'en'""".stripMargin,
+    // dynamic-overwrite twin: the expected post-restatement state —
+    // every 3rd day keeps only event_id % 10 != 0, other days keep all
+    "io_dynamic_overwrite" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, value, event_id
+        |  FROM events
+        |), fin AS (
+        |  SELECT * FROM ev
+        |  WHERE (extract('day' FROM day) % 3 != 0) OR (event_id % 10 != 0)
+        |)
+        |SELECT day, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM fin GROUP BY 1, 2""".stripMargin,
     // sorted-layout twin: plain identity — the range-sorted layout must
     // change the FILES (ScaleLayoutSpec pins plan + footer ranges),
     // never the rows
@@ -3265,6 +3384,60 @@ object SparkEntry {
          |       WHEN es_hits >= fr_hits THEN 'es'
          |       ELSE 'fr' END AS lang_pred
          |FROM h""".stripMargin,
+
+    // code-switch twin: the text_chunk tiling at 64/0 (chunk tokens ARE
+    // the array slice — no re-split needed), per-chunk marker-word
+    // cascade, per-doc (lang, count) rollup, dominant lang via
+    // row_number with the en>de>es>fr tie rank
+    "text_langid_mix" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+         |    x -> x <> '') AS t
+         |  FROM documents
+         |), nc AS (
+         |  SELECT doc_id, t,
+         |    greatest(1, CAST(floor((len(t) + 63) / 64.0) AS BIGINT)) AS n
+         |  FROM tok WHERE len(t) > 0
+         |), ex AS (
+         |  SELECT doc_id, t[(chunk_id*64+1):(chunk_id*64+64)] AS ct
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(0, n - 1)) AS chunk_id
+         |        FROM nc)
+         |), h AS (
+         |  SELECT doc_id,
+         |    len(list_filter(ct, t -> list_contains(
+         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t)))) AS en_hits,
+         |    len(list_filter(ct, t -> list_contains(
+         |      ${listLit(operators.TextStats.DeStopwords)}, lower(t)))) AS de_hits,
+         |    len(list_filter(ct, t -> list_contains(
+         |      ${listLit(operators.TextStats.EsStopwords)}, lower(t)))) AS es_hits,
+         |    len(list_filter(ct, t -> list_contains(
+         |      ${listLit(operators.TextStats.FrStopwords)}, lower(t)))) AS fr_hits
+         |  FROM ex
+         |), p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |              AND en_hits >= fr_hits THEN 'en'
+         |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |         WHEN es_hits >= fr_hits THEN 'es'
+         |         ELSE 'fr' END AS lang
+         |  FROM h
+         |), cl AS (
+         |  SELECT doc_id, lang, count(*) AS c FROM p GROUP BY 1, 2
+         |), top AS (
+         |  SELECT doc_id, lang, c FROM cl
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC,
+         |    CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+         |              WHEN 'es' THEN 2 ELSE 3 END) = 1
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |    count(*) AS n_langs
+         |  FROM cl GROUP BY 1
+         |)
+         |SELECT a.doc_id, a.n_chunks, a.n_langs, t.lang AS main_lang,
+         |  floor(t.c / a.n_chunks * 100 + 0.5) / 100 AS main_frac,
+         |  a.n_langs > 1 AS code_switched
+         |FROM agg a JOIN top t USING (doc_id)""".stripMargin,
 
     "text_fingerprint" ->
       """WITH n AS (
@@ -5001,39 +5174,33 @@ object SparkEntry {
     // once after the decimal sum, final round2, argmax tie pinned
     // (score desc, lang asc).
     "text_nb_classify" ->
-      s"""WITH $tokenCtes, twl AS (
-         |  SELECT t.doc_id, t.word, d.lang
-         |  FROM tokens t JOIN documents d USING (doc_id)
-         |), docw AS (
-         |  SELECT doc_id, word, count(*) AS cnt
-         |  FROM tokens GROUP BY 1, 2
-         |), cwt AS (
-         |  SELECT lang, word, count(*) AS cw FROM twl GROUP BY 1, 2
-         |), ctot AS (
-         |  SELECT lang, count(*) AS tot FROM twl GROUP BY 1
-         |), pri AS (
-         |  SELECT lang, count(*) AS nc FROM documents GROUP BY 1
-         |), nn AS (SELECT count(*) AS n FROM documents),
-         |vv AS (SELECT count(DISTINCT word) AS v FROM tokens),
-         |cls AS (
-         |  SELECT p.lang, c.tot,
-         |    floor(ln(p.nc / nn.n) * 100 + 0.5) / 100 AS prior_ll
-         |  FROM pri p JOIN ctot c USING (lang) CROSS JOIN nn
-         |), sc0 AS (
-         |  SELECT dw.doc_id, cls.lang, cls.prior_ll,
-         |    dw.cnt * (floor(ln((coalesce(w.cw, 0) + 1) /
-         |      (cls.tot + vv.v)) * 100 + 0.5) / 100) AS contrib
-         |  FROM docw dw CROSS JOIN cls CROSS JOIN vv
-         |  LEFT JOIN cwt w ON w.lang = cls.lang AND w.word = dw.word
-         |), sc AS (
-         |  SELECT doc_id, lang,
-         |    floor((CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
-         |      + prior_ll) * 100 + 0.5) / 100 AS score
-         |  FROM sc0 GROUP BY doc_id, lang, prior_ll
+      s"""WITH $nbPredCtes
+         |SELECT doc_id, pred_lang, score FROM pred""".stripMargin,
+
+    // NB evaluation twin: the same prediction chain joined back to the
+    // true labels, per-class support/predicted/TP rollups, precision
+    // NULL on a never-predicted class, exact-integer F1 identity
+    "text_nb_eval" ->
+      s"""WITH $nbPredCtes, j AS (
+         |  SELECT p.doc_id, p.pred_lang, d.lang
+         |  FROM pred p JOIN documents d USING (doc_id)
+         |), bt AS (
+         |  SELECT lang AS cls, count(*) AS n_true,
+         |    CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp
+         |  FROM j GROUP BY lang
+         |), bp AS (
+         |  SELECT pred_lang AS cls, count(*) AS n_pred
+         |  FROM j GROUP BY pred_lang
          |)
-         |SELECT doc_id, lang AS pred_lang, score FROM sc
-         |QUALIFY row_number() OVER (PARTITION BY doc_id
-         |  ORDER BY score DESC, lang ASC) = 1""".stripMargin,
+         |SELECT bt.cls AS lang, bt.n_true,
+         |  coalesce(bp.n_pred, 0) AS n_pred, bt.tp,
+         |  CASE WHEN coalesce(bp.n_pred, 0) > 0 THEN
+         |    floor(bt.tp / bp.n_pred * 100 + 0.5) / 100 END AS precision,
+         |  floor(bt.tp / bt.n_true * 100 + 0.5) / 100 AS recall,
+         |  floor(bt.tp * 2 / (coalesce(bp.n_pred, 0) + bt.n_true) * 100
+         |    + 0.5) / 100 AS f1
+         |FROM bt LEFT JOIN bp ON bt.cls = bp.cls""".stripMargin,
 
     // plain-join twin for the salted plan: salting is an execution
     // detail, the row set must be identical
@@ -5374,6 +5541,7 @@ object SparkEntry {
     // Components twin: 4 unrolled min-label steps, pure BIGINT
     "rel_components" -> ComponentsSql(4),
     "rel_label_prop" -> LabelPropSql(3),
+    "rel_modularity" -> ModularitySql(3),
     "rel_components_converged" -> ComponentsConvergedSql(8),
     "rel_kcore_converged" -> KCoreConvergedSql(6),
 
@@ -5604,6 +5772,95 @@ object SparkEntry {
          |    * 100 + 0.5) / 100 AS score
          |FROM contribs GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
+    // hybrid-RRF twin: the text_bm25 chain at LIMIT 20 + the
+    // hash-embed chain over documents ∪ the (-1, query-words)
+    // pseudo-doc, each ranked (score/cos DESC, doc_id ASC), full-outer
+    // fused by Σ 1/(60+rank) rounded to 6 dp, doc_id tie pin
+    "text_hybrid_rrf" -> {
+      val terms = TestProbeWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH $tokenCtes, dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
+         |  FROM dl
+         |), q AS (
+         |  SELECT doc_id, word, count(*) AS cnt FROM tokens
+         |  WHERE word IN ($terms) GROUP BY doc_id, word
+         |), dfq AS (
+         |  SELECT word, count(*) AS dfreq FROM q GROUP BY word
+         |), idf AS (
+         |  SELECT word,
+         |    floor(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+         |      * 100 + 0.5) / 100 AS idf
+         |  FROM dfq, stats
+         |), contribs AS (
+         |  SELECT q.doc_id,
+         |    (floor(q.cnt * ${Search.K1 + 1} /
+         |       (q.cnt + ${Search.K1} *
+         |         (1.0 - ${Search.B} + ${Search.B} * dl.dl / stats.avgdl))
+         |       * 100 + 0.5) / 100) * idf.idf AS contrib
+         |  FROM q
+         |  JOIN dl ON q.doc_id = dl.doc_id
+         |  CROSS JOIN stats
+         |  JOIN idf ON q.word = idf.word
+         |), bms AS (
+         |  SELECT doc_id,
+         |    floor(CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+         |      * 100 + 0.5) / 100 AS score
+         |  FROM contribs GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id ASC LIMIT 20
+         |), bmr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm_rank
+         |  FROM bms
+         |), qtok AS (
+         |  SELECT CAST(-1 AS BIGINT) AS doc_id,
+         |    unnest([$terms]) AS word
+         |), alltok AS (
+         |  SELECT doc_id, word FROM tokens
+         |  UNION ALL SELECT doc_id, word FROM qtok
+         |), hx AS (
+         |  SELECT doc_id, md5(word) AS h FROM alltok
+         |), bkt AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(h, 29, 4))::BIGINT % 64 AS INTEGER) AS j,
+         |    CASE WHEN ('0x' || substr(h, 1, 1))::BIGINT % 2 = 1
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM hx
+         |), emb AS (
+         |  SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS w
+         |  FROM bkt GROUP BY doc_id, j
+         |), nsq AS (
+         |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq
+         |  FROM emb GROUP BY doc_id
+         |), dd AS (
+         |  SELECT bb.doc_id AS nk, CAST(sum(a.w * bb.w) AS BIGINT) AS dot
+         |  FROM emb a JOIN emb bb ON a.j = bb.j AND bb.doc_id != -1
+         |  WHERE a.doc_id = -1
+         |  GROUP BY bb.doc_id
+         |), sden AS (
+         |  SELECT nk, CAST(dot AS DOUBLE) /
+         |    nullif(sqrt(CAST(x.nsq AS DOUBLE)) *
+         |      sqrt(CAST(y.nsq AS DOUBLE)), 0) AS cos
+         |  FROM dd
+         |  JOIN nsq x ON x.doc_id = -1
+         |  JOIN nsq y ON nk = y.doc_id
+         |), dr AS (
+         |  SELECT nk AS doc_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, nk ASC) AS BIGINT) AS dense_rank
+         |  FROM sden WHERE cos IS NOT NULL
+         |  QUALIFY dense_rank <= 20
+         |)
+         |SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+         |  b.bm_rank, d.dense_rank,
+         |  floor((coalesce(1.0 / (60 + b.bm_rank), 0) +
+         |         coalesce(1.0 / (60 + d.dense_rank), 0)) * 1000000
+         |    + 0.5) / 1000000 AS rrf_score
+         |FROM bmr b FULL OUTER JOIN dr d ON b.doc_id = d.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin
     },
 
     // funnel twin: iterated per-stage min over qualifying epoch-µs

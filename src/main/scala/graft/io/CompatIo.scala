@@ -140,6 +140,31 @@ object CompatIo {
                     value: String): DataFrame =
     spark.read.parquet(dir).filter(col(partCol) === value)
 
+  /** Dynamic partition overwrite — the nightly-restatement write of a
+    * partitioned lake: an Overwrite-mode insert that replaces ONLY the
+    * partitions present in the incoming frame and leaves every other
+    * partition's files untouched (static overwrite, the default, would
+    * truncate the whole table first — the classic lost-history
+    * footgun). This is how a backfill/restatement job lands: recompute
+    * the dirty days, write them, touch nothing else. The mode is a
+    * session conf, so it is set for the write and restored after
+    * (leaking `dynamic` would silently change every OTHER overwrite's
+    * semantics in the session).
+    */
+  def overwritePartitionsDynamic(df: DataFrame, outDir: String,
+                                 partCol: String): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(outDir)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
+  }
+
   /** ORC interchange — the second first-class columnar lake format
     * next to parquet (Hive-ecosystem consumers): plain columnar write,
     * one file per partition, identical sharding story. Numeric

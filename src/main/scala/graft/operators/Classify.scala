@@ -88,4 +88,37 @@ object Classify {
       .filter(col("_rn") === 1)
       .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
   }
+
+  /** Per-class evaluation report of [[nbLang]] against the true
+    * labels — the confusion-summary every shipped classifier carries:
+    * per language, support (`n_true`), predicted count (`n_pred`),
+    * true positives, precision, recall, F1.
+    *
+    * F1 uses the exact-integer identity 2·TP / (n_pred + n_true)
+    * (= 2TP/(2TP+FP+FN)) — ONE division over exact BIGINTs, no
+    * compounding of two already-rounded ratios. Precision is NULL for
+    * a class never predicted (0/0), matching SQL semantics in both
+    * engines. Classes are language-count-sized, so everything past the
+    * doc-level prediction join is a tiny keyed aggregation.
+    * Output: (lang, n_true, n_pred, tp, precision, recall, f1).
+    */
+  def nbEval(docs: DataFrame): DataFrame = {
+    val j = nbLang(docs).select(col("doc_id"), col("pred_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .persist() // two consumers: by-true and by-predicted rollups
+    val bt = j.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+          .as("tp"))
+    val bp = j.groupBy(col("pred_lang").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    bt.join(bp, Seq("cls"), "left")
+      .select(col("cls").as("lang"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"),
+        when(coalesce(col("n_pred"), lit(0L)) > 0,
+          round2(col("tp") / col("n_pred"))).as("precision"),
+        round2(col("tp") / col("n_true")).as("recall"),
+        round2((col("tp") * 2) /
+          (coalesce(col("n_pred"), lit(0L)) + col("n_true"))).as("f1"))
+  }
 }

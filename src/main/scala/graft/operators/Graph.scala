@@ -533,6 +533,63 @@ object Graph {
       col("lbl").as("community"))
   }
 
+  /** Newman modularity Q of a node partition — the quality score that
+    * tells you whether a community assignment (LPA, components, an
+    * external clustering) beats random: Q = Σ_c [in_c/E − (d_c/E)²]
+    * over the directed-symmetrized edge list (in_c = intra-community
+    * directed edges, d_c = community degree sum, E = directed edge
+    * count — algebraically identical to the undirected 2m form).
+    *
+    * Exactness: the numerator is computed as ONE exact BIGINT sum,
+    * Σ_c (in_c·E − d_c²), divided by E² only at the end — no per-class
+    * double terms to sum in nondeterministic order. Q then rounds to
+    * 6 dp (round2 would flatten the typical Q range). Overflow bound:
+    * in_c·E ≤ E² needs E < 2^31.5 directed edges for BIGINT — beyond
+    * ~3B edges route the sum through DECIMAL(38,0).
+    *
+    * Scale posture: two label joins on the edge list, two keyed
+    * aggregations (communities-sized output), one 1-row broadcast E —
+    * all partial-aggregated; nothing driver-side.
+    * Output: one row (n_communities, m_directed, q_modularity).
+    */
+  def modularity(labels: DataFrame, edges0: DataFrame): DataFrame = {
+    val edges = edges0.persist() // three consumers: E, in_c, d_c
+    val lbl = labels.persist()
+    val eCnt = edges.agg(count(lit(1)).as("e"))
+    val sl = lbl.select(col("node").as("src"), col("lbl").as("sl"))
+    val dl = lbl.select(col("node").as("dst"), col("lbl").as("dl"))
+    val inC = edges.join(sl, "src").join(dl, "dst")
+      .filter(col("sl") === col("dl"))
+      .groupBy(col("sl").as("cls")).agg(count(lit(1)).as("in_c"))
+    val dC = edges.join(sl, "src")
+      .groupBy(col("sl").as("cls")).agg(count(lit(1)).as("d_c"))
+    dC.join(inC, Seq("cls"), "left")
+      .crossJoin(broadcast(eCnt))
+      .select(col("cls"),
+        (coalesce(col("in_c"), lit(0L)) * col("e") -
+          col("d_c") * col("d_c")).as("t"),
+        col("e"))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("e")).as("m_directed"),
+        sum(col("t")).as("num"))
+      .select(col("n_communities"), col("m_directed"),
+        (floor(col("num").cast("double") /
+          (col("m_directed").cast("double") * col("m_directed")) *
+          1000000 + lit(0.5)) / 1000000).as("q_modularity"))
+  }
+
+  /** [[modularity]] of the `iters`-round [[purchaseCommunities]]
+    * partition — community detection AND its quality score as one
+    * gated pipeline. Output: (n_communities, m_directed,
+    * q_modularity), one row. */
+  def purchaseModularity(orders: DataFrame, lineitem: DataFrame,
+                         iters: Int = 3): DataFrame = {
+    val edges = purchaseEdges(orders, lineitem)
+    val labels0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    modularity(labelPropagate(labels0, edges, iters), edges)
+  }
+
   /** Fixed-round k-core peeling: `iters` rounds of "drop every node
     * with degree < k, then drop edges touching dropped nodes" over the
     * canonical (a < b) undirected pair list — the standard community-

@@ -71,4 +71,59 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard
+    * two-tower serving pattern (Cormack et al. 2009): the SAME query
+    * runs through BM25 (lexical) and through the hashing-trick
+    * embedding space (the query words embedded as a pseudo-document,
+    * cosine vs every doc via [[Similarity.sparseIntTopK]]'s exact
+    * integer dot products), and the two top-`r` candidate lists fuse by
+    * rrf = Σ 1/(rrfK + rank) over the lists a doc appears in.
+    *
+    * RRF operates on RANKS, never raw scores — the fused surface is
+    * exactly reproducible cross-engine even though the two scores live
+    * on incomparable scales. Both rank lists are bounded (`r` rows,
+    * TakeOrderedAndProject / bounded-heap built), so the rank windows
+    * and the full-outer fusion join run over ≤2r rows — broadcast-sized
+    * by construction, whatever the corpus size. The fused score is two
+    * explicit IEEE terms (no variable-order sum) rounded to 6 dp; ties
+    * pin doc_id asc (two distinct rank pairs, e.g. (1,2) vs (2,1), fuse
+    * to the SAME score — the pin is load-bearing).
+    *
+    * The pseudo-doc id is -1 (corpus doc ids are non-negative); adding
+    * it to the embedding corpus perturbs nothing (bucket vectors are
+    * per-doc) and [[Similarity.sparseIntTopK]] excludes self-matches.
+    * Output: (doc_id, bm_rank, dense_rank, rrf_score), score desc /
+    * doc_id asc, ≤k rows.
+    */
+  def hybridRrf(docs: DataFrame, terms: Seq[String], k: Int = 10,
+                r: Int = 20, rrfK: Int = 60,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "hybridRrf needs at least one query term")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    // bounded-window rank over the r-row BM25 list
+    val bm = bm25TopK(base, terms, r)
+      .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long").as("bm_rank"))
+    val qdoc = base.sparkSession.range(1)
+      .select(lit(-1L).as("doc_id"),
+        lit(terms.mkString(" ")).as("text"))
+    val emb = TextStats.hashEmbedBuckets(base.unionByName(qdoc))
+    val dense = Similarity.sparseIntTopK(emb,
+        qdoc.select("doc_id"), r)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val term = (rk: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (lit(rrfK) + rk), lit(0.0))
+    bm.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm_rank"), col("dense_rank"),
+        (floor((term(col("bm_rank")) + term(col("dense_rank"))) *
+          1000000 + lit(0.5)) / 1000000).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -138,6 +138,67 @@ object TextStats {
           .otherwise("fr"))
   }
 
+  /** Chunk-level [[langId]] rolled into a per-document code-switching
+    * profile — the multilingual-corpus reality a doc-level language tag
+    * hides: a page that is 70% English with Spanish quotes classifies
+    * "en" whole-doc, but its Spanish chunks poison an "en-only"
+    * training mix. Non-overlapping `chunkTokens`-token tiles (overlap
+    * would double-count the boundary tokens' language evidence) each
+    * get the marker-word prediction; the per-doc rollup reports how
+    * many tiles, how many distinct languages, the dominant language and
+    * its chunk share.
+    *
+    * Dominant-language tie pin: argmax over (chunk count, langId's
+    * fixed en>de>es>fr precedence) via one `max(struct(cnt, -rank))`
+    * hash agg — languages are enum-sized, so the rank is a literal
+    * CASE, and no per-doc window is needed.
+    *
+    * Scale posture: chunking and per-chunk scoring are pure codegen'd
+    * array expressions (no shuffle); the only exchanges are the two
+    * doc-keyed aggregations over the (doc, lang) counts — ≤4 rows per
+    * doc, partial-aggregated. Zero-token docs emit nothing (as
+    * [[chunk]]).
+    * Output: (doc_id, n_chunks, n_langs, main_lang, main_frac,
+    * code_switched).
+    */
+  def langIdMix(docs: DataFrame, chunkTokens: Int = 64,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    def hits(words: Seq[String]): Column = {
+      val set = array(words.map(lit): _*)
+      size(filter(wsTokens(col("chunk_text")),
+        t => array_contains(set, lower(t)))).cast("long")
+    }
+    val perChunk = chunk(docs, chunkTokens, 0, idCol, textCol)
+      .select(col("doc_id"),
+        hits(EnStopwords).as("en_hits"), hits(DeStopwords).as("de_hits"),
+        hits(EsStopwords).as("es_hits"), hits(FrStopwords).as("fr_hits"))
+      .select(col("doc_id"),
+        when(col("en_hits") >= col("de_hits") &&
+             col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") &&
+                col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr").as("lang"))
+    val rank = when(col("lang") === "en", 0)
+      .when(col("lang") === "de", 1)
+      .when(col("lang") === "es", 2).otherwise(3)
+    perChunk.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("c"), (-rank).as("nr"))).as("top"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        when(col("top.nr") === 0, "en").when(col("top.nr") === -1, "de")
+          .when(col("top.nr") === -2, "es").otherwise("fr")
+          .as("main_lang"),
+        graft.functions.Fns.round2(col("top.c") / col("n_chunks"))
+          .as("main_frac"),
+        (col("n_langs") > 1).as("code_switched"))
+  }
+
   /** Feature-hashing text embedding: each normalized token hashes to one
     * of `dims` buckets with a ±1 sign bit (hashing trick); the bucket
     * sums form a doc vector, L2-normalized, emitted as Array[Float] —
