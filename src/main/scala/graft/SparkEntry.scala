@@ -1355,6 +1355,16 @@ object SparkEntry {
         ev.filter(expr("unix_micros(ts) >= 1706616000000000")), ev, out)
     }),
 
+    // Count-min-sketch artifact: persist the pre-cutoff per-user CMS
+    // (≤ 4096 md5-bucketed counters), merge the post-cutoff delta
+    // against the RE-READ parquet, point-estimate the top-20 users.
+    // md5 buckets ⇒ the oracle replays the ESTIMATES exactly — a
+    // hash-match gate, not a contract band (unlike HLL, whose sketch
+    // internals are engine-private).
+    "rel_cms_artifact" -> ((s, dir) =>
+      Relational.cmsArtifactAudit(tbl(s, dir, "events"),
+        scratchDir("cmsart"))),
+
     // Incremental partition diff: per-day xor fingerprints of the
     // pre-cutoff snapshot vs the full table → added/changed/unchanged
     // days (see Relational.partitionDiff; snapshot_diff's µs cutoff)
@@ -3018,6 +3028,32 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS merged_within_rel_err
         |FROM events GROUP BY 1""".stripMargin,
+
+    // CMS-artifact replay: identical md5-salted bucket derivation,
+    // dense rebuild over the FULL table (counters sum linearly, so
+    // pre-artifact + delta ≡ from-scratch), min-over-depths estimate
+    "rel_cms_artifact" ->
+      """WITH probes AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n_exact
+        |  FROM events GROUP BY 1
+        |  ORDER BY n_exact DESC, k LIMIT 20
+        |), depths AS (SELECT unnest([0,1,2,3]) AS di),
+        |sketch AS (
+        |  SELECT CAST(di AS VARCHAR) AS d,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+        |      CAST(di AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM events CROSS JOIN depths
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.k AS user_id, p.n_exact,
+        |  min(s.cnt) AS est, min(s.cnt) - p.n_exact AS overcount
+        |FROM probes p
+        |CROSS JOIN depths
+        |JOIN sketch s ON s.d = CAST(di AS VARCHAR)
+        |  AND s.b = ('0x' || substr(md5(p.k || '#' ||
+        |    CAST(di AS VARCHAR)), 1, 15))::BIGINT % 1024
+        |GROUP BY p.k, p.n_exact""".stripMargin,
 
     // Partition-diff replay: per-day bit_xor of the 60-bit md5 slice
     // over the same canonical row rendering, full-outer on day

@@ -1755,4 +1755,87 @@ object Relational {
     events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+
+  // ---- Count-min sketch artifact -----------------------------------
+
+  /** Count-min sketch geometry. Depth 4 × width 1024 bounds the
+    * artifact at 4096 counter rows regardless of key cardinality —
+    * the point-lookup sibling of the HLL artifact (HLL answers "how
+    * many distinct", CMS answers "how often does THIS key occur"
+    * without storing per-key state). */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** CMS bucket of `key` under hash row `d` — a 60-bit md5 slice of
+    * the salted rendering, mod width. md5 (invariant: the one
+    * cross-engine-stable hash) makes every estimate EXACTLY
+    * replayable by the oracle, so the gate hash-matches the estimates
+    * themselves rather than falling back to a contract band. */
+  private def cmsBucket(key: Column, d: Column): Column =
+    (conv(substring(md5(concat_ws("#", key, d)), 1, 15), 16, 10)
+      .cast("long") % CmsWidth).as("b")
+
+  /** Build the SPARSE count-min sketch of per-key row counts: one
+    * (d, b, cnt) row per TOUCHED counter, never the dense d×w grid.
+    * One hash aggregate over 4N map-side-combined rows collapsing to
+    * ≤ 4·width rows per partition before the exchange — at 100 TB the
+    * sketch build is a single scan with KB-sized reducer output. */
+  def cmsBuild(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("k"))
+      .withColumn("d",
+        explode(lit((0 until CmsDepth).map(_.toString).toArray)))
+      .groupBy(col("d"), cmsBucket(col("k"), col("d")))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Persist the sketch as a parquet artifact (≤ depth·width rows). */
+  def cmsArtifactWrite(df: DataFrame, keyCol: String, dir: String): Unit =
+    cmsBuild(df, keyCol).write.mode("overwrite").parquet(dir)
+
+  /** Merge a DELTA's sketch into the STORED artifact — counters sum
+    * linearly, so merged(pre) + delta ≡ a from-scratch sketch of the
+    * union, at delta cost (history is never re-scanned). */
+  def cmsArtifactMerge(delta: DataFrame, keyCol: String,
+                       dir: String): DataFrame = {
+    val stored = delta.sparkSession.read.parquet(dir)
+    stored.unionByName(cmsBuild(delta, keyCol))
+      .groupBy("d", "b").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Point-estimate each probe key against the sketch: min over the
+    * depth rows of its counters (the CMS guarantee: est ≥ true count,
+    * overcount bounded by collisions). The sketch side is ≤ 4096 rows
+    * → broadcast; the probe side never shuffles. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame): DataFrame =
+    probes
+      .withColumn("d",
+        explode(lit((0 until CmsDepth).map(_.toString).toArray)))
+      .withColumn("b", cmsBucket(col("k"), col("d")))
+      .join(broadcast(sketch), Seq("d", "b"))
+      .groupBy("k", "n_exact").agg(min("cnt").as("est"))
+
+  /** Heavy-hitter audit off the artifact: write the pre-cutoff
+    * sketch, merge the post-cutoff delta against the RE-READ parquet,
+    * then estimate the top-20 users (by exact full-history count) and
+    * report estimate vs exact. Because counters sum linearly and the
+    * buckets are md5-derived, the estimates are deterministic and
+    * equal to a full-data sketch — the oracle replays them exactly.
+    * Output: (user_id, n_exact, est, overcount). */
+  def cmsArtifactAudit(events: DataFrame, dir: String,
+                       cutoffMicros: Long = 1706616000000000L,
+                       topK: Int = 20): DataFrame = {
+    cmsArtifactWrite(
+      events.filter(expr(s"unix_micros(ts) < ${cutoffMicros}L")),
+      "user_id", dir)
+    val merged = cmsArtifactMerge(
+      events.filter(expr(s"unix_micros(ts) >= ${cutoffMicros}L")),
+      "user_id", dir)
+    val probes = events
+      .groupBy(col("user_id").cast("string").as("k"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("k"))
+      .limit(topK)
+    cmsEstimate(merged, probes)
+      .select(col("k").as("user_id"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount"))
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Round-9 pins, batch 3: the count-min-sketch artifact (sparse md5
+  * bucketing, linear mergeability, the est ≥ exact guarantee).
+  */
+class Round20Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def scratch(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_spec_$tag").toString
+
+  // --- Relational.cmsBuild / cmsEstimate / artifact cycle ---
+
+  test("cmsBuild: sparse sketch — total counter mass = depth × rows, " +
+    "row count bounded by depth × distinct keys") {
+    val df = Seq(1L, 1L, 1L, 2L, 3L).toDF("user_id")
+    val sk = Relational.cmsBuild(df, "user_id").collect()
+    assert(sk.map(_.getAs[Long]("cnt")).sum ===
+      Relational.CmsDepth.toLong * 5L)
+    assert(sk.length <= Relational.CmsDepth * 3)
+    assert(sk.forall(r => r.getAs[Long]("b") >= 0 &&
+      r.getAs[Long]("b") < Relational.CmsWidth))
+  }
+
+  test("cmsEstimate: estimate ≥ exact for every probe, and exact when " +
+    "no bucket collides") {
+    val df = Seq.fill(7)(10L).union(Seq.fill(3)(20L)).union(Seq(30L))
+      .toDF("user_id")
+    val sketch = Relational.cmsBuild(df, "user_id")
+    val probes = df.groupBy(col("user_id").cast("string").as("k"))
+      .agg(count(lit(1)).as("n_exact"))
+    val est = Relational.cmsEstimate(sketch, probes).collect()
+    assert(est.length === 3)
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n_exact"))
+    }
+    // 3 keys in 1024 buckets: if ANY depth row is collision-free the
+    // min equals exact — with 4 independent rows that's certain here
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") === r.getAs[Long]("n_exact"))
+    }
+  }
+
+  test("cms artifact: write(pre) + merge(delta) ≡ from-scratch sketch " +
+    "of the union (counters sum linearly)") {
+    val pre = Seq(1L, 2L, 2L, 3L).toDF("user_id")
+    val delta = Seq(2L, 3L, 4L).toDF("user_id")
+    val dir = scratch("cms")
+    Relational.cmsArtifactWrite(pre, "user_id", dir)
+    val merged = Relational.cmsArtifactMerge(delta, "user_id", dir)
+      .orderBy("d", "b").collect()
+    val scratchBuilt = Relational.cmsBuild(pre.union(delta), "user_id")
+      .orderBy("d", "b").collect()
+    assert(merged.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq ===
+      scratchBuilt.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq)
+  }
+
+  test("cmsArtifactAudit: top-20 heavy hitters, overcount nonnegative") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val out = Relational.cmsArtifactAudit(ev, scratch("cmsa")).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach(r => assert(r.getAs[Long]("overcount") >= 0L))
+  }
+}
