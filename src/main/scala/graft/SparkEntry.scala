@@ -456,6 +456,10 @@ object SparkEntry {
     // detection — broadcast unigram model, in-plan N/B totals, top-100
     "text_pmi" -> ((s, dir) =>
       TextStats.pmiCollocations(docs(s, dir), minCount = 5L, k = 100)),
+    // TextRank keywords: weighted PageRank over the word co-occurrence
+    // graph (the generic pageRankOverEdges fixpoint on text edges)
+    "text_textrank" -> ((s, dir) =>
+      TextStats.textRank(docs(s, dir), minCount = 3L, iters = 4, k = 50)),
     // chunk-level duplication profile over CDC chunks: share of each
     // doc made of chunks that also appear in other docs
     "dedup_chunks" -> ((s, dir) => Dedup.chunkDupStats(docs(s, dir))),
@@ -1662,6 +1666,54 @@ object SparkEntry {
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, "rank"
        |FROM r$iters""".stripMargin
+  }
+
+  // TextRank twin: the PMI twin's bigram construction feeding
+  // PageRankWeightedSql's unrolled ppm-share rounds — same integer
+  // arithmetic, word-keyed instead of the encoded purchase nodes.
+  private def TextRankSql(iters: Int, minCount: Long, k: Int): String = {
+    val total = operators.Graph.TotalMass
+    val tele = total * 15 / 100
+    val ws = "[ \\t\\n\\f\\r]+"
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT sh.dst AS node,
+         |    sum((r.rank * sh.ppm) // 1000000) AS m
+         |  FROM r${i - 1} r JOIN sh ON r.node = sh.src
+         |  GROUP BY sh.dst
+         |), r$i AS (
+         |  SELECT nd.node,
+         |    CAST($tele // n.n + (85 * coalesce(s$i.m, 0)) // 100
+         |      AS BIGINT) AS rank
+         |  FROM nd CROSS JOIN n LEFT JOIN s$i ON nd.node = s$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nrm AS (
+       |  SELECT string_split(
+       |    lower(trim(regexp_replace(text, '$ws', ' ', 'g'))), ' ') AS t
+       |  FROM documents
+       |), idx AS (
+       |  SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+       |  FROM nrm
+       |), bg AS (
+       |  SELECT t[i] AS a, t[i+1] AS b FROM idx WHERE t[i+1] IS NOT NULL
+       |), und AS (
+       |  SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS w
+       |  FROM bg WHERE a <> '' AND b <> '' AND a <> b
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount
+       |), edges AS (
+       |  SELECT u AS src, v AS dst, w FROM und
+       |  UNION ALL SELECT v, u, w FROM und
+       |), sw AS (SELECT src, sum(w) AS sw FROM edges GROUP BY src),
+       |sh AS (
+       |  SELECT e.src, e.dst, (e.w * 1000000) // s.sw AS ppm
+       |  FROM edges e JOIN sw s ON e.src = s.src
+       |), nd AS (SELECT src AS node FROM sw),
+       |n AS (SELECT count(*) AS n FROM nd),
+       |r0 AS (SELECT node, $total // n.n AS rank FROM nd, n),
+       |$steps
+       |SELECT node AS word, "rank"
+       |FROM r$iters ORDER BY "rank" DESC, word LIMIT $k""".stripMargin
   }
 
   // Bounded Bellman-Ford twin: BfsHopsSql's relax-merge rounds with
@@ -3494,6 +3546,10 @@ object SparkEntry {
     // at minCount=0 the scalable form is definitionally the same model
     // (c1 = Σ_w2 c2) — one oracle pins both implementations
     "text_lm_score_scalable" -> lmScoreSql,
+
+    // TextRank twin: PMI's bigram construction + the unrolled
+    // ppm-share PageRank rounds, word-keyed
+    "text_textrank" -> TextRankSql(iters = 4, minCount = 3L, k = 50),
 
     // PMI twin: lmScoreSql's bigram construction, unigram/bigram
     // totals, and the ONE fixed association order shared with the

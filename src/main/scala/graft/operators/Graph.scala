@@ -951,16 +951,28 @@ object Graph {
     * Output: (node_type, key, rank).
     */
   def pageRankWeighted(orders: DataFrame, lineitem: DataFrame,
-                       iters: Int = 3): DataFrame = {
+                       iters: Int = 3): DataFrame =
+    decodeNode(
+      pageRankOverEdges(purchaseWeightedEdges(orders, lineitem), iters),
+      col("rank"))
+
+  /** The weighted-PageRank fixpoint loop over an ARBITRARY
+    * (src, dst, w) edge list — [[pageRankWeighted]]'s integer
+    * machinery (ppm-quantized shares, exact BIGINT rounds, twin
+    * replayable with `//`) freed from the purchase graph so any
+    * domain can rank on it (TextRank runs it over the word
+    * co-occurrence graph). Node keys may be any joinable type;
+    * the node set is the out-weight key set (an undirected edge
+    * construction has no dangling nodes). Output: (node, rank). */
+  def pageRankOverEdges(wedges0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (twin unrolls them): $iters")
-    val wedges = purchaseWeightedEdges(orders, lineitem).persist()
+    val wedges = wedges0.persist()
     val sw = wedges.groupBy("src").agg(sum(col("w")).as("sw"))
     val shares = wedges.join(sw, "src")
       .select(col("src"), col("dst"),
         expr("(w * 1000000) div sw").as("ppm"))
       .persist()
-    // out-weight keys = node set (undirected construction, no dangling)
     val nodes = sw.select(col("src").as("node")).persist()
     val nAgg = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nAgg))
@@ -980,7 +992,7 @@ object Graph {
       ranks.unpersist()
       ranks = next
     }
-    decodeNode(ranks, col("rank"))
+    ranks
   }
 
   /** Delta-frontier Bellman–Ford — the at-scale refinement

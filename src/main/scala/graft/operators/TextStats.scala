@@ -398,6 +398,48 @@ object TextStats {
       .limit(k)
   }
 
+  /** TextRank keyword extraction — PageRank over the word
+    * co-occurrence graph (Mihalcea & Tarau 2004): adjacent-token pairs
+    * (the window-2 co-occurrence) become undirected edges weighted by
+    * corpus co-occurrence count, and [[Graph.pageRankOverEdges]]'
+    * integer fixpoint ranks the words; the top-`k` by rank are the
+    * corpus keywords. The same bigram expansion as [[pmiCollocations]]
+    * (PMI scores the PAIR, TextRank scores the WORD by graph
+    * centrality — complementary association surfaces).
+    *
+    * `minCount` prunes edges below the support threshold BEFORE the
+    * fixpoint — at 100 TB the co-occurrence graph is vocabulary²-
+    * bounded in theory but Zipf-concentrated in practice; the
+    * threshold keeps it |V|-proportional, and every round is then a
+    * keyed join + keyed sum on the pruned edge list (never N-sized).
+    * Self-loops are dropped (a=b pairs feed rank back to themselves
+    * and add nothing to the ordering).
+    * Output: (word, rank) — rank in exact integer mass units.
+    */
+  def textRank(docs: DataFrame, minCount: Long = 3L, iters: Int = 4,
+               k: Int = 50, textCol: String = "text"): DataFrame = {
+    val t = split(normalized(col(textCol)), " ")
+    val pairs = docs.select(
+        explode(transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
+          i => struct(get(t, i - 1).as("a"), get(t, i).as("b"))))
+          .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("b").isNotNull && col("a") =!= "" && col("b") =!= "" &&
+        col("a") =!= col("b"))
+    val und = pairs
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+    val edges = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(
+        und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    Graph.pageRankOverEdges(edges, iters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("word"), col("rank"))
+  }
+
   /** Token-window document chunking — the context-length splitter of a
     * training-data pipeline: each document becomes ⌈(n−overlap)/stride⌉
     * chunks of up to `chunkTokens` whitespace tokens, consecutive chunks

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Relational
+import graft.operators.{Relational, TextStats}
 
 /** Round-9 pins, batch 3: the count-min-sketch artifact (sparse md5
   * bucketing, linear mergeability, the est ≥ exact guarantee).
@@ -60,6 +60,37 @@ class Round20Spec extends SparkSpec {
       .toSeq ===
       scratchBuilt.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toSeq)
+  }
+
+  // --- TextStats.textRank ---
+
+  test("textRank: the co-occurrence hub outranks leaf words") {
+    val docs = Seq((1L, "a b a c a d")).toDF("doc_id", "text")
+    val out = TextStats.textRank(docs, minCount = 1L, iters = 3, k = 10)
+      .collect()
+    assert(out.map(_.getAs[String]("word")).toSet === Set("a", "b", "c", "d"))
+    // ordered rank desc — the hub 'a' (3 distinct neighbors) leads
+    assert(out.head.getAs[String]("word") === "a")
+    assert(out.head.getAs[Long]("rank") >
+      out.last.getAs[Long]("rank"))
+  }
+
+  test("textRank: self-loops dropped — a two-word symmetric graph " +
+    "ranks both words equally") {
+    val docs = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val out = TextStats.textRank(docs, minCount = 1L, iters = 3, k = 10)
+      .collect()
+    assert(out.map(_.getAs[String]("word")).toSet === Set("x", "y"))
+    assert(out(0).getAs[Long]("rank") === out(1).getAs[Long]("rank"))
+  }
+
+  test("textRank: minCount prunes low-support edges and their " +
+    "orphaned nodes") {
+    val docs = Seq((1L, "a b a b a d")).toDF("doc_id", "text")
+    // (a,b) co-occurs 4x, (a,d) once — minCount=2 drops d entirely
+    val out = TextStats.textRank(docs, minCount = 2L, iters = 2, k = 10)
+      .collect()
+    assert(out.map(_.getAs[String]("word")).toSet === Set("a", "b"))
   }
 
   test("cmsArtifactAudit: top-20 heavy hitters, overcount nonnegative") {
