@@ -241,6 +241,14 @@ object SparkEntry {
       graft.streaming.EventsStream.urlDedupIngest(
         s, dir, scratchDir("urlstage"))),
 
+    // streaming decontamination off the stored index artifact: the
+    // UNCHANGED decontaminateFromIndex tail over a document stream —
+    // index-once/filter-forever; shares the batch decontam oracle
+    // (fourth physical plan against that one oracle)
+    "stream_decontam" -> ((s, dir) =>
+      graft.streaming.EventsStream.decontamIngest(
+        s, dir, scratchDir("decontamstream"))),
+
     // streaming materialized view: 3-batch replay, each batch merges
     // its daily partials into a versioned rollup artifact; final
     // artifact == the one-shot batch recompute (see
@@ -398,6 +406,21 @@ object SparkEntry {
         out, 8, Seq("l_orderkey", "l_linenumber"))
       s.read.parquet(out)
     }),
+    // data-skipping stats index: sorted-range lake layout → per-file
+    // (min, max, rows) manifest artifact → key-range read through the
+    // PLANNED file subset only (Round20Spec pins that files were
+    // actually skipped); the result must equal the plain range filter
+    "io_stats_skipping" -> ((s, dir) => {
+      val out = scratchDir("statsskip")
+      graft.io.CompatIo.writeSortedRange(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice"),
+        s"$out/data", 8, Seq("l_orderkey", "l_linenumber"))
+      graft.io.CompatIo.statsIndexWrite(s, s"$out/data", s"$out/idx",
+        "l_orderkey")
+      graft.io.CompatIo.readWithSkipping(s, s"$out/data", s"$out/idx",
+        "l_orderkey", 100L, 900L)
+    }),
     // z-order clustered lake layout: bit-interleaved (orderkey,
     // partkey) range exchange — compact per-file bounding BOXES so
     // predicates on EITHER key prune files (1-D sort covers only its
@@ -537,6 +560,10 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e)
     }),
+    // mutual-kNN graph: every vector ranks its bucket-blocked top-5,
+    // an edge survives only if it's in BOTH endpoints' lists
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraphMutual(tbl(s, dir, "embeddings"))),
     // MMR diversity re-rank of the brute candidates (greedy
     // rel-vs-max-selected-sim trade at λ=1/2; see Similarity.mmrTopK)
     "sim_mmr" -> ((s, dir) => {
@@ -3201,6 +3228,12 @@ object SparkEntry {
     "io_sorted_write" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  l_discount FROM lineitem""".stripMargin,
+    // stats-skipping twin: the plain range filter — file pruning must
+    // never change the ROWS (the physical skip is pinned in the spec)
+    "io_stats_skipping" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 900""".stripMargin,
     // z-order twin: plain identity — the Morton layout must change the
     // FILES (ZOrderLayoutSpec pins per-file bounding boxes + the range
     // exchange), never the rows
@@ -4079,6 +4112,8 @@ object SparkEntry {
     "dedup_decontam_bloom" -> decontamOracle,
     // ...and a third: the persisted-index round-trip
     "dedup_decontam_artifact" -> decontamOracle,
+    // ...and a fourth: the same tail run as a document STREAM
+    "stream_decontam" -> decontamOracle,
 
     // The composed curation twin: langid + quality + recursive canonical
     // components + the hash-sample predicate, assembled from the same
@@ -4470,6 +4505,53 @@ object SparkEntry {
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
          |FROM s
          |QUALIFY "rank" <= 10""".stripMargin,
+
+    // Mutual-kNN graph twin: the LSH twin with EVERY vector as a
+    // query, rank ≤ 5, mutuality via the self-join on swapped pairs,
+    // round2 cosine re-attached to the survivors
+    "sim_knn_graph" ->
+      s"""WITH $vecCtes, cb AS (
+         |  SELECT vec_id, v, norm,
+         |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+         |     + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+         |     + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+         |     + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END
+         |     + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END
+         |     + CASE WHEN v[7] > 0 THEN 64 ELSE 0 END
+         |     + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+         |  FROM normed WHERE norm > 0
+         |), p AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |            xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+         |            xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
+         |      AS bucket
+         |  FROM cb
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM p JOIN cb c ON c.bucket = p.bucket
+         |                  AND c.vec_id != p.query_id
+         |), knn AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 5
+         |), mu AS (
+         |  SELECT a.query_id AS u, a.neighbor_id AS v
+         |  FROM knn a JOIN knn b ON a.query_id = b.neighbor_id
+         |                       AND a.neighbor_id = b.query_id
+         |  WHERE a.query_id < a.neighbor_id
+         |)
+         |SELECT mu.u, mu.v,
+         |  floor(list_sum(list_transform(generate_series(1, len(nu.v)),
+         |      i -> nu.v[i] * nv.v[i])) / (nu.norm * nv.norm)
+         |    * 100 + 0.5) / 100 AS cos
+         |FROM mu
+         |JOIN normed nu ON nu.vec_id = mu.u
+         |JOIN normed nv ON nv.vec_id = mu.v""".stripMargin,
 
     // The sketch's accuracy contract, not its raw estimate (HLL++ is
     // engine-specific): DuckDB computes exact and asserts TRUE; Spark

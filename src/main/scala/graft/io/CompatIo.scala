@@ -388,4 +388,53 @@ object CompatIo {
       .write.mode("overwrite").partitionBy("bin").parquet(outDir)
     spark.read.parquet(outDir).drop("bin")
   }
+
+  /** Build the data-skipping stats index over a parquet lake dir: one
+    * (file, min_key, max_key, n_rows) row per data file — the
+    * manifest-stats half of a Delta/Iceberg table format, as an
+    * explicit parquet artifact. One scan builds it (keyed agg on
+    * `input_file_name`); after that, range-predicate planning is a
+    * metadata-only read of the |files|-sized index — no data-file
+    * footer is ever opened to decide what to skip, which at a million
+    * files is the difference between a catalog lookup and a listing
+    * storm. Pair with [[writeSortedRange]]: a clustered layout makes
+    * the per-file ranges non-overlapping, so skipping is near-perfect.
+    */
+  def statsIndexWrite(spark: SparkSession, dataDir: String,
+                      idxDir: String, keyCol: String): Unit =
+    spark.read.parquet(dataDir)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).parquet(idxDir)
+
+  /** Plan a key-range read against the stored stats index: the files
+    * whose [min_key, max_key] interval intersects [lo, hi]. Pure
+    * metadata — |files| rows in, matching files out. */
+  def skippingPlan(spark: SparkSession, idxDir: String,
+                   lo: Long, hi: Long): DataFrame =
+    spark.read.parquet(idxDir)
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select("file", "min_key", "max_key", "n_rows")
+
+  /** Execute a key-range read through the stats index: read ONLY the
+    * planned files, then apply the exact range filter (stats prune
+    * whole files; the residual predicate trims the survivors' rows) —
+    * bit-identical to the full-scan filter by construction, which is
+    * the gate. The planned file list is a metadata-bounded driver
+    * artifact (≤ #files, same argument as [[compactLake]]'s bin map).
+    * An empty plan short-circuits to an empty frame without listing
+    * the data dir at all. */
+  def readWithSkipping(spark: SparkSession, dataDir: String,
+                       idxDir: String, keyCol: String,
+                       lo: Long, hi: Long): DataFrame = {
+    val planned = skippingPlan(spark, idxDir, lo, hi)
+      .select("file").collect().map(_.getString(0))
+    val full = spark.read.parquet(dataDir)
+    if (planned.isEmpty) full.filter(lit(false))
+    else
+      spark.read.schema(full.schema)
+        .parquet(planned.map(f => s"$dataDir/$f"): _*)
+        .filter(col(keyCol).between(lo, hi))
+  }
 }

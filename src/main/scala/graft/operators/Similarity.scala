@@ -1071,6 +1071,40 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Mutual-kNN graph construction — the neighborhood-graph primitive
+    * under density clustering, graph-based dedup, and ANN-index
+    * bootstrap: every vector ranks its k nearest via the
+    * bucket-blocked [[lshTopK]] (queries = candidates = the corpus;
+    * never the all-pairs join), and an edge survives only if it is
+    * MUTUAL (i ∈ knn(j) AND j ∈ knn(i)) — the standard asymmetry
+    * filter that kills hub-node spokes and leaves the density
+    * structure. The mutual check is a self semi-join on the k·n-sized
+    * kNN list (persisted for its two consumers), and the cosine is
+    * re-attached to the surviving pairs only — O(edges), not
+    * O(candidates). Output: (u, v, cos) with u < v, round2 cosine.
+    */
+  def knnGraphMutual(emb: DataFrame, k: Int = 5, nBits: Int = 8,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val knn = lshTopK(emb, emb, k, nBits, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val mutual = knn
+      .join(knn.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+    val n = withNorm(emb, idCol, vecCol)
+    mutual
+      .join(n.select(col("vec_id").as("u"), col("vec").as("uv"),
+        col("norm").as("un")), Seq("u"))
+      .join(n.select(col("vec_id").as("v"), col("vec").as("vv"),
+        col("norm").as("vn")), Seq("v"))
+      .select(col("u"), col("v"),
+        graft.functions.Fns.round2(dot(col("uv"), col("vv"))
+          / nullif(col("un") * col("vn"), lit(0.0))).as("cos"))
+  }
+
   /** Matryoshka truncation evaluation: recall@k of cosine top-k under
     * the first `dims` dimensions against the full-width top-k — the
     * measurement behind serving truncated (MRL-style) embeddings,

@@ -806,4 +806,31 @@ object EventsStream {
     updates.groupBy("user_id", "event_type")
       .agg(max(col("n_events")).as("n_events"))
   }
+
+  /** Streaming decontamination against the persisted benchmark index —
+    * the index-once/filter-forever ingestion shape: the frozen
+    * benchmark's decontamination artifact
+    * ([[graft.operators.Dedup.decontamIndexWrite]]: shingles + Bloom
+    * words) is built ONCE in batch, and the corpus stream then runs
+    * [[graft.operators.Dedup.decontaminateFromIndex]] UNCHANGED — the
+    * Bloom prefilter is a stateless codegen'd expression, the exact
+    * verify is a stream-static join against the stored shingle set,
+    * and the per-doc count aggregates in complete mode. Proves the
+    * whole decontamination tail is streaming-composable, so a
+    * continuous-crawl pipeline can leak-check pages as they land
+    * instead of re-scanning the corpus nightly.
+    * Output: (doc_id, n_shared) — flagged stream docs only. */
+  def decontamIngest(spark: SparkSession, dir: String,
+                     idxDir: String): DataFrame = {
+    val d = graft.Tables.load(spark, dir, "documents")
+    graft.operators.Dedup.decontamIndexWrite(
+      d.filter(col("doc_id") % 20 === 0), idxDir, n = 4)
+    runToMemory(spark, s => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      graft.operators.Dedup.decontaminateFromIndex(
+        stream.filter(col("doc_id") % 20 =!= 0), idxDir, n = 4)
+    }, "decontam", "complete")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, TextStats}
+import graft.operators.{Relational, Similarity, TextStats}
 
 /** Round-9 pins, batch 3: the count-min-sketch artifact (sparse md5
   * bucketing, linear mergeability, the est ≥ exact guarantee).
@@ -91,6 +91,79 @@ class Round20Spec extends SparkSpec {
     val out = TextStats.textRank(docs, minCount = 2L, iters = 2, k = 10)
       .collect()
     assert(out.map(_.getAs[String]("word")).toSet === Set("a", "b"))
+  }
+
+  // --- Similarity.knnGraphMutual ---
+
+  test("knnGraphMutual: asymmetric edges are dropped, mutual pairs " +
+    "keep their round2 cosine") {
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    // v1↔v2 are each other's nearest; v3's nearest is v2 but v2's is
+    // v1 — the (2,3) edge is one-directional and must not survive
+    val emb = Seq(
+      (1L, v(1.0)), (2L, v(1.0, 0.05)), (3L, v(0.5, 0.8)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnGraphMutual(emb, k = 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("u") === 1L)
+    assert(out(0).getAs[Long]("v") === 2L)
+    assert(out(0).getAs[Double]("cos") > 0.99)
+  }
+
+  test("knnGraphMutual: k=2 on a tight triple keeps all three edges") {
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1.0, 0.01)), (2L, v(1.0, 0.02)), (3L, v(1.0, 0.03)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnGraphMutual(emb, k = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  // --- EventsStream.decontamIngest ---
+
+  test("decontamIngest: the streamed index tail emits exactly the " +
+    "batch decontaminate rows") {
+    val dir = "/root/testdata/sf0.001"
+    val d = Tables.load(spark, dir, "documents")
+    val batch = graft.operators.Dedup.decontaminate(
+      d.filter(col("doc_id") % 20 =!= 0),
+      d.filter(col("doc_id") % 20 === 0), n = 4)
+    val streamed = graft.streaming.EventsStream.decontamIngest(
+      spark, dir, scratch("sdidx"))
+    assert(rows(streamed) === rows(batch))
+    assert(rows(streamed).nonEmpty)
+  }
+
+  // --- CompatIo stats-skipping index ---
+
+  test("statsIndex: the plan skips files, the skipped read equals the " +
+    "full-scan filter, an empty plan short-circuits") {
+    import graft.io.CompatIo
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val root = scratch("skip")
+    CompatIo.writeSortedRange(li, s"$root/data", 8, Seq("l_orderkey"))
+    CompatIo.statsIndexWrite(spark, s"$root/data", s"$root/idx",
+      "l_orderkey")
+    val idx = spark.read.parquet(s"$root/idx")
+    assert(idx.count() === 8L)
+    // a narrow range on the sorted layout must prune most files
+    val planned = CompatIo.skippingPlan(spark, s"$root/idx", 100L, 200L)
+    assert(planned.count() >= 1L && planned.count() <= 2L)
+    val skipped =
+      CompatIo.readWithSkipping(spark, s"$root/data", s"$root/idx",
+        "l_orderkey", 100L, 200L)
+    val full = spark.read.parquet(s"$root/data")
+      .filter(col("l_orderkey").between(100L, 200L))
+    assert(rows(skipped) === rows(full))
+    assert(rows(skipped).nonEmpty)
+    // a range outside every file's stats reads nothing
+    val none = CompatIo.readWithSkipping(spark, s"$root/data",
+      s"$root/idx", "l_orderkey", 10000000L, 20000000L)
+    assert(none.count() === 0L)
   }
 
   test("cmsArtifactAudit: top-20 heavy hitters, overcount nonnegative") {
