@@ -249,6 +249,14 @@ object SparkEntry {
       graft.streaming.EventsStream.decontamIngest(
         s, dir, scratchDir("decontamstream"))),
 
+    // streaming-maintained CMS: 3-batch replay, each foreachBatch
+    // full-outer-sums its sparse sketch into the versioned artifact;
+    // final sketch serves the SAME top-20 audit as rel_cms_artifact
+    // (counter linearity ⇒ one oracle, two maintenance plans)
+    "stream_cms_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.cmsMaintain(
+        s, dir, scratchDir("cmsstage"), scratchDir("cmsmaintart"))),
+
     // streaming materialized view: 3-batch replay, each batch merges
     // its daily partials into a versioned rollup artifact; final
     // artifact == the one-shot batch recompute (see
@@ -1385,6 +1393,12 @@ object SparkEntry {
       Relational.hllArtifactMerge(
         ev.filter(expr("unix_micros(ts) >= 1706616000000000")), ev, out)
     }),
+
+    // last-touch attribution: per purchase, the same user's most
+    // recent click/view inside a 7-day horizon — one per-user range
+    // frame (the deadline lives in the FRAME), argmax via max(struct)
+    "rel_attribution" -> ((s, dir) =>
+      Relational.lastTouchAttribution(tbl(s, dir, "events"))),
 
     // Count-min-sketch artifact: persist the pre-cutoff per-user CMS
     // (≤ 4096 md5-bucketed counters), merge the post-cutoff delta
@@ -2558,6 +2572,34 @@ object SparkEntry {
 
   // Shared by dedup_decontam and dedup_decontam_bloom: the bloom
   // prefilter is output-invariant, so both gates replay one exact twin.
+  /** The shared CMS heavy-hitter audit twin (rel_cms_artifact and
+    * stream_cms_maintain — counters sum linearly, so the batch-merged
+    * and foreachBatch-maintained sketches are the same dense rebuild):
+    * identical md5-salted bucket derivation over the full table,
+    * min-over-depths point estimates for the top-20 users. */
+  private val cmsAuditSql: String =
+    """WITH probes AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n_exact
+      |  FROM events GROUP BY 1
+      |  ORDER BY n_exact DESC, k LIMIT 20
+      |), depths AS (SELECT unnest([0,1,2,3]) AS di),
+      |sketch AS (
+      |  SELECT CAST(di AS VARCHAR) AS d,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+      |      CAST(di AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b,
+      |    count(*) AS cnt
+      |  FROM events CROSS JOIN depths
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.k AS user_id, p.n_exact,
+      |  min(s.cnt) AS est, min(s.cnt) - p.n_exact AS overcount
+      |FROM probes p
+      |CROSS JOIN depths
+      |JOIN sketch s ON s.d = CAST(di AS VARCHAR)
+      |  AND s.b = ('0x' || substr(md5(p.k || '#' ||
+      |    CAST(di AS VARCHAR)), 1, 15))::BIGINT % 1024
+      |GROUP BY p.k, p.n_exact""".stripMargin
+
   private val decontamOracle: String =
     """WITH sh0 AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -3108,31 +3150,34 @@ object SparkEntry {
         |  TRUE AS merged_within_rel_err
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Attribution twin: the equivalent horizon range-join + QUALIFY
+    // rank-1 (Spark's single window frame, as the join formulation —
+    // same rows, the asof-twin pattern); LEFT JOIN keeps unattributed
+    // purchases with NULL touch columns
+    "rel_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id AS tid,
+        |    event_type AS tty
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |)
+        |SELECT c.event_id, c.user_id, t.tid AS touch_id,
+        |  t.tty AS touch_type,
+        |  (c.cus - t.tus) // 60000000 AS mins_before
+        |FROM conv c LEFT JOIN t ON t.user_id = c.user_id
+        |  AND t.tus < c.cus AND t.tus >= c.cus - 604800000000
+        |QUALIFY row_number() OVER (PARTITION BY c.event_id
+        |  ORDER BY t.tus DESC, t.tid DESC) = 1""".stripMargin,
+
     // CMS-artifact replay: identical md5-salted bucket derivation,
     // dense rebuild over the FULL table (counters sum linearly, so
     // pre-artifact + delta ≡ from-scratch), min-over-depths estimate
-    "rel_cms_artifact" ->
-      """WITH probes AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n_exact
-        |  FROM events GROUP BY 1
-        |  ORDER BY n_exact DESC, k LIMIT 20
-        |), depths AS (SELECT unnest([0,1,2,3]) AS di),
-        |sketch AS (
-        |  SELECT CAST(di AS VARCHAR) AS d,
-        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||
-        |      CAST(di AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b,
-        |    count(*) AS cnt
-        |  FROM events CROSS JOIN depths
-        |  GROUP BY 1, 2
-        |)
-        |SELECT p.k AS user_id, p.n_exact,
-        |  min(s.cnt) AS est, min(s.cnt) - p.n_exact AS overcount
-        |FROM probes p
-        |CROSS JOIN depths
-        |JOIN sketch s ON s.d = CAST(di AS VARCHAR)
-        |  AND s.b = ('0x' || substr(md5(p.k || '#' ||
-        |    CAST(di AS VARCHAR)), 1, 15))::BIGINT % 1024
-        |GROUP BY p.k, p.n_exact""".stripMargin,
+    "rel_cms_artifact" -> cmsAuditSql,
+    // ...and the streaming-maintained sketch: same linearity, same
+    // audit — ONE oracle, batch-merge and foreachBatch as two plans
+    "stream_cms_maintain" -> cmsAuditSql,
 
     // Partition-diff replay: per-day bit_xor of the 60-bit md5 slice
     // over the same canonical row rendering, full-outer on day

@@ -1756,6 +1756,36 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value"))
 
+  /** Last-touch marketing attribution — for every purchase, the most
+    * recent click/view by the same user within the horizon (default 7
+    * days), or NULL columns when nothing qualifies. ONE window pass:
+    * a per-user range frame on epoch-µs `[-horizon, -1]` (strictly
+    * earlier, horizon-bounded — the deadline lives in the FRAME, not
+    * a post-filter) takes `max(struct(ts, id, type))` over touch rows
+    * only — the as-of argmax without a join, so the cost is a single
+    * user-keyed sort whatever the touch fan-in. Ties (same µs) break
+    * to the higher event_id, pinned by the twin's ORDER BY.
+    * Output: (event_id, user_id, touch_id, touch_type, mins_before).
+    */
+  def lastTouchAttribution(events: DataFrame,
+                           horizonDays: Int = 7): DataFrame = {
+    val horizonUs = horizonDays * 86400000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-horizonUs, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("att",
+        max(when(col("event_type").isin("click", "view"),
+          struct(col("us").as("tus"), col("event_id").as("tid"),
+            col("event_type").as("tty")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("att.tid").as("touch_id"),
+        col("att.tty").as("touch_type"),
+        expr("(us - att.tus) div 60000000L").as("mins_before"))
+  }
+
   // ---- Count-min sketch artifact -----------------------------------
 
   /** Count-min sketch geometry. Depth 4 × width 1024 bounds the

@@ -807,6 +807,76 @@ object EventsStream {
       .agg(max(col("n_events")).as("n_events"))
   }
 
+  /** Streaming-maintained count-min sketch — [[rollupMaintain]]'s
+    * batch_id-versioned foreachBatch artifact cycle applied to the CMS
+    * ([[graft.operators.Relational.cmsBuild]]): each micro-batch
+    * builds its own sparse sketch and full-outer SUMS it into the
+    * previous version (counters are linear, so the maintained sketch
+    * is bit-identical to a from-scratch build over everything seen —
+    * the same mergeability [[rollupMaintain]] exploits for DECIMAL
+    * partials, here for approximate state). Replays idempotently:
+    * a retried batch re-reads v(N-1) and overwrites vN; v(N-2) is
+    * reaped. The final artifact serves the same top-20 heavy-hitter
+    * estimate audit as the batch gate — ONE oracle, batch and
+    * streaming maintenance as two physical plans.
+    * Output: (user_id, n_exact, est, overcount). */
+  def cmsMaintain(spark: SparkSession, dir: String, stageDir: String,
+                  artDir: String): DataFrame = {
+    import graft.operators.Relational
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    stageBatches(stageDir,
+      raw.filter(col("event_id") % 3 === 0),
+      raw.filter(col("event_id") % 3 === 1),
+      raw.filter(col("event_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val delta = Relational.cmsBuild(batch, "user_id")
+          .withColumnsRenamed(Map("cnt" -> "bcnt"))
+        val prevDir = new java.io.File(s"$artDir/v${batchId - 1}")
+        val merged =
+          if (!prevDir.isDirectory)
+            delta.select(col("d"), col("b"), col("bcnt").as("cnt"))
+          else s2.read.parquet(prevDir.getPath)
+            .join(delta, Seq("d", "b"), "full_outer")
+            .select(col("d"), col("b"),
+              (coalesce(col("cnt"), lit(0L))
+                + coalesce(col("bcnt"), lit(0L))).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$artDir/v$batchId")
+        val stale = new java.io.File(s"$artDir/v${batchId - 2}")
+        if (stale.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    val versions = Option(new java.io.File(artDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    val sketch = spark.read.parquet(s"$artDir/v${versions.max}")
+    val probes = raw
+      .groupBy(col("user_id").cast("string").as("k"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("k"))
+      .limit(20)
+    Relational.cmsEstimate(sketch, probes)
+      .select(col("k").as("user_id"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount"))
+  }
+
   /** Streaming decontamination against the persisted benchmark index —
     * the index-once/filter-forever ingestion shape: the frozen
     * benchmark's decontamination artifact

@@ -166,6 +166,58 @@ class Round20Spec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  // --- Relational.lastTouchAttribution ---
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toSeq.toDF("event_id", "sec", "user_id", "event_type")
+      .select(col("event_id"),
+        expr("timestamp_micros(sec * 1000000)").as("ts"),
+        col("user_id"), col("event_type"))
+
+  test("lastTouchAttribution: latest in-horizon touch wins; ties on " +
+    "ts break to the higher event_id") {
+    val events = ev(
+      (1L, 100L, 7L, "click"),
+      (2L, 200L, 7L, "view"),
+      (3L, 200L, 7L, "click"), // same ts as 2 — higher id wins
+      (4L, 300L, 7L, "purchase"))
+    val out = Relational.lastTouchAttribution(events).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("touch_id") === 3L)
+    assert(out(0).getAs[String]("touch_type") === "click")
+    assert(out(0).getAs[Long]("mins_before") === 1L) // 100s div 60
+  }
+
+  test("lastTouchAttribution: horizon excluded and strictly-earlier " +
+    "semantics") {
+    val h = 7L * 86400L
+    val events = ev(
+      (1L, 0L, 7L, "click"),              // h+100s before — too old
+      (2L, h + 100L, 7L, "purchase"),     // nothing in horizon
+      (3L, h + 100L, 7L, "view"),         // same instant — NOT earlier
+      (4L, h + 200L, 8L, "purchase"))     // other user — no touches
+    val out = Relational.lastTouchAttribution(events)
+      .orderBy("event_id").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("touch_id")))
+      assert(r.isNullAt(r.fieldIndex("mins_before")))
+    }
+  }
+
+  // --- EventsStream.cmsMaintain ---
+
+  test("cmsMaintain: the 3-batch maintained sketch serves the same " +
+    "audit as the batch artifact") {
+    val dir = "/root/testdata/sf0.001"
+    val maintained = graft.streaming.EventsStream.cmsMaintain(
+      spark, dir, scratch("cmsstage"), scratch("cmsart2"))
+    val batch = Relational.cmsArtifactAudit(
+      Tables.load(spark, dir, "events"), scratch("cmsart3"))
+    assert(rows(maintained) === rows(batch))
+    assert(rows(maintained).nonEmpty)
+  }
+
   test("cmsArtifactAudit: top-20 heavy hitters, overcount nonnegative") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val out = Relational.cmsArtifactAudit(ev, scratch("cmsa")).collect()
