@@ -572,6 +572,10 @@ object SparkEntry {
     // an edge survives only if it's in BOTH endpoints' lists
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraphMutual(tbl(s, dir, "embeddings"))),
+    // embedding density clusters: min-label components over the
+    // reciprocal-2NN graph, run to convergence (rounds in output)
+    "sim_knn_components" -> ((s, dir) =>
+      Similarity.knnComponents(tbl(s, dir, "embeddings"))),
     // MMR diversity re-rank of the brute candidates (greedy
     // rel-vs-max-selected-sim trade at λ=1/2; see Similarity.mmrTopK)
     "sim_mmr" -> ((s, dir) => {
@@ -1400,6 +1404,14 @@ object SparkEntry {
     "rel_attribution" -> ((s, dir) =>
       Relational.lastTouchAttribution(tbl(s, dir, "events"))),
 
+    // equi-width histogram artifact: the DISTRIBUTION sketch beside
+    // HLL (distinct) and CMS (frequency) — write pre-cutoff, merge
+    // the delta, estimate p50/p90/p99 off the merged counters; every
+    // output is exact integers/edges, so the estimates hash-match
+    "rel_hist_artifact" -> ((s, dir) =>
+      Relational.histArtifactAudit(tbl(s, dir, "events"),
+        scratchDir("histart"))),
+
     // Count-min-sketch artifact: persist the pre-cutoff per-user CMS
     // (≤ 4096 md5-bucketed counters), merge the post-cutoff delta
     // against the RE-READ parquet, point-estimate the top-20 users.
@@ -1755,6 +1767,81 @@ object SparkEntry {
        |$steps
        |SELECT node AS word, "rank"
        |FROM r$iters ORDER BY "rank" DESC, word LIMIT $k""".stripMargin
+  }
+
+  // kNN-components twin: the sim_knn_graph twin's mutual-edge
+  // construction (rank ≤ k) feeding ComponentsConvergedSql's unrolled
+  // min-label rounds with the first-zero-change pick, vec_id-keyed.
+  private def KnnComponentsSql(k: Int, cap: Int): String = {
+    val steps = (1 to cap).map { i =>
+      s"""n$i AS (
+         |  SELECT e.dst AS node, min(l.lbl) AS nl
+         |  FROM l${i - 1} l JOIN edges e ON l.node = e.src
+         |  GROUP BY e.dst
+         |), l$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.lbl, coalesce(n$i.nl, l.lbl)) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN n$i ON l.node = n$i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    val chs = (1 to cap).map { i =>
+      s"""SELECT $i AS k,
+         |    (SELECT count(*) FROM l$i a JOIN l${i - 1} b
+         |     ON a.node = b.node WHERE a.lbl != b.lbl) AS ch""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val picks = (1 to cap).map { i =>
+      s"""SELECT node AS vec_id, lbl AS component,
+         |  (SELECT re FROM re) AS rounds
+         |FROM l$i WHERE (SELECT re FROM re) = $i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $vecCtes, cb AS MATERIALIZED (
+       |  SELECT vec_id, v, norm,
+       |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+       |     + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+       |     + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+       |     + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+       |     + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END
+       |     + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END
+       |     + CASE WHEN v[7] > 0 THEN 64 ELSE 0 END
+       |     + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+       |  FROM normed WHERE norm > 0
+       |), p AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+       |            xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+       |            xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
+       |      AS bucket
+       |  FROM cb
+       |), s AS (
+       |  SELECT query_id, c.vec_id,
+       |    list_sum(list_transform(generate_series(1, len(qv)),
+       |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+       |  FROM p JOIN cb c ON c.bucket = p.bucket
+       |                  AND c.vec_id != p.query_id
+       |), knn AS MATERIALIZED (
+       |  SELECT query_id, vec_id AS neighbor_id
+       |  FROM s
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) <= $k
+       |), mu AS MATERIALIZED (
+       |  SELECT a.query_id AS u, a.neighbor_id AS v
+       |  FROM knn a JOIN knn b ON a.query_id = b.neighbor_id
+       |                       AND a.neighbor_id = b.query_id
+       |  WHERE a.query_id < a.neighbor_id
+       |), edges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM mu
+       |  UNION ALL SELECT v, u FROM mu
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+       |),
+       |$steps,
+       |dl AS MATERIALIZED (
+       |  $chs
+       |),
+       |re AS MATERIALIZED (
+       |  SELECT CAST(coalesce(min(k), $cap) AS BIGINT) AS re FROM dl
+       |  WHERE ch = 0
+       |)
+       |$picks""".stripMargin
   }
 
   // Bounded Bellman-Ford twin: BfsHopsSql's relax-merge rounds with
@@ -3170,6 +3257,34 @@ object SparkEntry {
         |  AND t.tus < c.cus AND t.tus >= c.cus - 604800000000
         |QUALIFY row_number() OVER (PARTITION BY c.event_id
         |  ORDER BY t.tus DESC, t.tid DESC) = 1""".stripMargin,
+
+    // Histogram-artifact replay: same power-of-two bucket floor, full
+    // rebuild (count linearity), cumulative window over ≤128 rows per
+    // type, exact integer cross-multiplied rank comparison
+    "rel_hist_artifact" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    least(CAST(floor(value / 8.0) AS BIGINT), 127) AS bucket,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM h GROUP BY 1
+        |), c AS (
+        |  SELECT event_type, bucket,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY bucket) AS BIGINT) AS cum
+        |  FROM h
+        |), ps AS (
+        |  SELECT CAST(p AS DOUBLE) AS p, num, den
+        |  FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+        |    v(p, num, den)
+        |)
+        |SELECT c.event_type, ps.p, min(c.bucket) AS bucket,
+        |  CAST((min(c.bucket) + 1) * 8.0 AS DOUBLE) AS est_upper
+        |FROM c JOIN t USING (event_type) CROSS JOIN ps
+        |WHERE c.cum * ps.den >= t.total * ps.num
+        |GROUP BY 1, 2""".stripMargin,
 
     // CMS-artifact replay: identical md5-salted bucket derivation,
     // dense rebuild over the FULL table (counters sum linearly, so
@@ -4597,6 +4712,10 @@ object SparkEntry {
          |FROM mu
          |JOIN normed nu ON nu.vec_id = mu.u
          |JOIN normed nv ON nv.vec_id = mu.v""".stripMargin,
+
+    // kNN-components twin: mutual-2NN edges + unrolled min-label with
+    // the first-zero-change convergence pick
+    "sim_knn_components" -> KnnComponentsSql(k = 2, cap = 14),
 
     // The sketch's accuracy contract, not its raw estimate (HLL++ is
     // engine-specific): DuckDB computes exact and asserts TRUE; Spark

@@ -1843,6 +1843,82 @@ object Relational {
       .join(broadcast(sketch), Seq("d", "b"))
       .groupBy("k", "n_exact").agg(min("cnt").as("est"))
 
+  // ---- Equi-width histogram artifact -------------------------------
+
+  /** Histogram geometry: 128 buckets of width 8.0 (width a power of
+    * two, so `value / 8.0` only shifts the exponent — the floor is
+    * the same IEEE double in every engine), last bucket absorbs the
+    * overflow tail. */
+  val HistWidth = 8.0
+  val HistBuckets = 128
+
+  private def histBucket(v: Column): Column =
+    least(floor(v / HistWidth).cast("long"), lit(HistBuckets - 1L))
+
+  /** Sparse per-type equi-width histogram of `value` — ≤ types×128
+    * counter rows whatever the data volume; one map-side-combined
+    * keyed aggregation. The third mergeable-sketch artifact (HLL =
+    * distinct, CMS = point frequency, histogram = DISTRIBUTION):
+    * counts sum linearly, so delta merges are exact. */
+  def histBuild(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        histBucket(col("value")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Persist the histogram as a parquet artifact. */
+  def histArtifactWrite(events: DataFrame, dir: String): Unit =
+    histBuild(events).write.mode("overwrite").parquet(dir)
+
+  /** Sum a delta's histogram into the STORED artifact — merged ≡
+    * from-scratch over the union, at delta cost. */
+  def histArtifactMerge(delta: DataFrame, dir: String): DataFrame =
+    delta.sparkSession.read.parquet(dir)
+      .unionByName(histBuild(delta))
+      .groupBy("event_type", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates OFF the histogram: for each p, the smallest
+    * bucket whose running count reaches ⌈p·total⌉ (the comparison is
+    * the exact integer cross-multiplication `cum·den ≥ total·num` —
+    * no float rank arithmetic), estimate = that bucket's upper edge.
+    * Error is bounded by the bucket width by construction; every
+    * emitted value is exact, so the oracle hash-matches the estimates
+    * themselves (the CMS argument applied to distributions). The
+    * cumulative window runs over ≤ 128 rows per type — bounded by the
+    * GEOMETRY, not the data. Output: (event_type, p, bucket,
+    * est_upper). */
+  def histQuantiles(hist: DataFrame): DataFrame = {
+    val t = hist.groupBy("event_type").agg(sum("cnt").as("total"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val ps = explode(array(
+      struct(lit(0.5).as("p"), lit(1L).as("num"), lit(2L).as("den")),
+      struct(lit(0.9).as("p"), lit(9L).as("num"), lit(10L).as("den")),
+      struct(lit(0.99).as("p"), lit(99L).as("num"),
+        lit(100L).as("den"))))
+    hist.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(t), "event_type")
+      .select(col("event_type"), col("bucket"), col("cum"),
+        col("total"), ps.as("ps"))
+      .filter(col("cum") * col("ps.den") >= col("total") * col("ps.num"))
+      .groupBy(col("event_type"), col("ps.p").as("p"))
+      .agg(min("bucket").as("bucket"))
+      .withColumn("est_upper",
+        ((col("bucket") + 1) * HistWidth).cast("double"))
+  }
+
+  /** The artifact cycle under one gate: write the pre-cutoff
+    * histogram, merge the post-cutoff delta against the RE-READ
+    * parquet (old events never scanned), estimate quantiles off the
+    * merged state — equal to a full-history build by count linearity,
+    * which is exactly what the oracle replays. */
+  def histArtifactAudit(events: DataFrame, dir: String,
+                        cutoffMicros: Long = 1706616000000000L)
+      : DataFrame = {
+    histArtifactWrite(
+      events.filter(expr(s"unix_micros(ts) < ${cutoffMicros}L")), dir)
+    histQuantiles(histArtifactMerge(
+      events.filter(expr(s"unix_micros(ts) >= ${cutoffMicros}L")), dir))
+  }
+
   /** Heavy-hitter audit off the artifact: write the pre-cutoff
     * sketch, merge the post-cutoff delta against the RE-READ parquet,
     * then estimate the top-20 users (by exact full-history count) and

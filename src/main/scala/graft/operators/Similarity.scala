@@ -1105,6 +1105,36 @@ object Similarity {
           / nullif(col("un") * col("vn"), lit(0.0))).as("cos"))
   }
 
+  /** Embedding density clusters — connected components over the
+    * [[knnGraphMutual]] graph (the SemDeDup-adjacent clustering a
+    * curation pipeline runs to group near-identical content): mutual
+    * edges both directions, [[Graph.minLabelFixpoint]] to convergence,
+    * cluster id = min vec_id of the component. Vectors with NO mutual
+    * edge are singletons by construction and are omitted (they'd each
+    * be their own cluster — the graph rows are the signal). Every
+    * stage is the already-bounded knn machinery plus the same
+    * keyed-join fixpoint the purchase components run at scale.
+    *
+    * Default k=2: reciprocal-2NN clusters stay small and the fixpoint
+    * lands in 10–13 rounds at every test SF (tools/KnnProbe) — k=5's
+    * mutual graph on the synthetic embeddings fuses into ONE giant
+    * component whose diameter blows past any twin-unrollable cap. If
+    * a graph ever exceeds maxRounds, both engines agree on the capped
+    * state (the connectedComponentsConverged contract).
+    * Output: (vec_id, component, rounds). */
+  def knnComponents(emb: DataFrame, k: Int = 2, nBits: Int = 8,
+                    maxRounds: Int = 14): DataFrame = {
+    val mu = knnGraphMutual(emb, k, nBits).select("u", "v")
+    val edges = mu.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(mu.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val labels0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val (lbl, rounds) = Graph.minLabelFixpoint(labels0, edges, maxRounds)
+    lbl.select(col("node").as("vec_id"), col("lbl").as("component"),
+      lit(rounds.toLong).as("rounds"))
+  }
+
   /** Matryoshka truncation evaluation: recall@k of cosine top-k under
     * the first `dims` dimensions against the full-width top-k — the
     * measurement behind serving truncated (MRL-style) embeddings,

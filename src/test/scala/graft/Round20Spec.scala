@@ -205,6 +205,56 @@ class Round20Spec extends SparkSpec {
     }
   }
 
+  // --- Similarity.knnComponents ---
+
+  test("knnComponents: two tight pairs form two clusters labeled by " +
+    "their min vec_id; the far singleton is omitted") {
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1.0, 0.01)), (2L, v(1.0, 0.02)),     // pair A
+      (10L, v(0.01, 1.0)), (11L, v(0.02, 1.0)),   // pair B
+      (99L, v(1.0, 1.0, 5.0)))                    // bridge-ish loner
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnComponents(emb, k = 1, maxRounds = 5)
+      .collect()
+    val comp = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+    // 99's nearest is not reciprocated by either tight pair member
+    assert(!comp.contains(99L))
+  }
+
+  // --- Relational histogram artifact ---
+
+  test("histQuantiles: hand-computed p50/p90/p99 buckets") {
+    // ten values in bucket 0 (0..8), ten in bucket 2 (16..24)
+    val ev = (1 to 10).map(i => ("a", 1.0 + i * 0.1)) ++
+      (1 to 10).map(i => ("a", 17.0 + i * 0.1))
+    val df = ev.toDF("event_type", "value")
+    val q = Relational.histQuantiles(Relational.histBuild(df))
+      .orderBy("p").collect()
+    // total 20: p50 target 10 → cum 10 at bucket 0; p90 target 18 and
+    // p99 target 20 (ceil semantics via cross-multiplication) → bucket 2
+    assert(q.map(r => (r.getAs[Double]("p"), r.getAs[Long]("bucket"),
+      r.getAs[Double]("est_upper"))).toSeq ===
+      Seq((0.5, 0L, 8.0), (0.9, 2L, 24.0), (0.99, 2L, 24.0)))
+  }
+
+  test("hist artifact: write(pre) + merge(delta) ≡ from-scratch build") {
+    val pre = Seq(("a", 1.0), ("a", 20.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val delta = Seq(("a", 21.0), ("b", 2000.0), ("c", 3.0))
+      .toDF("event_type", "value")
+    val dir = scratch("hist")
+    Relational.histArtifactWrite(pre, dir)
+    val merged = Relational.histArtifactMerge(delta, dir)
+    assert(rows(merged) ===
+      rows(Relational.histBuild(pre.union(delta))))
+    // 2000 (bucket 250 unclamped) clamps into the overflow bucket 127
+    assert(merged.filter(col("bucket") === 127L).count() === 1L)
+  }
+
   // --- EventsStream.cmsMaintain ---
 
   test("cmsMaintain: the 3-batch maintained sketch serves the same " +
