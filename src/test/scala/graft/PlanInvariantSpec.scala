@@ -88,7 +88,11 @@ class PlanInvariantSpec extends SparkSpec {
     "text_stats", "text_bm25", "text_lm_score_scalable",
     "text_nb_classify", "text_html_extract_scale", "text_token_ids",
     "pipe_entity_res", "pipe_rag_index",
-    "io_bucketed_join")
+    "io_bucketed_join",
+    // round-9 batch-3 additions (artifact gates write their artifacts
+    // at plan-build time — sf0.001 scratch writes, cheap and hermetic)
+    "rel_attribution", "rel_cms_artifact", "rel_hist_artifact",
+    "text_textrank", "sim_knn_graph")
 
   /** Gates whose BNLJ is the operator's CONTRACT, not an accident:
     * the exhaustive-cosine family broadcasts the sampled (bounded)
