@@ -429,6 +429,23 @@ object SparkEntry {
       graft.io.CompatIo.readWithSkipping(s, s"$out/data", s"$out/idx",
         "l_orderkey", 100L, 900L)
     }),
+    // incremental manifest-diff scan: the stats index doubles as the
+    // consumption cursor — stage the lake, index it, land a delta,
+    // and the increment read opens ONLY the new files (Round20Spec
+    // pins the cursor advance + empty re-read)
+    "io_incremental_scan" -> ((s, dir) => {
+      val out = scratchDir("incscan")
+      val li = tbl(s, dir, "lineitem").select("l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice")
+      graft.io.CompatIo.writeSortedRange(
+        li.filter(col("l_orderkey") % 3 =!= 0), s"$out/data", 4,
+        Seq("l_orderkey"))
+      graft.io.CompatIo.statsIndexWrite(s, s"$out/data", s"$out/idx",
+        "l_orderkey")
+      li.filter(col("l_orderkey") % 3 === 0).repartition(2)
+        .write.mode("append").parquet(s"$out/data")
+      graft.io.CompatIo.readIncrement(s, s"$out/data", s"$out/idx")
+    }),
     // z-order clustered lake layout: bit-interleaved (orderkey,
     // partkey) range exchange — compact per-file bounding BOXES so
     // predicates on EITHER key prune files (1-D sort covers only its
@@ -472,6 +489,16 @@ object SparkEntry {
     // same oracle SQL — to the exact window-based form
     "text_lm_score_scalable" -> ((s, dir) =>
       TextStats.lmScoreScalable(docs(s, dir))),
+    // LM-as-artifact: train once, persist the (w1,w2,c2,c1) model,
+    // score from the RE-READ parquet — the frozen-quality-model path;
+    // scoring the training corpus is bit-identical to the in-plan
+    // forms (shared tail), so all three share one oracle
+    "text_lm_artifact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = scratchDir("lmart")
+      TextStats.lmArtifactWrite(d, out)
+      TextStats.lmScoreFromArtifact(d, out)
+    }),
     "text_chunk" -> ((s, dir) =>
       TextStats.chunk(docs(s, dir), chunkTokens = 64, overlap = 16)),
     // content-defined chunking: md5-derived boundaries are a pure
@@ -3388,6 +3415,12 @@ object SparkEntry {
     "io_sorted_write" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  l_discount FROM lineitem""".stripMargin,
+    // incremental-scan twin: the delta predicate — the manifest diff
+    // must surface exactly the landed delta's rows
+    "io_incremental_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 0""".stripMargin,
     // stats-skipping twin: the plain range filter — file pruning must
     // never change the ROWS (the physical skip is pinned in the spec)
     "io_stats_skipping" ->
@@ -3739,6 +3772,9 @@ object SparkEntry {
     // at minCount=0 the scalable form is definitionally the same model
     // (c1 = Σ_w2 c2) — one oracle pins both implementations
     "text_lm_score_scalable" -> lmScoreSql,
+    // ...and the third plan on that one oracle: the persisted-model
+    // round-trip (train → parquet → re-read → score)
+    "text_lm_artifact" -> lmScoreSql,
 
     // TextRank twin: PMI's bigram construction + the unrolled
     // ppm-share PageRank rounds, word-keyed

@@ -417,6 +417,63 @@ object CompatIo {
       .filter(col("max_key") >= lo && col("min_key") <= hi)
       .select("file", "min_key", "max_key", "n_rows")
 
+  /** The parquet file names under `dir` — a driver-side metadata pass
+    * (O(#files), the [[compactLake]] listing argument: at lake scale
+    * this is the catalog's job). */
+  private def listParquet(spark: SparkSession,
+                          dir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Data files present in the lake but NOT in the stored stats index
+    * — the manifest diff that drives incremental ingestion (the Auto
+    * Loader / Iceberg-incremental-scan shape): the index doubles as
+    * the consumption CURSOR, so "what landed since last night" is a
+    * metadata diff, never a data scan or a modification-time guess. */
+  def incrementNewFiles(spark: SparkSession, dataDir: String,
+                        idxDir: String): Seq[String] = {
+    val known = spark.read.parquet(idxDir)
+      .select("file").collect().map(_.getString(0)).toSet
+    listParquet(spark, dataDir).filterNot(known)
+  }
+
+  /** Read ONLY the files that landed since the stats index was last
+    * advanced — the nightly-delta consumption read. Old files are
+    * never opened; an empty diff short-circuits to an empty frame. */
+  def readIncrement(spark: SparkSession, dataDir: String,
+                    idxDir: String): DataFrame = {
+    val nf = incrementNewFiles(spark, dataDir, idxDir)
+    val full = spark.read.parquet(dataDir)
+    if (nf.isEmpty) full.filter(lit(false))
+    else spark.read.schema(full.schema)
+      .parquet(nf.map(f => s"$dataDir/$f"): _*)
+  }
+
+  /** Advance the cursor: append the NEW files' (min, max, rows) stats
+    * to the stored index — computed by scanning only those files —
+    * after which [[readIncrement]] returns nothing until more data
+    * lands. Consume-then-append is the idempotent nightly loop. */
+  def statsIndexAppend(spark: SparkSession, dataDir: String,
+                       idxDir: String, keyCol: String): Unit = {
+    val nf = incrementNewFiles(spark, dataDir, idxDir)
+    if (nf.nonEmpty) {
+      val full = spark.read.parquet(dataDir)
+      spark.read.schema(full.schema)
+        .parquet(nf.map(f => s"$dataDir/$f"): _*)
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
+          .as("file"))
+        .agg(min(col(keyCol)).as("min_key"),
+          max(col(keyCol)).as("max_key"),
+          count(lit(1)).as("n_rows"))
+        .write.mode(SaveMode.Append).parquet(idxDir)
+    }
+  }
+
   /** Execute a key-range read through the stats index: read ONLY the
     * planned files, then apply the exact range filter (stats prune
     * whole files; the residual predicate trims the survivors' rows) —

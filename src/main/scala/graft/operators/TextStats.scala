@@ -307,17 +307,32 @@ object TextStats {
     */
   def lmScoreScalable(docs: DataFrame, minCount: Long = 0L,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text"): DataFrame =
+    lmScoreTail(docBigrams(docs, idCol, textCol),
+      lmModel(docs, minCount, idCol, textCol))
+
+  /** Per-doc bigram occurrences over normalized tokens (the shared
+    * front of the LM family). */
+  private def docBigrams(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
     val t = split(normalized(col(textCol)), " ")
-    val bigrams = docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
         explode(transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
           i => struct(get(t, i - 1).as("w1"), get(t, i).as("w2"))))
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w2").isNotNull)
+  }
+
+  /** The truncated bigram model (w1, w2, c2, c1): two-stage salted
+    * aggregation, minCount context cutoff — see [[lmScoreScalable]]'s
+    * scaladoc for the 100 TB reasoning. */
+  private def lmModel(docs: DataFrame, minCount: Long, idCol: String,
+                      textCol: String): DataFrame = {
     // c2 feeds BOTH c1 and the model join — persist, or the corpus-wide
     // bigram aggregation (the expensive shuffle) runs twice
-    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c2 = docBigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .persist()
     // stage 2 of the salted aggregation: the (w1, w2) grouping above
     // already spread the hot w1 over its successors; summing those
@@ -327,13 +342,19 @@ object TextStats {
       .filter(col("c1") >= minCount)
     // fold c1 into the model FIRST (model ⋈ model, both sides vocab-
     // sized) so the occurrence table joins the finished model exactly
-    // once — joining c1 directly to `bigrams` would be a second pass
-    // over the corpus-sized frame
-    val model = c2.join(c1, Seq("w1"))
-    // broadcast is the contract, not a guess: minCount exists to keep
-    // the truncated model bounded, and without the hint the planner's
-    // post-join size estimate for `model` inflates past the threshold
-    // and demotes the corpus join to a full sort-merge shuffle
+    // once — joining c1 directly to the corpus bigrams would be a
+    // second pass over the corpus-sized frame
+    c2.join(c1, Seq("w1"))
+  }
+
+  /** The shared scoring tail: occurrences ⋈ broadcast model → mean
+    * DECIMAL-summed log10 P(w2|w1) per doc. Broadcast is the contract,
+    * not a guess: minCount exists to keep the truncated model bounded,
+    * and without the hint the planner's post-join size estimate
+    * inflates past the threshold and demotes the corpus join to a full
+    * sort-merge shuffle. */
+  private def lmScoreTail(bigrams: DataFrame,
+                          model: DataFrame): DataFrame =
     bigrams
       .join(broadcast(model), Seq("w1", "w2"))
       .select(col("doc_id"),
@@ -341,7 +362,28 @@ object TextStats {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
-  }
+
+  /** Persist the truncated bigram LM as a parquet artifact — the
+    * quality-model reality: the model is trained ONCE on a curated
+    * reference corpus and every crawl batch scores against the frozen
+    * artifact (scoring never rebuilds the model, never re-reads the
+    * reference corpus). The artifact is the (w1, w2, c2, c1) table —
+    * vocabulary²-bounded in theory, minCount-bounded in practice. */
+  def lmArtifactWrite(docs: DataFrame, dir: String, minCount: Long = 0L,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): Unit =
+    lmModel(docs, minCount, idCol, textCol)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Score documents against the STORED LM artifact — the identical
+    * [[lmScoreTail]] over the re-read model, so scoring the training
+    * corpus itself is bit-identical to [[lmScoreScalable]] (the gate)
+    * and scoring unseen data is the frozen-model production path. */
+  def lmScoreFromArtifact(docs: DataFrame, dir: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    lmScoreTail(docBigrams(docs, idCol, textCol),
+      docs.sparkSession.read.parquet(dir))
 
   /** Bigram PMI collocations — the corpus-level association mining
     * behind phrase detection (word2vec-style phrase joining, stopword

@@ -255,6 +255,47 @@ class Round20Spec extends SparkSpec {
     assert(merged.filter(col("bucket") === 127L).count() === 1L)
   }
 
+  // --- TextStats LM artifact ---
+
+  test("lmScoreFromArtifact: a frozen model scores unseen docs — " +
+    "modeled bigrams only, unmodeled docs drop") {
+    import graft.operators.TextStats
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val dir = scratch("lm")
+    TextStats.lmArtifactWrite(train, dir)
+    // "a b" is modeled 3x of c1(a)=3 → lp=0 → score 0.0;
+    // "z z" shares no bigram with the model → doc 11 drops
+    val unseen = Seq((10L, "a b"), (11L, "z z")).toDF("doc_id", "text")
+    val out = TextStats.lmScoreFromArtifact(unseen, dir).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("doc_id") === 10L)
+    assert(out(0).getAs[Double]("lm_score") === 0.0)
+  }
+
+  // --- CompatIo incremental manifest-diff scan ---
+
+  test("incremental scan: the manifest diff reads only the landed " +
+    "delta; appending stats advances the cursor to empty") {
+    import graft.io.CompatIo
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val root = scratch("inc")
+    CompatIo.writeSortedRange(li.filter(col("l_orderkey") % 3 =!= 0),
+      s"$root/data", 3, Seq("l_orderkey"))
+    CompatIo.statsIndexWrite(spark, s"$root/data", s"$root/idx",
+      "l_orderkey")
+    val delta = li.filter(col("l_orderkey") % 3 === 0)
+    delta.repartition(2).write.mode("append").parquet(s"$root/data")
+    val inc = CompatIo.readIncrement(spark, s"$root/data", s"$root/idx")
+    assert(rows(inc) === rows(delta))
+    // advance the cursor: stats of the 2 new files append to the index
+    CompatIo.statsIndexAppend(spark, s"$root/data", s"$root/idx",
+      "l_orderkey")
+    assert(spark.read.parquet(s"$root/idx").count() === 5L)
+    assert(CompatIo.readIncrement(spark, s"$root/data", s"$root/idx")
+      .count() === 0L)
+  }
+
   // --- EventsStream.cmsMaintain ---
 
   test("cmsMaintain: the 3-batch maintained sketch serves the same " +
