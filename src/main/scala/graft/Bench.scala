@@ -150,7 +150,20 @@ object Bench {
     "rel_sssp_delta" -> 3.67, "samp_fixed_k" -> 0.22,
     "stream_rollup_maintain" -> 1.82, "stream_url_dedup" -> 1.14,
     "text_bpe_apply_stored" -> 2.16, "text_bpe_encode_oov" -> 2.0,
-    "text_bpe_fertility" -> 2.24, "text_pmi" -> 1.06)
+    "text_bpe_fertility" -> 2.24, "text_pmi" -> 1.06,
+    // Round-9 sessions-3/4 stamps (16 new queries), medians of three
+    // full cold runs on the frozen 213-gate tree (322.8 @ 0.77,
+    // 332.1 @ 1.24 — CONTENDED, and 293.8 @ 0.70 clean with 1 flag;
+    // aggregate stamped ratios 0.98 / 1.03 / 0.90 — no systemic
+    // regression; see the BASELINE.md round-9 sessions-3/4 note).
+    "io_dynamic_overwrite" -> 1.39, "io_incremental_scan" -> 2.33,
+    "io_stats_skipping" -> 1.86, "rel_attribution" -> 0.46,
+    "rel_cms_artifact" -> 1.06, "rel_hist_artifact" -> 0.66,
+    "rel_modularity" -> 11.82, "sim_knn_components" -> 5.22,
+    "sim_knn_graph" -> 1.05, "stream_cms_maintain" -> 2.96,
+    "stream_decontam" -> 5.26, "text_hybrid_rrf" -> 3.29,
+    "text_langid_mix" -> 0.6, "text_lm_artifact" -> 1.68,
+    "text_nb_eval" -> 2.57, "text_textrank" -> 3.28)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
