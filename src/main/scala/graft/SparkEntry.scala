@@ -603,6 +603,10 @@ object SparkEntry {
     // reciprocal-2NN graph, run to convergence (rounds in output)
     "sim_knn_components" -> ((s, dir) =>
       Similarity.knnComponents(tbl(s, dir, "embeddings"))),
+    // recall@10 of the LSH blocking vs exact brute on a query sample —
+    // the eval that prices the bucket+Hamming-1 probe trade
+    "sim_knn_recall" -> ((s, dir) =>
+      Similarity.knnRecall(tbl(s, dir, "embeddings"))),
     // MMR diversity re-rank of the brute candidates (greedy
     // rel-vs-max-selected-sim trade at λ=1/2; see Similarity.mmrTopK)
     "sim_mmr" -> ((s, dir) => {
@@ -4752,6 +4756,60 @@ object SparkEntry {
     // kNN-components twin: mutual-2NN edges + unrolled min-label with
     // the first-zero-change convergence pick
     "sim_knn_components" -> KnnComponentsSql(k = 2, cap = 14),
+
+    // kNN-recall twin: the brute ranking and the LSH ranking side by
+    // side, inner-join overlap per query, round2 recall
+    "sim_knn_recall" ->
+      s"""WITH $vecCtes, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM normed WHERE vec_id % 10 = 0 AND norm > 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |              AND c.norm > 0
+         |), ex AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 10
+         |), cb AS (
+         |  SELECT vec_id, v, norm,
+         |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+         |     + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+         |     + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+         |     + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END
+         |     + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END
+         |     + CASE WHEN v[7] > 0 THEN 64 ELSE 0 END
+         |     + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+         |  FROM normed WHERE norm > 0
+         |), p AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |            xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+         |            xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
+         |      AS bucket
+         |  FROM cb WHERE vec_id % 10 = 0
+         |), ls AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM p JOIN cb c ON c.bucket = p.bucket
+         |                  AND c.vec_id != p.query_id
+         |), ap AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM ls
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 10
+         |), h AS (
+         |  SELECT ex.query_id, count(*) AS h
+         |  FROM ex JOIN ap USING (query_id, neighbor_id)
+         |  GROUP BY ex.query_id
+         |)
+         |SELECT qs.query_id, coalesce(h.h, 0) AS n_hits,
+         |  floor(coalesce(h.h, 0) / 10.0 * 100 + 0.5) / 100 AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) qs
+         |LEFT JOIN h ON qs.query_id = h.query_id""".stripMargin,
 
     // The sketch's accuracy contract, not its raw estimate (HLL++ is
     // engine-specific): DuckDB computes exact and asserts TRUE; Spark

@@ -1105,6 +1105,32 @@ object Similarity {
           / nullif(col("un") * col("vn"), lit(0.0))).as("cos"))
   }
 
+  /** Recall@k of the bucket-blocked [[lshTopK]] against the exact
+    * [[bruteTopK]] on a query sample — the measurement that prices
+    * the LSH blocking trade (the [[truncationRecall]] harness pointed
+    * at the index structure instead of the embedding width): per
+    * query, how many of the true top-k the bucket+Hamming-1 probe set
+    * recovered. The brute arm is the bounded oracle (sampled queries
+    * broadcast); at scale the recall of a blocking scheme is always
+    * estimated on exactly this kind of sample — the full brute
+    * ranking is the O(N²) cost being avoided.
+    * Output: (query_id, n_hits, recall). */
+  def knnRecall(emb: DataFrame, k: Int = 10, nBits: Int = 8,
+                queryMod: Int = 10): DataFrame = {
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+    val exact = bruteTopK(queries, emb, k).persist()
+    val approx = lshTopK(queries, emb, k, nBits)
+    val hits = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        graft.functions.Fns.round2(
+          coalesce(col("h"), lit(0L)) / lit(k)).as("recall"))
+  }
+
   /** Embedding density clusters — connected components over the
     * [[knnGraphMutual]] graph (the SemDeDup-adjacent clustering a
     * curation pipeline runs to group near-identical content): mutual

@@ -255,6 +255,23 @@ class Round20Spec extends SparkSpec {
     assert(merged.filter(col("bucket") === 127L).count() === 1L)
   }
 
+  // --- Similarity.knnRecall ---
+
+  test("knnRecall: identical vectors land in one bucket — perfect " +
+    "recall; recall is always in [0, 1]") {
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    // 10 near-clones: every true neighbor shares the query's bucket
+    val emb = (0L to 9L).map(i => (i * 10L, v(1.0, 0.001 * i)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnRecall(emb, k = 3, queryMod = 10).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getAs[Double]("recall") === 1.0)
+      assert(r.getAs[Long]("n_hits") === 3L)
+    }
+  }
+
   // --- TextStats LM artifact ---
 
   test("lmScoreFromArtifact: a frozen model scores unseen docs — " +
