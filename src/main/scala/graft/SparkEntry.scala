@@ -501,6 +501,9 @@ object SparkEntry {
     }),
     "text_chunk" -> ((s, dir) =>
       TextStats.chunk(docs(s, dir), chunkTokens = 64, overlap = 16)),
+    // sentence segmentation: RE2-safe terminator-run extraction (no
+    // lookbehind — DuckDB's RE2 has none), order-indexed, no shuffle
+    "text_sentences" -> ((s, dir) => TextStats.sentences(docs(s, dir))),
     // content-defined chunking: md5-derived boundaries are a pure
     // function of local content, so an insertion only re-chunks the
     // edited region (vs text_chunk's fixed stride shifting every
@@ -3771,6 +3774,22 @@ object SparkEntry {
         |    generate_series(1, greatest(len(tk) - 4, 1)),
         |    i -> md5(array_to_string(tk[i:i+4], ' ')))) AS fp_shingle
         |FROM t""".stripMargin,
+
+    // Sentence twin: same RE2 extraction, index via the repo's
+    // unnest(generate_series)/t[i] idiom, non-empty-token count
+    "text_sentences" ->
+      """WITH ex AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss
+        |  FROM documents
+        |), ix AS (
+        |  SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i
+        |  FROM ex
+        |)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+        |  trim(ss[i]) AS sentence,
+        |  CAST(len(list_filter(string_split_regex(trim(ss[i]),
+        |    '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM ix WHERE trim(ss[i]) <> ''""".stripMargin,
 
     "text_lm_score" -> lmScoreSql,
     // at minCount=0 the scalable form is definitionally the same model

@@ -482,6 +482,31 @@ object TextStats {
       .select(col("node").as("word"), col("rank"))
   }
 
+  /** Sentence regex shared with the twin: maximal runs of
+    * non-terminators plus their trailing terminator run. RE2-safe (no
+    * lookbehind — DuckDB's RE2 has none), so both engines segment
+    * identically. */
+  private[operators] val SentenceRe = "[^.!?]+[.!?]*"
+
+  /** Sentence segmentation — the granularity under per-sentence dedup,
+    * citation alignment, and length-bucketed packing: each document
+    * splits into terminator-delimited sentences (maximal `[^.!?]+`
+    * runs keeping their `.!?` tail), trimmed, empties dropped,
+    * zero-based index preserving document order. One codegen'd
+    * regexp_extract_all + posexplode — embarrassingly parallel, no
+    * shuffle (the [[chunk]] scale argument).
+    * Output: (doc_id, sent_idx, sentence, n_tokens). */
+  def sentences(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol), lit(SentenceRe),
+          lit(0))))
+      .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
+        trim(col("col")).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .withColumn("n_tokens",
+        size(wsTokens(col("sentence"))).cast("long"))
+
   /** Token-window document chunking — the context-length splitter of a
     * training-data pipeline: each document becomes ⌈(n−overlap)/stride⌉
     * chunks of up to `chunkTokens` whitespace tokens, consecutive chunks

@@ -272,6 +272,28 @@ class Round20Spec extends SparkSpec {
     }
   }
 
+  // --- TextStats.sentences ---
+
+  test("sentences: terminator runs split, order preserved, empties " +
+    "dropped, leading terminators skipped") {
+    val docs = Seq(
+      (1L, "Hello world. How are you?? Fine! ok"),
+      (2L, "...Just one"),
+      (3L, "!!!")).toDF("doc_id", "text")
+    val out = TextStats.sentences(docs)
+      .orderBy("doc_id", "sent_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[String]("sentence")).toSeq ===
+      Seq("Hello world.", "How are you??", "Fine!", "ok"))
+    assert(d1.map(_.getAs[Long]("sent_idx")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_.getAs[Long]("n_tokens")).toSeq === Seq(2L, 3L, 1L, 1L))
+    // doc 2: the leading "..." attaches to no chunk; one sentence
+    assert(out.filter(_.getLong(0) == 2L)
+      .map(_.getAs[String]("sentence")).toSeq === Seq("Just one"))
+    // doc 3: terminators only — no sentence at all
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
+
   // --- TextStats LM artifact ---
 
   test("lmScoreFromArtifact: a frozen model scores unseen docs — " +
