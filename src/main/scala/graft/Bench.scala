@@ -163,7 +163,12 @@ object Bench {
     "sim_knn_graph" -> 1.05, "stream_cms_maintain" -> 2.96,
     "stream_decontam" -> 5.26, "text_hybrid_rrf" -> 3.29,
     "text_langid_mix" -> 0.6, "text_lm_artifact" -> 1.68,
-    "text_nb_eval" -> 2.57, "text_textrank" -> 3.28)
+    "text_nb_eval" -> 2.57, "text_textrank" -> 3.28,
+    // Round-9 session-4 tail stamps (the two post-sweep gates),
+    // medians of three clean cold runs on the final 214-gate tree
+    // (282.1 @ 0.75, 286.7 @ 0.73, 281.1 @ 0.71; aggregate stamped
+    // ratios 0.87/0.88/0.86 — zero systemic drift).
+    "sim_knn_recall" -> 1.28, "text_sentences" -> 0.17)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
