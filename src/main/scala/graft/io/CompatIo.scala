@@ -147,23 +147,17 @@ object CompatIo {
     * truncate the whole table first — the classic lost-history
     * footgun). This is how a backfill/restatement job lands: recompute
     * the dirty days, write them, touch nothing else. The mode is a
-    * session conf, so it is set for the write and restored after
-    * (leaking `dynamic` would silently change every OTHER overwrite's
-    * semantics in the session).
+    * PER-WRITE option, not a session-conf toggle: mutating the shared
+    * session conf around the write would race a concurrent plain
+    * Overwrite on the same session into dynamic semantics (or clobber
+    * a concurrent setter on restore) — ADVICE r9.
     */
   def overwritePartitionsDynamic(df: DataFrame, outDir: String,
-                                 partCol: String): Unit = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = conf.getOption(key)
-    conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+                                 partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
       .parquet(outDir)
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None    => conf.unset(key)
-    }
-  }
 
   /** ORC interchange — the second first-class columnar lake format
     * next to parquet (Hive-ecosystem consumers): plain columnar write,
@@ -401,12 +395,14 @@ object CompatIo {
     * the per-file ranges non-overlapping, so skipping is near-perfect.
     */
   def statsIndexWrite(spark: SparkSession, dataDir: String,
-                      idxDir: String, keyCol: String): Unit =
+                      idxDir: String, keyCol: String): Unit = {
+    listParquet(spark, dataDir) // enforce the flat-layout contract
     spark.read.parquet(dataDir)
       .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
       .write.mode(SaveMode.Overwrite).parquet(idxDir)
+  }
 
   /** Plan a key-range read against the stored stats index: the files
     * whose [min_key, max_key] interval intersects [lo, hi]. Pure
@@ -419,13 +415,31 @@ object CompatIo {
 
   /** The parquet file names under `dir` — a driver-side metadata pass
     * (O(#files), the [[compactLake]] listing argument: at lake scale
-    * this is the catalog's job). */
+    * this is the catalog's job).
+    *
+    * The stats-index/cursor family keys its manifest on file BASENAME
+    * against this non-recursive listing, which is only sound on a FLAT
+    * layout: a partitioned (nested) lake would list nothing here while
+    * basenames could collide across partition dirs, silently corrupting
+    * the cursor (ADVICE r9). The contract is therefore enforced: any
+    * non-internal subdirectory raises instead of being silently
+    * skipped. Partitioned layouts get their skipping from partition
+    * pruning ([[writePartitioned]]/[[readPartition]]); this index is
+    * the flat-layout path. */
   private def listParquet(spark: SparkSession,
                           dir: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p)
+    val entries = fs.listStatus(p)
+    val nested = entries.filter(st => st.isDirectory &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    require(nested.isEmpty,
+      s"stats index/cursor requires a FLAT parquet layout under $dir " +
+        s"(basename-keyed manifest); found subdirectories: " +
+        nested.map(_.getPath.getName).mkString(", "))
+    entries
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName).sorted.toSeq
   }

@@ -484,10 +484,21 @@ object Graph {
     * rather than converge — irrelevant to a fixed-k gate, which both
     * engines replay deterministically either way.
     */
-  def labelPropagate(labels0: DataFrame, edges0: DataFrame,
+  def labelPropagate(labels0raw: DataFrame, edges0: DataFrame,
                      iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (twin unrolls them): $iters")
+    // The max(struct(c, -lbl)) smallest-label tie-break INVERTS for
+    // negative labels — enforce the non-negative contract in-plan (one
+    // codegen'd branch on the seed projection; raises on first
+    // violation instead of yielding silently wrong communities —
+    // ADVICE r9)
+    val labels0 = labels0raw.select(col("node"),
+      when(col("lbl") < 0, raise_error(concat(
+          lit("labelPropagate requires non-negative labels; got "),
+          col("lbl").cast("string"), lit(" on node "),
+          col("node").cast("string"))))
+        .otherwise(col("lbl")).as("lbl"))
     val edges = edges0.persist()
     // The struct argmax is the MEASURED winner (tools/LpaProbe,
     // interleaved same-JVM reps on the sf0.1 purchase graph): struct

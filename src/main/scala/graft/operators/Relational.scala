@@ -1834,14 +1834,19 @@ object Relational {
   /** Point-estimate each probe key against the sketch: min over the
     * depth rows of its counters (the CMS guarantee: est ≥ true count,
     * overcount bounded by collisions). The sketch side is ≤ 4096 rows
-    * → broadcast; the probe side never shuffles. */
+    * → broadcast; the probe side never shuffles. The sketch is SPARSE
+    * (untouched counters are absent rows), so the join is a LEFT join
+    * with absent counters coalesced to 0 — a probe key never seen by
+    * the sketched data correctly estimates 0 instead of silently
+    * emitting no row (ADVICE r9). */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame): DataFrame =
     probes
       .withColumn("d",
         explode(lit((0 until CmsDepth).map(_.toString).toArray)))
       .withColumn("b", cmsBucket(col("k"), col("d")))
-      .join(broadcast(sketch), Seq("d", "b"))
-      .groupBy("k", "n_exact").agg(min("cnt").as("est"))
+      .join(broadcast(sketch), Seq("d", "b"), "left")
+      .groupBy("k", "n_exact")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
   // ---- Equi-width histogram artifact -------------------------------
 

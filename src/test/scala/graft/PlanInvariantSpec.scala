@@ -38,22 +38,29 @@ class PlanInvariantSpec extends SparkSpec {
     s
   }
 
-  /** The sanctioned BNLJ: the broadcast side contains (or reuses) a
-    * grouping-free aggregate — one physical row by construction. */
-  private def isScalarBroadcast(j: BroadcastNestedLoopJoinExec): Boolean = {
-    val side = j.buildSide match {
-      case BuildLeft => j.left
-      case BuildRight => j.right
-    }
+  /** The sanctioned BNLJ: the broadcast side contains a grouping-free
+    * aggregate — one physical row by construction. A
+    * ReusedExchangeExec is a LEAF wrapper around the exchange it
+    * reuses, so it is RESOLVED and its referenced subtree checked for
+    * the same scalar pattern — accepting reuse unconditionally would
+    * let a reused data-sized broadcast slip past the invariant
+    * (ADVICE r9). */
+  private def hasScalarAgg(p: SparkPlan): Boolean = {
     var ok = false
-    side.foreach {
+    p.foreach {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty =>
         ok = true
-      case _: ReusedExchangeExec => ok = true
+      case r: ReusedExchangeExec => if (hasScalarAgg(r.child)) ok = true
       case _ => ()
     }
     ok
   }
+
+  private def isScalarBroadcast(j: BroadcastNestedLoopJoinExec): Boolean =
+    hasScalarAgg(j.buildSide match {
+      case BuildLeft => j.left
+      case BuildRight => j.right
+    })
 
   private def violations(plan: SparkPlan): Seq[String] =
     plan.collectWithSubqueries {
