@@ -610,6 +610,16 @@ object SparkEntry {
     // the eval that prices the bucket+Hamming-1 probe trade
     "sim_knn_recall" -> ((s, dir) =>
       Similarity.knnRecall(tbl(s, dir, "embeddings"))),
+    // the IVF-routed kNN graph (round-9 verdict #1): same mutual-edge
+    // construction, blocking upgraded from sign buckets to 8-of-128
+    // inverted-file routing in the SAME cosine metric
+    "sim_knn_graph_ivf" -> ((s, dir) =>
+      Similarity.knnGraphMutualIvf(tbl(s, dir, "embeddings"))),
+    // recall@10 of that IVF routing under the same harness — measured
+    // 2.6–4.7× the sign-bucket recall at comparable scanned fraction
+    // (tools/IvfKnnProbe, BASELINE.md)
+    "sim_knn_recall_ivf" -> ((s, dir) =>
+      Similarity.knnRecallIvf(tbl(s, dir, "embeddings"))),
     // MMR diversity re-rank of the brute candidates (greedy
     // rel-vs-max-selected-sim trade at λ=1/2; see Similarity.mmrTopK)
     "sim_mmr" -> ((s, dir) => {
@@ -659,6 +669,18 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.pqTopK(e.filter(col("vec_id") % 50 === 0), e)
     }),
+    // Persisted-PQ ANN (round-9 verdict #5): train the codebook +
+    // encode the corpus ONCE as parquet, serve ADC + exact re-rank for
+    // the SAME queries from the re-read artifact — the oracle is
+    // sim_topk_pq's own twin, so the gate proves build→persist→serve
+    // is bit-identical (the ivfIndexWrite pattern for the compressed
+    // half of the ANN story).
+    "sim_topk_pq_persisted" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val out = scratchDir("pqindex")
+      Similarity.pqIndexWrite(e, out)
+      Similarity.pqTopKFromIndex(e.filter(col("vec_id") % 50 === 0), out)
+    }),
     // IVFADC: coarse 4-of-16 list pruning composed with the PQ codes
     "sim_topk_ivfpq" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -695,6 +717,17 @@ object SparkEntry {
     // --- BM25 relevance ranking (north-star text retrieval) ---
     "text_bm25" -> ((s, dir) =>
       Search.bm25TopK(docs(s, dir), TestProbeWords)),
+    // Persisted-index BM25 (round-9 verdict #3): build the inverted
+    // posting lists + per-term idf + corpus scalars ONCE as parquet,
+    // then serve the SAME query from the re-read artifact — the oracle
+    // is text_bm25's own twin, so the gate proves build→persist→serve
+    // is bit-identical to the in-plan ranking (the
+    // sim_topk_ivf_persisted pattern applied to lexical search).
+    "text_bm25_from_index" -> ((s, dir) => {
+      val out = scratchDir("bm25idx")
+      Search.bm25IndexWrite(docs(s, dir), out)
+      Search.bm25TopKFromIndex(s, out, TestProbeWords)
+    }),
     // hybrid lexical+dense retrieval: BM25 top-20 and embedded-query
     // cosine top-20 fused by reciprocal-rank (rrf = Σ 1/(60+rank))
     "text_hybrid_rrf" -> ((s, dir) =>
@@ -2176,6 +2209,45 @@ object SparkEntry {
       |  WHERE length(word) > 0
       |)""".stripMargin
 
+  // BM25 twin (probe terms, k=10) — shared by text_bm25 (in-plan) and
+  // text_bm25_from_index (served from the persisted postings/wordstats/
+  // stats artifact, which must be the identity on the ranking).
+  private lazy val textBm25Sql: String = {
+    val terms = TestProbeWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $tokenCtes, dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
+       |  FROM dl
+       |), q AS (
+       |  SELECT doc_id, word, count(*) AS cnt FROM tokens
+       |  WHERE word IN ($terms) GROUP BY doc_id, word
+       |), dfq AS (
+       |  SELECT word, count(*) AS dfreq FROM q GROUP BY word
+       |), idf AS (
+       |  SELECT word,
+       |    floor(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+       |      * 100 + 0.5) / 100 AS idf
+       |  FROM dfq, stats
+       |), contribs AS (
+       |  SELECT q.doc_id,
+       |    (floor(q.cnt * ${Search.K1 + 1} /
+       |       (q.cnt + ${Search.K1} *
+       |         (1.0 - ${Search.B} + ${Search.B} * dl.dl / stats.avgdl))
+       |       * 100 + 0.5) / 100) * idf.idf AS contrib
+       |  FROM q
+       |  JOIN dl ON q.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  JOIN idf ON q.word = idf.word
+       |)
+       |SELECT doc_id,
+       |  floor(CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+       |    * 100 + 0.5) / 100 AS score
+       |FROM contribs GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   // Naive-Bayes prediction chain (train + score + argmax), shared by
   // the classify gate and the per-class evaluation gate.
   private lazy val nbPredCtes: String =
@@ -2813,6 +2885,19 @@ object SparkEntry {
        |    / 1000003.0 AS FLOAT) AS DOUBLE) AS f$d""".stripMargin
   }.mkString(",\n")
 
+  // PQ twin (exhaustive ADC + 160-shortlist + exact-L2 re-rank) —
+  // shared by sim_topk_pq (in-plan) and sim_topk_pq_persisted (served
+  // from the stored codebook/codes/vectors artifact, which must be the
+  // identity on the ranking).
+  private lazy val simTopkPqSql: String =
+    s"""WITH $pqCtes, adc AS (
+       |  SELECT d.query_id, e.vec_id,
+       |    CAST(sum(CAST(d.qd2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
+       |  FROM code e JOIN dt d ON e.s = d.s AND e.j = d.j
+       |  WHERE e.vec_id != d.query_id
+       |  GROUP BY 1, 2
+       |), $pqRerankSql""".stripMargin
+
   private val vecCtes: String =
     """vecs AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2865,6 +2950,51 @@ object SparkEntry {
       |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank"
       |FROM s
       |QUALIFY "rank" <= 10""".stripMargin
+
+  // Parameterized IVF routing/scoring CTE chain (the ivfTailSql shape
+  // with nCentroids/nProbe/query-predicate as knobs and collision-free
+  // CTE names) — emits nz/cent/assign/qs/probes/ivs, where ivs is the
+  // scored (query_id, vec_id, cos) pair stream over the probed lists.
+  // Shared by the IVF-routed kNN gates (sim_knn_graph_ivf,
+  // sim_knn_recall_ivf).
+  private def ivfKnnCtes(nCentroids: Int, nProbe: Int,
+                         queryPred: String): String =
+    s"""nz AS (
+       |  SELECT vec_id, v, norm FROM normed WHERE norm > 0
+       |), cent AS (
+       |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nz
+       |  ORDER BY vec_id ASC LIMIT $nCentroids
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT z.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY z.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(z.v)),
+       |          i -> z.v[i] * c.cv[i])) / (z.norm * c.cnorm) DESC,
+       |        c.cid ASC) AS rn
+       |    FROM nz z CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), qs AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+       |  FROM nz WHERE $queryPred
+       |), probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT qq.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(qq.qv)),
+       |          i -> qq.qv[i] * c.cv[i])) / (qq.qnorm * c.cnorm) DESC,
+       |        c.cid ASC) AS rn
+       |    FROM qs qq CROSS JOIN cent c)
+       |  WHERE rn <= $nProbe
+       |), ivs AS (
+       |  SELECT qq.query_id, a.vec_id,
+       |    list_sum(list_transform(generate_series(1, len(qq.qv)),
+       |      i -> qq.qv[i] * z.v[i])) / (qq.qnorm * z.norm) AS cos
+       |  FROM probes p
+       |  JOIN qs qq ON p.query_id = qq.query_id
+       |  JOIN assign a ON a.cid = p.cid
+       |  JOIN nz z ON z.vec_id = a.vec_id
+       |  WHERE a.vec_id != qq.query_id
+       |)""".stripMargin
 
   // Fixed-codebook IVF twin (16 lowest-id centroids + the shared
   // routing/scoring tail) — serves BOTH sim_topk_ivf and the
@@ -4830,6 +4960,61 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM ex) qs
          |LEFT JOIN h ON qs.query_id = h.query_id""".stripMargin,
 
+    // IVF-routed kNN graph twin: the parameterized 8-of-128 IVF
+    // routing chain (every nonzero vector is a query), top-5 per
+    // query, mutual-edge join, round2 cosine re-attached from the
+    // full vectors — replays knnGraphMutualIvf exactly.
+    "sim_knn_graph_ivf" ->
+      s"""WITH $vecCtes, ${ivfKnnCtes(128, 8, "TRUE")}, knn AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM ivs
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 5
+         |), mu AS (
+         |  SELECT a.query_id AS u, a.neighbor_id AS v
+         |  FROM knn a JOIN knn b ON a.query_id = b.neighbor_id
+         |                       AND a.neighbor_id = b.query_id
+         |  WHERE a.query_id < a.neighbor_id
+         |)
+         |SELECT mu.u, mu.v,
+         |  floor(list_sum(list_transform(generate_series(1, len(nu.v)),
+         |      i -> nu.v[i] * nv.v[i])) / (nu.norm * nv.norm)
+         |    * 100 + 0.5) / 100 AS cos
+         |FROM mu
+         |JOIN normed nu ON nu.vec_id = mu.u
+         |JOIN normed nv ON nv.vec_id = mu.v""".stripMargin,
+
+    // IVF-routed kNN-recall twin: the brute ranking and the 8-of-128
+    // IVF ranking side by side, inner-join overlap per query, round2
+    // recall — the sim_knn_recall twin with the approximate arm
+    // swapped to the parameterized IVF chain.
+    "sim_knn_recall_ivf" ->
+      s"""WITH $vecCtes, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM normed WHERE vec_id % 10 = 0 AND norm > 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |              AND c.norm > 0
+         |), ex AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 10
+         |), ${ivfKnnCtes(128, 8, "vec_id % 10 = 0")}, ap AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM ivs
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 10
+         |), h AS (
+         |  SELECT ex.query_id, count(*) AS h
+         |  FROM ex JOIN ap USING (query_id, neighbor_id)
+         |  GROUP BY ex.query_id
+         |)
+         |SELECT qspine.query_id, coalesce(h.h, 0) AS n_hits,
+         |  floor(coalesce(h.h, 0) / 10.0 * 100 + 0.5) / 100 AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) qspine
+         |LEFT JOIN h ON qspine.query_id = h.query_id""".stripMargin,
+
     // The sketch's accuracy contract, not its raw estimate (HLL++ is
     // engine-specific): DuckDB computes exact and asserts TRUE; Spark
     // computes |approx-exact| <= 5%·exact. See the queries entry.
@@ -4878,14 +5063,13 @@ object SparkEntry {
     // decimal sum, the 160-candidate shortlist, and the exact-L2
     // re-rank. All distances are x² - 2·x·c + c² with left-to-right
     // double arithmetic, matching the engine bit-for-bit.
-    "sim_topk_pq" ->
-      s"""WITH $pqCtes, adc AS (
-         |  SELECT d.query_id, e.vec_id,
-         |    CAST(sum(CAST(d.qd2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
-         |  FROM code e JOIN dt d ON e.s = d.s AND e.j = d.j
-         |  WHERE e.vec_id != d.query_id
-         |  GROUP BY 1, 2
-         |), $pqRerankSql""".stripMargin,
+    "sim_topk_pq" -> simTopkPqSql,
+
+    // Persisted-PQ twin: the SAME ranking as sim_topk_pq — the
+    // codebook/codes/vectors parquet round-trip must be the identity
+    // (floats/doubles are bit-exact through parquet), so one oracle
+    // serves both (the sim_topk_ivf_persisted precedent).
+    "sim_topk_pq_persisted" -> simTopkPqSql,
 
     // IVFADC twin: the same PQ fragments, but ADC only over pairs that
     // survive the L2 coarse quantizer (nearest-of-16 assignment, ties
@@ -6189,41 +6373,13 @@ object SparkEntry {
     // interpolated from Search.K1/B so both engines parse the identical
     // shortest-repr double literals; avgdl is two exact BIGINTs divided
     // once (no `avg`), matching the Scala plan.
-    "text_bm25" -> {
-      val terms = TestProbeWords.map(w => s"'$w'").mkString(", ")
-      s"""WITH $tokenCtes, dl AS (
-         |  SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
-         |), stats AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(dl) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
-         |  FROM dl
-         |), q AS (
-         |  SELECT doc_id, word, count(*) AS cnt FROM tokens
-         |  WHERE word IN ($terms) GROUP BY doc_id, word
-         |), dfq AS (
-         |  SELECT word, count(*) AS dfreq FROM q GROUP BY word
-         |), idf AS (
-         |  SELECT word,
-         |    floor(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
-         |      * 100 + 0.5) / 100 AS idf
-         |  FROM dfq, stats
-         |), contribs AS (
-         |  SELECT q.doc_id,
-         |    (floor(q.cnt * ${Search.K1 + 1} /
-         |       (q.cnt + ${Search.K1} *
-         |         (1.0 - ${Search.B} + ${Search.B} * dl.dl / stats.avgdl))
-         |       * 100 + 0.5) / 100) * idf.idf AS contrib
-         |  FROM q
-         |  JOIN dl ON q.doc_id = dl.doc_id
-         |  CROSS JOIN stats
-         |  JOIN idf ON q.word = idf.word
-         |)
-         |SELECT doc_id,
-         |  floor(CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
-         |    * 100 + 0.5) / 100 AS score
-         |FROM contribs GROUP BY doc_id
-         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
-    },
+    "text_bm25" -> textBm25Sql,
+
+    // Persisted-index BM25 twin: the SAME ranking as text_bm25 — the
+    // postings/wordstats/stats parquet round-trip must be the identity
+    // on the ranking (stored doubles are bit-exact), so one oracle
+    // serves both (the sim_topk_ivf_persisted precedent).
+    "text_bm25_from_index" -> textBm25Sql,
 
     // hybrid-RRF twin: the text_bm25 chain at LIMIT 20 + the
     // hash-embed chain over documents ∪ the (-1, query-words)

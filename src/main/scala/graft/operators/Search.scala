@@ -35,6 +35,34 @@ object Search {
   val K1 = 1.2
   val B = 0.75
 
+  /** The round2'd IDF of BM25 from (dfreq, n) columns — shared by the
+    * in-plan ranking and the index builder so the stored idf is
+    * bit-identical to the recomputed one. */
+  private def idfExpr: org.apache.spark.sql.Column =
+    round2(log((col("n") - col("dfreq") + lit(0.5)) /
+      (col("dfreq") + lit(0.5)) + lit(1.0)))
+
+  /** The BM25 scoring tail shared VERBATIM by [[bm25TopK]] and the
+    * persisted-artifact [[bm25TopKFromIndex]] (the ivfServe
+    * discipline: build-then-serve is bit-identical to build-and-serve
+    * by construction). `q` carries the per-(doc, term) postings with
+    * document length attached; `idf` the per-term weights (broadcast —
+    * |query terms| rows); `stats` the 1-row (avgdl) corpus scalar. */
+  private def bm25Tail(q: DataFrame, idf: DataFrame, stats: DataFrame,
+                       k: Int): DataFrame = {
+    val tfw = round2(col("cnt") * lit(K1 + 1) /
+      (col("cnt") + lit(K1) *
+        (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))))
+    q.crossJoin(broadcast(stats))
+      .join(broadcast(idf), "word")
+      .select(col("doc_id"), (tfw * col("idf")).as("contrib"))
+      .groupBy("doc_id")
+      .agg(round2(sum(col("contrib").cast("decimal(20,8)"))
+        .cast("double")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BM25 top-k: (doc_id, score), score desc / doc_id asc, k rows.
     * `N` and `avgdl` are defined over docs with ≥1 surviving token
     * (docs whose every token normalizes to empty can never match). */
@@ -55,21 +83,75 @@ object Search {
     // document frequency per term: q is already distinct on (doc, word)
     val dfq = q.groupBy("word").agg(count(lit(1)).as("dfreq"))
     val idf = dfq.crossJoin(broadcast(stats))
-      .select(col("word"), round2(log(
-        (col("n") - col("dfreq") + lit(0.5)) /
-          (col("dfreq") + lit(0.5)) + lit(1.0))).as("idf"))
-    val tfw = round2(col("cnt") * lit(K1 + 1) /
-      (col("cnt") + lit(K1) *
-        (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))))
-    q.join(dl, "doc_id")
+      .select(col("word"), idfExpr.as("idf"))
+    bm25Tail(q.join(dl, "doc_id"), idf, stats.select("avgdl"), k)
+  }
+
+  /** Build the BM25 inverted index ONCE and persist it as parquet —
+    * the search-index-as-artifact member of the persist-once/serve-many
+    * family (round-9 verdict #3; the LM/BPE/IVF/CMS precedent): at
+    * corpus scale the index is built by one batch job and every query
+    * session serves from the artifact, never re-tokenizing 100 TB of
+    * text per query. Layout under `dir`:
+    *  - `postings/` — (word, doc_id, cnt, dl): the inverted posting
+    *    lists with document length DENORMALIZED onto each row (the
+    *    Lucene norms-in-the-postings trade: serving never joins a
+    *    doc-length table). Written repartitioned + sorted by word, so
+    *    every parquet row group carries a tight word min/max and a
+    *    term lookup opens only the row groups containing that term —
+    *    the columnar stand-in for a term dictionary seek.
+    *  - `wordstats/` — (word, dfreq, idf): per-term document frequency
+    *    with the round2'd BM25 idf PRECOMPUTED (doubles round-trip
+    *    parquet bit-exactly, so served rankings are identical to
+    *    in-plan ones — the gate pins this). Vocabulary-sized.
+    *  - `stats/` — 1 row (n, avgdl): the corpus scalars.
+    * The index is a pure function of the corpus, so a delta append
+    * would invalidate dfreq/avgdl globally — BM25 stats refresh is a
+    * periodic rebuild decision (documented trade; contrast the
+    * linearly-mergeable CMS/HLL artifacts). */
+  def bm25IndexWrite(docs: DataFrame, dir: String,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit = {
+    // tokens feed dl + counts; dl feeds stats + postings (invariant 9)
+    val tokens = WikiText.tokens(docs, idCol, textCol).persist()
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .persist()
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+      .select(col("n"), (col("total") / col("n")).as("avgdl"))
+      .persist()
+    val counts = tokens.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt")).persist()
+    counts.join(dl, "doc_id")
+      .select("word", "doc_id", "cnt", "dl")
+      .repartition(col("word"))
+      .sortWithinPartitions("word", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    counts.groupBy("word").agg(count(lit(1)).as("dfreq"))
       .crossJoin(broadcast(stats))
-      .join(broadcast(idf), "word")
-      .select(col("doc_id"), (tfw * col("idf")).as("contrib"))
-      .groupBy("doc_id")
-      .agg(round2(sum(col("contrib").cast("decimal(20,8)"))
-        .cast("double")).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+      .select(col("word"), col("dfreq"), idfExpr.as("idf"))
+      .write.mode("overwrite").parquet(s"$dir/wordstats")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    Seq(tokens, dl, stats, counts).foreach(_.unpersist())
+  }
+
+  /** Serve BM25 top-k from a persisted [[bm25IndexWrite]] artifact —
+    * the identical [[bm25Tail]] over the re-read postings/wordstats/
+    * stats. The term predicate lands on the postings SCAN (PushedFilters
+    * on `word` over the word-sorted layout — row-group skipping does
+    * the term-dictionary seek), the idf side is a broadcast of
+    * |terms| stored rows, and nothing re-derives corpus statistics:
+    * serving cost is per-QUERY, not per-corpus. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, terms: Seq[String],
+                        k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromIndex needs a query term")
+    val q = spark.read.parquet(s"$dir/postings")
+      .filter(col("word").isin(terms: _*))
+    val idf = spark.read.parquet(s"$dir/wordstats")
+      .filter(col("word").isin(terms: _*))
+      .select("word", "idf")
+    bm25Tail(q, idf,
+      spark.read.parquet(s"$dir/stats").select("avgdl"), k)
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion — the standard

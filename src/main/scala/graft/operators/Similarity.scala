@@ -714,6 +714,69 @@ object Similarity {
       idCol, vecCol)
   }
 
+  /** Persist the PQ artifact ONCE as parquet — the other half of the
+    * compressed-ANN story (round-9 verdict #5; [[ivfIndexWrite]] is the
+    * routing half): at scale the codebook is trained and the corpus
+    * encoded by one batch job, and every query session serves ADC from
+    * the stored codes — the 8-byte-per-vector representation is the
+    * artifact, never re-derived per query. Layout under `dir`:
+    *  - `codebook/` — (s, j, csub, c2): the m×ksub per-subspace
+    *    centroids with their squared norms (a bounded model artifact,
+    *    broadcast at serve time);
+    *  - `codes/` — (vec_id, s, j): the PQ codes, m rows per vector (the
+    *    columnar stand-in for the packed code bytes);
+    *  - `vectors/` — (vec_id, vec): the full-precision vectors the
+    *    exact re-rank shortlist stage reads (in production these live
+    *    in the lake anyway; storing them beside the codes keeps the
+    *    artifact self-contained).
+    * Floats and doubles round-trip parquet bit-exactly, so the served
+    * ranking is IDENTICAL to [[pqTopK]]'s in-plan one (the gate pins
+    * this). Codebook geometry (m, dsub, ksub) is recovered from the
+    * stored codebook itself at serve time — the artifact carries its
+    * own parameters. */
+  def pqIndexWrite(candidates: DataFrame, dir: String, m: Int = 8,
+                   ksub: Int = 16, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    requireIntegralIds(candidates, idCol, "pqIndexWrite")
+    VecExpressions.register(candidates.sparkSession)
+    val dsub = pqDims(candidates, m, vecCol, "pqIndexWrite") / m
+    val cent = pqCent(candidates, ksub, m, dsub, idCol, vecCol)
+      .persist() // two consumers: the artifact write + the encoding
+    cent.write.mode("overwrite").parquet(s"$dir/codebook")
+    pqCodes(candidates, cent, m, dsub, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    candidates.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    cent.unpersist()
+  }
+
+  /** Serve PQ ANN top-k from a persisted [[pqIndexWrite]] artifact —
+    * the identical [[pqTopK]] tail (per-query ADC tables from the
+    * re-read codebook, exhaustive ADC over the stored codes, exact-L2
+    * re-rank of the shortlist against the stored vectors). Geometry
+    * (m, dsub) comes from the stored codebook — a model-sized driver
+    * lookup, not a data scan. */
+  def pqTopKFromIndex(queries: DataFrame, dir: String, k: Int = 10,
+                      rerank: Int = 160, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, idCol, "pqTopKFromIndex")
+    val spark = queries.sparkSession
+    VecExpressions.register(spark)
+    val cent = spark.read.parquet(s"$dir/codebook")
+    val geom = cent.agg(max(col("s")), min(size(col("csub")))).take(1)
+    val (m, dsub) = (geom.head.getInt(0) + 1, geom.head.getInt(1))
+    val code = spark.read.parquet(s"$dir/codes")
+    val dt = pqQueryTables(queries, cent, m, dsub, idCol, vecCol)
+    val adc = code.join(broadcast(dt), Seq("s", "j"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd2").cast("decimal(30,12)")).cast("double").as("ad2"))
+    exactL2ReRank(minHeapIds(adc, rerank), queries,
+      spark.read.parquet(s"$dir/vectors")
+        .select(col("vec_id").as(idCol), col("vec").as(vecCol)),
+      k, idCol, vecCol)
+  }
+
   /** IVFADC — [[ivfTopK]]'s coarse pruning composed with [[pqTopK]]'s
     * compressed scoring (the production shape: a query touches only its
     * `nProbe` coarse lists, and those lists are scanned as 8-byte PQ
@@ -1085,9 +1148,40 @@ object Similarity {
     */
   def knnGraphMutual(emb: DataFrame, k: Int = 5, nBits: Int = 8,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val knn = lshTopK(emb, emb, k, nBits, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id")).persist()
+                     vecCol: String = "embedding"): DataFrame =
+    mutualCosTail(lshTopK(emb, emb, k, nBits, idCol, vecCol), emb,
+      idCol, vecCol)
+
+  /** IVF-routed mutual-kNN graph — [[knnGraphMutual]] with the
+    * blocking upgraded from sign-bucket LSH to [[ivfTopK]]'s
+    * inverted-file routing (round-9 verdict #1): every vector ranks
+    * its k nearest within its nProbe nearest of nCentroids centroid
+    * lists. Routing and ranking share the SAME cosine metric, so the
+    * probed lists align with the neighborhoods being searched — at the
+    * 8-of-128 default the measured recall@10 is 2.6–4.7× sign-bucket
+    * LSH at comparable scanned fraction (~6%; tools/IvfKnnProbe table
+    * in BASELINE.md — sign buckets cut the space by per-DIMENSION
+    * signs, which embeddings do not cluster by). Same O(edges)
+    * mutual/cosine tail.
+    * Output: (u, v, cos) with u < v, round2 cosine. */
+  def knnGraphMutualIvf(emb: DataFrame, k: Int = 5,
+                        nCentroids: Int = 128, nProbe: Int = 8,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    mutualCosTail(
+      ivfTopK(emb, emb, k, nCentroids, nProbe, idCol, vecCol), emb,
+      idCol, vecCol)
+
+  /** The mutual-edge + cosine re-attachment tail shared by
+    * [[knnGraphMutual]] (LSH blocking) and [[knnGraphMutualIvf]] (IVF
+    * routing): an edge survives only if it is MUTUAL (i ∈ knn(j) AND
+    * j ∈ knn(i)) — the standard asymmetry filter that kills hub-node
+    * spokes — via a self semi-join on the k·n-sized kNN list
+    * (persisted for its two consumers), with the cosine re-attached
+    * to surviving pairs only — O(edges), not O(candidates). */
+  private def mutualCosTail(knn0: DataFrame, emb: DataFrame,
+                            idCol: String, vecCol: String): DataFrame = {
+    val knn = knn0.select(col("query_id"), col("neighbor_id")).persist()
     val mutual = knn
       .join(knn.select(col("neighbor_id").as("query_id"),
         col("query_id").as("neighbor_id")),
@@ -1118,8 +1212,31 @@ object Similarity {
   def knnRecall(emb: DataFrame, k: Int = 10, nBits: Int = 8,
                 queryMod: Int = 10): DataFrame = {
     val queries = emb.filter(col("vec_id") % queryMod === 0)
-    val exact = bruteTopK(queries, emb, k).persist()
-    val approx = lshTopK(queries, emb, k, nBits)
+    recallTail(bruteTopK(queries, emb, k),
+      lshTopK(queries, emb, k, nBits), k)
+  }
+
+  /** Recall@k of the IVF routing against the exact [[bruteTopK]] — the
+    * [[knnRecall]] harness pointed at [[ivfTopK]]'s blocking instead
+    * of the sign buckets (round-9 verdict #1: the measurement that
+    * justifies rebuilding the kNN graph on IVF routing). At the
+    * default 8-of-128 lists the scanned fraction is comparable to the
+    * LSH bucket+Hamming-1 probe set (~6% vs ~3.5%) and the measured
+    * recall is 2.6–4.7× across SFs (tools/IvfKnnProbe, BASELINE.md).
+    * Output: (query_id, n_hits, recall). */
+  def knnRecallIvf(emb: DataFrame, k: Int = 10, nCentroids: Int = 128,
+                   nProbe: Int = 8, queryMod: Int = 10): DataFrame = {
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+    recallTail(bruteTopK(queries, emb, k),
+      ivfTopK(queries, emb, k, nCentroids, nProbe), k)
+  }
+
+  /** Shared recall tail: per exact-ranked query, the overlap with the
+    * approximate ranking (exact arm persisted for its two consumers —
+    * query spine + overlap). */
+  private def recallTail(exact0: DataFrame, approx: DataFrame,
+                         k: Int): DataFrame = {
+    val exact = exact0.persist()
     val hits = exact
       .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("h"))
