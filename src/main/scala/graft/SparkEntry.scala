@@ -249,6 +249,26 @@ object SparkEntry {
       graft.streaming.EventsStream.decontamIngest(
         s, dir, scratchDir("decontamstream"))),
 
+    // streaming NEAR-DUP dedup off the persisted band index (round-9
+    // verdict #4): corpus index built once, documents stream in 3
+    // micro-batches, each probing the stored index then appending its
+    // survivors' signatures — batch N+1 dedups against corpus AND
+    // earlier survivors (see EventsStream.neardupIngest); the oracle
+    // unrolls the 3 sequential stages over the exact-Jaccard pair set
+    "stream_neardup_dedup" -> ((s, dir) =>
+      graft.streaming.EventsStream.neardupIngest(
+        s, dir, scratchDir("ndstage"), scratchDir("ndindex"),
+        scratchDir("ndres"))),
+
+    // streaming-maintained fixed-size sample: each micro-batch merges
+    // its own bottom-k sketch into the versioned artifact; the
+    // mergeability identity makes the final sketch bit-identical to
+    // the one-shot batch sample — proven by sharing samp_fixed_k's
+    // oracle device (h exposed so the artifact contract is visible)
+    "stream_sample_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.sampleMaintain(
+        s, dir, scratchDir("smstage"), scratchDir("smart"))),
+
     // streaming-maintained CMS: 3-batch replay, each foreachBatch
     // full-outer-sums its sparse sketch into the versioned artifact;
     // final sketch serves the SAME top-20 audit as rel_cms_artifact
@@ -566,6 +586,12 @@ object SparkEntry {
     // duplicated 8-token chunk and reassemble the cleaned documents
     "dedup_chunk_rewrite" -> ((s, dir) =>
       Dedup.chunkDedupRewrite(docs(s, dir), w = 8)),
+    // the SENTENCE-granularity rewrite (round-9 verdict #6): collapse
+    // corpus-wide duplicate sentences keeping first occurrences,
+    // reassemble the cleaned documents — the layer between exact-doc
+    // and token-chunk dedup
+    "dedup_sentence_rewrite" -> ((s, dir) =>
+      Dedup.sentenceDedupRewrite(docs(s, dir))),
     // delta-vs-corpus incremental dedup (the daily-ingestion pattern):
     // new-batch docs (doc_id ≡ 0 mod 5) dedup against the corpus rest
     // via band joins + exact verify, never corpus×corpus
@@ -606,6 +632,13 @@ object SparkEntry {
     // reciprocal-2NN graph, run to convergence (rounds in output)
     "sim_knn_components" -> ((s, dir) =>
       Similarity.knnComponents(tbl(s, dir, "embeddings"))),
+    // the IVF-routed density clusters (round-10: the round-9 "cluster
+    // quality inherits the weak blocking" finding closed end-to-end —
+    // the component structure a semantic-dedup pass acts on is now
+    // built from 8-of-128 routed neighborhoods, recall 2.6–4.7× the
+    // sign buckets at comparable scanned fraction)
+    "sim_knn_components_ivf" -> ((s, dir) =>
+      Similarity.knnComponentsIvf(tbl(s, dir, "embeddings"))),
     // recall@10 of the LSH blocking vs exact brute on a query sample —
     // the eval that prices the bucket+Hamming-1 probe trade
     "sim_knn_recall" -> ((s, dir) =>
@@ -1839,7 +1872,45 @@ object SparkEntry {
   // kNN-components twin: the sim_knn_graph twin's mutual-edge
   // construction (rank ≤ k) feeding ComponentsConvergedSql's unrolled
   // min-label rounds with the first-zero-change pick, vec_id-keyed.
-  private def KnnComponentsSql(k: Int, cap: Int): String = {
+  // The candidate-scoring front is pluggable (sign-bucket LSH chain /
+  // the parameterized IVF chain), mirroring the Spark side's shared
+  // componentsTail over either blocking.
+  private def KnnComponentsSql(k: Int, cap: Int): String =
+    knnComponentsSqlOver(
+      s"""cb AS MATERIALIZED (
+         |  SELECT vec_id, v, norm,
+         |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+         |     + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+         |     + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+         |     + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END
+         |     + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END
+         |     + CASE WHEN v[7] > 0 THEN 64 ELSE 0 END
+         |     + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+         |  FROM normed WHERE norm > 0
+         |), p AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |            xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+         |            xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
+         |      AS bucket
+         |  FROM cb
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM p JOIN cb c ON c.bucket = p.bucket
+         |                  AND c.vec_id != p.query_id
+         |)""".stripMargin, "s", k, cap)
+
+  // IVF-routed components twin: the SAME unrolled min-label tail over
+  // the parameterized IVF chain (ivfKnnCtes — every vector queries its
+  // 8-of-128 probed lists), vec_id-keyed.
+  private def KnnComponentsIvfSql(k: Int, cap: Int): String =
+    knnComponentsSqlOver(ivfKnnCtes(128, 8, "TRUE"), "ivs", k, cap)
+
+  private def knnComponentsSqlOver(frontCtes: String, scored: String,
+                                   k: Int, cap: Int): String = {
     val steps = (1 to cap).map { i =>
       s"""n$i AS (
          |  SELECT e.dst AS node, min(l.lbl) AS nl
@@ -1860,33 +1931,9 @@ object SparkEntry {
          |  (SELECT re FROM re) AS rounds
          |FROM l$i WHERE (SELECT re FROM re) = $i""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"""WITH $vecCtes, cb AS MATERIALIZED (
-       |  SELECT vec_id, v, norm,
-       |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
-       |     + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
-       |     + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
-       |     + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
-       |     + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END
-       |     + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END
-       |     + CASE WHEN v[7] > 0 THEN 64 ELSE 0 END
-       |     + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
-       |  FROM normed WHERE norm > 0
-       |), p AS (
-       |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
-       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-       |            xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
-       |            xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
-       |      AS bucket
-       |  FROM cb
-       |), s AS (
-       |  SELECT query_id, c.vec_id,
-       |    list_sum(list_transform(generate_series(1, len(qv)),
-       |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
-       |  FROM p JOIN cb c ON c.bucket = p.bucket
-       |                  AND c.vec_id != p.query_id
-       |), knn AS MATERIALIZED (
+    s"""WITH $vecCtes, $frontCtes, knn AS MATERIALIZED (
        |  SELECT query_id, vec_id AS neighbor_id
-       |  FROM s
+       |  FROM $scored
        |  QUALIFY row_number() OVER (PARTITION BY query_id
        |    ORDER BY cos DESC, vec_id ASC) <= $k
        |), mu AS MATERIALIZED (
@@ -2543,6 +2590,69 @@ object SparkEntry {
         |    AND coalesce(nd.n_delta_dups, 0) = 0 AS keep
         |FROM dd d LEFT JOIN nc ON d.doc_id = nc.id
         |LEFT JOIN nd ON d.doc_id = nd.id""".stripMargin
+
+  // Streaming near-dup twin: the THREE sequential micro-batches
+  // unrolled as relational stages over ONE exact-Jaccard pair set
+  // (the dedupIncrementalOracle device). Batch i's "corpus" is the
+  // initial index (doc_id % 5 != 0) plus the SURVIVORS of batches
+  // < i — exactly what the foreachBatch append cycle accumulates —
+  // and in-batch dups count only pairs where the doc is the larger id
+  // (first-wins, the incrementalTail convention).
+  private val streamNeardupSql: String = {
+    def ncI(bt: Int, keptSets: Seq[String]): String = {
+      val extra = keptSets
+        .map(k => s" OR db IN (SELECT doc_id FROM $k)").mkString
+      s"""nc$bt AS (
+         |  SELECT da, count(*) AS n FROM jp
+         |  JOIN dd ON da = dd.doc_id
+         |  WHERE dd.bt = $bt AND (db % 5 != 0$extra)
+         |  GROUP BY da
+         |), nd$bt AS (
+         |  SELECT da, count(*) AS n FROM jp
+         |  JOIN dd a ON da = a.doc_id JOIN dd b ON db = b.doc_id
+         |  WHERE a.bt = $bt AND b.bt = $bt AND db < da
+         |  GROUP BY da
+         |), r$bt AS (
+         |  SELECT d.doc_id, coalesce(nc$bt.n, 0) AS ncd,
+         |    coalesce(nd$bt.n, 0) AS ndd
+         |  FROM dd d LEFT JOIN nc$bt ON d.doc_id = nc$bt.da
+         |  LEFT JOIN nd$bt ON d.doc_id = nd$bt.da
+         |  WHERE d.bt = $bt
+         |), k$bt AS (
+         |  SELECT doc_id FROM r$bt WHERE ncd = 0 AND ndd = 0
+         |)""".stripMargin
+    }
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(t) - 2, 1)),
+       |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+       |  FROM sh0
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), dd AS (
+       |  SELECT doc_id, (doc_id // 5) % 3 AS bt FROM documents
+       |  WHERE doc_id % 5 = 0
+       |), dsh AS (
+       |  SELECT * FROM sh WHERE doc_id % 5 = 0
+       |), com AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM dsh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+       |  GROUP BY 1, 2
+       |), jp AS (
+       |  SELECT da, db FROM com
+       |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |  WHERE c / (x.n + y.n - c) >= 0.8
+       |), ${ncI(0, Seq())}, ${ncI(1, Seq("k0"))},
+       |${ncI(2, Seq("k0", "k1"))}
+       |SELECT doc_id,
+       |  CAST(ncd AS BIGINT) AS n_corpus_dups,
+       |  CAST(ndd AS BIGINT) AS n_delta_dups,
+       |  ncd = 0 AND ndd = 0 AS keep
+       |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+       |      UNION ALL SELECT * FROM r2)""".stripMargin
+  }
 
   // Dedup.canonicalUrl as one nested DuckDB expression over column
   // `url` — generated from the SAME pattern constants; replacements
@@ -4047,6 +4157,35 @@ object SparkEntry {
         |FROM ch c JOIN fo o ON c.ctext = o.ctext
         |GROUP BY c.doc_id""".stripMargin,
 
+    // Sentence-rewrite twin: the text_sentences segmentation + the
+    // dedup_chunk_rewrite first-occurrence device (two-stage min:
+    // first doc, then min idx within it = min(struct(doc_id, idx)))
+    // and the ORDER BY string_agg reassembly
+    "dedup_sentence_rewrite" ->
+      """WITH ex AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss
+        |  FROM documents
+        |), ix AS (
+        |  SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i
+        |  FROM ex
+        |), sents AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS si, trim(ss[i]) AS s
+        |  FROM ix WHERE trim(ss[i]) <> ''
+        |), fd AS (
+        |  SELECT s, min(doc_id) AS fdoc FROM sents GROUP BY s
+        |), fo AS (
+        |  SELECT c.s, f.fdoc, min(c.si) AS fsi
+        |  FROM sents c JOIN fd f ON c.s = f.s AND c.doc_id = f.fdoc
+        |  GROUP BY c.s, f.fdoc
+        |)
+        |SELECT c.doc_id, count(*) AS n_sentences,
+        |  CAST(sum(CASE WHEN c.doc_id = o.fdoc AND c.si = o.fsi
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN c.doc_id = o.fdoc AND c.si = o.fsi
+        |    THEN c.s END, ' ' ORDER BY c.si), '') AS text_clean
+        |FROM sents c JOIN fo o ON c.s = o.s
+        |GROUP BY c.doc_id""".stripMargin,
+
     // unigram drift twin: same normalization as text_repetition,
     // conditional split counts, add-one-smoothed single-division p/q,
     // round2'd ln ratio, one-multiply kl term
@@ -4464,6 +4603,10 @@ object SparkEntry {
     // ...and a fourth: the same tail run as a document STREAM
     "stream_decontam" -> decontamOracle,
 
+    // streaming near-dup dedup: the 3 sequential batches unrolled
+    // over one exact-Jaccard pair set (see streamNeardupSql)
+    "stream_neardup_dedup" -> streamNeardupSql,
+
     // The composed curation twin: langid + quality + recursive canonical
     // components + the hash-sample predicate, assembled from the same
     // building blocks as the individual oracles.
@@ -4553,6 +4696,17 @@ object SparkEntry {
     // fixed-k twin: the same md5 permutation order, LIMIT k
     "samp_fixed_k" ->
       """SELECT doc_id FROM (
+        |  SELECT doc_id, ('0x' || substr(md5('graft-fix' || '|' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  ORDER BY h ASC, doc_id ASC LIMIT 137
+        |)""".stripMargin,
+
+    // streaming sample-maintain twin: the mergeable bottom-k sketch's
+    // identity — the 3-batch maintained artifact must equal the
+    // one-shot corpus bottom-k (samp_fixed_k's device, h exposed)
+    "stream_sample_maintain" ->
+      """SELECT doc_id, h FROM (
         |  SELECT doc_id, ('0x' || substr(md5('graft-fix' || '|' ||
         |    CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
         |  FROM documents WHERE doc_id IS NOT NULL
@@ -4905,6 +5059,11 @@ object SparkEntry {
     // kNN-components twin: mutual-2NN edges + unrolled min-label with
     // the first-zero-change convergence pick
     "sim_knn_components" -> KnnComponentsSql(k = 2, cap = 14),
+
+    // IVF-routed components twin: the same unrolled tail over the
+    // parameterized IVF chain (cap re-probed per SF on landing —
+    // higher-recall graph, more true edges)
+    "sim_knn_components_ivf" -> KnnComponentsIvfSql(k = 2, cap = 14),
 
     // kNN-recall twin: the brute ranking and the LSH ranking side by
     // side, inner-join overlap per query, round2 recall

@@ -1242,4 +1242,47 @@ object Dedup {
             when(col("kept"), struct(col("ci"), col("ctext"))))),
           x => x("ctext")), " ").as("text_clean"))
   }
+
+  /** Sentence-level dedup REWRITE — the fine-grained layer real
+    * curation stacks run between exact-document and token-chunk dedup
+    * (round-9 verdict #6; the Lee-et-al substring argument at a
+    * linguistically meaningful granularity): segment every document
+    * with [[TextStats.sentences]], keep only the corpus-wide FIRST
+    * occurrence of each distinct sentence (lexicographic min over
+    * (doc_id, sent_idx) — within-doc repeats collapse too), and
+    * reassemble each document from its surviving sentences in order.
+    * This is how repeated boilerplate sentences (cookie banners,
+    * license footers, navigation crumbs) are CUT from all but one
+    * occurrence while the documents that carried them survive.
+    *
+    * Scale posture: identical to [[chunkDedupRewrite]] — segmentation
+    * is a per-row regexp explode (no shuffle); the first-occurrence
+    * argmin is ONE hash aggregation keyed on sentence text
+    * (min(struct), no corpus-wide window); the join-back is an
+    * equi-join on the same key; reassembly sorts only WITHIN a
+    * document. At 100 TB key on a 128-bit sentence hash with text
+    * resolved on collision; the gate keys on raw text because the
+    * DuckDB twin must reproduce the grouping byte-for-byte.
+    * Output: (doc_id, n_sentences, n_dropped, text_clean) for every
+    * document with ≥ 1 non-empty sentence.
+    */
+  def sentenceDedupRewrite(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val sents = TextStats.sentences(docs, idCol, textCol)
+      .select("doc_id", "sent_idx", "sentence")
+      .persist() // two consumers: first-occurrence argmin + join-back
+    val firstOcc = sents.groupBy("sentence")
+      .agg(min(struct(col("doc_id"), col("sent_idx"))).as("fo"))
+    sents.join(firstOcc, "sentence")
+      .withColumn("kept", col("doc_id") === col("fo.doc_id") &&
+        col("sent_idx") === col("fo.sent_idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        // sent_idx is unique within a doc → total deterministic order
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("sent_idx"), col("sentence"))))),
+          x => x("sentence")), " ").as("text_clean"))
+  }
 }

@@ -206,14 +206,27 @@ object Sampling {
     * materializes. Output: (key), exactly min(k, N) rows.
     */
   def fixedSizeSample(df: DataFrame, k: Int, keyCol: String = "doc_id",
-                      salt: String = "graft-fix"): DataFrame = {
+                      salt: String = "graft-fix"): DataFrame =
+    bottomK(df, k, keyCol, salt).select(col(keyCol))
+
+  /** The bottom-k SKETCH behind [[fixedSizeSample]] — (key, h) kept so
+    * the structure is MERGEABLE: for disjoint key sets,
+    * bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B), because a
+    * globally-bottom-k hash is bottom-k within whichever part held it.
+    * That identity is what lets a stream MAINTAIN a uniform fixed-size
+    * corpus sample one micro-batch at a time (union the stored sketch
+    * with the batch's sketch, re-take bottom-k — k rows of state, ever)
+    * and what makes the sample of a sharded corpus computable
+    * shard-locally with a k-row final merge. Same
+    * TakeOrderedAndProject shape — no global sort materializes.
+    * Output: (key, h), exactly min(k, N) rows. */
+  def bottomK(df: DataFrame, k: Int, keyCol: String = "doc_id",
+              salt: String = "graft-fix"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val h = hashValue(col(keyCol), salt)
     df.filter(col(keyCol).isNotNull)
-      .select(col(keyCol), h.as("h"))
+      .select(col(keyCol), hashValue(col(keyCol), salt).as("h"))
       .orderBy(col("h").asc, col(keyCol).asc)
       .limit(k)
-      .select(col(keyCol))
   }
 
   /** Per-stratum cap — the "domain cap" of corpus mixing: keeps at most

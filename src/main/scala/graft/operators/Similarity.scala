@@ -1266,8 +1266,33 @@ object Similarity {
     * state (the connectedComponentsConverged contract).
     * Output: (vec_id, component, rounds). */
   def knnComponents(emb: DataFrame, k: Int = 2, nBits: Int = 8,
-                    maxRounds: Int = 14): DataFrame = {
-    val mu = knnGraphMutual(emb, k, nBits).select("u", "v")
+                    maxRounds: Int = 14): DataFrame =
+    componentsTail(knnGraphMutual(emb, k, nBits), maxRounds)
+
+  /** IVF-routed density clusters — [[knnComponents]] with the mutual
+    * graph built by [[knnGraphMutualIvf]] instead of the sign-bucket
+    * LSH (the round-9 "clustering inherits the weak blocking" finding,
+    * closed): the 8-of-128 routing recovers 2.6–4.7× the true
+    * neighbors at comparable scanned fraction (sim_knn_recall_ivf), so
+    * the reciprocal-kNN edges — and therefore the component structure
+    * a semantic-dedup pass acts on — are built from real neighborhoods
+    * rather than per-dimension sign coincidences. Same min-label
+    * fixpoint tail; k=2 keeps the clusters twin-unrollable (the
+    * [[knnComponents]] diameter argument — the HIGHER-recall graph has
+    * MORE true edges, so the cap is re-probed per SF, not assumed).
+    * Output: (vec_id, component, rounds). */
+  def knnComponentsIvf(emb: DataFrame, k: Int = 2,
+                       nCentroids: Int = 128, nProbe: Int = 8,
+                       maxRounds: Int = 14): DataFrame =
+    componentsTail(knnGraphMutualIvf(emb, k, nCentroids, nProbe),
+      maxRounds)
+
+  /** Shared components tail: symmetric edge list from the mutual
+    * graph, min-label propagation to convergence (or the agreed-on
+    * capped state), cluster id = min vec_id of the component. */
+  private def componentsTail(mutual: DataFrame,
+                             maxRounds: Int): DataFrame = {
+    val mu = mutual.select("u", "v")
     val edges = mu.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(mu.select(col("v").as("src"), col("u").as("dst")))
       .persist()

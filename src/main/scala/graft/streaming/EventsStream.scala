@@ -890,6 +890,132 @@ object EventsStream {
     * continuous-crawl pipeline can leak-check pages as they land
     * instead of re-scanning the corpus nightly.
     * Output: (doc_id, n_shared) — flagged stream docs only. */
+  /** Streaming NEAR-DUP dedup against the persisted band index — the
+    * crawl-ingest reality (round-9 verdict #4): the corpus's MinHash
+    * band index is built ONCE in batch
+    * ([[graft.operators.Dedup.dedupIndexWrite]]), documents then
+    * arrive as micro-batches, and each batch (a) probes the STORED
+    * index via the identical candidate-then-verify tail
+    * ([[graft.operators.Dedup.incrementalMinHashFromIndex]] UNCHANGED
+    * inside foreachBatch), (b) records every doc's verdict, and (c)
+    * APPENDS the surviving docs' signatures+shingles back to the index
+    * ([[graft.operators.Dedup.dedupIndexAppend]]) — so batch N+1's
+    * arrivals dedup against corpus AND every earlier survivor, exactly
+    * the sequential semantics of a continuous crawl. Batch order is
+    * pinned by the staged replay (maxFilesPerTrigger=1 over
+    * mtime-ordered files), making the whole sequence deterministic;
+    * the oracle replays the three batches as unrolled relational
+    * stages over the SAME exact-Jaccard pair set (the
+    * dedup_incremental twin device — band parameters make a true-pair
+    * miss a ~1e-13 event, and the exact verify kills every false
+    * positive).
+    *
+    * Idempotence note: per-batch verdicts land as overwrite-mode
+    * per-batch dirs (retry-safe); the index APPEND is the same
+    * at-least-once caveat every append-mode sink carries — production
+    * versions the index per batch (the [[rollupMaintain]] v{N}
+    * pattern) where replay is possible. Scale shape: everything is
+    * the delta-sized probe join + bounded verify of the batch gates;
+    * per-batch state lives in the lake, not the stream.
+    * Output: (doc_id, n_corpus_dups, n_delta_dups, keep) — one row
+    * per streamed doc, across all batches. */
+  def neardupIngest(spark: SparkSession, dir: String, stageDir: String,
+                    idxDir: String, resDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = graft.Tables.load(spark, dir, "documents")
+    Dedup.dedupIndexWrite(d.filter(col("doc_id") % 5 =!= 0), idxDir)
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    stageBatches(stageDir,
+      delta.filter(expr("(doc_id div 5) % 3 = 0")),
+      delta.filter(expr("(doc_id div 5) % 3 = 1")),
+      delta.filter(expr("(doc_id div 5) % 3 = 2")))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val res = Dedup.incrementalMinHashFromIndex(batch, idxDir)
+          .persist() // two consumers: verdict write + survivor filter
+        res.write.mode("overwrite").parquet(s"$resDir/b$batchId")
+        Dedup.dedupIndexAppend(
+          batch.join(res.filter(col("keep")).select("doc_id"),
+            "doc_id"), idxDir)
+        res.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$resDir/b*")
+  }
+
+  /** Streaming-maintained uniform fixed-size sample — the
+    * [[rollupMaintain]] versioned-artifact pattern carrying
+    * [[graft.operators.Sampling.bottomK]]'s mergeable sketch: each
+    * micro-batch takes ITS OWN bottom-k by the salted md5 hash, unions
+    * it with the stored sketch, re-takes bottom-k, and writes the next
+    * artifact version (retry re-reads only v(N-1) — the rollup
+    * idempotence story). Because the bottom-k sketch is mergeable over
+    * disjoint key sets, the final artifact is BIT-IDENTICAL to
+    * [[graft.operators.Sampling.fixedSizeSample]] over the whole
+    * corpus in one batch — the gate proves the merge identity, not
+    * just "a sample came out". This is how a continuous-crawl corpus
+    * keeps a standing holdout/eval sample without ever rescanning:
+    * k rows of state, k·batches rows ever shuffled.
+    * Output: (doc_id, h) — the final sketch, min(k, N) rows. */
+  def sampleMaintain(spark: SparkSession, dir: String, stageDir: String,
+                     artDir: String, k: Int = 137): DataFrame = {
+    import graft.operators.Sampling
+    val d = graft.Tables.load(spark, dir, "documents")
+    stageBatches(stageDir,
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 === 1),
+      d.filter(col("doc_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val part = Sampling.bottomK(batch, k)
+        val prevDir = new java.io.File(s"$artDir/v${batchId - 1}")
+        val merged =
+          if (!prevDir.isDirectory) part
+          else Sampling.bottomK(
+            s2.read.parquet(prevDir.getPath).unionByName(part)
+              // the union'd frame already carries h; re-hashing only
+              // doc_id keeps the sketch a pure function of the key
+              .select("doc_id"), k)
+        merged.write.mode("overwrite").parquet(s"$artDir/v$batchId")
+        val stale = new java.io.File(s"$artDir/v${batchId - 2}")
+        if (stale.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val versions = Option(new java.io.File(artDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    spark.read.parquet(s"$artDir/v${versions.max}")
+  }
+
   def decontamIngest(spark: SparkSession, dir: String,
                      idxDir: String): DataFrame = {
     val d = graft.Tables.load(spark, dir, "documents")

@@ -1,7 +1,9 @@
 package graft
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
@@ -38,26 +40,42 @@ class PlanInvariantSpec extends SparkSpec {
     s
   }
 
-  /** The sanctioned BNLJ: the broadcast side contains a grouping-free
-    * aggregate — one physical row by construction. A
-    * ReusedExchangeExec is a LEAF wrapper around the exchange it
-    * reuses, so it is RESOLVED and its referenced subtree checked for
-    * the same scalar pattern — accepting reuse unconditionally would
-    * let a reused data-sized broadcast slip past the invariant
-    * (ADVICE r9). */
-  private def hasScalarAgg(p: SparkPlan): Boolean = {
+  /** The sanctioned BNLJ: the broadcast side is BOUNDED BY
+    * CONSTRUCTION — its subtree contains a node that caps its row
+    * count independent of data volume:
+    *  - a grouping-free aggregate (the 1-row in-plan-scalar idiom),
+    *  - a TakeOrderedAndProject / GlobalLimit (literal top-k/limit —
+    *    the codebook / argmax-pair model artifacts),
+    *  - a LocalTableScan (driver-built model rows, e.g. a trained
+    *    codebook), or a small literal Range (pseudo-doc spines).
+    * LEAF wrappers are RESOLVED rather than trusted: ReusedExchangeExec
+    * to its referenced exchange (ADVICE r9 — accepting reuse blindly
+    * would let a reused data-sized broadcast slip through),
+    * InMemoryTableScanExec to the cached plan, AdaptiveSparkPlanExec
+    * to its current physical plan. Anything else broadcasting under a
+    * BNLJ means a data-sized side is replicated to every task. */
+  private def boundedByConstruction(p: SparkPlan): Boolean = {
     var ok = false
     p.foreach {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty =>
         ok = true
-      case r: ReusedExchangeExec => if (hasScalarAgg(r.child)) ok = true
+      case _: TakeOrderedAndProjectExec => ok = true
+      case _: GlobalLimitExec => ok = true
+      case _: LocalTableScanExec => ok = true
+      case r: RangeExec if r.numElements <= BigInt(10000) => ok = true
+      case r: ReusedExchangeExec =>
+        if (boundedByConstruction(r.child)) ok = true
+      case i: InMemoryTableScanExec =>
+        if (boundedByConstruction(i.relation.cachedPlan)) ok = true
+      case a: AdaptiveSparkPlanExec =>
+        if (boundedByConstruction(a.executedPlan)) ok = true
       case _ => ()
     }
     ok
   }
 
   private def isScalarBroadcast(j: BroadcastNestedLoopJoinExec): Boolean =
-    hasScalarAgg(j.buildSide match {
+    boundedByConstruction(j.buildSide match {
       case BuildLeft => j.left
       case BuildRight => j.right
     })
@@ -71,35 +89,14 @@ class PlanInvariantSpec extends SparkSpec {
           j.simpleStringWithNodeId())
     }.flatten
 
-  // Join-shape coverage across every operator family whose plan is
-  // static (no driver loop / write / stream drain at build time).
-  private val Audited: Seq[String] = Seq(
-    "q2_dictionary", "q4_tf", "q6_tfidf", "wiki_tfidf",
-    "rel_pricing_summary", "rel_revenue_nation", "rel_top_customers",
-    "rel_asof_join", "rel_asof_forward", "rel_range_join",
-    "rel_interval_join", "rel_skew_join", "rel_fuzzy_join",
-    "rel_merge_upsert", "rel_snapshot_diff", "rel_partition_diff",
-    "rel_incremental_refresh", "rel_heavy_hitters", "rel_pagerank",
-    "rel_components", "rel_kcore", "rel_triangles", "rel_link_predict",
-    "rel_bfs_hops", "rel_sssp", "rel_pagerank_weighted", "rel_ppr",
-    "rel_funnel", "rel_cohort",
-    "rel_activity_spine", "rel_hll_maintain", "rel_k_anonymity",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_embedding", "dedup_decontam", "dedup_decontam_bloom",
-    "dedup_url", "dedup_semantic", "dedup_chunks", "dedup_substring",
-    "sim_topk_brute", "sim_topk_lsh", "sim_topk_pq",
-    "sim_docs_tfidf_pruned", "sim_hard_negatives", "sim_label_eval",
-    "samp_hash", "samp_fixed_k", "samp_stratified",
-    "samp_token_budget_scalable",
-    "samp_split_grouped", "samp_mix_tokens",
-    "text_stats", "text_bm25", "text_lm_score_scalable",
-    "text_nb_classify", "text_html_extract_scale", "text_token_ids",
-    "pipe_entity_res", "pipe_rag_index",
-    "io_bucketed_join",
-    // round-9 batch-3 additions (artifact gates write their artifacts
-    // at plan-build time — sf0.001 scratch writes, cheap and hermetic)
-    "rel_attribution", "rel_cms_artifact", "rel_hist_artifact",
-    "text_textrank", "sim_knn_graph")
+  // Join-shape coverage across the ENTIRE registry (round-9 verdict
+  // #7): every registered gate's executed plan is walked, so a future
+  // gate cannot land with a scale-killer plan unaudited. Queries whose
+  // construction runs driver-side work (artifact writes, converged
+  // fixpoints, stream drains) simply pay that work at sf0.001 here —
+  // cheap, hermetic (pid-scoped scratch dirs), and their FINAL frame's
+  // plan is still the one a consumer executes.
+  private val Audited: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   /** Gates whose BNLJ is the operator's CONTRACT, not an accident:
     * the exhaustive-cosine family broadcasts the sampled (bounded)
@@ -109,9 +106,24 @@ class PlanInvariantSpec extends SparkSpec {
     * sim_topk_ivf/lsh). Adding a name here requires the same
     * bounded-broadcast justification in the operator's scaladoc. */
   private val SanctionedBnlj: Set[String] =
-    Set("sim_topk_brute", "sim_hard_negatives", "sim_label_eval")
+    Set("sim_topk_brute", "sim_hard_negatives", "sim_label_eval",
+      // brute arms of the recall/eval harnesses (the exact oracle the
+      // approximate ranking is measured against — bounded query sample
+      // broadcast by construction; Similarity.knnRecall scaladoc)
+      "sim_knn_recall", "sim_knn_recall_ivf", "sim_trunc_eval",
+      // MMR's candidate generation is the same bounded brute scoring
+      // (Similarity.mmrTopK scaladoc)
+      "sim_mmr") ++
+    // Artifact-serving gates whose BNLJ build side is a RE-READ
+    // bounded artifact (the k-row IVF codebook / the 1-row BM25 corpus
+    // stats as parquet): the row bound is a WRITER-side invariant
+    // (ivfIndexWrite / bm25IndexWrite scaladoc), invisible to the
+    // serving plan's scan node — the in-plan twins of these same
+    // queries pass the structural check above.
+    Set("sim_topk_ivf_persisted", "sim_topk_ivf_updated",
+      "text_bm25_from_index")
 
-  test("headline plans contain no CartesianProduct and no non-scalar " +
+  test("registry plans contain no CartesianProduct and no non-scalar " +
     "BroadcastNestedLoopJoin") {
     val bad = Audited.flatMap { name =>
       val plan = SparkEntry.queries(name)(audit, SfDir)

@@ -110,6 +110,28 @@ class Round21Spec extends SparkSpec {
       .forall(_.getAs[Long]("count") === 8L))
   }
 
+  // --- Dedup.sentenceDedupRewrite ---
+
+  test("sentenceDedupRewrite: corpus-wide first occurrence wins, " +
+    "within-doc repeats collapse, reassembly preserves order") {
+    val d = Seq(
+      (1L, "Alpha beta. Cookie banner! Gamma?"),
+      (2L, "Cookie banner! Delta here. Cookie banner! Epsilon."),
+      (3L, "Cookie banner!")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.sentenceDedupRewrite(d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("text_clean")))).toMap
+    // doc 1 owns every first occurrence
+    assert(out(1L) === ((3L, 0L,
+      "Alpha beta. Cookie banner! Gamma?")))
+    // doc 2 loses BOTH banner copies (cross-doc dup + within-doc rep)
+    assert(out(2L) === ((4L, 2L, "Delta here. Epsilon.")))
+    // doc 3 loses its only sentence → empty rewrite, row kept
+    assert(out(3L) === ((1L, 1L, "")))
+    Housekeeping.release(spark)
+  }
+
   // --- Similarity.knnRecallIvf vs knnRecall (round-9 verdict #1) ---
 
   test("ivf 8-of-128 routing beats sign-bucket LSH recall by >= 2x at " +
@@ -121,6 +143,42 @@ class Round21Spec extends SparkSpec {
     val ivf = mean(Similarity.knnRecallIvf(e))
     // measured 0.462 vs 0.098 — the floor leaves contention headroom
     assert(ivf >= 2 * lsh, s"ivf=$ivf lsh=$lsh")
+    Housekeeping.release(spark)
+  }
+
+  // --- EventsStream.neardupIngest sequential semantics ---
+
+  test("neardupIngest: batch N+1 dedups against earlier SURVIVORS " +
+    "(appended to the index), never against dropped docs") {
+    // batch tag = (doc_id div 5) % 3: batch0 = {15, 30, 45},
+    // batch1 = {20, 35}, batch2 = {25}; corpus = ids % 5 != 0
+    val texts = Map(
+      1L -> "corpus only words entirely distinct one",
+      2L -> "another corpus document with its own vocabulary",
+      15L -> "unique streamed payload sentence tokens here",  // b0 keep
+      20L -> "unique streamed payload sentence tokens here",  // b1: dup of 15
+      25L -> "unique streamed payload sentence tokens here",  // b2: dup of 15 ONLY (20 dropped)
+      30L -> "second shared payload phrase for batch zero",   // b0 keep
+      45L -> "second shared payload phrase for batch zero",   // b0: in-batch dup of 30
+      35L -> "second shared payload phrase for batch zero")   // b1: dup of survivor 30
+    val dir = scratch("ndspec")
+    texts.toSeq.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.streaming.EventsStream.neardupIngest(spark, dir,
+        scratch("ndstage"), scratch("ndidx"), scratch("ndres"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_corpus_dups"), r.getAs[Long]("n_delta_dups"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(15L) === ((0L, 0L, true)))
+    // 20 hits survivor 15 through the INDEX (appended after batch 0)
+    assert(out(20L) === ((1L, 0L, false)))
+    // 25 hits ONLY survivor 15 — dropped 20 was never appended
+    assert(out(25L) === ((1L, 0L, false)))
+    // in-batch first-wins: 30 kept, 45 counts the smaller-id pair
+    assert(out(30L) === ((0L, 0L, true)))
+    assert(out(45L) === ((0L, 1L, false)))
+    // 35 hits survivor 30 via the index (45 dropped, not counted)
+    assert(out(35L) === ((1L, 0L, false)))
     Housekeeping.release(spark)
   }
 
