@@ -496,6 +496,11 @@ object SparkEntry {
     // chunk-level language ID → per-doc code-switch profile (dominant
     // language + its chunk share + distinct-language count)
     "text_langid_mix" -> ((s, dir) => TextStats.langIdMix(docs(s, dir))),
+    // per-source corpus-composition card (docs, token share, exact-dup
+    // rate, dominant predicted language) — the dataset-card table and
+    // the input to every mixture decision in Sampling
+    "text_corpus_card" -> ((s, dir) =>
+      TextStats.corpusCard(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
     // Hash-gated against a full DuckDB twin: the bucketing basis is md5
     // (engine-portable), so the sparse integer bucket sums value-match
@@ -572,6 +577,14 @@ object SparkEntry {
     // smaller-id same-cluster neighbor above the threshold
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(tbl(s, dir, "embeddings"))),
+    // quality-aware SemDeDup: within a near-identical group keep the
+    // HIGHEST-quality member (here: document length via the aligned
+    // doc_id), not the lowest id — the exemplar choice curation stacks
+    // actually make; the duel rule stays pairwise, no recursion
+    "dedup_semantic_best" -> ((s, dir) =>
+      Dedup.semanticDedupBest(tbl(s, dir, "embeddings"),
+        docs(s, dir).select(col("doc_id").as("vec_id"),
+          col("n_chars")))),
     // leakage-safe split: hash-split keyed on the CANONICAL id, so every
     // exact/near-dup cluster lands whole in one split (no train/test
     // contamination through duplicates)
@@ -1304,6 +1317,23 @@ object SparkEntry {
           lit("@mail.example.com see https://data.example.com/d/"),
           col("doc_id"), lit(" ref 20260812"), col("doc_id"))
           .as("text")))
+    }),
+    // per-source PII audit around the redaction pass. The synthetic
+    // corpus carries no PII, so the gate injects it UNEVENLY (email+URL
+    // on doc_id % 3 = 0, digit run on % 5 = 0; same injection in the
+    // oracle) — the per-source rates and the TOTAL rollup row are
+    // exercised with real variation instead of vacuous zeros
+    "text_pii_report" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat, when}
+      TextStats.piiReport(docs(s, dir).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com via https://data.example.com/d/"),
+              col("doc_id"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ref 20260812"), col("doc_id")))
+            .otherwise(lit(""))).as("text")))
     }),
 
     // --- embedding quantization (north-star) ---
@@ -3946,6 +3976,64 @@ object SparkEntry {
          |       ELSE 'fr' END AS lang_pred
          |FROM h""".stripMargin,
 
+    // corpus-card twin: the text_langid cascade + dedup_exact
+    // fingerprint per doc, corpus-wide multiplicity, per-source
+    // rollups, dominant language via the precedence-ranked row_number,
+    // 1-row total for the share, round2 ratios
+    "text_corpus_card" ->
+      s"""WITH $wsToksCte, h AS (
+         |  SELECT source, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    md5(lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ',
+         |      'g')))) AS fp,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t)))) AS en_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.DeStopwords)}, lower(t)))) AS de_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EsStopwords)}, lower(t)))) AS es_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.FrStopwords)}, lower(t)))) AS fr_hits
+         |  FROM wtoks
+         |), hl AS (
+         |  SELECT *,
+         |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |              AND en_hits >= fr_hits THEN 'en'
+         |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |         WHEN es_hits >= fr_hits THEN 'es'
+         |         ELSE 'fr' END AS lang
+         |  FROM h
+         |), mult AS (
+         |  SELECT fp, count(*) AS nfp FROM hl GROUP BY fp
+         |), j AS (
+         |  SELECT hl.*, mult.nfp FROM hl JOIN mult USING (fp)
+         |), b AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup
+         |  FROM j GROUP BY source
+         |), ml AS (
+         |  SELECT source, c AS main_cnt, lang AS main_lang FROM (
+         |    SELECT source, lang, count(*) AS c,
+         |      row_number() OVER (PARTITION BY source ORDER BY
+         |        count(*) DESC,
+         |        CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+         |             WHEN 'es' THEN 2 ELSE 3 END ASC) AS rn
+         |    FROM j GROUP BY source, lang)
+         |  WHERE rn = 1
+         |), t AS (SELECT sum(n_tokens) AS tot FROM b)
+         |SELECT b.source, b.n_docs, b.n_tokens,
+         |  floor(CAST(b.n_tokens AS DOUBLE) / nullif(t.tot, 0) * 100
+         |    + 0.5) / 100 AS token_share,
+         |  floor(CAST(b.n_tokens AS DOUBLE) / b.n_docs * 100 + 0.5)
+         |    / 100 AS mean_tokens,
+         |  floor(CAST(b.n_dup AS DOUBLE) / b.n_docs * 100 + 0.5) / 100
+         |    AS dup_rate,
+         |  ml.main_lang,
+         |  floor(CAST(ml.main_cnt AS DOUBLE) / b.n_docs * 100 + 0.5)
+         |    / 100 AS main_lang_share
+         |FROM b JOIN ml USING (source), t""".stripMargin,
+
     // code-switch twin: the text_chunk tiling at 64/0 (chunk tokens ARE
     // the array slice — no re-split needed), per-chunk marker-word
     // cascade, per-doc (lang, count) rollup, dominant lang via
@@ -4391,6 +4479,42 @@ object SparkEntry {
          |  SELECT DISTINCT b.vec_id
          |  FROM assign a JOIN assign b ON a.cid = b.cid
          |    AND a.vec_id < b.vec_id
+         |  JOIN nz za ON za.vec_id = a.vec_id
+         |  JOIN nz zb ON zb.vec_id = b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, len(za.v)),
+         |          i -> za.v[i] * zb.v[i])) / (za.norm * zb.norm) >= 0.5
+         |)
+         |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
+         |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
+        .stripMargin,
+
+    // quality-aware SemDeDup twin: the same codebook assignment with a
+    // (quality, lower-id) duel predicate — a vector drops iff a
+    // same-cluster neighbor above the cosine threshold strictly beats
+    // it on quality (document length), ties to the lower id
+    "dedup_semantic_best" ->
+      s"""WITH $vecCtes, nz AS (
+         |  SELECT vec_id, v, norm FROM normed WHERE norm > 0
+         |), cent AS (
+         |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nz
+         |  ORDER BY vec_id ASC LIMIT 16
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT z.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(z.v)),
+         |          i -> z.v[i] * c.cv[i])) / (z.norm * c.cnorm) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM nz z, cent c)
+         |  WHERE rn = 1
+         |), aq AS (
+         |  SELECT a.vec_id, a.cid,
+         |    coalesce(CAST(d.n_chars AS DOUBLE), 0.0) AS q
+         |  FROM assign a LEFT JOIN documents d ON a.vec_id = d.doc_id
+         |), drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM aq a JOIN aq b ON a.cid = b.cid
+         |    AND (a.q > b.q OR (a.q = b.q AND a.vec_id < b.vec_id))
          |  JOIN nz za ON za.vec_id = a.vec_id
          |  JOIN nz zb ON zb.vec_id = b.vec_id
          |  WHERE list_sum(list_transform(generate_series(1, len(za.v)),
@@ -4950,6 +5074,40 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '${operators.TextStats.DigitRunRe}'))
          |    AS n_digit_runs
          |FROM inj""".stripMargin,
+
+    // PII-audit twin: the same uneven injection, the same shared
+    // pattern vals, GROUP BY ROLLUP(source) with the TOTAL sentinel
+    "text_pii_report" ->
+      s"""WITH inj AS (
+         |  SELECT source,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+         |      || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com via https://data.example.com/d/'
+         |      || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' ref 20260812'
+         |      || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM documents
+         |), c AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${operators.TextStats.EmailRe}')) AS BIGINT) AS ne,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${operators.TextStats.UrlRe}')) AS BIGINT) AS nu,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${operators.TextStats.DigitRunRe}')) AS BIGINT) AS nd
+         |  FROM inj
+         |)
+         |SELECT coalesce(source, 'TOTAL') AS source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ne + nu + nd > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(ne) AS BIGINT) AS n_emails,
+         |  CAST(sum(nu) AS BIGINT) AS n_urls,
+         |  CAST(sum(nd) AS BIGINT) AS n_digit_runs,
+         |  floor(CAST(sum(CASE WHEN ne + nu + nd > 0 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS pii_rate
+         |FROM c GROUP BY ROLLUP(source)""".stripMargin,
 
     // Int8 quantization twin: same double-precision max-abs scale and
     // half-up integer mapping, exploded to (vec_id, j, q) scalars.

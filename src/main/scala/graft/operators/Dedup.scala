@@ -1060,14 +1060,37 @@ object Dedup {
   def semanticDedup(emb: DataFrame, threshold: Double = 0.5,
                     nClusters: Int = 16, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    val assigned = semanticAssign(emb, nClusters, idCol, vecCol)
+    val a = assigned.select(col("cid"), col("vec_id").as("ia"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("ib"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    // verify in the join condition itself (invariant 10: no distinct()
+    // over an unverified expansion); norms are > 0 upstream
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("ia") < col("ib") &&
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          >= threshold)
+      .select(col("ib").as("vec_id")).distinct()
+    assigned
+      .join(drops.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("hit").isNull.as("keep"))
+  }
+
+  /** The cluster-assignment front shared by [[semanticDedup]] and
+    * [[semanticDedupBest]]: nearest of the nClusters lowest-id vectors
+    * by cosine (ties to the lowest centroid id) via one struct-max
+    * aggregation against the broadcast codebook — no window over the
+    * N×C rows. Returned frame is persisted (both pair-join sides + the
+    * output join consume it). */
+  private def semanticAssign(emb: DataFrame, nClusters: Int,
+                             idCol: String, vecCol: String): DataFrame = {
     val cand = Similarity.withNorm(emb, idCol, vecCol)
       .filter(col("norm") > 0)
     val cent = cand.orderBy(col("vec_id").asc).limit(nClusters)
       .select(col("vec_id").as("cid"), col("vec").as("cvec"),
         col("norm").as("cnorm"))
-    // nearest centroid via struct-max (max cos, then min cid through
-    // the negated id) — one aggregation, no window over the N×C rows
-    val assigned = cand.crossJoin(broadcast(cent))
+    cand.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("vec"), col("norm"),
         struct((Similarity.dot(col("vec"), col("cvec"))
           / (col("norm") * col("cnorm"))).as("cos"),
@@ -1077,15 +1100,44 @@ object Dedup {
         max(col("sc")).as("best"))
       .select(col("vec_id"), col("vec"), col("norm"),
         (-col("best.ncid")).as("cid"))
-      .persist() // consumed 3×: both pair-join sides + the output join
+      .persist()
+  }
+
+  /** Quality-aware SemDeDup — [[semanticDedup]] with the exemplar
+    * choice real curation stacks actually make: within a near-identical
+    * group, keep the HIGHEST-QUALITY member, not the lowest id. The
+    * rule stays PAIRWISE (so no transitive-closure recursion enters the
+    * plan): drop a vector iff some same-cluster neighbor at
+    * cosine >= `threshold` strictly beats it on (quality, then lower id
+    * on ties) — the winner of every such duel survives its own duels by
+    * the same total order, so each near-dup group keeps exactly its
+    * best member. `quality` is any (idCol, q) frame — the gate feeds
+    * document length; production feeds an LM/classifier score
+    * ([[TextStats.lmScore]] / gopher flags). Vectors with no quality
+    * row rank at q = 0 (worst, dropped first on any duel they lose).
+    *
+    * Scale posture: identical to [[semanticDedup]] — one broadcast
+    * codebook assignment, one cid-keyed pair join bounded by cluster
+    * balance, plus ONE extra broadcast-sized quality join. Output:
+    * (vec_id, cid, keep). */
+  def semanticDedupBest(emb: DataFrame, quality: DataFrame,
+                        threshold: Double = 0.5, nClusters: Int = 16,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val q = quality.select(col(idCol).as("vec_id"),
+      col(quality.columns(1)).cast("double").as("q"))
+    val assigned = semanticAssign(emb, nClusters, idCol, vecCol)
+      .join(q, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("vec"), col("norm"), col("cid"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+      .persist()
     val a = assigned.select(col("cid"), col("vec_id").as("ia"),
-      col("vec").as("va"), col("norm").as("na"))
+      col("vec").as("va"), col("norm").as("na"), col("q").as("qa"))
     val b = assigned.select(col("cid"), col("vec_id").as("ib"),
-      col("vec").as("vb"), col("norm").as("nb"))
-    // verify in the join condition itself (invariant 10: no distinct()
-    // over an unverified expansion); norms are > 0 upstream
+      col("vec").as("vb"), col("norm").as("nb"), col("q").as("qb"))
     val drops = a.join(b, Seq("cid"))
-      .filter(col("ia") < col("ib") &&
+      .filter((col("qa") > col("qb") ||
+          (col("qa") === col("qb") && col("ia") < col("ib"))) &&
         Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
           >= threshold)
       .select(col("ib").as("vec_id")).distinct()

@@ -199,6 +199,88 @@ object TextStats {
         (col("n_langs") > 1).as("code_switched"))
   }
 
+  /** Per-source corpus-composition card — the table on every dataset
+    * card: for each source (domain/crawl/feed), how many documents and
+    * tokens it contributes, its share of the total token budget, its
+    * exact-duplicate rate, and its dominant predicted language. This is
+    * the report a curation run prints BEFORE sampling decisions
+    * ([[graft.operators.Sampling]] mixtures take exactly these shares
+    * as input) and the after-the-fact audit of what a mix produced.
+    *
+    * Definitions are shared with the per-doc gates, not re-invented:
+    * tokens = [[stats]]' whitespace tokens, language = [[langId]]'s
+    * marker-word cascade (all-zero-hit docs tie to "en" — the
+    * documented heuristic), duplicate = [[Dedup.exact]]'s
+    * md5(normalized text) with corpus-WIDE multiplicity (a doc whose
+    * clone lives in another source still counts — cross-source
+    * boilerplate is precisely what the card must surface).
+    *
+    * Scale posture: one projection pass (tokens/hits/fingerprint are
+    * per-row expressions), one fingerprint-keyed agg + join for the
+    * multiplicity, then source-keyed aggs (sources are enum-sized) and
+    * a 1-row broadcast total for the share. No window anywhere.
+    * Output: (source, n_docs, n_tokens, token_share, mean_tokens,
+    * dup_rate, main_lang, main_lang_share), round2 ratios.
+    */
+  def corpusCard(docs: DataFrame, srcCol: String = "source",
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def hits(words: Seq[String]): Column = {
+      val set = array(words.map(lit): _*)
+      size(filter(wsTokens(text), t => array_contains(set, lower(t))))
+        .cast("long")
+    }
+    val per = docs.select(
+        col(srcCol).as("source"),
+        size(wsTokens(text)).cast("long").as("n_toks"),
+        md5(normalized(text)).as("fp"),
+        hits(EnStopwords).as("en_hits"), hits(DeStopwords).as("de_hits"),
+        hits(EsStopwords).as("es_hits"), hits(FrStopwords).as("fr_hits"))
+      .withColumn("lang",
+        when(col("en_hits") >= col("de_hits") &&
+             col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") &&
+                col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+    val mult = per.groupBy("fp").agg(count(lit(1)).as("nfp"))
+    val j = per.join(mult, "fp").persist() // two rollups below
+    val bySrc = j.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("n_dup"))
+    // dominant language: struct-max over (count, langId precedence) —
+    // languages are enum-sized, so the rank is a literal CASE
+    val rank = when(col("lang") === "en", 0)
+      .when(col("lang") === "de", 1)
+      .when(col("lang") === "es", 2).otherwise(3)
+    val main = j.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nr", -rank)
+      .groupBy("source")
+      .agg(max(struct(col("c"), col("nr"))).as("b"))
+      .select(col("source"), col("b.c").as("main_cnt"),
+        when(col("b.nr") === 0, "en").when(col("b.nr") === -1, "de")
+          .when(col("b.nr") === -2, "es").otherwise("fr")
+          .as("main_lang"))
+    val total = bySrc.agg(sum(col("n_tokens")).as("tot"))
+    bySrc.join(main, "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.functions.Fns.round2(
+          col("n_tokens") / nullif(col("tot"), lit(0L)))
+          .as("token_share"),
+        graft.functions.Fns.round2(col("n_tokens") / col("n_docs"))
+          .as("mean_tokens"),
+        graft.functions.Fns.round2(col("n_dup") / col("n_docs"))
+          .as("dup_rate"),
+        col("main_lang"),
+        graft.functions.Fns.round2(col("main_cnt") / col("n_docs"))
+          .as("main_lang_share"))
+  }
+
   /** Feature-hashing text embedding: each normalized token hashes to one
     * of `dims` buckets with a ±1 sign bit (hashing trick); the bucket
     * sums form a doc vector, L2-normalized, emitted as Array[Float] —
@@ -651,6 +733,43 @@ object TextStats {
         .cast("long").as("n_urls"),
       size(regexp_extract_all(text, lit(DigitRunRe), lit(0)))
         .cast("long").as("n_digit_runs"))
+  }
+
+  /** Per-source PII audit — the before/after compliance report around
+    * [[redactPii]]: for each source, how many documents carry any PII
+    * pattern, the per-type match counts, and the round2 PII rate, with
+    * a corpus TOTAL row (rollup; the sentinel source "TOTAL" is
+    * documented, not inferable). A redaction pass is signed off
+    * against exactly this table — per-source, because PII concentrates
+    * by origin (forums vs encyclopedias) and the policy decision is
+    * per-source.
+    *
+    * Scale posture: the counts are per-row regexp expressions (same
+    * shared pattern vals as [[redactPii]] — one definition, two
+    * surfaces), the rollup is one source-keyed partial-agg'd
+    * aggregation over enum-sized groups. No join, no window.
+    * Output: (source, n_docs, docs_with_pii, n_emails, n_urls,
+    * n_digit_runs, pii_rate).
+    */
+  def piiReport(docs: DataFrame, srcCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def cnt(re: String): Column =
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    docs.select(col(srcCol).as("source"),
+        cnt(EmailRe).as("ne"), cnt(UrlRe).as("nu"),
+        cnt(DigitRunRe).as("nd"))
+      .rollup("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("nu") + col("nd") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"),
+        sum(col("ne")).as("n_emails"), sum(col("nu")).as("n_urls"),
+        sum(col("nd")).as("n_digit_runs"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("docs_with_pii"), col("n_emails"),
+        col("n_urls"), col("n_digit_runs"),
+        graft.functions.Fns.round2(
+          col("docs_with_pii") / col("n_docs")).as("pii_rate"))
   }
 
   /** Whitespace-normalized lowercase text — the dedup canonical form. */

@@ -75,4 +75,78 @@ class Round22Spec extends SparkSpec {
     assert(!out.contains(20L))
     Housekeeping.release(spark)
   }
+
+  // --- Dedup.semanticDedupBest ---
+
+  test("semanticDedupBest: the highest-quality member of a " +
+    "near-identical group survives; quality ties fall to lowest id") {
+    // ids interleaved so the 2 lowest-id centroids land one per group
+    // (a group split across clusters is SemDeDup's by-design miss):
+    // {1,3,5} near-identical, {2,4} identical direction equal quality,
+    // 20 unrelated
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (3L, Array(0.999f, 0.001f)),
+      (5L, Array(0.998f, 0.002f)),
+      (2L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 0.9f)),
+      (20L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val quality = Seq((1L, 10L), (3L, 99L), (5L, 50L),
+      (2L, 7L), (4L, 7L), (20L, 1L)).toDF("vec_id", "q")
+    val out = graft.operators.Dedup
+      .semanticDedupBest(emb, quality, threshold = 0.9, nClusters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    // id 3 wins its group on quality despite not being the lowest id
+    assert(out(3L) && !out(1L) && !out(5L))
+    // equal quality → lowest id keeps (the semanticDedup tie rule)
+    assert(out(2L) && !out(4L))
+    assert(out(20L))
+    Housekeeping.release(spark)
+  }
+
+  // --- TextStats.corpusCard / piiReport ---
+
+  test("corpusCard: per-source tokens/share/dup-rate/dominant-lang " +
+    "with corpus-wide duplicate multiplicity") {
+    val d = Seq(
+      (1L, "a", "the cat and the dog"),     // en, 5 toks
+      (2L, "a", "the cat and the dog"),     // exact dup of 1
+      (3L, "a", "der hund und die katze"),  // de
+      (4L, "b", "THE  cat and the   dog"),  // dup of 1 AFTER normalize
+      (5L, "b", "xyz qrs")                  // no hits → en tie
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextStats.corpusCard(d)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Long]("n_tokens") === 15L)
+    // both copies of the boilerplate count as dups (corpus-wide ≥ 2)
+    assert(a.getAs[Double]("dup_rate") === 0.67)
+    assert(a.getAs[String]("main_lang") === "en")
+    assert(a.getAs[Double]("main_lang_share") === 0.67)
+    val b = out("b")
+    // cross-source clone: doc 4 is a dup of source-a boilerplate
+    assert(b.getAs[Long]("n_docs") === 2L)
+    assert(b.getAs[Double]("dup_rate") === 0.5)
+    assert(b.getAs[Double]("token_share") === 0.32) // 7/22
+    Housekeeping.release(spark)
+  }
+
+  test("piiReport: per-source counts, rate, and the TOTAL rollup row") {
+    val d = Seq(
+      ("a", "mail me at bob@x.example.com or https://x.example.com/p"),
+      ("a", "clean text"),
+      ("b", "ref 12345678 and 98765432109")).toDF("source", "text")
+    val out = graft.operators.TextStats.piiReport(d)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("a").getAs[Long]("docs_with_pii") === 1L)
+    assert(out("a").getAs[Long]("n_emails") === 1L)
+    assert(out("a").getAs[Long]("n_urls") === 1L)
+    assert(out("a").getAs[Double]("pii_rate") === 0.5)
+    assert(out("b").getAs[Long]("n_digit_runs") === 2L)
+    val t = out("TOTAL")
+    assert(t.getAs[Long]("n_docs") === 3L)
+    assert(t.getAs[Long]("docs_with_pii") === 2L)
+    assert(t.getAs[Double]("pii_rate") === 0.67)
+    Housekeeping.release(spark)
+  }
 }
