@@ -599,6 +599,11 @@ object SparkEntry {
     // duplicated 8-token chunk and reassemble the cleaned documents
     "dedup_chunk_rewrite" -> ((s, dir) =>
       Dedup.chunkDedupRewrite(docs(s, dir), w = 8)),
+    // cross-source near-dup contamination matrix: verified minhash
+    // pairs rolled up by ordered source pair — which feeds mirror
+    // each other (diagonal = within-source near-dups)
+    "dedup_cross_matrix" -> ((s, dir) =>
+      Dedup.crossSourceMatrix(docs(s, dir))),
     // the SENTENCE-granularity rewrite (round-9 verdict #6): collapse
     // corpus-wide duplicate sentences keeping first occurrences,
     // reassemble the cleaned documents — the layer between exact-doc
@@ -1259,6 +1264,18 @@ object SparkEntry {
     "samp_mix_tokens" -> ((s, dir) =>
       Sampling.mixtureSampleByTokens(docs(s, dir), MixTargets)
         .select("doc_id", "lang")),
+    // budgeted mixture FIT: the water-filling solver — fixed budget
+    // (50% of corpus chars), md5-derived target weights; scarce
+    // sources cap at rate 1, the rest split the remainder by weight
+    // in one relational pass (sorted saturation breakpoints)
+    "samp_mix_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{conv, substring, sum}
+      Sampling.mixtureFit(docs(s, dir).groupBy("source")
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("w",
+          conv(substring(md5(col("source")), 1, 4), 16, 10)
+            .cast("long") % 5 + 1))
+    }),
     // temperature-2 rebalance: weights sqrt(count) derived in-plan
     // (sqrt is correctly rounded per IEEE 754 → oracle-pinnable; other
     // temperatures go through pow and are not)
@@ -2831,8 +2848,10 @@ object SparkEntry {
   // for BOTH dedup_ngram_jaccard (exact) and dedup_minhash_lsh (whose
   // LSH candidates are exact-verified; miss probability at the planted
   // jac≈0.98 pairs is ~1e-13, and the next-highest pair sits at 0.07).
-  private val jaccardSql: String =
-    """WITH sh0 AS (
+  // Exact 3-gram-Jaccard pair CTE chain (the verified-pair oracle
+  // device) — shared by the pair gates and the cross-source matrix.
+  private val jaccardCtes: String =
+    """sh0 AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2848,8 +2867,24 @@ object SparkEntry {
       |), jc AS (
       |  SELECT doc_a, doc_b, common / (x.n + y.n - common) AS jac
       |  FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-      |)
-      |SELECT doc_a, doc_b, jac FROM jc WHERE jac >= 0.8""".stripMargin
+      |)""".stripMargin
+
+  private val jaccardSql: String =
+    s"""WITH $jaccardCtes
+       |SELECT doc_a, doc_b, jac FROM jc WHERE jac >= 0.8""".stripMargin
+
+  // Cross-source matrix twin: the exact-Jaccard pair set with sources
+  // attached, folded by least/greatest source pair
+  private val crossMatrixSql: String =
+    s"""WITH $jaccardCtes, jp AS (
+       |  SELECT doc_a, doc_b FROM jc WHERE jac >= 0.8
+       |)
+       |SELECT least(x.source, y.source) AS src_a,
+       |  greatest(x.source, y.source) AS src_b,
+       |  count(*) AS n_pairs
+       |FROM jp JOIN documents x ON doc_a = x.doc_id
+       |JOIN documents y ON doc_b = y.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   // Bigram-LM twin — shared by text_lm_score (window-based c1) and
   // text_lm_score_scalable (two-stage aggregation): c1 = Σ_w2 c2 either
@@ -4334,6 +4369,7 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+    "dedup_cross_matrix" -> crossMatrixSql,
 
     // Incremental-dedup twin: exact Jaccard pairs restricted to the
     // delta→corpus and delta→delta(a<b) orientations, aggregated per
@@ -4922,6 +4958,51 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents JOIN f USING (lang)
          |WHERE ('0x' || substr(md5('graft' || '|' ||
          |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
+
+    // Water-filling mixture-fit twin: same md5-derived weights, same
+    // sorted saturation breakpoints (two exclusive prefix-sum windows
+    // in the identical (r, source) order — sequential double sums, so
+    // the IEEE values match bit-for-bit), first unsaturated row pins
+    // (k*, λ*), capped sources allocate avail at rate 1
+    "samp_mix_fit" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS a,
+        |    CAST(('0x' || substr(md5(source), 1, 4))::BIGINT % 5 + 1
+        |      AS DOUBLE) AS w
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT sum(a) AS ta, sum(w) AS tw FROM s),
+        |r AS (SELECT s.*, a / w AS r FROM s),
+        |p AS (
+        |  SELECT r.*, ta, tw,
+        |    row_number() OVER (ORDER BY r ASC, source ASC) AS rn,
+        |    coalesce(sum(a) OVER (ORDER BY r ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS ap,
+        |    coalesce(sum(w) OVER (ORDER BY r ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS wp
+        |  FROM r, t
+        |), q AS (
+        |  SELECT p.*,
+        |    (0.5 * ta - ap) / nullif(tw - wp, 0.0) AS lam,
+        |    r <= (0.5 * ta - ap) / nullif(tw - wp, 0.0) AS sat
+        |  FROM p
+        |), k AS (
+        |  SELECT min(rn) AS k FROM q WHERE NOT sat
+        |), l AS (
+        |  SELECT q.lam AS lamstar FROM q, k WHERE q.rn = k.k
+        |)
+        |SELECT source, CAST(a AS BIGINT) AS avail_tokens,
+        |  floor(w * 100 + 0.5) / 100 AS target_w,
+        |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN a
+        |    ELSE (SELECT lamstar FROM l) * w END * 100 + 0.5) / 100
+        |    AS alloc_tokens,
+        |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN 1.0
+        |    ELSE (SELECT lamstar FROM l) * w / a END * 100 + 0.5) / 100
+        |    AS rate,
+        |  k.k IS NULL OR rn < k.k AS capped
+        |FROM q, k""".stripMargin,
 
     // Curriculum twins: exact ntile over the pinned total order, and
     // the histogram value-quantile replay (running sum over DISTINCT

@@ -1103,6 +1103,35 @@ object Dedup {
       .persist()
   }
 
+  /** Cross-source near-dup contamination MATRIX — the corpus-analysis
+    * table behind "which feeds mirror each other": for every source
+    * pair (src_a ≤ src_b), the number of verified near-dup pairs with
+    * one endpoint in each (diagonal = within-source near-dups). This
+    * is the report that turns a flat dup RATE ([[graft.operators
+    * .TextStats.corpusCard]]) into an actionable dedup ORDER — drop
+    * the mirror, keep the origin.
+    *
+    * Pairs come from [[minHashLsh]] UNCHANGED (banded candidates,
+    * exact-Jaccard verify), so the matrix inherits its miss bound; the
+    * source attach is two broadcast-sized joins on the pair endpoints
+    * and the rollup groups on a source-pair key (≤ |sources|² rows —
+    * enum-sized). least/greatest orders the pair so (a,b) and (b,a)
+    * fold into one cell. Output: (src_a, src_b, n_pairs).
+    */
+  def crossSourceMatrix(docs: DataFrame, threshold: Double = 0.8,
+                        n: Int = 3, srcCol: String = "source"): DataFrame = {
+    val src = docs.select(col("doc_id"), col(srcCol).as("_src"))
+    minHashLsh(docs, threshold, n)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("_src").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("_src").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Quality-aware SemDeDup — [[semanticDedup]] with the exemplar
     * choice real curation stacks actually make: within a near-identical
     * group, keep the HIGHEST-QUALITY member, not the lowest id. The

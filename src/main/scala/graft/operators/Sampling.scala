@@ -369,6 +369,78 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** Budgeted mixture FIT — the water-filling solver behind a fixed
+    * compute budget: [[mixtureSample]] sizes the total by the scarcest
+    * stratum (no source capped), but a real training run fixes the
+    * token budget B first and asks "what rate per source hits my
+    * target shares under availability?". The answer allocates each
+    * source alloc_s = min(avail_s, λ·w_s) with ONE water level λ
+    * chosen so Σ alloc = B: scarce sources saturate (contribute all
+    * they have), the rest split the remainder by target weight.
+    *
+    * The solve is RELATIONAL, not iterative: sort sources by the
+    * saturation ratio r_s = avail_s/w_s ascending — that is the order
+    * in which sources cap as λ rises — and for each prefix boundary
+    * compute the candidate level λ_k = (B − Σ_{<k} avail)/(W − Σ_{<k}
+    * w). A source saturates iff r_s ≤ its boundary's λ, the flag is
+    * prefix-monotone by construction, so the first unsaturated row
+    * pins k* and λ* in one pass: two ordered prefix-sum windows over
+    * the ENUM-SIZED source table (the single-partition window is a
+    * dozen rows — the per-row work all happened in the upstream agg
+    * that produced `stats`), two 1-row broadcast scalars, zero driver
+    * logic and zero loops. If B ≥ Σ avail every source caps at rate 1.
+    *
+    * `stats` rows: (source, avail, w); rows with w ≤ 0 or NULL avail
+    * are dropped (a zero-weight source gets no allocation by
+    * definition; ordering NULL ratios differs across engines, so they
+    * never enter the sort). Output: (source, avail_tokens, target_w,
+    * alloc_tokens, rate, capped) — alloc/rate round2, Σ alloc = B
+    * (up to the last uncapped source's rounding).
+    */
+  def mixtureFit(stats: DataFrame, budgetFrac: Double = 0.5,
+                 srcCol: String = "source", availCol: String = "avail",
+                 wCol: String = "w"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0, 1]: $budgetFrac")
+    val s = stats.select(col(srcCol).as("source"),
+        col(availCol).cast("double").as("a"),
+        col(wCol).cast("double").as("w"))
+      .filter(col("w") > 0 && col("a").isNotNull)
+    val tot = s.agg(sum(col("a")).as("ta"), sum(col("w")).as("tw"))
+    val ord = Window.orderBy(col("r").asc, col("source").asc)
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val lv = s.withColumn("r", col("a") / col("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("ap", coalesce(sum(col("a")).over(pre), lit(0.0)))
+      .withColumn("wp", coalesce(sum(col("w")).over(pre), lit(0.0)))
+      .withColumn("lam",
+        (lit(budgetFrac) * col("ta") - col("ap"))
+          / nullif(col("tw") - col("wp"), lit(0.0)))
+      .withColumn("sat", col("r") <= col("lam"))
+      .persist() // three consumers: k*, λ*, and the output projection
+    // first unsaturated row pins BOTH k* and λ* — struct-min orders by
+    // rn, so the lam rides along with its boundary row
+    val kstar = lv.agg(
+      min(when(!col("sat"), struct(col("rn"), col("lam")))).as("kl"))
+    lv.crossJoin(broadcast(kstar))
+      .withColumn("k", col("kl.rn"))
+      .withColumn("lamstar", col("kl.lam"))
+      .withColumn("capped", col("k").isNull || col("rn") < col("k"))
+      .select(col("source"),
+        col("a").cast("long").as("avail_tokens"),
+        graft.functions.Fns.round2(col("w")).as("target_w"),
+        graft.functions.Fns.round2(
+          when(col("capped"), col("a"))
+            .otherwise(col("lamstar") * col("w"))).as("alloc_tokens"),
+        graft.functions.Fns.round2(
+          when(col("capped"), lit(1.0))
+            .otherwise(col("lamstar") * col("w") / col("a")))
+          .as("rate"),
+        col("capped"))
+  }
+
   /** Temperature-scaled mixture resampling — the multilingual-corpus
     * reweighting trick (mBERT/XLM-R style): stratum shares are
     * rebalanced toward count^(1/T), down-weighting dominant strata and

@@ -149,4 +149,56 @@ class Round22Spec extends SparkSpec {
     assert(t.getAs[Double]("pii_rate") === 0.67)
     Housekeeping.release(spark)
   }
+
+  // --- Sampling.mixtureFit (water-filling) ---
+
+  test("mixtureFit: scarce sources cap at rate 1, the rest split the " +
+    "remaining budget by weight at one water level") {
+    // budget = 0.5 * 1000 = 500. Ratios a/w: c=50, a=200, b=600.
+    // c saturates (50 ≤ λ·1); remaining 450 over w=3+1? — check:
+    // after c: λ = (500-50)/4 = 112.5; a: r=200 > 112.5 → uncapped.
+    // alloc: c=50, a=112.5·1=112.5, b=112.5·3=337.5; sum=500. ✓
+    val stats = Seq(("a", 200L, 1L), ("b", 1800L, 3L), ("c", 50L, 1L))
+      .toDF("source", "avail", "w")
+    // keep availabilities summing to 1000: adjust b to 750
+    val st2 = Seq(("a", 200L, 1L), ("b", 750L, 3L), ("c", 50L, 1L))
+      .toDF("source", "avail", "w")
+    val out = graft.operators.Sampling.mixtureFit(st2, budgetFrac = 0.5)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("c").getAs[Boolean]("capped"))
+    assert(out("c").getAs[Double]("alloc_tokens") === 50.0)
+    assert(out("c").getAs[Double]("rate") === 1.0)
+    assert(!out("a").getAs[Boolean]("capped"))
+    assert(out("a").getAs[Double]("alloc_tokens") === 112.5)
+    assert(out("b").getAs[Double]("alloc_tokens") === 337.5)
+    // Σ alloc = budget
+    assert(out.values.map(_.getAs[Double]("alloc_tokens")).sum === 500.0)
+    // full budget → every source capped at rate 1
+    val full = graft.operators.Sampling.mixtureFit(stats, budgetFrac = 1.0)
+      .collect()
+    assert(full.forall(_.getAs[Boolean]("capped")))
+    assert(full.forall(_.getAs[Double]("rate") === 1.0))
+    Housekeeping.release(spark)
+  }
+
+  // --- Dedup.crossSourceMatrix ---
+
+  test("crossSourceMatrix: near-dup pairs fold into ordered source " +
+    "cells; diagonal counts within-source pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, "a", base),
+      (2L, "b", base + " mu"),     // near-dup of 1 → (a, b)
+      (3L, "b", base + " nu"),     // near-dup of 1 and 2 → (a,b) + (b,b)
+      (4L, "a", "totally different words everywhere here now")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Dedup.crossSourceMatrix(d)
+      .collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(out(("a", "b")) === 2L)
+    assert(out(("b", "b")) === 1L)
+    assert(!out.contains(("a", "a")))
+    Housekeeping.release(spark)
+  }
 }
