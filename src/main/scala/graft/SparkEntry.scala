@@ -449,6 +449,27 @@ object SparkEntry {
       graft.io.CompatIo.readWithSkipping(s, s"$out/data", s"$out/idx",
         "l_orderkey", 100L, 900L)
     }),
+    // the PARTITIONED-layout form (round-9 ADVICE follow-through: the
+    // manifest now keys on lake-root-relative paths, so nested
+    // partition dirs can't collide): Hive layout partitioned on a
+    // derived column, stats index on a NON-partition key, range read
+    // through the planned file subset ≡ the plain range filter
+    "io_stats_skipping_part" -> ((s, dir) => {
+      val out = scratchDir("statsskippart")
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), (col("l_orderkey") % 4).as("pt"))
+        .write.partitionBy("pt").mode("overwrite")
+        .parquet(s"$out/data")
+      graft.io.CompatIo.statsIndexWrite(s, s"$out/data", s"$out/idx",
+        "l_orderkey")
+      graft.io.CompatIo.readWithSkipping(s, s"$out/data", s"$out/idx",
+          "l_orderkey", 100L, 900L)
+        // partition-dir inference types pt as INT — pin to the
+        // written BIGINT so the twin schema matches
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("pt").cast("long").as("pt"))
+    }),
     // incremental manifest-diff scan: the stats index doubles as the
     // consumption cursor — stage the lake, index it, land a delta,
     // and the increment read opens ONLY the new files (Round20Spec
@@ -1275,6 +1296,18 @@ object SparkEntry {
         .withColumn("w",
           conv(substring(md5(col("source")), 1, 4), 16, 10)
             .cast("long") % 5 + 1))
+    }),
+    // ...and the APPLY: the same water level as per-source hash
+    // thresholds executed over the corpus — the end-to-end budgeted
+    // mix pass (exact rate, not the round2 report value)
+    "samp_mix_fit_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{conv, substring, sum}
+      val d = docs(s, dir)
+      Sampling.mixtureFitApply(d.select("doc_id", "source"),
+        d.groupBy("source").agg(sum(col("n_chars")).as("avail"))
+          .withColumn("w",
+            conv(substring(md5(col("source")), 1, 4), 16, 10)
+              .cast("long") % 5 + 1))
     }),
     // temperature-2 rebalance: weights sqrt(count) derived in-plan
     // (sqrt is correctly rounded per IEEE 754 → oracle-pinnable; other
@@ -2873,6 +2906,40 @@ object SparkEntry {
     s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, jac FROM jc WHERE jac >= 0.8""".stripMargin
 
+  // Shared water-filling CTE chain (the samp_mix_fit solve): md5
+  // weights, saturation-ratio sort, exclusive prefix sums, candidate
+  // levels, first-unsaturated boundary (k, λ*). Serves the report
+  // twin and the apply twin.
+  private val mixFitCtes: String =
+    """s AS (
+      |  SELECT source,
+      |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS a,
+      |    CAST(('0x' || substr(md5(source), 1, 4))::BIGINT % 5 + 1
+      |      AS DOUBLE) AS w
+      |  FROM documents GROUP BY source
+      |), t AS (SELECT sum(a) AS ta, sum(w) AS tw FROM s),
+      |r AS (SELECT s.*, a / w AS r FROM s),
+      |p AS (
+      |  SELECT r.*, ta, tw,
+      |    row_number() OVER (ORDER BY r ASC, source ASC) AS rn,
+      |    coalesce(sum(a) OVER (ORDER BY r ASC, source ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+      |      AS ap,
+      |    coalesce(sum(w) OVER (ORDER BY r ASC, source ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+      |      AS wp
+      |  FROM r, t
+      |), q AS (
+      |  SELECT p.*,
+      |    (0.5 * ta - ap) / nullif(tw - wp, 0.0) AS lam,
+      |    r <= (0.5 * ta - ap) / nullif(tw - wp, 0.0) AS sat
+      |  FROM p
+      |), k AS (
+      |  SELECT min(rn) AS k FROM q WHERE NOT sat
+      |), l AS (
+      |  SELECT q.lam AS lamstar FROM q, k WHERE q.rn = k.k
+      |)""".stripMargin
+
   // Cross-source matrix twin: the exact-Jaccard pair set with sources
   // attached, folded by least/greatest source pair
   private val crossMatrixSql: String =
@@ -3737,6 +3804,14 @@ object SparkEntry {
     // never change the ROWS (the physical skip is pinned in the spec)
     "io_stats_skipping" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 900""".stripMargin,
+    // partitioned-layout skipping twin: identity on the range filter
+    // (the partition round-trip + relative-path manifest must not
+    // change a single row)
+    "io_stats_skipping_part" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(l_orderkey % 4 AS BIGINT) AS pt
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 900""".stripMargin,
     // z-order twin: plain identity — the Morton layout must change the
@@ -4965,44 +5040,34 @@ object SparkEntry {
     // the IEEE values match bit-for-bit), first unsaturated row pins
     // (k*, λ*), capped sources allocate avail at rate 1
     "samp_mix_fit" ->
-      """WITH s AS (
-        |  SELECT source,
-        |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS a,
-        |    CAST(('0x' || substr(md5(source), 1, 4))::BIGINT % 5 + 1
-        |      AS DOUBLE) AS w
-        |  FROM documents GROUP BY source
-        |), t AS (SELECT sum(a) AS ta, sum(w) AS tw FROM s),
-        |r AS (SELECT s.*, a / w AS r FROM s),
-        |p AS (
-        |  SELECT r.*, ta, tw,
-        |    row_number() OVER (ORDER BY r ASC, source ASC) AS rn,
-        |    coalesce(sum(a) OVER (ORDER BY r ASC, source ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
-        |      AS ap,
-        |    coalesce(sum(w) OVER (ORDER BY r ASC, source ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
-        |      AS wp
-        |  FROM r, t
-        |), q AS (
-        |  SELECT p.*,
-        |    (0.5 * ta - ap) / nullif(tw - wp, 0.0) AS lam,
-        |    r <= (0.5 * ta - ap) / nullif(tw - wp, 0.0) AS sat
-        |  FROM p
-        |), k AS (
-        |  SELECT min(rn) AS k FROM q WHERE NOT sat
-        |), l AS (
-        |  SELECT q.lam AS lamstar FROM q, k WHERE q.rn = k.k
-        |)
-        |SELECT source, CAST(a AS BIGINT) AS avail_tokens,
-        |  floor(w * 100 + 0.5) / 100 AS target_w,
-        |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN a
-        |    ELSE (SELECT lamstar FROM l) * w END * 100 + 0.5) / 100
-        |    AS alloc_tokens,
-        |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN 1.0
-        |    ELSE (SELECT lamstar FROM l) * w / a END * 100 + 0.5) / 100
-        |    AS rate,
-        |  k.k IS NULL OR rn < k.k AS capped
-        |FROM q, k""".stripMargin,
+      s"""WITH $mixFitCtes
+         |SELECT source, CAST(a AS BIGINT) AS avail_tokens,
+         |  floor(w * 100 + 0.5) / 100 AS target_w,
+         |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN a
+         |    ELSE (SELECT lamstar FROM l) * w END * 100 + 0.5) / 100
+         |    AS alloc_tokens,
+         |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN 1.0
+         |    ELSE (SELECT lamstar FROM l) * w / a END * 100 + 0.5) / 100
+         |    AS rate,
+         |  k.k IS NULL OR rn < k.k AS capped
+         |FROM q, k""".stripMargin,
+
+    // Mixture-fit APPLY twin: the same water level turned into
+    // per-source hash thresholds (exact rate, not the round2 report
+    // value), the hashSample keep predicate per row
+    "samp_mix_fit_apply" ->
+      s"""WITH $mixFitCtes, thr AS (
+         |  SELECT source,
+         |    CAST(floor(least(1.0,
+         |      CASE WHEN k.k IS NULL OR rn < k.k THEN 1.0
+         |        ELSE (SELECT lamstar FROM l) * w / a END)
+         |      * 4294967296.0) AS BIGINT) AS thr
+         |  FROM q, k
+         |)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN thr USING (source)
+         |WHERE ('0x' || substr(md5('graft-fit' || '|' ||
+         |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
 
     // Curriculum twins: exact ntile over the pinned total order, and
     // the histogram value-quantile replay (running sum over DISTINCT

@@ -393,16 +393,18 @@ object CompatIo {
     * files is the difference between a catalog lookup and a listing
     * storm. Pair with [[writeSortedRange]]: a clustered layout makes
     * the per-file ranges non-overlapping, so skipping is near-perfect.
+    * Works on flat AND Hive-partitioned layouts — the manifest keys on
+    * the lake-root-relative path, so partition dirs cannot collide and
+    * stats skipping on a NON-partition key composes with partition
+    * pruning (prune dirs by partition value, then files by key range).
     */
   def statsIndexWrite(spark: SparkSession, dataDir: String,
-                      idxDir: String, keyCol: String): Unit = {
-    listParquet(spark, dataDir) // enforce the flat-layout contract
+                      idxDir: String, keyCol: String): Unit =
     spark.read.parquet(dataDir)
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .groupBy(relFileKey(dataDir).as("file"))
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
       .write.mode(SaveMode.Overwrite).parquet(idxDir)
-  }
 
   /** Plan a key-range read against the stored stats index: the files
     * whose [min_key, max_key] interval intersects [lo, hi]. Pure
@@ -413,35 +415,48 @@ object CompatIo {
       .filter(col("max_key") >= lo && col("min_key") <= hi)
       .select("file", "min_key", "max_key", "n_rows")
 
-  /** The parquet file names under `dir` — a driver-side metadata pass
+  /** The parquet file keys under `dir` — a driver-side metadata pass
     * (O(#files), the [[compactLake]] listing argument: at lake scale
     * this is the catalog's job).
     *
-    * The stats-index/cursor family keys its manifest on file BASENAME
-    * against this non-recursive listing, which is only sound on a FLAT
-    * layout: a partitioned (nested) lake would list nothing here while
-    * basenames could collide across partition dirs, silently corrupting
-    * the cursor (ADVICE r9). The contract is therefore enforced: any
-    * non-internal subdirectory raises instead of being silently
-    * skipped. Partitioned layouts get their skipping from partition
-    * pruning ([[writePartitioned]]/[[readPartition]]); this index is
-    * the flat-layout path. */
+    * The stats-index/cursor family keys its manifest on the path
+    * RELATIVE to the lake root (ADVICE r9: basename keys against a
+    * non-recursive listing silently corrupt on nested layouts — two
+    * partition dirs can hold the same basename). The listing walks
+    * recursively, skipping internal `_`/`.` entries, so a flat layout
+    * keys exactly as before (relative path of a root-level file IS its
+    * basename — stored indices stay valid) and a Hive-partitioned
+    * layout (`day=3/part-x.parquet`) keys collision-free. */
   private def listParquet(spark: SparkSession,
                           dir: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = fs.listStatus(p)
-    val nested = entries.filter(st => st.isDirectory &&
-      !st.getPath.getName.startsWith("_") &&
-      !st.getPath.getName.startsWith("."))
-    require(nested.isEmpty,
-      s"stats index/cursor requires a FLAT parquet layout under $dir " +
-        s"(basename-keyed manifest); found subdirectories: " +
-        nested.map(_.getPath.getName).mkString(", "))
-    entries
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName).sorted.toSeq
+    val rootUri = fs.makeQualified(p).toUri
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      // rel carries every path component under the root — skip files
+      // inside internal dirs (`_spark_metadata/…`) and internal files
+      if (st.getPath.getName.endsWith(".parquet") &&
+          !rel.split("/").exists(c => c.startsWith("_") ||
+            c.startsWith(".")))
+        out += rel
+    }
+    out.sorted.toSeq
+  }
+
+  /** The manifest key for a scanned row's source file: its path
+    * relative to the lake root (matches [[listParquet]] keys on flat
+    * AND partitioned layouts). Scheme differences between
+    * `input_file_name`'s URI and the configured root are irrelevant —
+    * the anchor is the root's absolute PATH. */
+  private def relFileKey(dataDir: String): org.apache.spark.sql.Column = {
+    val abs = new java.io.File(dataDir).getAbsolutePath
+    regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(abs) + "/(.+)$", 1)
   }
 
   /** Data files present in the lake but NOT in the stored stats index
@@ -465,6 +480,9 @@ object CompatIo {
     val full = spark.read.parquet(dataDir)
     if (nf.isEmpty) full.filter(lit(false))
     else spark.read.schema(full.schema)
+      // basePath recovers partition-dir columns when the keys are
+      // nested (day=3/part-x.parquet); a no-op on flat layouts
+      .option("basePath", dataDir)
       .parquet(nf.map(f => s"$dataDir/$f"): _*)
   }
 
@@ -478,9 +496,9 @@ object CompatIo {
     if (nf.nonEmpty) {
       val full = spark.read.parquet(dataDir)
       spark.read.schema(full.schema)
+        .option("basePath", dataDir)
         .parquet(nf.map(f => s"$dataDir/$f"): _*)
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
-          .as("file"))
+        .groupBy(relFileKey(dataDir).as("file"))
         .agg(min(col(keyCol)).as("min_key"),
           max(col(keyCol)).as("max_key"),
           count(lit(1)).as("n_rows"))
@@ -505,6 +523,7 @@ object CompatIo {
     if (planned.isEmpty) full.filter(lit(false))
     else
       spark.read.schema(full.schema)
+        .option("basePath", dataDir)
         .parquet(planned.map(f => s"$dataDir/$f"): _*)
         .filter(col(keyCol).between(lo, hi))
   }

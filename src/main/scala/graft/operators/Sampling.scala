@@ -399,7 +399,27 @@ object Sampling {
     */
   def mixtureFit(stats: DataFrame, budgetFrac: Double = 0.5,
                  srcCol: String = "source", availCol: String = "avail",
-                 wCol: String = "w"): DataFrame = {
+                 wCol: String = "w"): DataFrame =
+    waterLevel(stats, budgetFrac, srcCol, availCol, wCol)
+      .select(col("source"),
+        col("a").cast("long").as("avail_tokens"),
+        graft.functions.Fns.round2(col("w")).as("target_w"),
+        graft.functions.Fns.round2(
+          when(col("capped"), col("a"))
+            .otherwise(col("lamstar") * col("w"))).as("alloc_tokens"),
+        graft.functions.Fns.round2(
+          when(col("capped"), lit(1.0))
+            .otherwise(col("lamstar") * col("w") / col("a")))
+          .as("rate"),
+        col("capped"))
+
+  /** The shared water-level solve behind [[mixtureFit]] and
+    * [[mixtureFitApply]]: per source, (a, w, rn, capped, lamstar) with
+    * the exact (un-rounded) λ* — the report rounds for presentation,
+    * the apply derives hash thresholds from the exact level. */
+  private def waterLevel(stats: DataFrame, budgetFrac: Double,
+                         srcCol: String, availCol: String,
+                         wCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"budgetFrac must be in (0, 1]: $budgetFrac")
@@ -419,7 +439,7 @@ object Sampling {
         (lit(budgetFrac) * col("ta") - col("ap"))
           / nullif(col("tw") - col("wp"), lit(0.0)))
       .withColumn("sat", col("r") <= col("lam"))
-      .persist() // three consumers: k*, λ*, and the output projection
+      .persist() // two consumers: the k* agg and the output projection
     // first unsaturated row pins BOTH k* and λ* — struct-min orders by
     // rn, so the lam rides along with its boundary row
     val kstar = lv.agg(
@@ -428,17 +448,34 @@ object Sampling {
       .withColumn("k", col("kl.rn"))
       .withColumn("lamstar", col("kl.lam"))
       .withColumn("capped", col("k").isNull || col("rn") < col("k"))
-      .select(col("source"),
-        col("a").cast("long").as("avail_tokens"),
-        graft.functions.Fns.round2(col("w")).as("target_w"),
-        graft.functions.Fns.round2(
-          when(col("capped"), col("a"))
-            .otherwise(col("lamstar") * col("w"))).as("alloc_tokens"),
-        graft.functions.Fns.round2(
+  }
+
+  /** APPLY the fitted mixture — [[mixtureFit]]'s water level turned
+    * into per-source deterministic hash thresholds and executed as one
+    * broadcast-join + filter over the corpus (the [[hashSample]]
+    * device, per-source p = min(1, λ*·w/avail)): the end-to-end
+    * budgeted-mix pass a training-data run actually ships. Every row's
+    * verdict is a pure function of (key, source stats), so the kept
+    * set is stable across runs, partitionings, and engines; the
+    * realized per-source token mass is binomial around its allocation
+    * (the standard row-level approximation — [[mixtureSampleByTokens]]
+    * documents the same trade). Output: the kept rows of `df`.
+    */
+  def mixtureFitApply(df: DataFrame, stats: DataFrame,
+                      budgetFrac: Double = 0.5,
+                      srcCol: String = "source",
+                      availCol: String = "avail", wCol: String = "w",
+                      keyCol: String = "doc_id",
+                      salt: String = "graft-fit"): DataFrame = {
+    val thr = waterLevel(stats, budgetFrac, srcCol, availCol, wCol)
+      .select(col("source").as(srcCol),
+        floor(least(lit(1.0),
           when(col("capped"), lit(1.0))
             .otherwise(col("lamstar") * col("w") / col("a")))
-          .as("rate"),
-        col("capped"))
+          * lit(HashRange)).cast("long").as("_thr"))
+    df.join(broadcast(thr), srcCol)
+      .filter(hashValue(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
   }
 
   /** Temperature-scaled mixture resampling — the multilingual-corpus

@@ -181,6 +181,42 @@ class Round22Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  // --- CompatIo stats index on a PARTITIONED layout (ADVICE r9) ---
+
+  test("statsIndex on a Hive-partitioned lake: manifest keys are " +
+    "root-relative (nested), the plan skips files, cursor advances") {
+    import graft.io.CompatIo
+    val root = scratch("idxpart")
+    (1L to 400L).toDF("k")
+      .withColumn("pt", col("k") % 4)
+      .repartitionByRange(4, col("k"))
+      .write.partitionBy("pt").parquet(s"$root/data")
+    CompatIo.statsIndexWrite(spark, s"$root/data", s"$root/idx", "k")
+    val idx = spark.read.parquet(s"$root/idx").collect()
+    // every manifest key carries its partition dir — no bare basenames
+    assert(idx.forall(_.getAs[String]("file").contains("=")))
+    assert(idx.forall(_.getAs[String]("file").contains("/")))
+    val nFiles = idx.length
+    val planned = CompatIo.skippingPlan(spark, s"$root/idx", 10L, 60L)
+      .collect()
+    assert(planned.length < nFiles && planned.nonEmpty)
+    val got = CompatIo.readWithSkipping(spark, s"$root/data",
+      s"$root/idx", "k", 10L, 60L)
+    assert(got.count() === 51L)
+    // partition column is recovered through the explicit-file read
+    assert(got.filter(col("pt") === col("k") % 4).count() === 51L)
+    // cursor: land a delta in a NEW partition dir, increment sees it
+    Seq(1000L, 1001L).toDF("k").withColumn("pt", lit(9L))
+      .coalesce(1).write.mode("append").partitionBy("pt")
+      .parquet(s"$root/data")
+    val inc = CompatIo.readIncrement(spark, s"$root/data", s"$root/idx")
+    assert(inc.count() === 2L)
+    CompatIo.statsIndexAppend(spark, s"$root/data", s"$root/idx", "k")
+    assert(CompatIo.readIncrement(spark, s"$root/data", s"$root/idx")
+      .count() === 0L)
+    Housekeeping.release(spark)
+  }
+
   // --- Dedup.crossSourceMatrix ---
 
   test("crossSourceMatrix: near-dup pairs fold into ordered source " +
