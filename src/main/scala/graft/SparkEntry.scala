@@ -682,6 +682,11 @@ object SparkEntry {
     // the eval that prices the bucket+Hamming-1 probe trade
     "sim_knn_recall" -> ((s, dir) =>
       Similarity.knnRecall(tbl(s, dir, "embeddings"))),
+    // per-label embedding-space health report: counts, zero vectors,
+    // mean norm, centroid tightness — the QA table before trusting
+    // ANN/semantic-dedup results on a corpus
+    "sim_embed_report" -> ((s, dir) =>
+      Similarity.embedReport(tbl(s, dir, "embeddings"))),
     // the IVF-routed kNN graph (round-9 verdict #1): same mutual-edge
     // construction, blocking upgraded from sign buckets to 8-of-128
     // inverted-file routing in the SAME cosine metric
@@ -5368,6 +5373,62 @@ object SparkEntry {
     // parameterized IVF chain (cap re-probed per SF on landing —
     // higher-recall graph, more true edges)
     "sim_knn_components_ivf" -> KnnComponentsIvfSql(k = 2, cap = 14),
+
+    // Embedding health-report twin: same unit-vector chain, per-dim
+    // DECIMAL(30,12) centroid means, fold-left cnorm/dots in identical
+    // order, DECIMAL member-cosine means, round2
+    "sim_embed_report" ->
+      """WITH vl AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nl AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+        |  FROM vl
+        |), stats AS (
+        |  SELECT label, count(*) AS n_vecs,
+        |    CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero,
+        |    CAST(sum(CAST(norm AS DECIMAL(30,12))) AS DOUBLE)
+        |      / count(*) AS mn
+        |  FROM nl GROUP BY label
+        |), units AS (
+        |  SELECT label, list_transform(v, x -> x / norm) AS u
+        |  FROM nl WHERE norm > 0
+        |), dims AS (SELECT max(len(v)) AS nd FROM vl),
+        |m AS (
+        |  SELECT label, gs.i,
+        |    CAST(sum(CAST(u[gs.i] AS DECIMAL(30,12))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM units CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT nd FROM dims))) AS i) gs
+        |  GROUP BY label, gs.i
+        |), cent AS (
+        |  SELECT label, list(m ORDER BY i) AS cent FROM m GROUP BY label
+        |), cn AS (
+        |  SELECT label, cent,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(cent, x -> x * x)), (acc, x) -> acc + x))
+        |      AS cnorm
+        |  FROM cent
+        |), cosr AS (
+        |  SELECT un.label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(un.u)),
+        |        i -> un.u[i] * c.cent[i])), (acc, x) -> acc + x)
+        |      / nullif(c.cnorm, 0) AS cos
+        |  FROM units un JOIN cn c USING (label)
+        |), t AS (
+        |  SELECT label,
+        |    CAST(sum(CAST(cos AS DECIMAL(30,12))) AS DOUBLE)
+        |      / count(*) AS tr
+        |  FROM cosr GROUP BY label
+        |)
+        |SELECT s.label, s.n_vecs, s.n_zero,
+        |  floor(mn * 100 + 0.5) / 100 AS mean_norm,
+        |  floor(tr * 100 + 0.5) / 100 AS tightness
+        |FROM stats s LEFT JOIN t USING (label)""".stripMargin,
 
     // kNN-recall twin: the brute ranking and the LSH ranking side by
     // side, inner-join overlap per query, round2 recall

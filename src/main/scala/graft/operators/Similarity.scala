@@ -1303,6 +1303,68 @@ object Similarity {
       lit(rounds.toLong).as("rounds"))
   }
 
+  /** Embedding-space health report — the per-label QA table an
+    * embedding pipeline prints before anyone trusts ANN results on the
+    * corpus: vector counts, zero-vector counts (broken encodes — they
+    * silently drop out of every cosine operator), mean norm (a
+    * norm-collapse / scale-drift indicator across ingestion batches),
+    * and TIGHTNESS — the mean cosine of members to their label
+    * centroid (how much of the label's variance the embedding actually
+    * captures; near-0 means the labels are not clustered in this
+    * space, and semantic dedup / IVF routing quality will reflect it).
+    *
+    * Every mean runs through DECIMAL(30,12) sums (order-independent —
+    * the house device for cross-engine double aggregation); the
+    * centroid is the per-dimension mean of UNIT vectors (posexplode,
+    * keyed agg — never a driver collect), and member cosines reduce
+    * against the broadcast-sized (labels × dims) centroid table.
+    * Labels are enum-sized; dims bounded — nothing here scales with
+    * the corpus except the two keyed aggregations.
+    * Output: (label, n_vecs, n_zero, mean_norm, tightness) — round2,
+    * tightness NULL for labels with no non-zero vector or a zero
+    * centroid. */
+  def embedReport(emb: DataFrame, labelCol: String = "label",
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(emb.sparkSession)
+    val base = emb.select(col(labelCol).cast("long").as("label"),
+        col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        l2norm(col(vecCol)).as("norm"))
+      .persist() // two consumers: per-label stats + the unit chain
+    val stats = base.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("norm") === 0, 1L).otherwise(0L)).as("n_zero"),
+      (sum(col("norm").cast("decimal(30,12)")).cast("double")
+        / count(lit(1))).as("mn"))
+    val units = base.filter(col("norm") > 0)
+      .select(col("label"),
+        transform(col("vec"), x => x.cast("double") / col("norm"))
+          .as("u"))
+      .persist() // two consumers: centroid dims + member cosines
+    val cents = units.select(col("label"), posexplode(col("u")))
+      .groupBy("label", "pos")
+      .agg((sum(col("col").cast("decimal(30,12)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("cent"))
+      .withColumn("cnorm", sqrt(aggregate(col("cent"), lit(0.0),
+        (acc, x) => acc + x * x)))
+    val tight = units.join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        (aggregate(zip_with(col("u"), col("cent"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+          / nullif(col("cnorm"), lit(0.0))).as("c"))
+      .groupBy("label")
+      .agg((sum(col("c").cast("decimal(30,12)")).cast("double")
+        / count(lit(1))).as("tr"))
+    stats.join(tight, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        graft.functions.Fns.round2(col("mn")).as("mean_norm"),
+        graft.functions.Fns.round2(col("tr")).as("tightness"))
+  }
+
   /** Matryoshka truncation evaluation: recall@k of cosine top-k under
     * the first `dims` dimensions against the full-width top-k — the
     * measurement behind serving truncated (MRL-style) embeddings,

@@ -150,6 +150,28 @@ class Round22Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  // --- Similarity.embedReport ---
+
+  test("embedReport: zero vectors counted, tight label scores ~1, " +
+    "dispersed label scores ~0") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(2.0f, 0.0f)),
+      (3L, 0, Array(0.0f, 0.0f)),            // zero vec, label 0
+      (10L, 1, Array(1.0f, 0.0f)), (11L, 1, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity.embedReport(emb)
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    val l0 = out(0L)
+    assert(l0.getAs[Long]("n_vecs") === 3L)
+    assert(l0.getAs[Long]("n_zero") === 1L)
+    assert(l0.getAs[Double]("mean_norm") === 1.0) // (1+2+0)/3
+    assert(l0.getAs[Double]("tightness") === 1.0) // identical units
+    val l1 = out(1L)
+    // centroid of (1,0) and (-1,0) is the zero vector → NULL tightness
+    assert(l1.isNullAt(l1.fieldIndex("tightness")))
+    Housekeeping.release(spark)
+  }
+
   // --- Sampling.mixtureFit (water-filling) ---
 
   test("mixtureFit: scarce sources cap at rate 1, the rest split the " +
