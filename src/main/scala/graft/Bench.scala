@@ -129,7 +129,14 @@ object Bench {
     // Second round-8 batch, medians of three runs (199.2 @ 0.76 —
     // its one flag, rel_ppr 1.37x, did not repeat — 184.7 @ 0.76 and
     // 194.2 @ 0.72, both zero-flag).
-    "rel_components_converged" -> 4.18, "rel_kcore_converged" -> 2.34,
+    // rel_kcore_converged re-stamped round 10 (was 2.34 from the
+    // 175 s-total round-6 tree): it has measured 2.4-3.3 in EVERY
+    // 280 s+ full run since the tree grew past ~210 gates while its
+    // sibling rel_kcore stayed at/below stamp — the rel_ppr
+    // stamp-optimism pattern (amortization changes with tree size),
+    // not a regression; kcore code untouched since round 6. New value
+    // = median of the round-10 stamp runs.
+    "rel_components_converged" -> 4.18, "rel_kcore_converged" -> 3.07,
     "text_html_langid" -> 0.43,
     // Third round-8 batch, medians of three zero-flag runs
     // (194.2 @ 0.70, 191.9 @ 0.70, 204.5 @ 0.71).
@@ -168,7 +175,22 @@ object Bench {
     // medians of three clean cold runs on the final 214-gate tree
     // (282.1 @ 0.75, 286.7 @ 0.73, 281.1 @ 0.71; aggregate stamped
     // ratios 0.87/0.88/0.86 — zero systemic drift).
-    "sim_knn_recall" -> 1.28, "text_sentences" -> 0.17)
+    "sim_knn_recall" -> 1.28, "text_sentences" -> 0.17,
+    // Round-10 stamps (16 new queries), medians of three full cold
+    // runs on the frozen 230-gate tree (343.0 @ 0.72, 332.0 @ 0.70,
+    // 366.9 @ 0.77 — run 3 carried a contiguous contended stretch
+    // over the graph family, medianed out; see BASELINE.md).
+    // stream_neardup_dedup is the heaviest gate in the bench by
+    // design: corpus band-index write + three streamed batches each
+    // probing AND appending to the lake index — five jobs in one gate.
+    "dedup_cross_matrix" -> 2.12, "dedup_semantic_best" -> 0.98,
+    "dedup_sentence_rewrite" -> 0.65, "io_stats_skipping_part" -> 1.17,
+    "samp_mix_fit" -> 0.49, "samp_mix_fit_apply" -> 0.54,
+    "sim_embed_report" -> 1.09, "sim_knn_components_ivf" -> 4.76,
+    "sim_knn_graph_ivf" -> 1.67, "sim_knn_recall_ivf" -> 2.42,
+    "sim_topk_pq_persisted" -> 3.06, "stream_neardup_dedup" -> 17.17,
+    "stream_sample_maintain" -> 1.58, "text_bm25_from_index" -> 2.18,
+    "text_corpus_card" -> 1.03, "text_pii_report" -> 0.32)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
