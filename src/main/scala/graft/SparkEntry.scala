@@ -1242,6 +1242,13 @@ object SparkEntry {
 
     // --- composed curation pipeline (north-star) ---
     "pipe_curate" -> ((s, dir) => Curate.curate(docs(s, dir))),
+    // end-to-end BUDGETED prep: quality floor → exact-dedup keep-first
+    // → water-filling budget mix applied as hash thresholds →
+    // train/val/test split → per-(split, source) composition report.
+    // Every stage is an already-gated operator; this gate pins the
+    // COMPOSITION (stage order + the exact frame each stage sees)
+    "pipe_budget_prep" -> ((s, dir) =>
+      Curate.budgetPrep(docs(s, dir), splits = SplitWeights)),
     // entity resolution end-to-end: SymSpell fuzzy blocking + exact
     // verify -> 3-step min-label propagation (distributed union-find
     // arm) -> golden-record rollup; singletons survive as their own
@@ -2914,14 +2921,15 @@ object SparkEntry {
   // Shared water-filling CTE chain (the samp_mix_fit solve): md5
   // weights, saturation-ratio sort, exclusive prefix sums, candidate
   // levels, first-unsaturated boundary (k, λ*). Serves the report
-  // twin and the apply twin.
-  private val mixFitCtes: String =
-    """s AS (
+  // twin, the apply twin, and (over the curated survivor set) the
+  // pipe_budget_prep twin.
+  private def mixFitCtes(from: String = "documents"): String =
+    s"""s AS (
       |  SELECT source,
       |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS a,
       |    CAST(('0x' || substr(md5(source), 1, 4))::BIGINT % 5 + 1
       |      AS DOUBLE) AS w
-      |  FROM documents GROUP BY source
+      |  FROM $from GROUP BY source
       |), t AS (SELECT sum(a) AS ta, sum(w) AS tw FROM s),
       |r AS (SELECT s.*, a / w AS r FROM s),
       |p AS (
@@ -4850,6 +4858,59 @@ object SparkEntry {
     // The composed curation twin: langid + quality + recursive canonical
     // components + the hash-sample predicate, assembled from the same
     // building blocks as the individual oracles.
+    // Budgeted-prep twin: the pipe_curate quality chain (minus the
+    // lang cascade), dedup_exact keep-first over the survivors, the
+    // shared water-filling chain re-rooted on the kept set
+    // (mixFitCtes("kept")), the samp_mix_fit_apply threshold
+    // predicate, and the samp_split CASE — composition pinned
+    // stage-for-stage against Curate.budgetPrep
+    "pipe_budget_prep" ->
+      s"""WITH $wsToksCte, qc AS (
+         |  SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+         |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t)))) AS stop_toks
+         |  FROM wtoks
+         |), ql AS (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(0.25 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |        n_tokens / CAST(100.0 AS DOUBLE))
+         |    + CAST(0.25 AS DOUBLE) * (alpha_chars / n_chars)
+         |    + CAST(0.25 AS DOUBLE)
+         |        * (CAST(1.0 AS DOUBLE) - punct_chars / n_chars)
+         |    + CAST(0.25 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+         |        (stop_toks / n_tokens) * CAST(4.0 AS DOUBLE))
+         |      AS quality_score
+         |  FROM qc
+         |), fpq AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, ql.n_tokens,
+         |    md5(lower(trim(regexp_replace(d.text, '[ \\t\\n\\f\\r]+',
+         |      ' ', 'g')))) AS fp
+         |  FROM documents d JOIN ql USING (doc_id)
+         |  WHERE ql.quality_score >= 0.5
+         |), kept AS (
+         |  SELECT f.* FROM fpq f
+         |  JOIN (SELECT fp, min(doc_id) AS kid FROM fpq GROUP BY fp) kf
+         |    ON f.fp = kf.fp AND f.doc_id = kf.kid
+         |), ${mixFitCtes("kept")}, thr AS (
+         |  SELECT source, CAST(floor(least(1.0,
+         |    CASE WHEN k.k IS NULL OR rn < k.k THEN 1.0
+         |      ELSE (SELECT lamstar FROM l) * w / a END) * 4294967296.0)
+         |    AS BIGINT) AS thr
+         |  FROM q, k
+         |), mixed AS (
+         |  SELECT kept.doc_id, kept.source, kept.n_tokens
+         |  FROM kept JOIN thr USING (source)
+         |  WHERE ('0x' || substr(md5('graft-fit' || '|' ||
+         |    CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+         |)
+         |SELECT ${operators.Sampling.splitCaseSql(SplitWeights,
+               "doc_id", "graft-prep")} AS split,
+         |  source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM mixed GROUP BY 1, 2""".stripMargin,
+
     "pipe_curate" ->
       s"""WITH RECURSIVE $wsToksCte, qc AS (
          |  SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
@@ -5045,7 +5106,7 @@ object SparkEntry {
     // the IEEE values match bit-for-bit), first unsaturated row pins
     // (k*, λ*), capped sources allocate avail at rate 1
     "samp_mix_fit" ->
-      s"""WITH $mixFitCtes
+      s"""WITH ${mixFitCtes()}
          |SELECT source, CAST(a AS BIGINT) AS avail_tokens,
          |  floor(w * 100 + 0.5) / 100 AS target_w,
          |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN a
@@ -5061,7 +5122,7 @@ object SparkEntry {
     // per-source hash thresholds (exact rate, not the round2 report
     // value), the hashSample keep predicate per row
     "samp_mix_fit_apply" ->
-      s"""WITH $mixFitCtes, thr AS (
+      s"""WITH ${mixFitCtes()}, thr AS (
          |  SELECT source,
          |    CAST(floor(least(1.0,
          |      CASE WHEN k.k IS NULL OR rn < k.k THEN 1.0

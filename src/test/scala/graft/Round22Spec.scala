@@ -239,6 +239,30 @@ class Round22Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  // --- Curate.budgetPrep composition ---
+
+  test("budgetPrep: low-quality docs drop, exact dups keep first, " +
+    "full budget keeps every survivor, split+source rollup") {
+    val good = "the cat and the dog sat in the house for you " * 10
+    val d = Seq(
+      (1L, "a", good),          // survivor
+      (2L, "a", good),          // exact dup of 1 → dropped
+      (3L, "b", good + "tail"), // survivor
+      (4L, "b", "?!?! ?!")      // punct-only → quality floor kills it
+    ).toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = graft.operators.Curate
+      .budgetPrep(d, budgetFrac = 1.0)
+      .collect()
+    // only docs 1 and 3 survive; budget 1.0 caps every source
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 2L)
+    val bySrc = out.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("n_docs")).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sum }
+    assert(bySrc === Map("a" -> 1L, "b" -> 1L))
+    Housekeeping.release(spark)
+  }
+
   // --- Dedup.crossSourceMatrix ---
 
   test("crossSourceMatrix: near-dup pairs fold into ordered source " +
