@@ -190,7 +190,11 @@ object Bench {
     "sim_knn_graph_ivf" -> 1.67, "sim_knn_recall_ivf" -> 2.42,
     "sim_topk_pq_persisted" -> 3.06, "stream_neardup_dedup" -> 17.17,
     "stream_sample_maintain" -> 1.58, "text_bm25_from_index" -> 2.18,
-    "text_corpus_card" -> 1.03, "text_pii_report" -> 0.32)
+    "text_corpus_card" -> 1.03, "text_pii_report" -> 0.32,
+    // Round-10 tail stamp, medians of three clean cold runs on the
+    // final 231-gate tree (350.3 @ 0.72, 350.5 @ 0.77, 345.7 @ 0.75;
+    // each run's 1-3 flags were disjoint and none repeated — jitter).
+    "pipe_budget_prep" -> 1.93)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
