@@ -605,7 +605,7 @@ object SparkEntry {
     "dedup_semantic_best" -> ((s, dir) =>
       Dedup.semanticDedupBest(tbl(s, dir, "embeddings"),
         docs(s, dir).select(col("doc_id").as("vec_id"),
-          col("n_chars")))),
+          col("n_chars")), qCol = "n_chars")),
     // leakage-safe split: hash-split keyed on the CANONICAL id, so every
     // exact/near-dup cluster lands whole in one split (no train/test
     // contamination through duplicates)
@@ -5310,7 +5310,8 @@ object SparkEntry {
          |      '${operators.TextStats.DigitRunRe}')) AS BIGINT) AS nd
          |  FROM inj
          |)
-         |SELECT coalesce(source, 'TOTAL') AS source,
+         |SELECT CASE WHEN GROUPING(source) = 1 THEN 'TOTAL'
+         |    ELSE source END AS source,
          |  count(*) AS n_docs,
          |  CAST(sum(CASE WHEN ne + nu + nd > 0 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS docs_with_pii,

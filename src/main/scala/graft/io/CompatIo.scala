@@ -401,7 +401,7 @@ object CompatIo {
   def statsIndexWrite(spark: SparkSession, dataDir: String,
                       idxDir: String, keyCol: String): Unit =
     spark.read.parquet(dataDir)
-      .groupBy(relFileKey(dataDir).as("file"))
+      .groupBy(relFileKey(spark, dataDir).as("file"))
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
       .write.mode(SaveMode.Overwrite).parquet(idxDir)
@@ -450,13 +450,28 @@ object CompatIo {
 
   /** The manifest key for a scanned row's source file: its path
     * relative to the lake root (matches [[listParquet]] keys on flat
-    * AND partitioned layouts). Scheme differences between
-    * `input_file_name`'s URI and the configured root are irrelevant —
-    * the anchor is the root's absolute PATH. */
-  private def relFileKey(dataDir: String): org.apache.spark.sql.Column = {
-    val abs = new java.io.File(dataDir).getAbsolutePath
-    regexp_extract(input_file_name(),
-      java.util.regex.Pattern.quote(abs) + "/(.+)$", 1)
+    * AND partitioned layouts). The anchor is the QUALIFIED root's URI
+    * path (ADVICE r10: `java.io.File(...).getAbsolutePath` is a
+    * local-filesystem assumption — on hdfs://, s3a://, or any root
+    * whose qualified URI path differs from the local absolute path it
+    * never matches and every row would key to ''), so the same code
+    * keys correctly on any Hadoop scheme: `input_file_name()` returns
+    * the file's URI, whose path component always contains the
+    * qualified root path as a prefix. A non-matching row
+    * `raise_error`s instead of silently collapsing the manifest into
+    * one bogus '' key (which would degrade skipping plans and make
+    * [[readIncrement]] re-deliver consumed files forever). */
+  private def relFileKey(spark: SparkSession,
+                         dataDir: String): org.apache.spark.sql.Column = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(p).toUri.getPath
+    val rel = regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(rootPath) + "/(.+)$", 1)
+    when(rel === lit(""),
+      raise_error(concat(lit(s"relFileKey: scanned file outside lake root '$rootPath': "),
+        input_file_name()))).otherwise(rel)
   }
 
   /** Data files present in the lake but NOT in the stored stats index
@@ -498,7 +513,7 @@ object CompatIo {
       spark.read.schema(full.schema)
         .option("basePath", dataDir)
         .parquet(nf.map(f => s"$dataDir/$f"): _*)
-        .groupBy(relFileKey(dataDir).as("file"))
+        .groupBy(relFileKey(spark, dataDir).as("file"))
         .agg(min(col(keyCol)).as("min_key"),
           max(col(keyCol)).as("max_key"),
           count(lit(1)).as("n_rows"))

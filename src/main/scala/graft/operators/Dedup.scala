@@ -1152,9 +1152,16 @@ object Dedup {
   def semanticDedupBest(emb: DataFrame, quality: DataFrame,
                         threshold: Double = 0.5, nClusters: Int = 16,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        qCol: String = "q"): DataFrame = {
+    // The quality column is named, never positional (ADVICE r10: a
+    // caller passing (vec_id, label, q) would silently duel on label
+    // under columns(1)); a missing column fails in analysis, loudly.
+    require(quality.columns.contains(qCol),
+      s"semanticDedupBest: quality frame has no column '$qCol' " +
+        s"(columns: ${quality.columns.mkString(", ")})")
     val q = quality.select(col(idCol).as("vec_id"),
-      col(quality.columns(1)).cast("double").as("q"))
+      col(qCol).cast("double").as("q"))
     val assigned = semanticAssign(emb, nClusters, idCol, vecCol)
       .join(q, Seq("vec_id"), "left")
       .select(col("vec_id"), col("vec"), col("norm"), col("cid"),

@@ -493,11 +493,14 @@ object Graph {
     // codegen'd branch on the seed projection; raises on first
     // violation instead of yielding silently wrong communities —
     // ADVICE r9)
+    // NULL lbl must raise too: when(lbl < 0, …) is NULL (not an
+    // error) for NULL lbl, which would slip past the guard and corrupt
+    // the same tie-break — ADVICE r10.
     val labels0 = labels0raw.select(col("node"),
-      when(col("lbl") < 0, raise_error(concat(
-          lit("labelPropagate requires non-negative labels; got "),
-          col("lbl").cast("string"), lit(" on node "),
-          col("node").cast("string"))))
+      when(col("lbl").isNull || col("lbl") < 0, raise_error(concat(
+          lit("labelPropagate requires non-negative non-null labels; got "),
+          coalesce(col("lbl").cast("string"), lit("NULL")),
+          lit(" on node "), col("node").cast("string"))))
         .otherwise(col("lbl")).as("lbl"))
     val edges = edges0.persist()
     // The struct argmax is the MEASURED winner (tools/LpaProbe,

@@ -760,12 +760,22 @@ object TextStats {
         cnt(EmailRe).as("ne"), cnt(UrlRe).as("nu"),
         cnt(DigitRunRe).as("nd"))
       .rollup("source")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(grouping(col("source")).as("g"),
+        count(lit(1)).as("n_docs"),
         sum(when(col("ne") + col("nu") + col("nd") > 0, 1L)
           .otherwise(0L)).as("docs_with_pii"),
         sum(col("ne")).as("n_emails"), sum(col("nu")).as("n_urls"),
         sum(col("nd")).as("n_digit_runs"))
-      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+      // The rollup row is identified by grouping(), NOT by coalescing
+      // NULL (ADVICE r10: coalesce labels a genuine NULL-source group
+      // 'TOTAL' too, making it indistinguishable from the sentinel). A
+      // real source literally named 'TOTAL' would still collide with
+      // the sentinel — that raises instead of aliasing silently.
+      .select(
+        when(col("g") === 1, lit("TOTAL"))
+          .when(col("source") === "TOTAL", raise_error(lit(
+            "piiReport: source value 'TOTAL' collides with the rollup sentinel")))
+          .otherwise(col("source")).as("source"),
         col("n_docs"), col("docs_with_pii"), col("n_emails"),
         col("n_urls"), col("n_digit_runs"),
         graft.functions.Fns.round2(
