@@ -269,6 +269,15 @@ object SparkEntry {
       graft.streaming.EventsStream.sampleMaintain(
         s, dir, scratchDir("smstage"), scratchDir("smart"))),
 
+    // streaming-maintained dataset card: each micro-batch sums its
+    // (source, lang) doc/token counters into the versioned artifact;
+    // integer-sum mergeability makes the final card bit-identical to
+    // the one-shot batch corpusCard minus its documented non-mergeable
+    // dup_rate column — proven by sharing text_corpus_card's twin
+    "stream_card_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.cardMaintain(
+        s, dir, scratchDir("cardstage"), scratchDir("cardart"))),
+
     // streaming-maintained CMS: 3-batch replay, each foreachBatch
     // full-outer-sums its sparse sketch into the versioned artifact;
     // final sketch serves the SAME top-20 audit as rel_cms_artifact
@@ -678,6 +687,15 @@ object SparkEntry {
     // sign buckets at comparable scanned fraction)
     "sim_knn_components_ivf" -> ((s, dir) =>
       Similarity.knnComponentsIvf(tbl(s, dir, "embeddings"))),
+    // SemDeDup acting on the IVF-routed density clusters (round-10
+    // verdict #1: the measured-better blocking, now consumed by the
+    // dedup pass): per reciprocal-kNN component keep the
+    // highest-quality member (document length via the aligned doc_id),
+    // ties to the lowest id — one component-keyed argmax, no pair join
+    "dedup_semantic_knn" -> ((s, dir) =>
+      Dedup.semanticDedupKnn(tbl(s, dir, "embeddings"),
+        docs(s, dir).select(col("doc_id").as("vec_id"),
+          col("n_chars")), qCol = "n_chars")),
     // recall@10 of the LSH blocking vs exact brute on a query sample —
     // the eval that prices the bucket+Hamming-1 probe trade
     "sim_knn_recall" -> ((s, dir) =>
@@ -1320,6 +1338,22 @@ object SparkEntry {
           .withColumn("w",
             conv(substring(md5(col("source")), 1, 4), 16, 10)
               .cast("long") % 5 + 1))
+    }),
+    // water-filling with per-source FLOORS (the fairness knob): floors
+    // up to 60% of avail derived from md5 nibbles, INTEGRAL (floor'd)
+    // so every prefix sum in the solve stays exact in double across
+    // engines; floor-bound sources sit at their floor, the rest
+    // water-fill the remaining budget by weight
+    "samp_mix_fit_floors" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{conv, floor, substring, sum}
+      Sampling.mixtureFitFloors(docs(s, dir).groupBy("source")
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("w",
+          conv(substring(md5(col("source")), 1, 4), 16, 10)
+            .cast("long") % 5 + 1)
+        .withColumn("floor_tokens",
+          floor(col("avail") * (conv(substring(md5(col("source")), 5, 2),
+            16, 10).cast("long") % 60) / 100.0).cast("long")))
     }),
     // temperature-2 rebalance: weights sqrt(count) derived in-plan
     // (sqrt is correctly rounded per IEEE 754 → oracle-pinnable; other
@@ -2001,8 +2035,38 @@ object SparkEntry {
   private def KnnComponentsIvfSql(k: Int, cap: Int): String =
     knnComponentsSqlOver(ivfKnnCtes(128, 8, "TRUE"), "ivs", k, cap)
 
+  // SemDeDup-over-IVF-clusters twin: the same IVF components chain,
+  // then semanticDedupBest's pairwise duel INSIDE each component — a
+  // member drops iff some same-component member at cosine >= 0.5
+  // strictly beats it on (quality desc, id asc). Quality = document
+  // length through the aligned doc_id, missing rows rank at 0 (the
+  // operator's contract); vectors come from the front's `normed` CTE.
+  private def SemanticDedupKnnSql(k: Int, cap: Int,
+                                  threshold: Double): String =
+    knnComponentsSqlOver(ivfKnnCtes(128, 8, "TRUE"), "ivs", k, cap,
+      tail = s""", m AS MATERIALIZED (
+        |  SELECT c.vec_id, c.component,
+        |    coalesce(CAST(d.n_chars AS DOUBLE), 0.0) AS q,
+        |    n.v, n.norm
+        |  FROM comp c
+        |  LEFT JOIN documents d ON d.doc_id = c.vec_id
+        |  JOIN normed n ON n.vec_id = c.vec_id
+        |), dr AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM m a JOIN m b ON a.component = b.component
+        |  WHERE (a.q > b.q OR (a.q = b.q AND a.vec_id < b.vec_id))
+        |    AND list_sum(list_transform(generate_series(1, len(a.v)),
+        |      i -> a.v[i] * b.v[i])) / nullif(a.norm * b.norm, 0.0)
+        |      >= $threshold
+        |)
+        |SELECT m.vec_id, m.component, (dr.vec_id IS NULL) AS keep
+        |FROM m LEFT JOIN dr ON dr.vec_id = m.vec_id""".stripMargin)
+
   private def knnComponentsSqlOver(frontCtes: String, scored: String,
-                                   k: Int, cap: Int): String = {
+                                   k: Int, cap: Int,
+                                   tail: String =
+                                     "SELECT vec_id, component, rounds FROM comp")
+  : String = {
     val steps = (1 to cap).map { i =>
       s"""n$i AS (
          |  SELECT e.dst AS node, min(l.lbl) AS nl
@@ -2046,8 +2110,11 @@ object SparkEntry {
        |re AS MATERIALIZED (
        |  SELECT CAST(coalesce(min(k), $cap) AS BIGINT) AS re FROM dl
        |  WHERE ch = 0
+       |),
+       |comp AS MATERIALIZED (
+       |$picks
        |)
-       |$picks""".stripMargin
+       |$tail""".stripMargin
   }
 
   // Bounded Bellman-Ford twin: BfsHopsSql's relax-merge rounds with
@@ -3153,6 +3220,73 @@ object SparkEntry {
        |  GROUP BY 1, 2
        |), $pqRerankSql""".stripMargin
 
+  // Dataset-card twin, parameterized over the one NON-mergeable
+  // column: with `withDup` the exact-duplicate CTEs and dup_rate
+  // ride along (the batch text_corpus_card); without, the card is
+  // the pure function of the mergeable (source, lang) counters that
+  // the streaming maintainer replays (stream_card_maintain).
+  private def CorpusCardSql(withDup: Boolean): String = {
+    val dupCtes = if (withDup)
+      ", mult AS (" +
+      "\n         |  SELECT fp, count(*) AS nfp FROM hl GROUP BY fp" +
+      "\n         |), j AS (" +
+      "\n         |  SELECT hl.*, mult.nfp FROM hl JOIN mult USING (fp)" +
+      "\n         |)" else ""
+    val dupAgg = if (withDup)
+      "," +
+      "\n         |    CAST(sum(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT)" +
+      "\n         |      AS n_dup" else ""
+    val dupCol = if (withDup)
+      "  floor(CAST(b.n_dup AS DOUBLE) / b.n_docs * 100 + 0.5) / 100" +
+      "\n         |    AS dup_rate," +
+      "\n         |" else ""
+    val perDoc = if (withDup) "j" else "hl"
+    s"""WITH $wsToksCte, h AS (
+         |  SELECT source, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    md5(lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ',
+         |      'g')))) AS fp,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t)))) AS en_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.DeStopwords)}, lower(t)))) AS de_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.EsStopwords)}, lower(t)))) AS es_hits,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${listLit(operators.TextStats.FrStopwords)}, lower(t)))) AS fr_hits
+         |  FROM wtoks
+         |), hl AS (
+         |  SELECT *,
+         |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |              AND en_hits >= fr_hits THEN 'en'
+         |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |         WHEN es_hits >= fr_hits THEN 'es'
+         |         ELSE 'fr' END AS lang
+         |  FROM h
+         |)$dupCtes, b AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens$dupAgg
+         |  FROM $perDoc GROUP BY source
+         |), ml AS (
+         |  SELECT source, c AS main_cnt, lang AS main_lang FROM (
+         |    SELECT source, lang, count(*) AS c,
+         |      row_number() OVER (PARTITION BY source ORDER BY
+         |        count(*) DESC,
+         |        CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+         |             WHEN 'es' THEN 2 ELSE 3 END ASC) AS rn
+         |    FROM $perDoc GROUP BY source, lang)
+         |  WHERE rn = 1
+         |), t AS (SELECT sum(n_tokens) AS tot FROM b)
+         |SELECT b.source, b.n_docs, b.n_tokens,
+         |  floor(CAST(b.n_tokens AS DOUBLE) / nullif(t.tot, 0) * 100
+         |    + 0.5) / 100 AS token_share,
+         |  floor(CAST(b.n_tokens AS DOUBLE) / b.n_docs * 100 + 0.5)
+         |    / 100 AS mean_tokens,
+         |$dupCol  ml.main_lang,
+         |  floor(CAST(ml.main_cnt AS DOUBLE) / b.n_docs * 100 + 0.5)
+         |    / 100 AS main_lang_share
+         |FROM b JOIN ml USING (source), t""".stripMargin
+  }
+
   private val vecCtes: String =
     """vecs AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -4103,59 +4237,10 @@ object SparkEntry {
     // fingerprint per doc, corpus-wide multiplicity, per-source
     // rollups, dominant language via the precedence-ranked row_number,
     // 1-row total for the share, round2 ratios
-    "text_corpus_card" ->
-      s"""WITH $wsToksCte, h AS (
-         |  SELECT source, CAST(len(toks) AS BIGINT) AS n_toks,
-         |    md5(lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ',
-         |      'g')))) AS fp,
-         |    len(list_filter(toks, t -> list_contains(
-         |      ${listLit(operators.TextStats.EnStopwords)}, lower(t)))) AS en_hits,
-         |    len(list_filter(toks, t -> list_contains(
-         |      ${listLit(operators.TextStats.DeStopwords)}, lower(t)))) AS de_hits,
-         |    len(list_filter(toks, t -> list_contains(
-         |      ${listLit(operators.TextStats.EsStopwords)}, lower(t)))) AS es_hits,
-         |    len(list_filter(toks, t -> list_contains(
-         |      ${listLit(operators.TextStats.FrStopwords)}, lower(t)))) AS fr_hits
-         |  FROM wtoks
-         |), hl AS (
-         |  SELECT *,
-         |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
-         |              AND en_hits >= fr_hits THEN 'en'
-         |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
-         |         WHEN es_hits >= fr_hits THEN 'es'
-         |         ELSE 'fr' END AS lang
-         |  FROM h
-         |), mult AS (
-         |  SELECT fp, count(*) AS nfp FROM hl GROUP BY fp
-         |), j AS (
-         |  SELECT hl.*, mult.nfp FROM hl JOIN mult USING (fp)
-         |), b AS (
-         |  SELECT source, count(*) AS n_docs,
-         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-         |    CAST(sum(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_dup
-         |  FROM j GROUP BY source
-         |), ml AS (
-         |  SELECT source, c AS main_cnt, lang AS main_lang FROM (
-         |    SELECT source, lang, count(*) AS c,
-         |      row_number() OVER (PARTITION BY source ORDER BY
-         |        count(*) DESC,
-         |        CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
-         |             WHEN 'es' THEN 2 ELSE 3 END ASC) AS rn
-         |    FROM j GROUP BY source, lang)
-         |  WHERE rn = 1
-         |), t AS (SELECT sum(n_tokens) AS tot FROM b)
-         |SELECT b.source, b.n_docs, b.n_tokens,
-         |  floor(CAST(b.n_tokens AS DOUBLE) / nullif(t.tot, 0) * 100
-         |    + 0.5) / 100 AS token_share,
-         |  floor(CAST(b.n_tokens AS DOUBLE) / b.n_docs * 100 + 0.5)
-         |    / 100 AS mean_tokens,
-         |  floor(CAST(b.n_dup AS DOUBLE) / b.n_docs * 100 + 0.5) / 100
-         |    AS dup_rate,
-         |  ml.main_lang,
-         |  floor(CAST(ml.main_cnt AS DOUBLE) / b.n_docs * 100 + 0.5)
-         |    / 100 AS main_lang_share
-         |FROM b JOIN ml USING (source), t""".stripMargin,
+    "text_corpus_card" -> CorpusCardSql(withDup = true),
+    // streaming-maintained dataset card: the mergeable-counters card
+    // (batch twin minus the documented dup_rate exclusion)
+    "stream_card_maintain" -> CorpusCardSql(withDup = false),
 
     // code-switch twin: the text_chunk tiling at 64/0 (chunk tokens ARE
     // the array slice — no re-split needed), per-chunk marker-word
@@ -5135,6 +5220,67 @@ object SparkEntry {
          |WHERE ('0x' || substr(md5('graft-fit' || '|' ||
          |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
 
+    // Floors twin: the two-event-class water solve — each source
+    // explodes into (leave-floor, hit-cap) events, one sorted pass of
+    // running prefix sums, the first interval whose candidate level
+    // lands inside it pins λ*. Floors are integral (floor'd md5
+    // percentage of avail), so every running sum is exact in double.
+    "samp_mix_fit_floors" ->
+      s"""WITH s2 AS (
+         |  SELECT source,
+         |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS a,
+         |    CAST(('0x' || substr(md5(source), 1, 4))::BIGINT % 5 + 1
+         |      AS DOUBLE) AS w,
+         |    least(CAST(floor(
+         |      CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+         |      * (('0x' || substr(md5(source), 5, 2))::BIGINT % 60)
+         |      / 100.0) AS DOUBLE),
+         |      CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)) AS lo
+         |  FROM documents GROUP BY source
+         |), t AS (
+         |  SELECT sum(a) AS ta, sum(w) AS tw, sum(lo) AS tl FROM s2
+         |), ev AS (
+         |  SELECT source, lo / w AS re, -lo AS dlo, w AS dw,
+         |    0.0 AS da, 0 AS ty FROM s2
+         |  UNION ALL
+         |  SELECT source, a / w AS re, 0.0 AS dlo, -w AS dw,
+         |    a AS da, 1 AS ty FROM s2
+         |), p AS (
+         |  SELECT ev.*, ta, tl,
+         |    row_number() OVER w1 AS rn,
+         |    sum(dlo) OVER w2 AS lox,
+         |    sum(dw) OVER w2 AS wa,
+         |    sum(da) OVER w2 AS ac,
+         |    lead(re) OVER w1 AS rnext
+         |  FROM ev, t
+         |  WINDOW w1 AS (ORDER BY re ASC, source ASC, ty ASC),
+         |    w2 AS (ORDER BY re ASC, source ASC, ty ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), q AS (
+         |  SELECT p.*,
+         |    (0.5 * ta - tl - lox - ac) / nullif(wa, 0.0) AS cand
+         |  FROM p
+         |), l AS (
+         |  SELECT cand AS lamstar FROM q
+         |  WHERE cand IS NOT NULL AND cand >= re
+         |    AND (rnext IS NULL OR cand < rnext)
+         |  ORDER BY rn LIMIT 1
+         |)
+         |SELECT source,
+         |  CAST(a AS BIGINT) AS avail_tokens,
+         |  floor(w * 100 + 0.5) / 100 AS target_w,
+         |  floor(lo * 100 + 0.5) / 100 AS floor_tokens,
+         |  floor((CASE WHEN a / w <= lamstar THEN a
+         |    WHEN lo / w > lamstar THEN lo
+         |    ELSE lamstar * w END) * 100 + 0.5) / 100 AS alloc_tokens,
+         |  floor((CASE WHEN a / w <= lamstar THEN 1.0
+         |    WHEN lo / w > lamstar THEN lo / nullif(a, 0.0)
+         |    ELSE lamstar * w / nullif(a, 0.0) END) * 100 + 0.5) / 100
+         |    AS rate,
+         |  (a / w <= lamstar) AS capped,
+         |  (lo / w > lamstar) AS floored
+         |FROM s2, l""".stripMargin,
+
     // Curriculum twins: exact ntile over the pinned total order, and
     // the histogram value-quantile replay (running sum over DISTINCT
     // scores, block-start bin ceil((cum-c+1)*nBins/N))
@@ -5435,6 +5581,7 @@ object SparkEntry {
     // parameterized IVF chain (cap re-probed per SF on landing —
     // higher-recall graph, more true edges)
     "sim_knn_components_ivf" -> KnnComponentsIvfSql(k = 2, cap = 14),
+    "dedup_semantic_knn" -> SemanticDedupKnnSql(k = 2, cap = 14, threshold = 0.5),
 
     // Embedding health-report twin: same unit-vector chain, per-dim
     // DECIMAL(30,12) centroid means, fold-left cnorm/dots in identical

@@ -1182,6 +1182,80 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("hit").isNull.as("keep"))
   }
 
+  /** SemDeDup over the IVF-routed reciprocal-kNN clusters — the
+    * round-10 "built the better blocking, now act on it" composition:
+    * block near-identical content by
+    * [[Similarity.knnComponentsIvf]]'s density components (measured
+    * recall 2.6–4.7× the sign buckets, cluster purity 0.446 vs 0.366 —
+    * tools/IvfKnnProbe, tools/ClusterProbe tables in BASELINE.md) and
+    * within each component run [[semanticDedupBest]]'s keep-best
+    * pairwise duel: drop a member iff some SAME-COMPONENT member at
+    * cosine >= `threshold` strictly beats it on (quality, then lower
+    * id) — the cosine verify keeps the collapse rule identical to the
+    * centroid-bucket arm, only the BLOCKING changes, which is what
+    * makes the two arms' measured dup-pairs-found / false-collapse
+    * rates comparable (tools/SemDedupProbe table in BASELINE.md).
+    * Vectors with no mutual edge are singletons by construction and
+    * are implicitly kept — they do not appear in the output (the graph
+    * rows are the dup signal; the [[Similarity.knnComponentsIvf]]
+    * contract).
+    *
+    * `quality` is any (idCol, `qCol`) frame — the gate feeds document
+    * length; production feeds an LM/classifier score. Members missing
+    * a quality row rank at q = 0 (worst). Ids must be non-negative
+    * (the duel's total order ties to the LOWEST id, and downstream
+    * consumers share the graph ops' non-negative-id contract).
+    *
+    * Scale posture: the component build is the already-bounded IVF
+    * kNN machinery (8-of-128 routing, k·n edge list, min-label
+    * fixpoint); the duel is a component-keyed self-join whose
+    * expansion is bounded by component size — reciprocal-kNN
+    * components at k=2 stay small by construction (tools/KnnProbe),
+    * orders tighter than the centroid arm's 1/nClusters-of-corpus
+    * buckets. Verification happens IN the join condition (invariant
+    * 10: no distinct over an unverified expansion).
+    * Output: (vec_id, component, keep). */
+  def semanticDedupKnn(emb: DataFrame, quality: DataFrame,
+                       threshold: Double = 0.5,
+                       k: Int = 2, nCentroids: Int = 128,
+                       nProbe: Int = 8, maxRounds: Int = 14,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       qCol: String = "q"): DataFrame = {
+    require(quality.columns.contains(qCol),
+      s"semanticDedupKnn: quality frame has no column '$qCol' " +
+        s"(columns: ${quality.columns.mkString(", ")})")
+    val q = quality.select(col(idCol).as("vec_id"),
+      col(qCol).cast("double").as("q"))
+    val members = Similarity.knnComponentsIvf(emb, k, nCentroids,
+        nProbe, maxRounds)
+      .join(q, Seq("vec_id"), "left")
+      // enforce the non-negative-id contract in-plan (same guard
+      // family as labelPropagate: raises instead of silently wrong
+      // exemplars on an inverted tie)
+      .select(when(col("vec_id") < 0, raise_error(concat(
+          lit("semanticDedupKnn requires non-negative ids; got "),
+          col("vec_id").cast("string"))))
+          .otherwise(col("vec_id")).as("vec_id"),
+        col("component"), coalesce(col("q"), lit(0.0)).as("q"))
+      .join(Similarity.withNorm(emb, idCol, vecCol), Seq("vec_id"))
+      .persist()
+    val a = members.select(col("component"), col("vec_id").as("ia"),
+      col("vec").as("va"), col("norm").as("na"), col("q").as("qa"))
+    val b = members.select(col("component"), col("vec_id").as("ib"),
+      col("vec").as("vb"), col("norm").as("nb"), col("q").as("qb"))
+    val drops = a.join(b, Seq("component"))
+      .filter((col("qa") > col("qb") ||
+          (col("qa") === col("qb") && col("ia") < col("ib"))) &&
+        Similarity.dot(col("va"), col("vb"))
+          / nullif(col("na") * col("nb"), lit(0.0)) >= threshold)
+      .select(col("ib").as("vec_id")).distinct()
+    members
+      .join(drops.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("component"),
+        col("hit").isNull.as("keep"))
+  }
+
   def resolveEntities(df: DataFrame, strCol: String,
                       iters: Int = 3): DataFrame = {
     val vocab = df

@@ -478,6 +478,103 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** [[mixtureFit]] with per-source FLOORS — the fairness knob a
+    * multilingual mix actually needs (min tokens per language): each
+    * source is guaranteed at least `floorCol` tokens (clamped to its
+    * avail), and the REMAINING budget water-fills by weight exactly as
+    * the unconstrained solve does. Per source the allocation as a
+    * function of the level λ is clamp(λ·w, lo, a) with lo =
+    * min(floor, a) — piecewise linear with TWO breakpoint classes
+    * (leave-floor at lo/w, hit-cap at a/w), so the solve explodes each
+    * source into its two events, sorts them once, and finds the
+    * interval whose candidate level lands inside it — still prefix-sum
+    * windows over the enum-sized source table, zero driver logic.
+    * Allocations: floor-bound sources sit at lo (λ* below their
+    * leave-floor point), capped sources at a, active sources at λ*·w;
+    * Σ alloc = budget by construction.
+    *
+    * Infeasible floors (Σ lo > budget) RAISE in-plan — silently
+    * shrinking a fairness guarantee is the one thing this operator
+    * must never do. `budgetFrac` is strict (0, 1): at 1.0 the solve is
+    * vacuous (keep everything; no level exists once every source is
+    * capped). Sources with w <= 0 or NULL avail are dropped (the
+    * [[mixtureFit]] contract — a floor needs a positive weight to
+    * define its leave-floor breakpoint).
+    * Output: (source, avail_tokens, target_w, floor_tokens,
+    * alloc_tokens, rate, capped, floored). */
+  def mixtureFitFloors(stats: DataFrame, budgetFrac: Double = 0.5,
+                       srcCol: String = "source",
+                       availCol: String = "avail", wCol: String = "w",
+                       floorCol: String = "floor_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetFrac > 0 && budgetFrac < 1,
+      s"budgetFrac must be in (0, 1) for the floors solve: $budgetFrac")
+    require(stats.columns.contains(floorCol),
+      s"mixtureFitFloors: stats frame has no column '$floorCol' " +
+        s"(columns: ${stats.columns.mkString(", ")})")
+    val s = stats.select(col(srcCol).as("source"),
+        col(availCol).cast("double").as("a"),
+        col(wCol).cast("double").as("w"),
+        greatest(lit(0.0),
+          coalesce(col(floorCol).cast("double"), lit(0.0))).as("f"))
+      .filter(col("w") > 0 && col("a").isNotNull)
+      .withColumn("lo", least(col("f"), col("a")))
+      .persist() // two consumers: the event solve + the output projection
+    val tot = s.agg(sum(col("a")).as("ta"), sum(col("w")).as("tw"),
+      sum(col("lo")).as("tl"))
+    // the two event classes; ty orders a source's leave-floor event
+    // before its hit-cap event on ties (lo = a makes them coincide)
+    val ev = s.select(col("source"), (col("lo") / col("w")).as("re"),
+        (-col("lo")).as("dlo"), col("w").as("dw"),
+        lit(0.0).as("da"), lit(0).as("ty"))
+      .unionByName(s.select(col("source"), (col("a") / col("w")).as("re"),
+        lit(0.0).as("dlo"), (-col("w")).as("dw"),
+        col("a").as("da"), lit(1).as("ty")))
+    // global window over 2·|sources| event rows — enum-sized by the
+    // same argument as waterLevel's (the sanctioned solve windows)
+    val ord = Window.orderBy(col("re").asc, col("source").asc,
+      col("ty").asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val lv = ev.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("lox", sum(col("dlo")).over(run))
+      .withColumn("wa", sum(col("dw")).over(run))
+      .withColumn("ac", sum(col("da")).over(run))
+      .withColumn("rnext", lead(col("re"), 1).over(ord))
+      // budget mass at level λ in this interval:
+      //   (tl + lox) floor-bound + ac capped + λ·wa active
+      .withColumn("cand",
+        (lit(budgetFrac) * col("ta") - col("tl") - col("lox")
+          - col("ac")) / nullif(col("wa"), lit(0.0)))
+      .withColumn("ok", col("cand").isNotNull &&
+        col("cand") >= col("re") &&
+        (col("rnext").isNull || col("cand") < col("rnext")))
+    // first valid interval pins λ*; none valid ⇔ Σ lo > budget
+    val lam = lv.agg(min(when(col("ok"),
+        struct(col("rn"), col("cand")))).as("kl"))
+      .select(col("kl.cand").as("lamstar"))
+    s.crossJoin(broadcast(lam))
+      .select(col("source"),
+        col("a").cast("long").as("avail_tokens"),
+        graft.functions.Fns.round2(col("w")).as("target_w"),
+        graft.functions.Fns.round2(col("lo")).as("floor_tokens"),
+        graft.functions.Fns.round2(
+          when(col("lamstar").isNull, raise_error(lit(
+            "mixtureFitFloors: floors infeasible — sum of floors " +
+              "exceeds the budget")))
+            .when(col("a") / col("w") <= col("lamstar"), col("a"))
+            .when(col("lo") / col("w") > col("lamstar"), col("lo"))
+            .otherwise(col("lamstar") * col("w"))).as("alloc_tokens"),
+        graft.functions.Fns.round2(
+          when(col("a") / col("w") <= col("lamstar"), lit(1.0))
+            .when(col("lo") / col("w") > col("lamstar"),
+              col("lo") / nullif(col("a"), lit(0.0)))
+            .otherwise(col("lamstar") * col("w")
+              / nullif(col("a"), lit(0.0)))).as("rate"),
+        (col("a") / col("w") <= col("lamstar")).as("capped"),
+        (col("lo") / col("w") > col("lamstar")).as("floored"))
+  }
+
   /** Temperature-scaled mixture resampling — the multilingual-corpus
     * reweighting trick (mBERT/XLM-R style): stratum shares are
     * rebalanced toward count^(1/T), down-weighting dominant strata and

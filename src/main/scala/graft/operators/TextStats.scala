@@ -222,29 +222,38 @@ object TextStats {
     * Output: (source, n_docs, n_tokens, token_share, mean_tokens,
     * dup_rate, main_lang, main_lang_share), round2 ratios.
     */
+  /** Stopword-marker hit count for one language's word list — the
+    * [[langId]] device, shared by the card operators. */
+  private def stopHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(wsTokens(text), t => array_contains(set, lower(t))))
+      .cast("long")
+  }
+
+  /** The marker-word language cascade as ONE column expression
+    * (en >= de >= es >= fr tie precedence, all-zero docs tie to "en")
+    * — shared by [[corpusCard]] and the streaming card state so both
+    * classify identically by construction. */
+  private def langExpr(text: Column): Column = {
+    val en = stopHits(text, EnStopwords)
+    val de = stopHits(text, DeStopwords)
+    val es = stopHits(text, EsStopwords)
+    val fr = stopHits(text, FrStopwords)
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
   def corpusCard(docs: DataFrame, srcCol: String = "source",
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    def hits(words: Seq[String]): Column = {
-      val set = array(words.map(lit): _*)
-      size(filter(wsTokens(text), t => array_contains(set, lower(t))))
-        .cast("long")
-    }
     val per = docs.select(
         col(srcCol).as("source"),
         size(wsTokens(text)).cast("long").as("n_toks"),
         md5(normalized(text)).as("fp"),
-        hits(EnStopwords).as("en_hits"), hits(DeStopwords).as("de_hits"),
-        hits(EsStopwords).as("es_hits"), hits(FrStopwords).as("fr_hits"))
-      .withColumn("lang",
-        when(col("en_hits") >= col("de_hits") &&
-             col("en_hits") >= col("es_hits") &&
-             col("en_hits") >= col("fr_hits"), "en")
-          .when(col("de_hits") >= col("es_hits") &&
-                col("de_hits") >= col("fr_hits"), "de")
-          .when(col("es_hits") >= col("fr_hits"), "es")
-          .otherwise("fr"))
+        langExpr(text).as("lang"))
     val mult = per.groupBy("fp").agg(count(lit(1)).as("nfp"))
     val j = per.join(mult, "fp").persist() // two rollups below
     val bySrc = j.groupBy("source").agg(
@@ -276,6 +285,63 @@ object TextStats {
           .as("mean_tokens"),
         graft.functions.Fns.round2(col("n_dup") / col("n_docs"))
           .as("dup_rate"),
+        col("main_lang"),
+        graft.functions.Fns.round2(col("main_cnt") / col("n_docs"))
+          .as("main_lang_share"))
+  }
+
+  /** The MERGEABLE state behind [[corpusCard]]: per (source, lang),
+    * exact document and token counts — both integer sums, so state
+    * from disjoint batches merges by addition with NO approximation
+    * (the identity the streaming card maintainer rides:
+    * cardState(A ∪ B) = merge(cardState(A), cardState(B)) for
+    * disjoint A, B). The card's one NON-mergeable column — dup_rate,
+    * whose fingerprint multiplicity needs fp-sized state — is the
+    * documented exclusion; every other column of the card is a pure
+    * function of this state ([[cardFromState]]).
+    * Output: (source, lang, n_docs, n_tokens). */
+  def cardState(docs: DataFrame, srcCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    docs.select(col(srcCol).as("source"),
+        size(wsTokens(text)).cast("long").as("n_toks"),
+        langExpr(text).as("lang"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** Assemble the dataset card from [[cardState]] — [[corpusCard]]
+    * minus the dup_rate column, computable from the
+    * (source, lang)-keyed state alone: source rollups, token shares,
+    * dominant language via the same struct-max + literal rank device.
+    * State is enum-sized (sources × 4 langs), so everything here is
+    * broadcast-cheap regardless of corpus size.
+    * Output: (source, n_docs, n_tokens, token_share, mean_tokens,
+    * main_lang, main_lang_share), round2 ratios. */
+  def cardFromState(state: DataFrame): DataFrame = {
+    val bySrc = state.groupBy("source").agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"))
+    val rank = when(col("lang") === "en", 0)
+      .when(col("lang") === "de", 1)
+      .when(col("lang") === "es", 2).otherwise(3)
+    val main = state
+      .select(col("source"), col("n_docs").as("c"), (-rank).as("nr"))
+      .groupBy("source")
+      .agg(max(struct(col("c"), col("nr"))).as("b"))
+      .select(col("source"), col("b.c").as("main_cnt"),
+        when(col("b.nr") === 0, "en").when(col("b.nr") === -1, "de")
+          .when(col("b.nr") === -2, "es").otherwise("fr")
+          .as("main_lang"))
+    val total = bySrc.agg(sum(col("n_tokens")).as("tot"))
+    bySrc.join(main, "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.functions.Fns.round2(
+          col("n_tokens") / nullif(col("tot"), lit(0L)))
+          .as("token_share"),
+        graft.functions.Fns.round2(col("n_tokens") / col("n_docs"))
+          .as("mean_tokens"),
         col("main_lang"),
         graft.functions.Fns.round2(col("main_cnt") / col("n_docs"))
           .as("main_lang_share"))

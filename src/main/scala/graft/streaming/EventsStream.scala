@@ -1016,6 +1016,69 @@ object EventsStream {
     spark.read.parquet(s"$artDir/v${versions.max}")
   }
 
+  /** Streaming-maintained dataset card — the [[sampleMaintain]]
+    * versioned-artifact pattern carrying
+    * [[graft.operators.TextStats.cardState]]'s mergeable
+    * (source, lang) counters: each micro-batch computes ITS OWN state
+    * (one keyed agg over the delta), sums it into the stored state,
+    * and writes the next artifact version (retry re-reads only
+    * v(N-1) — the rollup idempotence story). Because doc/token counts
+    * are exact integer sums over disjoint batches, the final card is
+    * BIT-IDENTICAL to the one-shot batch
+    * [[graft.operators.TextStats.corpusCard]] minus its documented
+    * non-mergeable dup_rate column (fingerprint multiplicity needs
+    * fp-sized state; the counters need sources × 4 rows). This is how
+    * a continuous-crawl corpus keeps its dataset card current without
+    * ever rescanning: enum-sized state, delta-sized work per batch.
+    * Output: [[graft.operators.TextStats.cardFromState]]'s columns. */
+  def cardMaintain(spark: SparkSession, dir: String, stageDir: String,
+                   artDir: String): DataFrame = {
+    import graft.operators.TextStats
+    val d = graft.Tables.load(spark, dir, "documents")
+    stageBatches(stageDir,
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 === 1),
+      d.filter(col("doc_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val part = TextStats.cardState(batch)
+        val prevDir = new java.io.File(s"$artDir/v${batchId - 1}")
+        val merged =
+          if (!prevDir.isDirectory) part
+          else s2.read.parquet(prevDir.getPath).unionByName(part)
+            .groupBy("source", "lang")
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_tokens")).as("n_tokens"))
+        merged.write.mode("overwrite").parquet(s"$artDir/v$batchId")
+        val stale = new java.io.File(s"$artDir/v${batchId - 2}")
+        if (stale.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val versions = Option(new java.io.File(artDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    TextStats.cardFromState(
+      spark.read.parquet(s"$artDir/v${versions.max}"))
+  }
+
   def decontamIngest(spark: SparkSession, dir: String,
                      idxDir: String): DataFrame = {
     val d = graft.Tables.load(spark, dir, "documents")
