@@ -137,6 +137,69 @@ class PlanInvariantSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  /** Gates whose PARTITION-LESS window is sanctioned (round-10
+    * verdict #6 — the two historically-documented sites plus every
+    * other audited-bounded one, so a NEW partition-less WindowExec
+    * fails the build until justified here AND in the operator's
+    * scaladoc). Three sanctioned classes:
+    *  1. input bounded by CONSTRUCTION — a limit/top-k, a model
+    *     artifact, file metadata, or an enum-sized aggregate feeds the
+    *     window, so the single window task is constant-sized;
+    *  2. input bounded by CARDINALITY — the window runs over a
+    *     distinct-value histogram or a day spine, not the corpus;
+    *  3. exact-total-order CONTRACT gates that document the
+    *     one-reducer hazard and ship a scalable twin gate pinning the
+    *     same output. */
+  private val SanctionedGlobalWindow: Set[String] =
+    // 1. bounded by construction
+    Set("q2_dictionary", "q3_task1", // rank over the TakeOrdered <=5000 dictionary
+      "io_compaction_plan", // prefix-sum over |files| METADATA rows
+      "text_bpe_pairs", // rank AFTER .limit(k) (TextStats.bpePairs)
+      "text_token_ids", // vocab rank AFTER .limit(maxVocab)
+      "text_hybrid_rrf", // rank over the r-row BM25 list (Search.hybridRrf)
+      "sim_topk_pq", "sim_topk_ivfpq", // pqCent codebook, <= ksub rows
+      // the water-level solves: windows over the enum-sized source
+      // table (mixtureFit family scaladoc; floors = 2·|sources| events)
+      "samp_mix_fit", "samp_mix_fit_apply", "samp_mix_fit_floors",
+      "pipe_budget_prep") ++
+    // 2. bounded by cardinality (distinct-score histogram / day spine)
+    Set("rel_auc", // ROC prefix sums over the score histogram
+      "samp_curriculum_scalable", "samp_token_budget_scalable",
+      "rel_cumulative_users", "rel_rolling_stats") ++ // day spine
+    // 3. exact-total-order contracts with documented hazard + twin
+    Set("samp_curriculum", "samp_token_budget", // scalable twins gate the same output
+      // |customers|-row per-customer aggregate — the documented
+      // small-dimension case (revenueDeciles/giniSpend scaladoc)
+      "rel_revenue_deciles", "rel_gini")
+
+  /** Partition-less WindowExec occurrences, INCLUDING inside cached
+    * subtrees (a persisted solve hides its window behind an
+    * InMemoryTableScan — trusting the scan would blind the audit,
+    * the same resolution rule boundedByConstruction applies). */
+  private def globalWindows(p: SparkPlan): Seq[String] =
+    p.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        Seq(s"partition-less Window: ${w.simpleStringWithNodeId()}")
+      case i: InMemoryTableScanExec =>
+        globalWindows(i.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => globalWindows(a.executedPlan)
+      case r: ReusedExchangeExec => globalWindows(r.child)
+    }.flatten.distinct
+
+  test("registry plans contain no partition-less Window outside the " +
+    "sanctioned bounded-input sites") {
+    val bad = Audited.flatMap { name =>
+      val plan = SparkEntry.queries(name)(audit, SfDir)
+        .queryExecution.executedPlan
+      val v = globalWindows(plan)
+        .filterNot(_ => SanctionedGlobalWindow.contains(name))
+      Housekeeping.release(audit)
+      v.map(name + ": " + _)
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("io_partition_prune's scan carries real PartitionFilters") {
     val plan = SparkEntry.queries("io_partition_prune")(audit, SfDir)
       .queryExecution.executedPlan
