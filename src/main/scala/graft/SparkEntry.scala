@@ -683,7 +683,8 @@ object SparkEntry {
     // the IVF-routed density clusters (round-10: the round-9 "cluster
     // quality inherits the weak blocking" finding closed end-to-end —
     // the component structure a semantic-dedup pass acts on is now
-    // built from 8-of-128 routed neighborhoods, recall 2.6–4.7× the
+    // built from 16-of-128 routed neighborhoods (re-pinned round 11,
+    // IvfFrontierProbe: +purity AND +coverage), recall 2.6–4.7× the
     // sign buckets at comparable scanned fraction)
     "sim_knn_components_ivf" -> ((s, dir) =>
       Similarity.knnComponentsIvf(tbl(s, dir, "embeddings"))),
@@ -706,7 +707,7 @@ object SparkEntry {
     "sim_embed_report" -> ((s, dir) =>
       Similarity.embedReport(tbl(s, dir, "embeddings"))),
     // the IVF-routed kNN graph (round-9 verdict #1): same mutual-edge
-    // construction, blocking upgraded from sign buckets to 8-of-128
+    // construction, blocking upgraded from sign buckets to 16-of-128
     // inverted-file routing in the SAME cosine metric
     "sim_knn_graph_ivf" -> ((s, dir) =>
       Similarity.knnGraphMutualIvf(tbl(s, dir, "embeddings"))),
@@ -2031,9 +2032,9 @@ object SparkEntry {
 
   // IVF-routed components twin: the SAME unrolled min-label tail over
   // the parameterized IVF chain (ivfKnnCtes — every vector queries its
-  // 8-of-128 probed lists), vec_id-keyed.
+  // 16-of-128 probed lists, the round-11 frontier point), vec_id-keyed.
   private def KnnComponentsIvfSql(k: Int, cap: Int): String =
-    knnComponentsSqlOver(ivfKnnCtes(128, 8, "TRUE"), "ivs", k, cap)
+    knnComponentsSqlOver(ivfKnnCtes(128, 16, "TRUE"), "ivs", k, cap)
 
   // SemDeDup-over-IVF-clusters twin: the same IVF components chain,
   // then semanticDedupBest's pairwise duel INSIDE each component — a
@@ -2043,7 +2044,7 @@ object SparkEntry {
   // operator's contract); vectors come from the front's `normed` CTE.
   private def SemanticDedupKnnSql(k: Int, cap: Int,
                                   threshold: Double): String =
-    knnComponentsSqlOver(ivfKnnCtes(128, 8, "TRUE"), "ivs", k, cap,
+    knnComponentsSqlOver(ivfKnnCtes(128, 16, "TRUE"), "ivs", k, cap,
       tail = s""", m AS MATERIALIZED (
         |  SELECT c.vec_id, c.component,
         |    coalesce(CAST(d.n_chars AS DOUBLE), 0.0) AS q,
@@ -5693,12 +5694,12 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM ex) qs
          |LEFT JOIN h ON qs.query_id = h.query_id""".stripMargin,
 
-    // IVF-routed kNN graph twin: the parameterized 8-of-128 IVF
+    // IVF-routed kNN graph twin: the parameterized 16-of-128 IVF
     // routing chain (every nonzero vector is a query), top-5 per
     // query, mutual-edge join, round2 cosine re-attached from the
     // full vectors — replays knnGraphMutualIvf exactly.
     "sim_knn_graph_ivf" ->
-      s"""WITH $vecCtes, ${ivfKnnCtes(128, 8, "TRUE")}, knn AS (
+      s"""WITH $vecCtes, ${ivfKnnCtes(128, 16, "TRUE")}, knn AS (
          |  SELECT query_id, vec_id AS neighbor_id FROM ivs
          |  QUALIFY row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, vec_id ASC) <= 5
@@ -5716,7 +5717,7 @@ object SparkEntry {
          |JOIN normed nu ON nu.vec_id = mu.u
          |JOIN normed nv ON nv.vec_id = mu.v""".stripMargin,
 
-    // IVF-routed kNN-recall twin: the brute ranking and the 8-of-128
+    // IVF-routed kNN-recall twin: the brute ranking and the 16-of-128
     // IVF ranking side by side, inner-join overlap per query, round2
     // recall — the sim_knn_recall twin with the approximate arm
     // swapped to the parameterized IVF chain.
@@ -5734,7 +5735,7 @@ object SparkEntry {
          |  SELECT query_id, vec_id AS neighbor_id FROM s
          |  QUALIFY row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, vec_id ASC) <= 10
-         |), ${ivfKnnCtes(128, 8, "vec_id % 10 = 0")}, ap AS (
+         |), ${ivfKnnCtes(128, 16, "vec_id % 10 = 0")}, ap AS (
          |  SELECT query_id, vec_id AS neighbor_id FROM ivs
          |  QUALIFY row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, vec_id ASC) <= 10

@@ -1207,7 +1207,7 @@ object Dedup {
     * consumers share the graph ops' non-negative-id contract).
     *
     * Scale posture: the component build is the already-bounded IVF
-    * kNN machinery (8-of-128 routing, k·n edge list, min-label
+    * kNN machinery (16-of-128 routing, k·n edge list, min-label
     * fixpoint); the duel is a component-keyed self-join whose
     * expansion is bounded by component size — reciprocal-kNN
     * components at k=2 stay small by construction (tools/KnnProbe),
@@ -1218,7 +1218,7 @@ object Dedup {
   def semanticDedupKnn(emb: DataFrame, quality: DataFrame,
                        threshold: Double = 0.5,
                        k: Int = 2, nCentroids: Int = 128,
-                       nProbe: Int = 8, maxRounds: Int = 14,
+                       nProbe: Int = 16, maxRounds: Int = 14,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        qCol: String = "q"): DataFrame = {

@@ -1158,14 +1158,19 @@ object Similarity {
     * its k nearest within its nProbe nearest of nCentroids centroid
     * lists. Routing and ranking share the SAME cosine metric, so the
     * probed lists align with the neighborhoods being searched — at the
-    * 8-of-128 default the measured recall@10 is 2.6–4.7× sign-bucket
-    * LSH at comparable scanned fraction (~6%; tools/IvfKnnProbe table
-    * in BASELINE.md — sign buckets cut the space by per-DIMENSION
-    * signs, which embeddings do not cluster by). Same O(edges)
+    * 16-of-128 default the routing recovers measurably MORE real
+    * neighborhoods than the 8-of-128 point it replaced — re-pinned
+    * from the round-11 frontier sweep (tools/IvfFrontierProbe table in
+    * BASELINE.md: at sf0.1 purity 0.446→0.453 AND coverage
+    * 0.420→0.512 with convergence in 5 rounds instead of 6, for a
+    * 12.5% scanned fraction; 8-of-128 recall itself was 2.6–4.7×
+    * sign-bucket LSH at ~6%, tools/IvfKnnProbe — sign buckets cut the
+    * space by per-DIMENSION signs, which embeddings do not cluster
+    * by). Same O(edges)
     * mutual/cosine tail.
     * Output: (u, v, cos) with u < v, round2 cosine. */
   def knnGraphMutualIvf(emb: DataFrame, k: Int = 5,
-                        nCentroids: Int = 128, nProbe: Int = 8,
+                        nCentroids: Int = 128, nProbe: Int = 16,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame =
     mutualCosTail(
@@ -1220,12 +1225,15 @@ object Similarity {
     * [[knnRecall]] harness pointed at [[ivfTopK]]'s blocking instead
     * of the sign buckets (round-9 verdict #1: the measurement that
     * justifies rebuilding the kNN graph on IVF routing). At the
-    * default 8-of-128 lists the scanned fraction is comparable to the
-    * LSH bucket+Hamming-1 probe set (~6% vs ~3.5%) and the measured
-    * recall is 2.6–4.7× across SFs (tools/IvfKnnProbe, BASELINE.md).
+    * 8-of-128 point the scanned fraction is comparable to the LSH
+    * bucket+Hamming-1 probe set (~6% vs ~3.5%) and the measured recall
+    * is 2.6–4.7× across SFs (tools/IvfKnnProbe, BASELINE.md); the
+    * default follows the graph family's re-pinned 16-of-128 operating
+    * point (tools/IvfFrontierProbe) so this eval keeps pricing the
+    * blocking the gates actually run.
     * Output: (query_id, n_hits, recall). */
   def knnRecallIvf(emb: DataFrame, k: Int = 10, nCentroids: Int = 128,
-                   nProbe: Int = 8, queryMod: Int = 10): DataFrame = {
+                   nProbe: Int = 16, queryMod: Int = 10): DataFrame = {
     val queries = emb.filter(col("vec_id") % queryMod === 0)
     recallTail(bruteTopK(queries, emb, k),
       ivfTopK(queries, emb, k, nCentroids, nProbe), k)
@@ -1272,7 +1280,7 @@ object Similarity {
   /** IVF-routed density clusters — [[knnComponents]] with the mutual
     * graph built by [[knnGraphMutualIvf]] instead of the sign-bucket
     * LSH (the round-9 "clustering inherits the weak blocking" finding,
-    * closed): the 8-of-128 routing recovers 2.6–4.7× the true
+    * closed): the IVF routing recovers 2.6–4.7× the true
     * neighbors at comparable scanned fraction (sim_knn_recall_ivf), so
     * the reciprocal-kNN edges — and therefore the component structure
     * a semantic-dedup pass acts on — are built from real neighborhoods
@@ -1282,7 +1290,7 @@ object Similarity {
     * MORE true edges, so the cap is re-probed per SF, not assumed).
     * Output: (vec_id, component, rounds). */
   def knnComponentsIvf(emb: DataFrame, k: Int = 2,
-                       nCentroids: Int = 128, nProbe: Int = 8,
+                       nCentroids: Int = 128, nProbe: Int = 16,
                        maxRounds: Int = 14): DataFrame =
     componentsTail(knnGraphMutualIvf(emb, k, nCentroids, nProbe),
       maxRounds)

@@ -134,7 +134,7 @@ class Round21Spec extends SparkSpec {
 
   // --- Similarity.knnRecallIvf vs knnRecall (round-9 verdict #1) ---
 
-  test("ivf 8-of-128 routing beats sign-bucket LSH recall by >= 2x at " +
+  test("ivf 16-of-128 routing beats sign-bucket LSH recall by >= 2x at " +
     "comparable scanned fraction (sf0.001 floor; IvfKnnProbe table)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def mean(df: org.apache.spark.sql.DataFrame): Double =
