@@ -1356,6 +1356,21 @@ object SparkEntry {
           floor(col("avail") * (conv(substring(md5(col("source")), 5, 2),
             16, 10).cast("long") % 60) / 100.0).cast("long")))
     }),
+    // ...and the floors APPLY: floor-bound sources keep at lo/avail,
+    // capped at 1, active at λ*·w/avail — the fairness-constrained
+    // budgeted mix executed end-to-end as hash thresholds
+    "samp_mix_fit_floors_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{conv, floor, substring, sum}
+      val d = docs(s, dir)
+      Sampling.mixtureFitFloorsApply(d.select("doc_id", "source"),
+        d.groupBy("source").agg(sum(col("n_chars")).as("avail"))
+          .withColumn("w",
+            conv(substring(md5(col("source")), 1, 4), 16, 10)
+              .cast("long") % 5 + 1)
+          .withColumn("floor_tokens",
+            floor(col("avail") * (conv(substring(md5(col("source")), 5, 2),
+              16, 10).cast("long") % 60) / 100.0).cast("long")))
+    }),
     // temperature-2 rebalance: weights sqrt(count) derived in-plan
     // (sqrt is correctly rounded per IEEE 754 → oracle-pinnable; other
     // temperatures go through pow and are not)
@@ -2985,6 +3000,52 @@ object SparkEntry {
   private val jaccardSql: String =
     s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, jac FROM jc WHERE jac >= 0.8""".stripMargin
+
+  // Shared floors water-solve CTE chain (the samp_mix_fit_floors
+  // solve): integral md5-derived floors, the two event classes,
+  // sorted running prefix sums, first-valid-interval λ* — serves the
+  // report twin and the apply twin.
+  private val mixFitFloorsCtes: String =
+    s"""s2 AS (
+         |  SELECT source,
+         |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS a,
+         |    CAST(('0x' || substr(md5(source), 1, 4))::BIGINT % 5 + 1
+         |      AS DOUBLE) AS w,
+         |    least(CAST(floor(
+         |      CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+         |      * (('0x' || substr(md5(source), 5, 2))::BIGINT % 60)
+         |      / 100.0) AS DOUBLE),
+         |      CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)) AS lo
+         |  FROM documents GROUP BY source
+         |), t AS (
+         |  SELECT sum(a) AS ta, sum(w) AS tw, sum(lo) AS tl FROM s2
+         |), ev AS (
+         |  SELECT source, lo / w AS re, -lo AS dlo, w AS dw,
+         |    0.0 AS da, 0 AS ty FROM s2
+         |  UNION ALL
+         |  SELECT source, a / w AS re, 0.0 AS dlo, -w AS dw,
+         |    a AS da, 1 AS ty FROM s2
+         |), p AS (
+         |  SELECT ev.*, ta, tl,
+         |    row_number() OVER w1 AS rn,
+         |    sum(dlo) OVER w2 AS lox,
+         |    sum(dw) OVER w2 AS wa,
+         |    sum(da) OVER w2 AS ac,
+         |    lead(re) OVER w1 AS rnext
+         |  FROM ev, t
+         |  WINDOW w1 AS (ORDER BY re ASC, source ASC, ty ASC),
+         |    w2 AS (ORDER BY re ASC, source ASC, ty ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), q AS (
+         |  SELECT p.*,
+         |    (0.5 * ta - tl - lox - ac) / nullif(wa, 0.0) AS cand
+         |  FROM p
+         |), l AS (
+         |  SELECT cand AS lamstar FROM q
+         |  WHERE cand IS NOT NULL AND cand >= re
+         |    AND (rnext IS NULL OR cand < rnext)
+         |  ORDER BY rn LIMIT 1
+         |)""".stripMargin
 
   // Shared water-filling CTE chain (the samp_mix_fit solve): md5
   // weights, saturation-ratio sort, exclusive prefix sums, candidate
@@ -5227,46 +5288,7 @@ object SparkEntry {
     // lands inside it pins λ*. Floors are integral (floor'd md5
     // percentage of avail), so every running sum is exact in double.
     "samp_mix_fit_floors" ->
-      s"""WITH s2 AS (
-         |  SELECT source,
-         |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS a,
-         |    CAST(('0x' || substr(md5(source), 1, 4))::BIGINT % 5 + 1
-         |      AS DOUBLE) AS w,
-         |    least(CAST(floor(
-         |      CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
-         |      * (('0x' || substr(md5(source), 5, 2))::BIGINT % 60)
-         |      / 100.0) AS DOUBLE),
-         |      CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)) AS lo
-         |  FROM documents GROUP BY source
-         |), t AS (
-         |  SELECT sum(a) AS ta, sum(w) AS tw, sum(lo) AS tl FROM s2
-         |), ev AS (
-         |  SELECT source, lo / w AS re, -lo AS dlo, w AS dw,
-         |    0.0 AS da, 0 AS ty FROM s2
-         |  UNION ALL
-         |  SELECT source, a / w AS re, 0.0 AS dlo, -w AS dw,
-         |    a AS da, 1 AS ty FROM s2
-         |), p AS (
-         |  SELECT ev.*, ta, tl,
-         |    row_number() OVER w1 AS rn,
-         |    sum(dlo) OVER w2 AS lox,
-         |    sum(dw) OVER w2 AS wa,
-         |    sum(da) OVER w2 AS ac,
-         |    lead(re) OVER w1 AS rnext
-         |  FROM ev, t
-         |  WINDOW w1 AS (ORDER BY re ASC, source ASC, ty ASC),
-         |    w2 AS (ORDER BY re ASC, source ASC, ty ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |), q AS (
-         |  SELECT p.*,
-         |    (0.5 * ta - tl - lox - ac) / nullif(wa, 0.0) AS cand
-         |  FROM p
-         |), l AS (
-         |  SELECT cand AS lamstar FROM q
-         |  WHERE cand IS NOT NULL AND cand >= re
-         |    AND (rnext IS NULL OR cand < rnext)
-         |  ORDER BY rn LIMIT 1
-         |)
+      s"""WITH $mixFitFloorsCtes
          |SELECT source,
          |  CAST(a AS BIGINT) AS avail_tokens,
          |  floor(w * 100 + 0.5) / 100 AS target_w,
@@ -5281,6 +5303,24 @@ object SparkEntry {
          |  (a / w <= lamstar) AS capped,
          |  (lo / w > lamstar) AS floored
          |FROM s2, l""".stripMargin,
+
+    // Floors APPLY twin: the same solve turned into per-source hash
+    // thresholds (exact rate: 1 capped / lo/a floored / λ*·w/a
+    // active), the hashSample keep predicate per row
+    "samp_mix_fit_floors_apply" ->
+      s"""WITH $mixFitFloorsCtes, thr AS (
+         |  SELECT source,
+         |    CAST(floor(least(1.0,
+         |      CASE WHEN a / w <= lamstar THEN 1.0
+         |        WHEN lo / w > lamstar THEN lo / nullif(a, 0.0)
+         |        ELSE lamstar * w / nullif(a, 0.0) END)
+         |      * 4294967296.0) AS BIGINT) AS thr
+         |  FROM s2, l
+         |)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN thr USING (source)
+         |WHERE ('0x' || substr(md5('graft-fit' || '|' ||
+         |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr""".stripMargin,
 
     // Curriculum twins: exact ntile over the pinned total order, and
     // the histogram value-quantile replay (running sum over DISTINCT

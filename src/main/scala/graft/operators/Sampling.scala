@@ -505,7 +505,76 @@ object Sampling {
   def mixtureFitFloors(stats: DataFrame, budgetFrac: Double = 0.5,
                        srcCol: String = "source",
                        availCol: String = "avail", wCol: String = "w",
-                       floorCol: String = "floor_tokens"): DataFrame = {
+                       floorCol: String = "floor_tokens"): DataFrame =
+    floorsLevel(stats, budgetFrac, srcCol, availCol, wCol, floorCol)
+      .select(col("source"),
+        col("a").cast("long").as("avail_tokens"),
+        graft.functions.Fns.round2(col("w")).as("target_w"),
+        graft.functions.Fns.round2(col("lo")).as("floor_tokens"),
+        graft.functions.Fns.round2(
+          when(col("lamstar").isNull, raise_error(lit(
+            "mixtureFitFloors: floors infeasible — sum of floors " +
+              "exceeds the budget")))
+            .when(col("a") / col("w") <= col("lamstar"), col("a"))
+            .when(col("lo") / col("w") > col("lamstar"), col("lo"))
+            .otherwise(col("lamstar") * col("w"))).as("alloc_tokens"),
+        graft.functions.Fns.round2(
+          when(col("a") / col("w") <= col("lamstar"), lit(1.0))
+            .when(col("lo") / col("w") > col("lamstar"),
+              col("lo") / nullif(col("a"), lit(0.0)))
+            .otherwise(col("lamstar") * col("w")
+              / nullif(col("a"), lit(0.0)))).as("rate"),
+        (col("a") / col("w") <= col("lamstar")).as("capped"),
+        (col("lo") / col("w") > col("lamstar")).as("floored"))
+
+  /** APPLY the floored mixture — [[mixtureFitFloors]]' level turned
+    * into per-source deterministic hash thresholds (EXACT rate, not
+    * the round2 report value) and executed as one broadcast-join +
+    * filter over the corpus, the same end-to-end pass as
+    * [[mixtureFitApply]] with the fairness floors honored: floor-bound
+    * sources keep at rate lo/avail, capped sources at 1, active
+    * sources at λ*·w/avail. The realized per-source token mass is
+    * binomial around its allocation — a FLOOR is therefore guaranteed
+    * in expectation, the standard row-level approximation
+    * ([[mixtureFitApply]] documents the same trade; a hard realized
+    * floor needs the token-ordered prefix cut, [[tokenBudgetSelect]]'s
+    * device). Infeasible floors raise through the threshold
+    * projection, same as the report. Output: the kept rows of `df`. */
+  def mixtureFitFloorsApply(df: DataFrame, stats: DataFrame,
+                            budgetFrac: Double = 0.5,
+                            srcCol: String = "source",
+                            availCol: String = "avail",
+                            wCol: String = "w",
+                            floorCol: String = "floor_tokens",
+                            keyCol: String = "doc_id",
+                            salt: String = "graft-fit"): DataFrame = {
+    val thr = floorsLevel(stats, budgetFrac, srcCol, availCol, wCol,
+        floorCol)
+      .select(col("source").as(srcCol),
+        floor(least(lit(1.0),
+          when(col("lamstar").isNull, raise_error(lit(
+            "mixtureFitFloorsApply: floors infeasible — sum of " +
+              "floors exceeds the budget")))
+            .when(col("a") / col("w") <= col("lamstar"), lit(1.0))
+            .when(col("lo") / col("w") > col("lamstar"),
+              col("lo") / nullif(col("a"), lit(0.0)))
+            .otherwise(col("lamstar") * col("w")
+              / nullif(col("a"), lit(0.0))))
+          * lit(HashRange)).cast("long").as("_thr"))
+    df.join(broadcast(thr), srcCol)
+      .filter(hashValue(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** The shared floors water solve behind [[mixtureFitFloors]] and
+    * [[mixtureFitFloorsApply]]: per source, (source, a, w, lo) with
+    * the exact (un-rounded) level λ* attached — the report rounds for
+    * presentation, the apply derives hash thresholds from the exact
+    * level (the [[waterLevel]] split, floors edition; λ* is NULL iff
+    * the floors are infeasible, and both consumers raise on it). */
+  private def floorsLevel(stats: DataFrame, budgetFrac: Double,
+                          srcCol: String, availCol: String,
+                          wCol: String, floorCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetFrac > 0 && budgetFrac < 1,
       s"budgetFrac must be in (0, 1) for the floors solve: $budgetFrac")
@@ -554,25 +623,6 @@ object Sampling {
         struct(col("rn"), col("cand")))).as("kl"))
       .select(col("kl.cand").as("lamstar"))
     s.crossJoin(broadcast(lam))
-      .select(col("source"),
-        col("a").cast("long").as("avail_tokens"),
-        graft.functions.Fns.round2(col("w")).as("target_w"),
-        graft.functions.Fns.round2(col("lo")).as("floor_tokens"),
-        graft.functions.Fns.round2(
-          when(col("lamstar").isNull, raise_error(lit(
-            "mixtureFitFloors: floors infeasible — sum of floors " +
-              "exceeds the budget")))
-            .when(col("a") / col("w") <= col("lamstar"), col("a"))
-            .when(col("lo") / col("w") > col("lamstar"), col("lo"))
-            .otherwise(col("lamstar") * col("w"))).as("alloc_tokens"),
-        graft.functions.Fns.round2(
-          when(col("a") / col("w") <= col("lamstar"), lit(1.0))
-            .when(col("lo") / col("w") > col("lamstar"),
-              col("lo") / nullif(col("a"), lit(0.0)))
-            .otherwise(col("lamstar") * col("w")
-              / nullif(col("a"), lit(0.0)))).as("rate"),
-        (col("a") / col("w") <= col("lamstar")).as("capped"),
-        (col("lo") / col("w") > col("lamstar")).as("floored"))
   }
 
   /** Temperature-scaled mixture resampling — the multilingual-corpus

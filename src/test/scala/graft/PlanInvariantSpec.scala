@@ -161,7 +161,7 @@ class PlanInvariantSpec extends SparkSpec {
       // the water-level solves: windows over the enum-sized source
       // table (mixtureFit family scaladoc; floors = 2·|sources| events)
       "samp_mix_fit", "samp_mix_fit_apply", "samp_mix_fit_floors",
-      "pipe_budget_prep") ++
+      "samp_mix_fit_floors_apply", "pipe_budget_prep") ++
     // 2. bounded by cardinality (distinct-score histogram / day spine)
     Set("rel_auc", // ROC prefix sums over the score histogram
       "samp_curriculum_scalable", "samp_token_budget_scalable",

@@ -119,6 +119,35 @@ class Round23Spec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("infeasible")))
   }
 
+  test("mixtureFitFloorsApply: zero floors reduce exactly to " +
+    "mixtureFitApply; floors move per-source keep sets monotonically") {
+    import graft.operators.Sampling
+    val stats = Seq(
+      ("a", 4000.0, 2.0, 0.0), ("b", 3800.0, 1.0, 0.0),
+      ("c", 200.0, 5.0, 0.0), ("d", 2000.0, 1.0, 1500.0))
+      .toDF("source", "avail", "w", "floor_tokens")
+    val zeroF = stats.withColumn("floor_tokens", lit(0.0))
+    val corpus = (1L to 800L).toDF("doc_id")
+      .withColumn("source",
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+          (col("doc_id") % 4 + 1).cast("int")))
+    // all stats values integral → both solves compute the same exact
+    // λ* (1200) and identical thresholds: same kept rows
+    assert(rows(Sampling.mixtureFitFloorsApply(corpus, zeroF)) ===
+      rows(Sampling.mixtureFitApply(corpus, stats)))
+    // with d floored at 1500 (λ* = 1100): same-salt hash keep sets are
+    // NESTED in the threshold, so d's kept set grows to a superset
+    // (rate 0.6 → 0.75) and a's shrinks to a subset (0.6 → 0.55)
+    def kept(df: org.apache.spark.sql.DataFrame, src: String) =
+      df.filter(col("source") === src).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val base = Sampling.mixtureFitApply(corpus, stats)
+    val floored = Sampling.mixtureFitFloorsApply(corpus, stats)
+    assert(kept(base, "d").subsetOf(kept(floored, "d")))
+    assert(kept(floored, "d").size > kept(base, "d").size)
+    assert(kept(floored, "a").subsetOf(kept(base, "a")))
+  }
+
   // --- TextStats.cardState / cardFromState (the streaming card) ---
 
   test("cardState: state from disjoint batches merges by addition to " +
