@@ -27,174 +27,112 @@ object Bench {
     * absent here (added since the last stamp) get no ratio; re-stamp
     * together with BASELINE.md via tools/restamp.py. */
   val BaselinePerQuery: Map[String, Double] = Map(
-    "dedup_assign" -> 4.87, "dedup_chunks" -> 1.39, "dedup_decontam" -> 1.07,
-    "dedup_decontam_bloom" -> 2.53, "dedup_embedding" -> 3.25,
-    "dedup_exact" -> 0.69, "dedup_incremental" -> 3.52,
-    "dedup_minhash_lsh" -> 2.17, "dedup_ngram_jaccard" -> 3.06,
-    "dedup_semantic" -> 1.09, "dedup_simhash" -> 1.83,
-    "dedup_substring" -> 1.52, "io_bucketed_join" -> 2.35,
-    "io_compaction_plan" -> 0.33, "io_csv_roundtrip" -> 1.84,
-    "io_jsonl_roundtrip" -> 1.7, "io_orc_roundtrip" -> 1.7,
-    "io_partition_prune" -> 0.97, "io_sorted_write" -> 0.86,
-    "io_zorder_write" -> 0.89, "mm_features" -> 0.22, "pipe_curate" -> 5.7,
-    "pipe_entity_res" -> 4.46, "pipe_rag_index" -> 2.86, "q1_tokens" -> 0.22,
-    "q2_dictionary" -> 0.63, "q3_task1" -> 0.59, "q4_tf" -> 0.92,
-    "q5_idf" -> 0.97, "q6_tfidf" -> 1.29, "rel_activity_spine" -> 0.37,
-    "rel_anti_join" -> 0.22, "rel_approx_users" -> 0.69,
-    "rel_asof_forward" -> 0.76, "rel_asof_join" -> 0.79, "rel_auc" -> 1.45, "rel_grouping_sets" -> 0.37, "rel_cohort" -> 0.47,
-    "rel_compact_latest" -> 0.29, "rel_compact_latest_scalable" -> 0.28,
-    "rel_components" -> 5.88, "rel_cube" -> 0.52,
-    "rel_cumulative_users" -> 0.39, "rel_dq_audit" -> 0.77,
-    "rel_event_props" -> 0.4, "rel_events_hourly" -> 0.45,
-    "rel_funnel" -> 0.45, "rel_fuzzy_join" -> 0.81,
-    "rel_heavy_hitters" -> 0.32, "rel_kcore" -> 4.31,
-    "rel_merge_upsert" -> 0.39, "rel_order_history" -> 0.31,
-    "rel_pagerank" -> 4.9, "rel_pivot" -> 0.3, "rel_pricing_summary" -> 0.91,
-    "rel_profile" -> 3.22, "rel_promo_revenue" -> 1.11,
-    "rel_quantile_contract" -> 0.65, "rel_range_join" -> 0.4,
-    "rel_rate_anomaly" -> 0.33, "rel_revenue_nation" -> 0.86,
-    "rel_rolling_stats" -> 0.27, "rel_rollup" -> 0.38,
-    "rel_scalar_funcs" -> 0.23, "rel_sessionize" -> 0.38,
-    "rel_set_ops" -> 0.31, "rel_skew_distinct" -> 0.24,
-    "rel_skew_join" -> 0.37, "rel_snapshot_diff" -> 0.48,
-    "rel_top_customers" -> 0.41, "rel_triangles" -> 6.63,
-    "rel_window_funcs" -> 0.54, "samp_balance" -> 0.39, "samp_cap" -> 0.42,
-    "samp_cap_scalable" -> 0.74, "samp_curriculum" -> 0.26,
-    "samp_curriculum_scalable" -> 0.63, "samp_hash" -> 0.14,
-    "samp_mix" -> 0.43, "samp_mix_temp" -> 0.45, "samp_repeat_epochs" -> 0.2,
-    "samp_shard" -> 0.34, "samp_split" -> 0.17, "samp_split_safe" -> 4.55,
-    "samp_stratified" -> 0.15, "samp_token_budget" -> 0.29,
-    "samp_token_budget_scalable" -> 0.84, "samp_weighted" -> 0.16,
-    "sim_docs_tfidf" -> 4.81, "sim_docs_tfidf_pruned" -> 5.33,
-    "sim_hard_negatives" -> 0.63, "sim_label_eval" -> 0.69,
-    "sim_quantize" -> 1.27, "sim_topk_brute" -> 0.59, "sim_topk_ivf" -> 1.11,
-    "sim_topk_ivf_trained" -> 4.01, "sim_topk_ivfpq" -> 2.63,
-    "sim_topk_ivfpq_res" -> 3.95, "sim_topk_lsh" -> 0.62,
-    "sim_topk_pq" -> 2.34, "sim_trunc_eval" -> 1.23,
-    "stream_dedup_bounded" -> 1.02, "stream_dedup_pairs" -> 0.77, "stream_events_by_segment" -> 0.95,
-    "stream_events_hourly" -> 0.95, "stream_events_sliding" -> 0.95,
-    "stream_foreach_sink" -> 1.06, "stream_late_drop" -> 2.57,
-    "stream_queue_etl" -> 1.76, "stream_session_window" -> 1.29,
-    "stream_stream_join" -> 2.66, "stream_type_counts" -> 1.15,
-    "stream_user_counts" -> 0.87, "text_bm25" -> 2.47,
-    "text_cdc_chunk" -> 0.82, "text_chunk" -> 0.22, "text_drift" -> 0.63,
-    "text_fingerprint" -> 0.53, "text_hash_embed" -> 0.87,
-    "text_langid" -> 0.21, "text_lm_score" -> 1.63,
-    "text_lm_score_scalable" -> 1.88, "text_nb_classify" -> 2.34,
-    "text_pack" -> 0.3, "text_quality_flags" -> 0.2, "text_redact" -> 0.18,
-    "text_repetition" -> 1.1, "text_stats" -> 0.57, "text_token_ids" -> 1.32,
-    "wiki_parse" -> 0.04, "wiki_tfidf" -> 0.34, "wiki_tokens" -> 0.04,
-    // Round-7 additions, stamped from per-query medians of three
-    // agreeing full cold runs (161.3/164.2/163.6 s @ load_ratio
-    // 0.72/0.72/0.80; run 3 zero flags; run 1/2 single-run flags did
-    // not repeat).
-    "io_compaction_exec" -> 2.38, "io_merge_schema" -> 1.59,
-    "mm_frames" -> 0.21, "mm_resize" -> 0.22, "rel_bfs_hops" -> 3.72,
-    "rel_incremental_agg" -> 0.28, "rel_interval_join" -> 0.23,
-    "rel_order_stats" -> 0.39, "rel_scd2" -> 0.4,
-    "stream_session_timeout" -> 2.23, "stream_stream_outer" -> 3.52,
-    "wiki_parse_scale" -> 0.39, "mm_batch" -> 0.32,
-    "rel_ewma" -> 0.55, "stream_append_final" -> 1.97,
-    // Second-session additions, stamped from medians of three agreeing
-    // full cold runs (178.3/175.0/174.8 s @ load 0.87/0.74/0.72; each
-    // run's 2-3 flags were disjoint and did not repeat — jitter).
-    // rel_link_predict re-stamped here: its plan changed after the
-    // first-session stamp (cap pruned before the wedge expansion).
-    "sim_mmr" -> 1.63, "rel_k_anonymity" -> 0.19,
-    "text_bpe_pairs" -> 0.45, "text_bpe_merge" -> 0.5,
-    "samp_split_grouped" -> 0.15, "samp_decay" -> 0.28,
-    "stream_resume" -> 2.54, "mm_phash" -> 0.98,
-    "rel_partition_diff" -> 0.5, "rel_hll_maintain" -> 0.43,
-    "rel_link_predict" -> 2.74,
-    // Final second-session batch, medians of three zero-flag runs
-    // (167.3/178.1/162.6 s @ load 0.64/0.73/0.68).
-    "rel_funnel_window" -> 0.41, "rel_revenue_deciles" -> 0.49,
-    "rel_ppr" -> 4.03, "samp_mix_tokens" -> 0.38,
-    // Last pair, medians of three runs (176.4/188.3/184.3 @ load
-    // 0.69/0.74/0.76; the middle run was globally slow with two
-    // non-repeating flags — its outlier samples were medianed out).
-    "rel_outliers" -> 0.46, "io_csv_quoted" -> 0.43,
-    // Gini, from two agreeing zero-flag runs (170.0/175.4 s @ load
-    // 0.74/0.67).
-    "rel_gini" -> 0.31,
-    // Round-8 additions, medians of three full cold runs
-    // (201.9/205.7/205.3 s @ load 0.70/0.77/0.78; runs 1-2 flagged
-    // sim_mmr at 1.4-1.5× — a real regression from eagerly
-    // unpersisting its per-round selection frames, reverted before
-    // run 3, which was zero-flag with sim_mmr back at 1.20×).
-    "text_html_extract" -> 0.05, "text_html_extract_scale" -> 0.45,
-    "text_bpe_train" -> 1.4, "text_bpe_encode" -> 2.11,
-    "sim_topk_ivf_persisted" -> 1.73, "sim_topk_ivf_updated" -> 2.27,
-    "rel_pagerank_converged" -> 7.81, "rel_bfs_frontier" -> 3.86,
-    // Second round-8 batch, medians of three runs (199.2 @ 0.76 —
-    // its one flag, rel_ppr 1.37x, did not repeat — 184.7 @ 0.76 and
-    // 194.2 @ 0.72, both zero-flag).
-    // rel_kcore_converged re-stamped round 10 (was 2.34 from the
-    // 175 s-total round-6 tree): it has measured 2.4-3.3 in EVERY
-    // 280 s+ full run since the tree grew past ~210 gates while its
-    // sibling rel_kcore stayed at/below stamp — the rel_ppr
-    // stamp-optimism pattern (amortization changes with tree size),
-    // not a regression; kcore code untouched since round 6. New value
-    // = median of the round-10 stamp runs.
-    "rel_components_converged" -> 4.18, "rel_kcore_converged" -> 3.07,
-    "text_html_langid" -> 0.43,
-    // Third round-8 batch, medians of three zero-flag runs
-    // (194.2 @ 0.70, 191.9 @ 0.70, 204.5 @ 0.71).
-    "dedup_url" -> 0.45, "stream_html_ingest" -> 0.98,
-    // SF-independent 4-file fixture read; warmed OneQuery runs.
-    "text_html_extract_files" -> 0.15,
-    // Final round-8 stamp, median of the three session-end zero-flag
-    // runs (191.2 @ 0.74, 202.4 @ 0.73, 180.0 @ 0.67).
-    "rel_incremental_refresh" -> 0.8,
-    // Round-9 stamps (16 new queries), medians of three full cold runs
-    // on the frozen 196-gate tree (245.6 @ 0.72, 239.6 @ 0.76,
-    // 240.7 @ 0.68; the only stamped-query flag across the three was
-    // rel_ppr at 1.37× — see the BASELINE.md round-9 note).
-    "dedup_chunk_rewrite" -> 0.92, "dedup_decontam_artifact" -> 2.2,
-    "dedup_index_artifact" -> 5.8, "rel_hll_artifact" -> 0.41,
-    "rel_label_prop" -> 9.82, "rel_pagerank_weighted" -> 4.38,
-    "rel_refresh_artifact" -> 1.7, "rel_sssp" -> 4.14,
-    "rel_sssp_delta" -> 3.67, "samp_fixed_k" -> 0.22,
-    "stream_rollup_maintain" -> 1.82, "stream_url_dedup" -> 1.14,
-    "text_bpe_apply_stored" -> 2.16, "text_bpe_encode_oov" -> 2.0,
-    "text_bpe_fertility" -> 2.24, "text_pmi" -> 1.06,
-    // Round-9 sessions-3/4 stamps (16 new queries), medians of three
-    // full cold runs on the frozen 213-gate tree (322.8 @ 0.77,
-    // 332.1 @ 1.24 — CONTENDED, and 293.8 @ 0.70 clean with 1 flag;
-    // aggregate stamped ratios 0.98 / 1.03 / 0.90 — no systemic
-    // regression; see the BASELINE.md round-9 sessions-3/4 note).
-    "io_dynamic_overwrite" -> 1.39, "io_incremental_scan" -> 2.33,
-    "io_stats_skipping" -> 1.86, "rel_attribution" -> 0.46,
-    "rel_cms_artifact" -> 1.06, "rel_hist_artifact" -> 0.66,
-    "rel_modularity" -> 11.82, "sim_knn_components" -> 5.22,
-    "sim_knn_graph" -> 1.05, "stream_cms_maintain" -> 2.96,
-    "stream_decontam" -> 5.26, "text_hybrid_rrf" -> 3.29,
-    "text_langid_mix" -> 0.6, "text_lm_artifact" -> 1.68,
-    "text_nb_eval" -> 2.57, "text_textrank" -> 3.28,
-    // Round-9 session-4 tail stamps (the two post-sweep gates),
-    // medians of three clean cold runs on the final 214-gate tree
-    // (282.1 @ 0.75, 286.7 @ 0.73, 281.1 @ 0.71; aggregate stamped
-    // ratios 0.87/0.88/0.86 — zero systemic drift).
-    "sim_knn_recall" -> 1.28, "text_sentences" -> 0.17,
-    // Round-10 stamps (16 new queries), medians of three full cold
-    // runs on the frozen 230-gate tree (343.0 @ 0.72, 332.0 @ 0.70,
-    // 366.9 @ 0.77 — run 3 carried a contiguous contended stretch
-    // over the graph family, medianed out; see BASELINE.md).
-    // stream_neardup_dedup is the heaviest gate in the bench by
-    // design: corpus band-index write + three streamed batches each
-    // probing AND appending to the lake index — five jobs in one gate.
-    "dedup_cross_matrix" -> 2.12, "dedup_semantic_best" -> 0.98,
-    "dedup_sentence_rewrite" -> 0.65, "io_stats_skipping_part" -> 1.17,
-    "samp_mix_fit" -> 0.49, "samp_mix_fit_apply" -> 0.54,
-    "sim_embed_report" -> 1.09, "sim_knn_components_ivf" -> 4.76,
-    "sim_knn_graph_ivf" -> 1.67, "sim_knn_recall_ivf" -> 2.42,
-    "sim_topk_pq_persisted" -> 3.06, "stream_neardup_dedup" -> 17.17,
-    "stream_sample_maintain" -> 1.58, "text_bm25_from_index" -> 2.18,
-    "text_corpus_card" -> 1.03, "text_pii_report" -> 0.32,
-    // Round-10 tail stamp, medians of three clean cold runs on the
-    // final 231-gate tree (350.3 @ 0.72, 350.5 @ 0.77, 345.7 @ 0.75;
-    // each run's 1-3 flags were disjoint and none repeated — jitter).
-    "pipe_budget_prep" -> 1.93)
+    "dedup_assign" -> 3.17, "dedup_chunk_rewrite" -> 0.93,
+    "dedup_chunks" -> 0.96, "dedup_cross_matrix" -> 1.82,
+    "dedup_decontam" -> 0.71, "dedup_decontam_artifact" -> 2.02,
+    "dedup_decontam_bloom" -> 1.8, "dedup_embedding" -> 2.17,
+    "dedup_exact" -> 0.52, "dedup_incremental" -> 2.58,
+    "dedup_index_artifact" -> 5.82, "dedup_minhash_lsh" -> 1.8,
+    "dedup_ngram_jaccard" -> 2.08, "dedup_semantic" -> 1.11,
+    "dedup_semantic_best" -> 0.91, "dedup_semantic_knn" -> 5.25,
+    "dedup_sentence_rewrite" -> 0.63, "dedup_simhash" -> 1.15,
+    "dedup_substring" -> 1.2, "dedup_url" -> 0.46, "io_bucketed_join" -> 2.07,
+    "io_compaction_exec" -> 1.91, "io_compaction_plan" -> 0.22,
+    "io_csv_quoted" -> 0.38, "io_csv_roundtrip" -> 1.19,
+    "io_dynamic_overwrite" -> 1.2, "io_incremental_scan" -> 1.65,
+    "io_jsonl_roundtrip" -> 1.26, "io_merge_schema" -> 1.5,
+    "io_orc_roundtrip" -> 1.2, "io_partition_prune" -> 0.71,
+    "io_sorted_write" -> 0.79, "io_stats_skipping" -> 1.23,
+    "io_stats_skipping_part" -> 1.28, "io_zorder_write" -> 0.94,
+    "mm_batch" -> 0.31, "mm_features" -> 0.2, "mm_frames" -> 0.17,
+    "mm_phash" -> 0.9, "mm_resize" -> 0.17, "pipe_budget_prep" -> 2.03,
+    "pipe_curate" -> 4.22, "pipe_entity_res" -> 3.99,
+    "pipe_rag_index" -> 2.21, "q1_tokens" -> 0.2, "q2_dictionary" -> 0.38,
+    "q3_task1" -> 0.38, "q4_tf" -> 0.89, "q5_idf" -> 0.91, "q6_tfidf" -> 1.05,
+    "rel_activity_spine" -> 0.36, "rel_anti_join" -> 0.26,
+    "rel_approx_users" -> 0.79, "rel_asof_forward" -> 0.72,
+    "rel_asof_join" -> 0.86, "rel_attribution" -> 0.37, "rel_auc" -> 1.19,
+    "rel_bfs_frontier" -> 3.75, "rel_bfs_hops" -> 3.9,
+    "rel_cms_artifact" -> 0.96, "rel_cohort" -> 0.34,
+    "rel_compact_latest" -> 0.28, "rel_compact_latest_scalable" -> 0.25,
+    "rel_components" -> 3.77, "rel_components_converged" -> 4.35,
+    "rel_cube" -> 0.51, "rel_cumulative_users" -> 0.31,
+    "rel_dq_audit" -> 0.61, "rel_event_props" -> 0.38,
+    "rel_events_hourly" -> 0.48, "rel_ewma" -> 0.6, "rel_funnel" -> 0.44,
+    "rel_funnel_window" -> 0.4, "rel_fuzzy_join" -> 0.89, "rel_gini" -> 0.3,
+    "rel_grouping_sets" -> 0.5, "rel_heavy_hitters" -> 0.27,
+    "rel_hist_artifact" -> 0.54, "rel_hll_artifact" -> 0.4,
+    "rel_hll_maintain" -> 0.37, "rel_incremental_agg" -> 0.23,
+    "rel_incremental_refresh" -> 0.91, "rel_interval_join" -> 0.24,
+    "rel_k_anonymity" -> 0.15, "rel_kcore" -> 2.84,
+    "rel_kcore_converged" -> 2.5, "rel_label_prop" -> 10.73,
+    "rel_link_predict" -> 2.82, "rel_merge_upsert" -> 0.4,
+    "rel_modularity" -> 12.19, "rel_order_history" -> 0.36,
+    "rel_order_stats" -> 0.41, "rel_outliers" -> 0.49, "rel_pagerank" -> 3.89,
+    "rel_pagerank_converged" -> 8.43, "rel_pagerank_weighted" -> 4.58,
+    "rel_partition_diff" -> 0.48, "rel_pivot" -> 0.25, "rel_ppr" -> 4.94,
+    "rel_pricing_summary" -> 1.06, "rel_profile" -> 3.62,
+    "rel_promo_revenue" -> 1.14, "rel_quantile_contract" -> 0.62,
+    "rel_range_join" -> 0.36, "rel_rate_anomaly" -> 0.29,
+    "rel_refresh_artifact" -> 1.96, "rel_revenue_deciles" -> 0.42,
+    "rel_revenue_nation" -> 0.96, "rel_rolling_stats" -> 0.29,
+    "rel_rollup" -> 0.35, "rel_scalar_funcs" -> 0.26, "rel_scd2" -> 0.36,
+    "rel_sessionize" -> 0.38, "rel_set_ops" -> 0.37,
+    "rel_skew_distinct" -> 0.22, "rel_skew_join" -> 0.46,
+    "rel_snapshot_diff" -> 0.48, "rel_sssp" -> 3.9, "rel_sssp_delta" -> 3.51,
+    "rel_top_customers" -> 0.39, "rel_triangles" -> 4.28,
+    "rel_window_funcs" -> 0.33, "samp_balance" -> 0.32, "samp_cap" -> 0.25,
+    "samp_cap_scalable" -> 0.52, "samp_curriculum" -> 0.2,
+    "samp_curriculum_scalable" -> 0.38, "samp_decay" -> 0.25,
+    "samp_fixed_k" -> 0.17, "samp_hash" -> 0.14, "samp_mix" -> 0.34,
+    "samp_mix_fit" -> 0.52, "samp_mix_fit_apply" -> 0.48,
+    "samp_mix_fit_floors_apply" -> 0.55,
+    "samp_mix_fit_floors" -> 0.54, "samp_mix_temp" -> 0.33,
+    "samp_mix_tokens" -> 0.38, "samp_repeat_epochs" -> 0.14,
+    "samp_shard" -> 0.22, "samp_split" -> 0.12, "samp_split_grouped" -> 0.14,
+    "samp_split_safe" -> 2.7, "samp_stratified" -> 0.15,
+    "samp_token_budget" -> 0.22, "samp_token_budget_scalable" -> 0.54,
+    "samp_weighted" -> 0.14, "sim_docs_tfidf" -> 3.84,
+    "sim_docs_tfidf_pruned" -> 3.73, "sim_embed_report" -> 0.72,
+    "sim_hard_negatives" -> 0.43, "sim_knn_components" -> 5.15,
+    "sim_knn_components_ivf" -> 4.15, "sim_knn_graph" -> 1.07,
+    "sim_knn_graph_ivf" -> 1.64, "sim_knn_recall" -> 1.27,
+    "sim_knn_recall_ivf" -> 1.95, "sim_label_eval" -> 0.48, "sim_mmr" -> 1.66,
+    "sim_quantize" -> 1.46, "sim_topk_brute" -> 0.47, "sim_topk_ivf" -> 1.02,
+    "sim_topk_ivf_persisted" -> 1.78, "sim_topk_ivf_trained" -> 3.21,
+    "sim_topk_ivf_updated" -> 2.07, "sim_topk_ivfpq" -> 2.36,
+    "sim_topk_ivfpq_res" -> 3.21, "sim_topk_lsh" -> 0.51,
+    "sim_topk_pq" -> 2.05, "sim_topk_pq_persisted" -> 2.95,
+    "sim_trunc_eval" -> 0.98, "stream_append_final" -> 2.05,
+    "stream_card_maintain" -> 2.53, "stream_cms_maintain" -> 2.47,
+    "stream_decontam" -> 3.94, "stream_dedup_bounded" -> 0.92,
+    "stream_dedup_pairs" -> 0.61, "stream_events_by_segment" -> 0.79,
+    "stream_events_hourly" -> 0.84, "stream_events_sliding" -> 0.84,
+    "stream_foreach_sink" -> 0.99, "stream_html_ingest" -> 1.01,
+    "stream_late_drop" -> 2.27, "stream_neardup_dedup" -> 15.44,
+    "stream_queue_etl" -> 1.67, "stream_resume" -> 2.49,
+    "stream_rollup_maintain" -> 1.96, "stream_sample_maintain" -> 1.56,
+    "stream_session_timeout" -> 2.21, "stream_session_window" -> 1.29,
+    "stream_stream_join" -> 2.36, "stream_stream_outer" -> 3.48,
+    "stream_type_counts" -> 0.88, "stream_url_dedup" -> 1.13,
+    "stream_user_counts" -> 0.78, "text_bm25" -> 1.4,
+    "text_bm25_from_index" -> 2.13, "text_bpe_apply_stored" -> 2.09,
+    "text_bpe_encode" -> 1.63, "text_bpe_encode_oov" -> 2.01,
+    "text_bpe_fertility" -> 1.93, "text_bpe_merge" -> 0.51,
+    "text_bpe_pairs" -> 0.42, "text_bpe_train" -> 1.11,
+    "text_cdc_chunk" -> 0.68, "text_chunk" -> 0.2, "text_corpus_card" -> 1.0,
+    "text_drift" -> 0.48, "text_fingerprint" -> 0.52,
+    "text_hash_embed" -> 0.62, "text_html_extract" -> 0.1,
+    "text_html_extract_files" -> 0.07, "text_html_extract_scale" -> 0.42,
+    "text_html_langid" -> 0.54, "text_hybrid_rrf" -> 3.19,
+    "text_langid" -> 0.17, "text_langid_mix" -> 0.51,
+    "text_lm_artifact" -> 1.51, "text_lm_score" -> 1.43,
+    "text_lm_score_scalable" -> 1.37, "text_nb_classify" -> 1.98,
+    "text_nb_eval" -> 2.34, "text_pack" -> 0.24, "text_pii_report" -> 0.34,
+    "text_pmi" -> 1.11, "text_quality_flags" -> 0.2, "text_redact" -> 0.19,
+    "text_repetition" -> 0.94, "text_sentences" -> 0.15, "text_stats" -> 0.46,
+    "text_textrank" -> 3.15, "text_token_ids" -> 0.83, "wiki_parse" -> 0.03,
+    "wiki_parse_scale" -> 0.39, "wiki_tfidf" -> 0.31, "wiki_tokens" -> 0.05)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
