@@ -81,7 +81,7 @@ object Bench {
     "rel_skew_distinct" -> 0.22, "rel_skew_join" -> 0.46,
     "rel_snapshot_diff" -> 0.48, "rel_sssp" -> 3.9, "rel_sssp_delta" -> 3.51,
     "rel_top_customers" -> 0.39, "rel_triangles" -> 4.28,
-    "rel_window_funcs" -> 0.33, "samp_balance" -> 0.32, "samp_cap" -> 0.25,
+    "rel_window_funcs" -> 0.33, "samp_balance" -> 0.32, "samp_cap" -> 0.25, "samp_diverse" -> 0.55,
     "samp_cap_scalable" -> 0.52, "samp_curriculum" -> 0.2,
     "samp_curriculum_scalable" -> 0.38, "samp_decay" -> 0.25,
     "samp_fixed_k" -> 0.17, "samp_hash" -> 0.14, "samp_mix" -> 0.34,
@@ -98,7 +98,7 @@ object Bench {
     "sim_knn_components_ivf" -> 4.15, "sim_knn_graph" -> 1.07,
     "sim_knn_graph_ivf" -> 1.64, "sim_knn_recall" -> 1.27,
     "sim_knn_recall_ivf" -> 1.95, "sim_label_eval" -> 0.48, "sim_mmr" -> 1.66,
-    "sim_quantize" -> 1.46, "sim_topk_brute" -> 0.47, "sim_topk_ivf" -> 1.02,
+    "sim_quantize" -> 1.46, "sim_topk_brute" -> 0.47, "sim_range_ivf" -> 1.0, "sim_topk_ivf" -> 1.02,
     "sim_topk_ivf_persisted" -> 1.78, "sim_topk_ivf_trained" -> 3.21,
     "sim_topk_ivf_updated" -> 2.07, "sim_topk_ivfpq" -> 2.36,
     "sim_topk_ivfpq_res" -> 3.21, "sim_topk_lsh" -> 0.51,

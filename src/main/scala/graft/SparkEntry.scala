@@ -716,6 +716,15 @@ object SparkEntry {
     // (tools/IvfKnnProbe, BASELINE.md)
     "sim_knn_recall_ivf" -> ((s, dir) =>
       Similarity.knnRecallIvf(tbl(s, dir, "embeddings"))),
+    // IVF RANGE search — the radius half of the query surface:
+    // everything within cosine >= 0.4 of the sampled queries, routed
+    // through the same 16-of-128 lists and exact-verified (shared
+    // ivfScored front with the top-k tail)
+    "sim_range_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfRangeSearch(e.filter(col("vec_id") % 10 === 0), e,
+        threshold = 0.4, nCentroids = 128, nProbe = 16)
+    }),
     // MMR diversity re-rank of the brute candidates (greedy
     // rel-vs-max-selected-sim trade at λ=1/2; see Similarity.mmrTopK)
     "sim_mmr" -> ((s, dir) => {
@@ -1302,6 +1311,11 @@ object SparkEntry {
     "samp_cap" -> ((s, dir) =>
       Sampling.capPerStratum(docs(s, dir), maxPerStratum = 10)
         .select("doc_id", "source")),
+    // cluster-stratified DIVERSITY sample: 10 deterministic
+    // representatives per IVF semantic cluster — caps dense embedding
+    // regions instead of letting a uniform draw over-represent them
+    "samp_diverse" -> ((s, dir) =>
+      Sampling.clusterStratifiedSample(tbl(s, dir, "embeddings"))),
     // scalable domain cap: same kept set as samp_cap (same oracle), but
     // only the boundary hash bucket is sorted — the multi-million-cap
     // shape; see Sampling.capPerStratumScalable
@@ -5622,6 +5636,26 @@ object SparkEntry {
     // parameterized IVF chain (cap re-probed per SF on landing —
     // higher-recall graph, more true edges)
     "sim_knn_components_ivf" -> KnnComponentsIvfSql(k = 2, cap = 14),
+    // IVF range-search twin: the shared routed-and-scored chain, a
+    // threshold filter instead of the top-k QUALIFY
+    "sim_range_ivf" ->
+      s"""WITH $vecCtes, ${ivfKnnCtes(128, 16, "vec_id % 10 = 0")}
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  floor(cos * 100 + 0.5) / 100 AS cos
+         |FROM ivs WHERE cos >= 0.4""".stripMargin,
+    // Cluster-stratified diversity-sample twin: the assignment CTE of
+    // the IVF chain (queries pruned via FALSE), then the samp_cap
+    // device per cluster
+    "samp_diverse" ->
+      s"""WITH $vecCtes, ${ivfKnnCtes(16, 1, "FALSE")}
+         |SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid ORDER BY
+         |      ('0x' || substr(md5('graft-div' || '|' ||
+         |        CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+         |      vec_id ASC) AS rn
+         |  FROM assign)
+         |WHERE rn <= 10""".stripMargin,
     "dedup_semantic_knn" -> SemanticDedupKnnSql(k = 2, cap = 14, threshold = 0.5),
 
     // Embedding health-report twin: same unit-vector chain, per-dim

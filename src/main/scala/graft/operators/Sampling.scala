@@ -252,6 +252,30 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Cluster-stratified diversity sample — per SEMANTIC cluster, keep
+    * `perCluster` deterministic representatives: the cluster-balanced
+    * sampling a curation run uses to build diverse eval/seed sets
+    * (uniform sampling over-represents dense regions of embedding
+    * space; stratifying by [[Similarity.ivfAssignments]]' clusters
+    * caps every region at the same count). Selection within a cluster
+    * is the [[capPerStratum]] device — the perCluster smallest
+    * (md5 hash, id) — so the sample is a pure function of
+    * (codebook, salt, emb) and replays in any engine.
+    *
+    * Scale posture: one broadcast-codebook assignment (struct-max, no
+    * window over N×C) + the bounded per-cluster window; clusters are
+    * codebook-sized, and [[capPerStratumScalable]]'s boundary-bucket
+    * rewrite applies verbatim if a cluster's membership outgrows a
+    * partition sort. Output: (vec_id, cid). */
+  def clusterStratifiedSample(emb: DataFrame, perCluster: Int = 10,
+                              nClusters: Int = 16,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              salt: String = "graft-div"): DataFrame =
+    capPerStratum(
+      Similarity.ivfAssignments(emb, nClusters, idCol, vecCol),
+      perCluster, stratumCol = "cid", keyCol = "vec_id", salt = salt)
+
   /** Scalable twin of [[capPerStratum]] — IDENTICAL output, no full
     * per-stratum sort. The kept set is the `maxPerStratum` smallest rows
     * by (hash, key); a bucket = the hash's high bits is a PREFIX of that

@@ -405,6 +405,55 @@ object Similarity {
       cent, ivfAssign(cand, cent), k, nProbe)
   }
 
+  /** IVF range search — the RADIUS query next to [[ivfTopK]]'s top-k
+    * (the other half of a vector store's query surface: "everything
+    * within cosine >= t of these queries", the primitive under
+    * near-dup candidate lookup, semantic recall sweeps, and
+    * contamination probes against an embedded benchmark): queries
+    * route to their nProbe nearest lists exactly as in [[ivfTopK]]
+    * (shared [[ivfScored]] front — routed, exact-verified pairs), and
+    * the tail is a threshold FILTER instead of a bounded-heap rank.
+    * Unlike top-k the output size is data-dependent; the routing bound
+    * still caps scanned pairs at the probed-fraction of the corpus,
+    * and the filter applies before anything shuffles (there is no
+    * shuffle — the tail is a projection).
+    * Output: (query_id, neighbor_id, cos), round2 cosine, cos >= t on
+    * the EXACT value (zero vectors have no cosine and never match). */
+  def ivfRangeSearch(queries: DataFrame, candidates: DataFrame,
+                     threshold: Double = 0.4,
+                     nCentroids: Int = 16, nProbe: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     codebook: Option[DataFrame] = None): DataFrame = {
+    requireIntegralIds(queries, idCol, "ivfRangeSearch")
+    requireIntegralIds(candidates, idCol, "ivfRangeSearch")
+    val cand = withNorm(candidates, idCol, vecCol)
+      .filter(col("norm") > 0)
+    val cent = ivfCentroids(cand, nCentroids, codebook)
+    ivfScored(withNorm(queries, idCol, vecCol).filter(col("norm") > 0),
+        cent, ivfAssign(cand, cent), nProbe)
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.Fns.round2(col("cos")).as("cos"))
+  }
+
+  /** The IVF cluster assignment as a PUBLIC surface — (vec_id, cid)
+    * for every non-zero vector, nearest of the nCentroids lowest-id
+    * vectors (or a supplied codebook) by cosine, ties to the lowest
+    * cid: the semantic-stratification key under cluster-balanced
+    * sampling ([[Sampling.clusterStratifiedSample]]) and any
+    * per-cluster report. One broadcast codebook + one struct-max
+    * aggregation — no window over the N×C cross rows. */
+  def ivfAssignments(emb: DataFrame, nCentroids: Int = 16,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     codebook: Option[DataFrame] = None): DataFrame = {
+    requireIntegralIds(emb, idCol, "ivfAssignments")
+    val cand = withNorm(emb, idCol, vecCol).filter(col("norm") > 0)
+    ivfAssign(cand, ivfCentroids(cand, nCentroids, codebook))
+      .select("vec_id", "cid")
+  }
+
   /** The IVF codebook as (cid, cvec, cnorm): a caller-supplied
     * (cid long, centroid array<float>) frame — e.g. from
     * [[trainCodebook]] — or the default nCentroids lowest-id vectors.
@@ -448,6 +497,27 @@ object Similarity {
                        nProbe: Int): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
+    ivfScored(q, cent, assigned, nProbe)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** The routed-and-scored (query_id, vec_id, cos) pairs shared by the
+    * top-k tail ([[ivfServe]]) and the threshold tail
+    * ([[ivfRangeSearch]]): nProbe nearest centroids per query, probed
+    * lists joined, exact cosine per surviving pair — each (q, c) pair
+    * meets at most once (a candidate lives in exactly ONE list, probes
+    * are distinct cids), so no dedup precedes the tail. */
+  private def ivfScored(q: DataFrame, cent: DataFrame,
+                        assigned: DataFrame, nProbe: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
     // nProbe nearest centroids per query, via the same bounded-heap
     // ranking as the final top-k
     val probes = q.crossJoin(broadcast(cent))
@@ -469,14 +539,6 @@ object Similarity {
         (dot(col("qvec"), col("vec"))
           / nullif(col("qnorm") * col("norm"), lit(0.0))).as("cos"))
     scored.filter(col("cos").isNotNull)
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
-      .toDF("query_id", "top")
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col._2").as("neighbor_id"),
-        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Build the IVF index ONCE and persist it as parquet — the missing

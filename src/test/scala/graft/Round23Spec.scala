@@ -148,6 +148,45 @@ class Round23Spec extends SparkSpec {
     assert(kept(floored, "a").subsetOf(kept(base, "a")))
   }
 
+  // --- Similarity.ivfRangeSearch / Sampling.clusterStratifiedSample ---
+
+  test("ivfRangeSearch: with all lists probed it equals the brute " +
+    "threshold filter; zero vectors never match") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)),
+      (5L, Array(0.7f, 0.7f)), (6L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 1L)
+    val out = Similarity.ivfRangeSearch(q, emb, threshold = 0.5,
+        nCentroids = 4, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("neighbor_id") ->
+        r.getAs[Double]("cos")).toMap
+    // cos(1,2)≈0.994, cos(1,5)≈0.707 pass; 3 (0.0), 4 (-1), 6 (zero
+    // vector, no cosine) do not; the query never matches itself
+    assert(out.keySet === Set(2L, 5L))
+    assert(out(5L) === 0.71) // round2 of 1/sqrt(2)
+  }
+
+  test("clusterStratifiedSample: every cluster is capped at " +
+    "perCluster and the draw is deterministic") {
+    import graft.operators.Sampling
+    val emb = (1L to 200L).toDF("vec_id")
+      .withColumn("embedding", array(
+        (col("vec_id") % 7).cast("float"), lit(1.0f),
+        (col("vec_id") % 3).cast("float")))
+    val s1 = Sampling.clusterStratifiedSample(emb, perCluster = 5,
+      nClusters = 8)
+    val perCid = s1.groupBy("cid").count().collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("count")).toMap
+    assert(perCid.nonEmpty && perCid.values.forall(_ <= 5))
+    // dense clusters fill their quota exactly
+    assert(perCid.values.exists(_ == 5))
+    assert(rows(s1) === rows(Sampling.clusterStratifiedSample(emb,
+      perCluster = 5, nClusters = 8)))
+  }
+
   // --- TextStats.cardState / cardFromState (the streaming card) ---
 
   test("cardState: state from disjoint batches merges by addition to " +
