@@ -92,7 +92,8 @@ object Bench {
     "samp_shard" -> 0.22, "samp_split" -> 0.12, "samp_split_grouped" -> 0.14,
     "samp_split_safe" -> 2.7, "samp_stratified" -> 0.15,
     "samp_token_budget" -> 0.22, "samp_token_budget_scalable" -> 0.54,
-    "samp_weighted" -> 0.14, "sim_docs_tfidf" -> 3.84,
+    "samp_weighted" -> 0.14, "samp_weighted_k" -> 0.2,
+    "sim_docs_tfidf" -> 3.84,
     "sim_docs_tfidf_pruned" -> 3.73, "sim_embed_report" -> 0.72,
     "sim_hard_negatives" -> 0.43, "sim_knn_components" -> 5.15,
     "sim_knn_components_ivf" -> 4.15, "sim_knn_graph" -> 1.07,
@@ -115,7 +116,8 @@ object Bench {
     "stream_session_timeout" -> 2.21, "stream_session_window" -> 1.29,
     "stream_stream_join" -> 2.36, "stream_stream_outer" -> 3.48,
     "stream_type_counts" -> 0.88, "stream_url_dedup" -> 1.13,
-    "stream_user_counts" -> 0.78, "text_bm25" -> 1.4,
+    "stream_user_counts" -> 0.78, "text_boilerplate" -> 1.4,
+    "text_bm25" -> 1.4,
     "text_bm25_from_index" -> 2.13, "text_bpe_apply_stored" -> 2.09,
     "text_bpe_encode" -> 1.63, "text_bpe_encode_oov" -> 2.01,
     "text_bpe_fertility" -> 1.93, "text_bpe_merge" -> 0.51,

@@ -629,6 +629,10 @@ object SparkEntry {
     // duplicated 8-token chunk and reassemble the cleaned documents
     "dedup_chunk_rewrite" -> ((s, dir) =>
       Dedup.chunkDedupRewrite(docs(s, dir), w = 8)),
+    // BOILERPLATE filter: a chunk in >= 2 distinct docs is template
+    // text — cut EVERY occurrence (vs the keep-first rewrite above)
+    "text_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateRewrite(docs(s, dir), w = 8, minDocs = 2)),
     // cross-source near-dup contamination matrix: verified minhash
     // pairs rolled up by ordered source pair — which feeds mirror
     // each other (diagonal = within-source near-dups)
@@ -1298,6 +1302,14 @@ object SparkEntry {
       Sampling.weightedSample(docs(s, dir),
           org.apache.spark.sql.functions.least(
             lit(1.0), col("n_chars") / lit(3000.0)))
+        .select("doc_id", "n_chars")),
+    // EXACT-k weighted sample without replacement (Efraimidis-Spirakis
+    // exponential race, char-count weights): samp_weighted's binomial
+    // size becomes exactly 137, samp_fixed_k's uniform vote becomes
+    // length-proportional — the "k docs, weighted by tokens" carve
+    "samp_weighted_k" -> ((s, dir) =>
+      Sampling.weightedBottomK(docs(s, dir), 137,
+          org.apache.spark.sql.functions.greatest(col("n_chars"), lit(1L)))
         .select("doc_id", "n_chars")),
     // deterministic global shuffle into 8 shards (training-order write)
     "samp_shard" -> ((s, dir) => Sampling.shardAssign(docs(s, dir), 8)),
@@ -4529,6 +4541,36 @@ object SparkEntry {
         |FROM ch c JOIN fo o ON c.ctext = o.ctext
         |GROUP BY c.doc_id""".stripMargin,
 
+    // Boilerplate twin: same tiling, distinct-doc frequency per chunk
+    // text, kept = below the minDocs threshold (drop-ALL semantics —
+    // no first-occurrence argmin), ordered string_agg reassembly
+    "text_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents
+        |), nc AS (
+        |  SELECT doc_id, t, CAST(floor((len(t) + 7) / 8.0) AS BIGINT) AS n
+        |  FROM tok WHERE len(t) > 0
+        |), ex AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, n - 1)) AS ci FROM nc
+        |), ch AS (
+        |  SELECT doc_id, ci,
+        |    array_to_string(t[(ci*8+1):(ci*8+8)], ' ') AS ctext
+        |  FROM ex
+        |), fr AS (
+        |  SELECT ctext, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ctext
+        |)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN f.nd < 2 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_boiler,
+        |  floor(sum(CASE WHEN f.nd < 2 THEN 0 ELSE 1 END)
+        |    / count(*) * 100 + 0.5) / 100 AS boiler_frac,
+        |  coalesce(string_agg(CASE WHEN f.nd < 2 THEN c.ctext END,
+        |    ' ' ORDER BY c.ci), '') AS text_clean
+        |FROM ch c JOIN fr f USING (ctext)
+        |GROUP BY c.doc_id""".stripMargin,
+
     // Sentence-rewrite twin: the text_sentences segmentation + the
     // dedup_chunk_rewrite first-occurrence device (two-stage min:
     // first doc, then min idx within it = min(struct(doc_id, idx)))
@@ -5183,6 +5225,22 @@ object SparkEntry {
         |  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  < floor(greatest(0.0, least(1.0, n_chars / 3000.0))
         |      * 4294967296.0)""".stripMargin,
+
+    // Efraimidis-Spirakis exponential race: identical u and w in both
+    // engines, key floored onto the 1e-9 grid so a last-ulp ln()
+    // disagreement cannot reorder the race; grid ties pin by doc_id
+    "samp_weighted_k" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(-ln(
+        |        ((('0x' || substr(md5('graft-wk' || '|' ||
+        |            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |          / 4294967296.0))
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT) AS ekey
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  ORDER BY ekey ASC, doc_id ASC LIMIT 137
+        |)""".stripMargin,
 
     // one fixed md5-random permutation, bucketed into 8 shards; total
     // order via (hash, key) tie-break

@@ -1373,20 +1373,7 @@ object Dedup {
   def chunkDedupRewrite(docs: DataFrame, w: Int = 32,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    require(w >= 1, s"chunk width must be >= 1 token: $w")
-    val toks = filter(split(trim(col(textCol)), "\\s+"), x => x =!= "")
-    val n = size(col("t"))
-    // integer ceil-div via floor on the positive double division (the
-    // [[graft.operators.TextStats.chunk]] idiom, shared by the twin)
-    val nChunks = floor((n + lit(w - 1)) / lit(w))
-    val chunks = docs
-      .select(col(idCol).as("doc_id"), toks.as("t"))
-      .filter(size(col("t")) > 0)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0L), nChunks - 1)).as("ci"))
-      .select(col("doc_id"), col("ci"),
-        concat_ws(" ", slice(col("t"),
-          (col("ci") * w + 1).cast("int"), lit(w))).as("ctext"))
+    val chunks = chunkTiles(docs, w, idCol, textCol)
       .persist() // two consumers: first-occurrence argmin + join-back
     val firstOcc = chunks.groupBy("ctext")
       .agg(min(struct(col("doc_id"), col("ci"))).as("fo"))
@@ -1403,6 +1390,78 @@ object Dedup {
           array_sort(collect_list(
             when(col("kept"), struct(col("ci"), col("ctext"))))),
           x => x("ctext")), " ").as("text_clean"))
+  }
+
+  /** The non-overlapping w-token tiling shared by [[chunkDedupRewrite]]
+    * and [[boilerplateRewrite]]: (doc_id, ci, ctext) per chunk, every
+    * document with ≥ 1 token emits ⌈n/w⌉ chunks (integer ceil-div via
+    * floor on the positive double division — the
+    * [[graft.operators.TextStats.chunk]] idiom, shared by the twins).
+    * Pure codegen'd array expressions, no shuffle. */
+  private def chunkTiles(docs: DataFrame, w: Int, idCol: String,
+                         textCol: String): DataFrame = {
+    require(w >= 1, s"chunk width must be >= 1 token: $w")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), x => x =!= "")
+    val n = size(col("t"))
+    val nChunks = floor((n + lit(w - 1)) / lit(w))
+    docs.select(col(idCol).as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), nChunks - 1)).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        concat_ws(" ", slice(col("t"),
+          (col("ci") * w + 1).cast("int"), lit(w))).as("ctext"))
+  }
+
+  /** BOILERPLATE removal — the frequency-threshold sibling of
+    * [[chunkDedupRewrite]] (MassiveText's "repeated passages" filter /
+    * RefinedWeb's line-dedup, at token-chunk granularity): a chunk
+    * whose text occurs in ≥ `minDocs` DISTINCT documents is boilerplate
+    * (cookie banner, license footer, navigation crumb) and EVERY
+    * occurrence is cut — where keep-first dedup preserves one copy
+    * because the content is legitimate somewhere, the boilerplate
+    * filter removes all copies because the content is template, not
+    * prose. Within-doc repetition alone never triggers it (the
+    * distinct-doc count is the boilerplate signal; [[chunkDupStats]]'
+    * nd ≥ 2 profiling is the same basis). Documents that lose every
+    * chunk stay in the output with empty text — the downstream length
+    * filter decides their fate, not this operator.
+    *
+    * Scale posture: tiling is a per-row explode (no shuffle); the
+    * frequency table is ONE hash aggregation keyed on chunk text
+    * (count-distinct over (ctext, doc_id) — partial-agg friendly);
+    * the join-back is an equi-join on the same key; reassembly sorts
+    * only WITHIN a document. Two exchanges of the chunk table, same
+    * as the keep-first rewrite. At 100 TB key on a 128-bit chunk hash
+    * with text resolved on collision; the gate keys on raw text
+    * because the DuckDB twin must reproduce the grouping
+    * byte-for-byte.
+    * Output: (doc_id, n_chunks, n_boiler, boiler_frac, text_clean)
+    * for every document with ≥ 1 token; boiler_frac round2.
+    */
+  def boilerplateRewrite(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (a chunk is its own document's content): $minDocs")
+    val chunks = chunkTiles(docs, w, idCol, textCol)
+      .persist() // two consumers: the frequency agg + the join-back
+    val freq = chunks.groupBy("ctext")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(freq, "ctext")
+      .withColumn("kept", col("nd") < minDocs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_boiler"),
+        // ci is unique within a doc → total deterministic order
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("ci"), col("ctext"))))),
+          x => x("ctext")), " ").as("text_clean"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        graft.functions.Fns.round2(col("n_boiler") / col("n_chunks"))
+          .as("boiler_frac"),
+        col("text_clean"))
   }
 
   /** Sentence-level dedup REWRITE — the fine-grained layer real

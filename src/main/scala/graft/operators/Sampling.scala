@@ -229,6 +229,59 @@ object Sampling {
       .limit(k)
   }
 
+  /** WEIGHTED fixed-size sample without replacement — exactly k rows
+    * with inclusion biased by a per-row weight (Efraimidis & Spirakis
+    * 2006): "carve a k-doc eval set where long documents count by
+    * their tokens, not one-doc-one-vote". Each row enters an
+    * exponential race with rate = its weight — key = −ln(u)/w where u
+    * is the row's md5-uniform draw in (0, 1] — and the k SMALLEST keys
+    * win; bottom-k of exponentials is distributed exactly as k
+    * successive weighted draws without replacement. Deterministic: u
+    * derives from md5(salt|key) like every sampler in this file, so
+    * the winner set is a pure function of (salt, keys, weights),
+    * stable across runs, partitionings, and engines.
+    *
+    * Cross-engine contract: the race key is floored onto an integer
+    * 1e-9 grid before comparison (the [[graft.functions.Fns.round2]]
+    * device) — both engines compute −ln(u)/w in float64 from identical
+    * u and w, and the grid absorbs any last-ulp libm disagreement;
+    * ties on the grid pin by key ascending. The key stays INTERNAL
+    * (the output is the winner rows, not the clock values), so a
+    * boundary disagreement would need a flip at exactly rank k on the
+    * grid to be visible at all.
+    *
+    * Contract: NULL keys and NULL weights drop (the file-wide NULL
+    * contract); weight ≤ 0 raises in-plan — a non-positive rate makes
+    * the race undefined, and silently dropping such rows would hide a
+    * broken upstream weight column.
+    *
+    * Same mergeable bottom-k shape as [[bottomK]]: the global winners
+    * are bottom-k within whichever shard held them, so per-shard
+    * bottom-k then re-bottom-k of the k·S survivors is exact — the
+    * 100 TB plan is TakeOrderedAndProject (k rows per partition cross
+    * the exchange, no global sort), and a stream can maintain the
+    * sample with k rows of state. Output: input columns, exactly
+    * min(k, #valid rows) rows.
+    */
+  def weightedBottomK(df: DataFrame, k: Int, weight: Column,
+                      keyCol: String = "doc_id",
+                      salt: String = "graft-wk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // (h + 1) / 2^32 ∈ (2^-32, 1] — never 0, so ln(u) is finite
+    val u = (hashValue(col(keyCol), salt) + lit(1L)) / lit(HashRange)
+    val w = when(weight.isNull, lit(null).cast("double"))
+      .otherwise(when(weight.cast("double") <= 0.0,
+          raise_error(concat(lit("weightedBottomK: weight must be > 0, got "),
+            weight.cast("string"), lit(" for key "), col(keyCol).cast("string"))))
+        .otherwise(weight.cast("double")))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_ekey", floor(-log(u) / w * lit(1.0e9)).cast("long"))
+      .filter(col("_ekey").isNotNull) // NULL weight → NULL key → drop
+      .orderBy(col("_ekey").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("_ekey")
+  }
+
   /** Per-stratum cap — the "domain cap" of corpus mixing: keeps at most
     * `maxPerStratum` rows per stratum, chosen deterministically by hash
     * order (not arrival/partition order, so the kept set is stable

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling}
+
+/** Round-11 pins, batch 2: weighted fixed-size sampling
+  * (Efraimidis-Spirakis exponential race).
+  */
+class Round24Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- Sampling.weightedBottomK ---
+
+  test("weightedBottomK: exactly k rows, deterministic, and heavy " +
+    "weights dominate the winner set") {
+    val df = (1L to 200L).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") <= 100, lit(1000.0))
+        .otherwise(lit(1.0)))
+    val s1 = Sampling.weightedBottomK(df, 50, col("w"))
+    val got = s1.collect().map(_.getAs[Long]("doc_id"))
+    assert(got.length === 50)
+    assert(rows(s1) === rows(Sampling.weightedBottomK(df, 50, col("w"))))
+    // a 1000:1 rate ratio makes a light-row win a ~1e-3 event per
+    // boundary slot; the fixed salt makes the count a constant — pin
+    // a conservative floor rather than the exact draw
+    assert(got.count(_ <= 100L) >= 45,
+      s"heavy rows in top-50: ${got.count(_ <= 100L)}")
+  }
+
+  test("weightedBottomK: merge identity — per-part bottom-k then " +
+    "re-bottom-k equals the one-shot draw") {
+    val df = (1L to 500L).toDF("doc_id")
+      .withColumn("w", (col("doc_id") % 13 + 1).cast("double"))
+    val parts = Seq(df.filter(col("doc_id") % 3 === 0),
+      df.filter(col("doc_id") % 3 === 1),
+      df.filter(col("doc_id") % 3 === 2))
+    val merged = Sampling.weightedBottomK(
+      parts.map(Sampling.weightedBottomK(_, 40, col("w")))
+        .reduce(_ unionByName _), 40, col("w"))
+    assert(rows(merged) === rows(Sampling.weightedBottomK(df, 40, col("w"))))
+  }
+
+  test("weightedBottomK: NULL keys and NULL weights drop; " +
+    "non-positive weights raise in-plan") {
+    val df = Seq((java.lang.Long.valueOf(1L), java.lang.Double.valueOf(2.0)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(5.0)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Double]),
+      (java.lang.Long.valueOf(4L), java.lang.Double.valueOf(1.0)))
+      .toDF("doc_id", "w")
+    val kept = Sampling.weightedBottomK(df, 10, col("w"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 4L))
+    val bad = Seq((1L, 2.0), (2L, 0.0)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedBottomK(bad, 10, col("w")).collect()
+    }
+    assert(e.getMessage.contains("weight must be > 0"))
+  }
+
+  // --- Dedup.boilerplateRewrite ---
+
+  test("boilerplateRewrite: a cross-doc chunk is cut from EVERY " +
+    "occurrence, within-doc repetition alone never triggers, and a " +
+    "doc losing all chunks keeps an empty row") {
+    // w=2 chunks. "accept cookies" appears in docs 1,2,3 → boilerplate
+    // (cut everywhere, including doc 1's first occurrence). Doc 4
+    // repeats "la la" twice WITHIN itself only → kept (distinct-doc
+    // count is 1). Doc 3 is pure boilerplate → empty text_clean.
+    val docs = Seq(
+      (1L, "accept cookies real content one"),
+      (2L, "accept cookies other content two"),
+      (3L, "accept cookies"),
+      (4L, "la la la la"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateRewrite(docs, w = 2, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_boiler"), r.getAs[String]("text_clean")))).toMap
+    assert(out(1L) === ((1L, "real content one")))
+    assert(out(2L) === ((1L, "other content two")))
+    assert(out(3L) === ((1L, "")))
+    assert(out(4L) === ((0L, "la la la la")))
+    // contrast with keep-first dedup: doc 1 RETAINS the first copy
+    val keepFirst = Dedup.chunkDedupRewrite(docs, w = 2)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(keepFirst.getAs[String]("text_clean")
+      === "accept cookies real content one")
+  }
+}
