@@ -278,6 +278,16 @@ object SparkEntry {
       graft.streaming.EventsStream.cardMaintain(
         s, dir, scratchDir("cardstage"), scratchDir("cardart"))),
 
+    // streaming budgeted-mixture RE-FIT: each micro-batch sums its
+    // per-source availability into the stored counters, then re-runs
+    // the water-filling solve on the merged counters and versions the
+    // fitted allocation — the sampling controller as a maintained
+    // artifact; exact counters + pure solve make the final fit
+    // bit-identical to the one-shot batch fit (samp_mix_fit's twin)
+    "stream_mix_refit" -> ((s, dir) =>
+      graft.streaming.EventsStream.mixRefit(
+        s, dir, scratchDir("mixstage"), scratchDir("mixart"))),
+
     // streaming-maintained CMS: 3-batch replay, each foreachBatch
     // full-outer-sums its sparse sketch into the versioned artifact;
     // final sketch serves the SAME top-20 audit as rel_cms_artifact
@@ -5325,6 +5335,22 @@ object SparkEntry {
     // the IEEE values match bit-for-bit), first unsaturated row pins
     // (k*, λ*), capped sources allocate avail at rate 1
     "samp_mix_fit" ->
+      s"""WITH ${mixFitCtes()}
+         |SELECT source, CAST(a AS BIGINT) AS avail_tokens,
+         |  floor(w * 100 + 0.5) / 100 AS target_w,
+         |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN a
+         |    ELSE (SELECT lamstar FROM l) * w END * 100 + 0.5) / 100
+         |    AS alloc_tokens,
+         |  floor(CASE WHEN k.k IS NULL OR rn < k.k THEN 1.0
+         |    ELSE (SELECT lamstar FROM l) * w / a END * 100 + 0.5) / 100
+         |    AS rate,
+         |  k.k IS NULL OR rn < k.k AS capped
+         |FROM q, k""".stripMargin,
+
+    // streaming mix-refit twin: exact integer counters over disjoint
+    // batches + a pure solve ⇒ the final maintained fit IS the
+    // one-shot batch fit — samp_mix_fit's SQL verbatim
+    "stream_mix_refit" ->
       s"""WITH ${mixFitCtes()}
          |SELECT source, CAST(a AS BIGINT) AS avail_tokens,
          |  floor(w * 100 + 0.5) / 100 AS target_w,

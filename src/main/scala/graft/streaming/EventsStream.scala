@@ -1079,6 +1079,83 @@ object EventsStream {
       spark.read.parquet(s"$artDir/v${versions.max}"))
   }
 
+  /** Streaming budgeted-mixture RE-FIT — the sampling CONTROLLER run
+    * as a maintained artifact: per micro-batch, (1) sum the delta's
+    * per-source token availability into the stored counters (exact
+    * integer sums over disjoint batches — the [[cardMaintain]]
+    * mergeability), then (2) re-run the water-filling solve
+    * ([[graft.operators.Sampling.mixtureFit]]) on the MERGED counters
+    * and version the fitted allocation next to them. This is how a
+    * continuous-ingest corpus keeps its training-mix rates current —
+    * every arriving delta shifts per-source availability, the solve
+    * re-balances budget across sources — without ever rescanning the
+    * corpus: counters are enum-sized, the solve runs over |sources|
+    * rows, per-batch work is delta-sized. Because the counters are
+    * exact and the solve is a pure function of them, the final
+    * version's fit is BIT-IDENTICAL to the one-shot batch fit over
+    * the whole corpus (the `samp_mix_fit` twin gates it). State
+    * layout: `v<N>/stats` (source, avail) and `v<N>/fit`
+    * ([[graft.operators.Sampling.mixtureFit]]'s columns); v(N−2)
+    * reaped, retries re-read only v(N−1).
+    * Output: the final version's fit. */
+  def mixRefit(spark: SparkSession, dir: String, stageDir: String,
+               artDir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = graft.Tables.load(spark, dir, "documents")
+    stageBatches(stageDir,
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 === 1),
+      d.filter(col("doc_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    // the samp_mix_fit gate's md5-derived target weights — w is a pure
+    // function of the source name, so the refit needs no weight state
+    def weighted(stats: DataFrame): DataFrame =
+      stats.withColumn("w",
+        conv(substring(md5(col("source")), 1, 4), 16, 10)
+          .cast("long") % 5 + 1)
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val part = batch.groupBy("source")
+          .agg(sum(col("n_chars")).as("avail"))
+        val prevDir = new java.io.File(s"$artDir/v${batchId - 1}/stats")
+        val merged =
+          if (!prevDir.isDirectory) part
+          else s2.read.parquet(prevDir.getPath).unionByName(part)
+            .groupBy("source").agg(sum(col("avail")).as("avail"))
+        merged.write.mode("overwrite").parquet(s"$artDir/v$batchId/stats")
+        // re-solve from the STORED counters (what a retry would see),
+        // not the in-flight frame — the artifact is the controller's
+        // only input
+        Sampling.mixtureFit(
+            weighted(s2.read.parquet(s"$artDir/v$batchId/stats")))
+          .write.mode("overwrite").parquet(s"$artDir/v$batchId/fit")
+        val stale = new java.io.File(s"$artDir/v${batchId - 2}")
+        if (stale.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val versions = Option(new java.io.File(artDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    spark.read.parquet(s"$artDir/v${versions.max}/fit")
+  }
+
   def decontamIngest(spark: SparkSession, dir: String,
                      idxDir: String): DataFrame = {
     val d = graft.Tables.load(spark, dir, "documents")

@@ -59,6 +59,36 @@ class Round24Spec extends SparkSpec {
     assert(e.getMessage.contains("weight must be > 0"))
   }
 
+  // --- EventsStream.mixRefit ---
+
+  test("mixRefit: the final fit equals the one-shot batch fit, and " +
+    "the surviving intermediate version is the exact fit of its " +
+    "prefix — the controller re-solves every batch") {
+    def scratch(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_spec_$tag").toString
+    val dir = scratch("mrcorpus")
+    val docs = (1L to 90L).toDF("doc_id")
+      .withColumn("source", concat(lit("s"), (col("doc_id") % 4)))
+      .withColumn("n_chars", col("doc_id") * 7 % 100 + 20)
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val artDir = scratch("mrart")
+    val fin = graft.streaming.EventsStream.mixRefit(
+      spark, dir, scratch("mrstage"), artDir)
+    def oneShot(d: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureFit(d.groupBy("source")
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("w",
+          conv(substring(md5(col("source")), 1, 4), 16, 10)
+            .cast("long") % 5 + 1))
+    assert(rows(fin) === rows(oneShot(docs)))
+    // v0 is reaped; v1 must be the exact fit of batches 0+1 — the
+    // evidence the solve ran (correctly) BEFORE the stream finished
+    assert(rows(spark.read.parquet(s"$artDir/v1/fit")) ===
+      rows(oneShot(docs.filter(col("doc_id") % 3 =!= 2))))
+    assert(!new java.io.File(s"$artDir/v0").isDirectory)
+    Housekeeping.release(spark)
+  }
+
   // --- Dedup.boilerplateRewrite ---
 
   test("boilerplateRewrite: a cross-doc chunk is cut from EVERY " +
