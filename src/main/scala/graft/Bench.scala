@@ -98,6 +98,7 @@ object Bench {
     "sim_hard_negatives" -> 0.43, "sim_knn_components" -> 5.15,
     "sim_knn_components_ivf" -> 4.15, "sim_knn_graph" -> 1.07,
     "sim_knn_graph_ivf" -> 1.64, "sim_knn_recall" -> 1.27,
+    "sim_ivf_autotune" -> 2.7,
     "sim_knn_recall_ivf" -> 1.95, "sim_label_eval" -> 0.48, "sim_mmr" -> 1.66,
     "sim_quantize" -> 1.46, "sim_topk_brute" -> 0.47, "sim_range_ivf" -> 1.0, "sim_topk_ivf" -> 1.02,
     "sim_topk_ivf_persisted" -> 1.78, "sim_topk_ivf_trained" -> 3.21,

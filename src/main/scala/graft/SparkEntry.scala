@@ -730,6 +730,12 @@ object SparkEntry {
     // (tools/IvfKnnProbe, BASELINE.md)
     "sim_knn_recall_ivf" -> ((s, dir) =>
       Similarity.knnRecallIvf(tbl(s, dir, "embeddings"))),
+    // IVF OPERATING-POINT AUTO-TUNE: the recall/cost frontier over
+    // candidate nProbes in ONE routed scan (smaller probe sets are
+    // prefixes of the max-probe routing order), smallest candidate
+    // meeting the 0.4 recall target flagged chosen
+    "sim_ivf_autotune" -> ((s, dir) =>
+      Similarity.ivfAutotune(tbl(s, dir, "embeddings"))),
     // IVF RANGE search — the radius half of the query surface:
     // everything within cosine >= 0.4 of the sampled queries, routed
     // through the same 16-of-128 lists and exact-verified (shared
@@ -3464,7 +3470,7 @@ object SparkEntry {
        |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
        |  FROM nz WHERE $queryPred
        |), probes AS (
-       |  SELECT query_id, cid FROM (
+       |  SELECT query_id, cid, rn AS prank FROM (
        |    SELECT qq.query_id, c.cid,
        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
        |        list_sum(list_transform(generate_series(1, len(qq.qv)),
@@ -3473,7 +3479,7 @@ object SparkEntry {
        |    FROM qs qq CROSS JOIN cent c)
        |  WHERE rn <= $nProbe
        |), ivs AS (
-       |  SELECT qq.query_id, a.vec_id,
+       |  SELECT qq.query_id, a.vec_id, p.prank,
        |    list_sum(list_transform(generate_series(1, len(qq.qv)),
        |      i -> qq.qv[i] * z.v[i])) / (qq.qnorm * z.norm) AS cos
        |  FROM probes p
@@ -5906,6 +5912,57 @@ object SparkEntry {
          |  floor(coalesce(h.h, 0) / 10.0 * 100 + 0.5) / 100 AS recall
          |FROM (SELECT DISTINCT query_id FROM ex) qspine
          |LEFT JOIN h ON qspine.query_id = h.query_id""".stripMargin,
+
+    // Auto-tune twin: the recall twin's brute truth + the max-probe
+    // IVF chain with prank kept; each candidate nProbe re-ranks the
+    // prank-prefix of the SAME scored pairs (one scan, all operating
+    // points), exact integer hit sums, round2 mean, min-meeting-
+    // candidate flagged chosen (false everywhere when none meet)
+    "sim_ivf_autotune" ->
+      s"""WITH $vecCtes, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |  FROM normed WHERE vec_id % 10 = 0 AND norm > 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * c.v[i])) / (qnorm * c.norm) AS cos
+         |  FROM q JOIN normed c ON c.vec_id != q.query_id
+         |              AND c.norm > 0
+         |), ex AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 10
+         |), ${ivfKnnCtes(128, 16, "vec_id % 10 = 0")}, pc AS (
+         |  SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS n_probe
+         |), sw AS (
+         |  SELECT pc.n_probe, i.query_id, i.vec_id, i.cos
+         |  FROM ivs i JOIN pc ON i.prank <= pc.n_probe
+         |), sc AS (
+         |  SELECT n_probe, count(*) AS n_scanned FROM sw GROUP BY n_probe
+         |), ap AS (
+         |  SELECT n_probe, query_id, vec_id AS neighbor_id FROM sw
+         |  QUALIFY row_number() OVER (PARTITION BY n_probe, query_id
+         |    ORDER BY cos DESC, vec_id ASC) <= 10
+         |), h AS (
+         |  SELECT n_probe, count(*) AS n_hits
+         |  FROM ap JOIN ex USING (query_id, neighbor_id)
+         |  GROUP BY n_probe
+         |), nq AS (
+         |  SELECT count(DISTINCT query_id) AS n_queries FROM ex
+         |), r AS (
+         |  SELECT pc.n_probe, coalesce(sc.n_scanned, 0) AS n_scanned,
+         |    coalesce(h.n_hits, 0) AS n_hits, nq.n_queries,
+         |    floor(coalesce(h.n_hits, 0) / (10.0 * nq.n_queries)
+         |      * 100 + 0.5) / 100 AS mean_recall
+         |  FROM pc LEFT JOIN sc USING (n_probe)
+         |  LEFT JOIN h USING (n_probe), nq
+         |), b AS (
+         |  SELECT min(CASE WHEN mean_recall >= 0.4 THEN n_probe END)
+         |    AS best FROM r
+         |)
+         |SELECT n_probe, n_scanned, n_hits, n_queries, mean_recall,
+         |  coalesce(n_probe = b.best, FALSE) AS chosen
+         |FROM r, b""".stripMargin,
 
     // The sketch's accuracy contract, not its raw estimate (HLL++ is
     // engine-specific): DuckDB computes exact and asserts TRUE; Spark

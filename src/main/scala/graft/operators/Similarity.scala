@@ -515,7 +515,19 @@ object Similarity {
     * meets at most once (a candidate lives in exactly ONE list, probes
     * are distinct cids), so no dedup precedes the tail. */
   private def ivfScored(q: DataFrame, cent: DataFrame,
-                        assigned: DataFrame, nProbe: Int): DataFrame = {
+                        assigned: DataFrame, nProbe: Int): DataFrame =
+    ivfScoredRanked(q, cent, assigned, nProbe).drop("prank")
+
+  /** [[ivfScored]] with the routing rank kept: `prank` = the 1-based
+    * position of the scanned list in its query's centroid ranking
+    * (TopKAgg emits best-first, so pos 0 is the nearest centroid).
+    * Because a query's nProbe=p probe set is exactly the prank ≤ p
+    * PREFIX of its routing order, ONE scored pass at the largest p
+    * prices every smaller operating point — the device under
+    * [[ivfAutotune]]'s sweep. */
+  private def ivfScoredRanked(q: DataFrame, cent: DataFrame,
+                              assigned: DataFrame,
+                              nProbe: Int): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
     // nProbe nearest centroids per query, via the same bounded-heap
@@ -528,14 +540,15 @@ object Similarity {
       .mapValues(t => (t._2, t._3))
       .agg(new graft.functions.TopKAgg(nProbe).toColumn.name("top"))
       .toDF("query_id", "top")
-      .select(col("query_id"), explode(col("top")).as("pc"))
-      .select(col("query_id"), col("pc._2").as("cid"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("cid"),
+        (col("pos") + 1).cast("long").as("prank"))
     val qr = q.withColumnsRenamed(Map("vec_id" -> "query_id",
       "vec" -> "qvec", "norm" -> "qnorm"))
     val scored = probes.join(broadcast(qr), "query_id")
       .join(assigned, "cid")
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
+      .select(col("query_id"), col("vec_id"), col("prank"),
         (dot(col("qvec"), col("vec"))
           / nullif(col("qnorm") * col("norm"), lit(0.0))).as("cos"))
     scored.filter(col("cos").isNotNull)
@@ -1299,6 +1312,84 @@ object Similarity {
     val queries = emb.filter(col("vec_id") % queryMod === 0)
     recallTail(bruteTopK(queries, emb, k),
       ivfTopK(queries, emb, k, nCentroids, nProbe), k)
+  }
+
+  /** IVF OPERATING-POINT AUTO-TUNER — "what nProbe do I actually
+    * need?" answered by measurement instead of folklore: for every
+    * candidate probe count, the mean recall@k of the IVF routing
+    * against the exact [[bruteTopK]] truth on a deterministic query
+    * sample, plus the scanned-pair cost — the recall/cost FRONTIER as
+    * one result table, with the smallest candidate meeting
+    * `targetRecall` flagged `chosen`.
+    *
+    * The sweep costs ONE routed scan, not one per candidate: a query's
+    * nProbe=p probe set is exactly the prank ≤ p PREFIX of its routing
+    * order ([[ivfScoredRanked]]), so the pairs scored at max(candidates)
+    * price every smaller operating point by a per-row rank filter. The
+    * per-point top-k re-rank is a window over each (candidate, query)'s
+    * own ≤ scanned-pairs rows; recall means are exact integer hit sums
+    * over the sample (no fp accumulation). The brute arm is the same
+    * bounded-query-sample broadcast the recall gates are sanctioned
+    * for — at 100 TB the sample is the knob, and everything downstream
+    * of the two scans is candidate×query sized.
+    * Output: (n_probe, n_scanned, n_hits, n_queries, mean_recall,
+    * chosen) — one row per candidate, mean_recall round2, chosen false
+    * everywhere if no candidate meets the target. */
+  def ivfAutotune(emb: DataFrame, k: Int = 10, nCentroids: Int = 128,
+                  candidateProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                  targetRecall: Double = 0.4,
+                  queryMod: Int = 10,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireIntegralIds(emb, idCol, "ivfAutotune")
+    val probes = candidateProbes.distinct.sorted
+    require(probes.nonEmpty && probes.head >= 1,
+      s"candidateProbes must be >= 1: $candidateProbes")
+    val queries = emb.filter(col(idCol) % queryMod === 0)
+    val exact = bruteTopK(queries, emb, k)
+      .select("query_id", "neighbor_id")
+      .persist() // two consumers: hit overlap + query-count scalar
+    val cand = withNorm(emb, idCol, vecCol).filter(col("norm") > 0)
+    val cent = ivfCentroids(cand, nCentroids, None)
+    val swept = ivfScoredRanked(
+        withNorm(queries, idCol, vecCol).filter(col("norm") > 0),
+        cent, ivfAssign(cand, cent), probes.last)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("prank"),
+        explode(array(probes.map(p => lit(p.toLong)): _*)).as("n_probe"))
+      .filter(col("prank") <= col("n_probe"))
+      .persist() // two consumers: scanned-cost agg + top-k re-rank
+    val scanned = swept.groupBy("n_probe")
+      .agg(count(lit(1)).as("n_scanned"))
+    val w = Window.partitionBy("n_probe", "query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val hits = swept.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("n_probe"), col("query_id"),
+        col("vec_id").as("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hits"))
+    val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
+    val spine = nq.select(col("n_queries"),
+      explode(array(probes.map(p => lit(p.toLong)): _*)).as("n_probe"))
+    val frontier = spine
+      .join(scanned, Seq("n_probe"), "left")
+      .join(hits, Seq("n_probe"), "left")
+      .select(col("n_probe"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_queries"),
+        graft.functions.Fns.round2(coalesce(col("n_hits"), lit(0L))
+          / (lit(k) * col("n_queries"))).as("mean_recall"))
+      .persist() // two consumers: the chosen-point scalar + output
+    val best = frontier.agg(
+      min(when(col("mean_recall") >= targetRecall, col("n_probe")))
+        .as("best"))
+    frontier.crossJoin(broadcast(best))
+      .select(col("n_probe"), col("n_scanned"), col("n_hits"),
+        col("n_queries"), col("mean_recall"),
+        coalesce(col("n_probe") === col("best"), lit(false))
+          .as("chosen"))
   }
 
   /** Shared recall tail: per exact-ranked query, the overlap with the

@@ -111,6 +111,9 @@ class PlanInvariantSpec extends SparkSpec {
       // approximate ranking is measured against — bounded query sample
       // broadcast by construction; Similarity.knnRecall scaladoc)
       "sim_knn_recall", "sim_knn_recall_ivf", "sim_trunc_eval",
+      // the auto-tuner's truth arm is the same bounded-sample brute
+      // oracle (Similarity.ivfAutotune scaladoc)
+      "sim_ivf_autotune",
       // MMR's candidate generation is the same bounded brute scoring
       // (Similarity.mmrTopK scaladoc)
       "sim_mmr") ++

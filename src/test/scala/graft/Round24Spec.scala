@@ -59,6 +59,39 @@ class Round24Spec extends SparkSpec {
     assert(e.getMessage.contains("weight must be > 0"))
   }
 
+  // --- Similarity.ivfAutotune ---
+
+  test("ivfAutotune: recall is monotone in nProbe, the all-lists " +
+    "point recovers brute recall 1.0, and chosen is the smallest " +
+    "candidate meeting the target (false everywhere if unreachable)") {
+    import graft.operators.Similarity
+    val emb = (1L to 60L).toDF("vec_id")
+      .withColumn("embedding", array(
+        (col("vec_id") % 7).cast("float") + lit(0.1f),
+        (col("vec_id") % 5).cast("float") + lit(0.2f),
+        (col("vec_id") % 3).cast("float") + lit(0.3f)))
+    val fr = Similarity.ivfAutotune(emb, k = 5, nCentroids = 4,
+        candidateProbes = Seq(1, 2, 4), targetRecall = 0.99,
+        queryMod = 6)
+      .orderBy("n_probe").collect()
+    val recalls = fr.map(_.getAs[Double]("mean_recall"))
+    val scanned = fr.map(_.getAs[Long]("n_scanned"))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall not monotone: ${recalls.toSeq}")
+    assert(scanned.sliding(2).forall(p => p(0) < p(1)))
+    // probing all 4 lists scans every candidate — brute by another name
+    assert(recalls.last === 1.0)
+    val chosen = fr.filter(_.getAs[Boolean]("chosen"))
+      .map(_.getAs[Long]("n_probe")).toSeq
+    val expected = fr.find(_.getAs[Double]("mean_recall") >= 0.99)
+      .map(_.getAs[Long]("n_probe")).toSeq
+    assert(chosen === expected)
+    // unreachable target: no point flagged
+    val none = Similarity.ivfAutotune(emb, k = 5, nCentroids = 4,
+      candidateProbes = Seq(1, 2), targetRecall = 1.01, queryMod = 6)
+    assert(none.filter(col("chosen")).count() === 0L)
+  }
+
   // --- EventsStream.mixRefit ---
 
   test("mixRefit: the final fit equals the one-shot batch fit, and " +
