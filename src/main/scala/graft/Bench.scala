@@ -40,6 +40,7 @@ object Bench {
     "io_compaction_exec" -> 1.91, "io_compaction_plan" -> 0.22,
     "io_csv_quoted" -> 0.38, "io_csv_roundtrip" -> 1.19,
     "io_dynamic_overwrite" -> 1.2, "io_incremental_scan" -> 1.65,
+    "io_retention_plan" -> 0.8, "io_retention_exec" -> 0.9,
     "io_jsonl_roundtrip" -> 1.26, "io_merge_schema" -> 1.5,
     "io_orc_roundtrip" -> 1.2, "io_partition_prune" -> 0.71,
     "io_sorted_write" -> 0.79, "io_stats_skipping" -> 1.23,

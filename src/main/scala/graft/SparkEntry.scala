@@ -518,6 +518,33 @@ object SparkEntry {
         out, 8, "l_orderkey", "l_partkey")
       s.read.parquet(out)
     }),
+    // retention PLAN: keep-last-14-days TTL labels over the day
+    // partitions, cutoff anchored on the lake's own newest partition —
+    // pure partition-directory metadata, no data file opened
+    "io_retention_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.to_date
+      val ev = tbl(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_id"),
+          col("value"))
+      val out = scratchDir("retplan")
+      graft.io.CompatIo.writePartitioned(ev, out, "day")
+      graft.io.CompatIo.retentionPlan(s, out, keepDays = 14)
+    }),
+    // retention EXEC: physically drop the expired day partitions and
+    // verify the surviving lake is exactly the retention window
+    "io_retention_exec" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, sum, to_date}
+      val ev = tbl(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_id"),
+          col("value"))
+      val out = scratchDir("retexec")
+      graft.io.CompatIo.writePartitioned(ev, out, "day")
+      graft.io.CompatIo.retentionExec(s, out, keepDays = 14)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+    }),
     // compaction EXECUTOR: Q6 scattered across 32 small parquet files,
     // rewritten to one file per quota bin — row identity is the gate
     // (q6's own twin); one-file-per-bin is pinned by Round15Spec
@@ -4039,6 +4066,26 @@ object SparkEntry {
         |SELECT day, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM fin GROUP BY 1, 2""".stripMargin,
+
+    // retention-plan twin: the physical day partitions are exactly the
+    // distinct event days (partitionBy writes one dir per value), the
+    // cutoff anchors on the newest day present
+    "io_retention_plan" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |m AS (SELECT max(day) AS mx FROM d)
+        |SELECT day,
+        |  CASE WHEN date_diff('day', day, mx) < 14
+        |       THEN 'keep' ELSE 'drop' END AS action
+        |FROM d, m""".stripMargin,
+
+    // retention-exec twin: the surviving lake IS the retention window
+    "io_retention_exec" ->
+      """WITH m AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events)
+        |SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events, m
+        |WHERE date_diff('day', CAST(ts AS DATE), mx) < 14
+        |GROUP BY 1""".stripMargin,
     // sorted-layout twin: plain identity — the range-sorted layout must
     // change the FILES (ScaleLayoutSpec pins plan + footer ranges),
     // never the rows

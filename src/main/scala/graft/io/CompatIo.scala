@@ -159,6 +159,63 @@ object CompatIo {
       .partitionBy(partCol)
       .parquet(outDir)
 
+  /** Retention PLAN — the TTL half of lake maintenance (next to the
+    * [[compactLake]] small-file half): over a `partCol=<date>`
+    * partitioned lake, label every partition keep/drop under a
+    * keep-last-`keepDays` policy, with the cutoff anchored on the
+    * lake's own newest partition (a wall-clock cutoff would make the
+    * plan non-reproducible and would empty a stale lake on a delayed
+    * run). Pure partition-directory METADATA — one FS listing of the
+    * root's immediate children, |partitions| rows, no data file is
+    * opened; at lake scale this listing is the catalog's job, same as
+    * the [[compactLake]] argument. Unparseable partition values fail
+    * loudly (ANSI to_date) rather than silently aging into 'drop'.
+    * Output: (partCol DATE, action 'keep'|'drop'), one row per
+    * physical partition. */
+  def retentionPlan(spark: SparkSession, lakeDir: String,
+                    keepDays: Int, partCol: String = "day"): DataFrame = {
+    require(keepDays >= 1, s"keepDays must be >= 1: $keepDays")
+    import org.apache.hadoop.fs.Path
+    val p = new Path(lakeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName.drop(partCol.length + 1))
+    require(parts.nonEmpty,
+      s"retentionPlan: no $partCol= partitions under $lakeDir")
+    import spark.implicits._
+    val days = parts.toDF("pv").select(to_date(col("pv")).as(partCol))
+    val mx = days.agg(max(col(partCol)).as("mx"))
+    days.crossJoin(broadcast(mx))
+      .select(col(partCol),
+        when(datediff(col("mx"), col(partCol)) < keepDays, lit("keep"))
+          .otherwise(lit("drop")).as("action"))
+  }
+
+  /** Retention EXEC — physically delete the partitions
+    * [[retentionPlan]] marked 'drop' and return the surviving lake.
+    * The dropped-partition collect is |partitions|-bounded metadata
+    * (the plan's own row count); deletes are per-directory FS calls —
+    * a partition is removed whole or not at all, and a re-run after a
+    * partial failure re-plans against the surviving directories and
+    * deletes only what is still due (idempotent, the
+    * dynamic-overwrite restatement story). */
+  def retentionExec(spark: SparkSession, lakeDir: String,
+                    keepDays: Int, partCol: String = "day"): DataFrame = {
+    val dropped = retentionPlan(spark, lakeDir, keepDays, partCol)
+      .filter(col("action") === "drop")
+      .select(col(partCol).cast("string"))
+      .collect().map(_.getString(0)) // |partitions|-bounded metadata
+    import org.apache.hadoop.fs.Path
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dropped.foreach { d =>
+      fs.delete(new Path(root, s"$partCol=$d"), true)
+    }
+    spark.read.parquet(lakeDir)
+  }
+
   /** ORC interchange — the second first-class columnar lake format
     * next to parquet (Hive-ecosystem consumers): plain columnar write,
     * one file per partition, identical sharding story. Numeric

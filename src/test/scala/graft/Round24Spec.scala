@@ -59,6 +59,39 @@ class Round24Spec extends SparkSpec {
     assert(e.getMessage.contains("weight must be > 0"))
   }
 
+  // --- CompatIo.retentionPlan / retentionExec ---
+
+  test("retention: the cutoff is calendar days off the newest " +
+    "partition (a gap still ages out), exec deletes exactly the " +
+    "dropped dirs, and a re-run is a no-op") {
+    import graft.io.CompatIo
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_spec_ret").toString
+    // days 2026-01-01..03 and a gapped 2026-01-20: keepDays=5 keeps
+    // ONLY the 20th (the 1st-3rd are 17+ calendar days old — calendar
+    // TTL, not keep-last-5-partitions)
+    val df = Seq("2026-01-01", "2026-01-02", "2026-01-03", "2026-01-20")
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("event_id", "d")
+      .select(col("event_id"), to_date(col("d")).as("day"))
+    CompatIo.writePartitioned(df, lake, "day")
+    val plan = CompatIo.retentionPlan(spark, lake, keepDays = 5)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[String]("action")).toMap
+    assert(plan === Map("2026-01-01" -> "drop", "2026-01-02" -> "drop",
+      "2026-01-03" -> "drop", "2026-01-20" -> "keep"))
+    val kept = CompatIo.retentionExec(spark, lake, keepDays = 5)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+    assert(!new java.io.File(s"$lake/day=2026-01-01").isDirectory)
+    assert(new java.io.File(s"$lake/day=2026-01-20").isDirectory)
+    // idempotent re-run: the surviving partition is its own newest —
+    // nothing further ages out
+    val again = CompatIo.retentionExec(spark, lake, keepDays = 5)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(again === Set(3L))
+  }
+
   // --- Similarity.ivfAutotune ---
 
   test("ivfAutotune: recall is monotone in nProbe, the all-lists " +
