@@ -518,6 +518,20 @@ object SparkEntry {
         out, 8, "l_orderkey", "l_partkey")
       s.read.parquet(out)
     }),
+    // SNAPSHOT-isolated read: pin the manifest, append more data, read
+    // AS OF the pin — appended rows must be invisible bit-for-bit (the
+    // reproducible-training "trained on manifest M" primitive)
+    "io_snapshot_read" -> ((s, dir) => {
+      val out = scratchDir("snaps")
+      val li = tbl(s, dir, "lineitem").select("l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice")
+      li.filter(col("l_orderkey") % 3 =!= 0).repartition(4)
+        .write.mode("overwrite").parquet(s"$out/data")
+      graft.io.CompatIo.manifestWrite(s, s"$out/data", s"$out/manifest")
+      li.filter(col("l_orderkey") % 3 === 0).repartition(2)
+        .write.mode("append").parquet(s"$out/data")
+      graft.io.CompatIo.readSnapshot(s, s"$out/data", s"$out/manifest")
+    }),
     // retention PLAN: keep-last-14-days TTL labels over the day
     // partitions, cutoff anchored on the lake's own newest partition —
     // pure partition-directory metadata, no data file opened
@@ -1714,6 +1728,11 @@ object SparkEntry {
     // frame (the deadline lives in the FRAME), argmax via max(struct)
     "rel_attribution" -> ((s, dir) =>
       Relational.lastTouchAttribution(tbl(s, dir, "events"))),
+    // first-order Markov transition matrix over per-user event
+    // sequences: (from, to) counts + round2 row probabilities; ties
+    // pinned by event_id, per-user lead() window, enum²-sized agg
+    "rel_markov" -> ((s, dir) =>
+      Relational.markovTransitions(tbl(s, dir, "events"))),
 
     // equi-width histogram artifact: the DISTRIBUTION sketch beside
     // HLL (distinct) and CMS (frequency) — write pre-cutoff, merge
@@ -3942,6 +3961,25 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY c.event_id
         |  ORDER BY t.tus DESC, t.tid DESC) = 1""".stripMargin,
 
+    // Markov twin: per-user lead() with the same (ts, event_id) tie
+    // pin, (from, to) counts, probability = count over the from-state
+    // outgoing total
+    "rel_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |  FROM events
+        |), pr AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(n) AS tot FROM pr GROUP BY 1
+        |)
+        |SELECT pr.event_type, pr.next_type, pr.n,
+        |  floor(pr.n / t.tot * 100 + 0.5) / 100 AS p
+        |FROM pr JOIN t USING (event_type)""".stripMargin,
+
     // Histogram-artifact replay: same power-of-two bucket floor, full
     // rebuild (count linearity), cumulative window over ≤128 rows per
     // type, exact integer cross-multiplied rank comparison
@@ -4098,6 +4136,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_orderkey % 3 = 0""".stripMargin,
+
+    // snapshot-read twin: the pre-append table — rows landed after the
+    // manifest pin must be invisible to the snapshot reader
+    "io_snapshot_read" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey % 3 != 0""".stripMargin,
     // stats-skipping twin: the plain range filter — file pruning must
     // never change the ROWS (the physical skip is pinned in the spec)
     "io_stats_skipping" ->

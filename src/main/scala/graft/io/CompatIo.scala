@@ -578,6 +578,38 @@ object CompatIo {
     }
   }
 
+  /** Pin a SNAPSHOT of the lake: record the current file list as a
+    * manifest table — the poor-man's table-format transaction log. A
+    * reader holding the manifest sees the lake AS OF the pin no matter
+    * how many appends land after it ([[readSnapshot]]); this is the
+    * isolation primitive under every reproducible-training story
+    * ("the run trained on manifest M", not "on whatever the directory
+    * held that night"). Metadata-only: one recursive listing,
+    * |files| rows. */
+  def manifestWrite(spark: SparkSession, dataDir: String,
+                    manifestDir: String): Unit = {
+    import spark.implicits._
+    listParquet(spark, dataDir).toDF("file")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestDir)
+  }
+
+  /** Read the lake AS OF a stored manifest: only the listed files are
+    * opened — rows appended since the pin are invisible, bit-for-bit.
+    * A listed file that has been DELETED since the pin fails the read
+    * loudly (the snapshot contract is broken by a premature vacuum;
+    * serving partial history silently would be worse). An empty
+    * manifest short-circuits to an empty frame. */
+  def readSnapshot(spark: SparkSession, dataDir: String,
+                   manifestDir: String): DataFrame = {
+    val files = spark.read.parquet(manifestDir)
+      .select("file").collect().map(_.getString(0)) // |files| metadata
+    val full = spark.read.parquet(dataDir)
+    if (files.isEmpty) full.filter(lit(false))
+    else spark.read.schema(full.schema)
+      .option("basePath", dataDir)
+      .parquet(files.map(f => s"$dataDir/$f").toIndexedSeq: _*)
+  }
+
   /** Execute a key-range read through the stats index: read ONLY the
     * planned files, then apply the exact range filter (stats prune
     * whole files; the residual predicate trims the survivors' rows) —

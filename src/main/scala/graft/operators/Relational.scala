@@ -1786,6 +1786,35 @@ object Relational {
         expr("(us - att.tus) div 60000000L").as("mins_before"))
   }
 
+  /** Next-event Markov transition matrix — the first-order behavioral
+    * model an event pipeline fits for journey analysis, anomaly
+    * scoring ("this session's transitions are improbable"), and
+    * simulation: per user, order events by (ts, event_id) (event_id
+    * pins timestamp ties to a total order), pair each event with its
+    * successor via lead(), and count (from, to) transitions; the row
+    * probability is the count over the from-state's outgoing total.
+    * The per-user window never sees more than one user's events; the
+    * (from, to) aggregation is enum²-sized and map-side combined; the
+    * totals join is a broadcast of the enum-sized from-state sums —
+    * nothing scales past the one sort-per-user-partition shuffle.
+    * Output: (event_type, next_type, n, p), p round2, last event per
+    * user has no successor and contributes nothing. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("event_type").agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        graft.functions.Fns.round2(col("n") / col("tot")).as("p"))
+  }
+
   // ---- Count-min sketch artifact -----------------------------------
 
   /** Count-min sketch geometry. Depth 4 × width 1024 bounds the

@@ -59,6 +59,63 @@ class Round24Spec extends SparkSpec {
     assert(e.getMessage.contains("weight must be > 0"))
   }
 
+  // --- Relational.markovTransitions ---
+
+  test("markovTransitions: per-user successor pairs with event_id " +
+    "tie-pinning, probabilities normalized per from-state") {
+    import graft.operators.Relational
+    // user 1: A B A C; user 2: A B B — the two t=2 events of user 1
+    // share a timestamp, event_id orders them (B before A)
+    val ev = Seq(
+      (1L, 1L, "A", "2026-01-01 00:00:01"),
+      (2L, 1L, "B", "2026-01-01 00:00:02"),
+      (3L, 1L, "A", "2026-01-01 00:00:02"),
+      (4L, 1L, "C", "2026-01-01 00:00:03"),
+      (5L, 2L, "A", "2026-01-01 00:00:01"),
+      (6L, 2L, "B", "2026-01-01 00:00:02"),
+      (7L, 2L, "B", "2026-01-01 00:00:03"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+    val out = Relational.markovTransitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    // A→B twice (u1: 1→2, u2: 5→6), A→C once (u1: 3→4), B→A once
+    // (tie-pinned 2→3), B→B once (u2: 6→7); last events emit nothing
+    assert(out === Map(
+      ("A", "B") -> ((2L, 0.67)), ("A", "C") -> ((1L, 0.33)),
+      ("B", "A") -> ((1L, 0.5)), ("B", "B") -> ((1L, 0.5))))
+  }
+
+  // --- CompatIo.manifestWrite / readSnapshot ---
+
+  test("readSnapshot: rows appended after the manifest pin are " +
+    "invisible, and a vacuumed listed file fails loudly") {
+    import graft.io.CompatIo
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_spec_snap").toString
+    (1L to 50L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(s"$lake/data")
+    CompatIo.manifestWrite(spark, s"$lake/data", s"$lake/m0")
+    (51L to 80L).toDF("id").repartition(2)
+      .write.mode("append").parquet(s"$lake/data")
+    val snap = CompatIo.readSnapshot(spark, s"$lake/data", s"$lake/m0")
+      .collect().map(_.getLong(0)).toSet
+    assert(snap === (1L to 50L).toSet)
+    // the live read sees everything — the manifest is what isolates
+    assert(spark.read.parquet(s"$lake/data").count() === 80L)
+    // premature vacuum: deleting a pinned file must not serve partial
+    // history silently
+    val pinned = spark.read.parquet(s"$lake/m0")
+      .select("file").collect().map(_.getString(0))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$lake/data/${pinned.head}"))
+    intercept[Exception] {
+      CompatIo.readSnapshot(spark, s"$lake/data", s"$lake/m0")
+        .collect()
+    }
+  }
+
   // --- CompatIo.retentionPlan / retentionExec ---
 
   test("retention: the cutoff is calendar days off the newest " +
