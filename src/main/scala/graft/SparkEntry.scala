@@ -1733,6 +1733,11 @@ object SparkEntry {
     // pinned by event_id, per-user lead() window, enum²-sized agg
     "rel_markov" -> ((s, dir) =>
       Relational.markovTransitions(tbl(s, dir, "events"))),
+    // ...and its consumer: per-user mean −log10 transition probability
+    // under the population model — the sequence-anomaly outlier signal
+    // (DECIMAL-summed log-probs, the lmScore invariant)
+    "rel_markov_score" -> ((s, dir) =>
+      Relational.markovScore(tbl(s, dir, "events"))),
 
     // equi-width histogram artifact: the DISTRIBUTION sketch beside
     // HLL (distinct) and CMS (frequency) — write pre-cutoff, merge
@@ -3979,6 +3984,35 @@ object SparkEntry {
         |SELECT pr.event_type, pr.next_type, pr.n,
         |  floor(pr.n / t.tot * 100 + 0.5) / 100 AS p
         |FROM pr JOIN t USING (event_type)""".stripMargin,
+
+    // Markov-score twin: same model fit, each user's transitions score
+    // against it; log10-probs quantized to DECIMAL(20,12) before the
+    // sum (the lmScore cross-engine invariant), round2 mean NLL
+    "rel_markov_score" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_type, next_type FROM seq
+        |  WHERE next_type IS NOT NULL
+        |), pr AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM s GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(n) AS tot FROM pr GROUP BY 1
+        |), m AS (
+        |  SELECT pr.event_type, pr.next_type, pr.n / t.tot AS pp
+        |  FROM pr JOIN t USING (event_type)
+        |), l AS (
+        |  SELECT s.user_id, CAST(log10(m.pp) AS DECIMAL(20,12)) AS lp
+        |  FROM s JOIN m USING (event_type, next_type)
+        |)
+        |SELECT user_id, count(*) AS n_transitions,
+        |  floor(-CAST(sum(lp) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+        |    AS avg_nll
+        |FROM l GROUP BY 1""".stripMargin,
 
     // Histogram-artifact replay: same power-of-two bucket floor, full
     // rebuild (count linearity), cumulative window over ≤128 rows per

@@ -1815,6 +1815,45 @@ object Relational {
         graft.functions.Fns.round2(col("n") / col("tot")).as("p"))
   }
 
+  /** Per-user sequence ANOMALY score from the Markov model — the
+    * consumer of [[markovTransitions]]: fit the transition matrix on
+    * the whole log, then score every user by the mean negative
+    * log10-probability of their own transitions ("how improbable is
+    * this journey under the population model") — the
+    * sequence-behavioral outlier signal next to [[spendOutliers]]'
+    * value outliers. Log-probs sum through DECIMAL(20,12) (the
+    * [[TextStats.lmScore]] invariant: double addition is
+    * partition-order-dependent; a 1e-12 quantization absorbs last-ulp
+    * libm divergence). The transition table is enum²-sized and
+    * broadcast back onto the sequence — the only corpus-sized work is
+    * the one per-user window the model fit already does.
+    * Output: (user_id, n_transitions, avg_nll) — avg_nll round2, ≥ 0,
+    * higher = more anomalous; single-event users emit nothing. */
+  def markovScore(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val seq0 = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select("user_id", "event_type", "next_type")
+      .persist() // two consumers: the model fit + the scoring join
+    val model = seq0.groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = model.groupBy("event_type").agg(sum(col("n")).as("tot"))
+    val probs = model.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("next_type"),
+        (col("n") / col("tot")).as("pp"))
+    seq0.join(broadcast(probs), Seq("event_type", "next_type"))
+      .select(col("user_id"),
+        log10(col("pp")).cast("decimal(20,12)").as("lp"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        graft.functions.Fns.round2(
+          -sum(col("lp")).cast("double") / count(lit(1))).as("avg_nll"))
+  }
+
   // ---- Count-min sketch artifact -----------------------------------
 
   /** Count-min sketch geometry. Depth 4 × width 1024 bounds the

@@ -87,6 +87,32 @@ class Round24Spec extends SparkSpec {
       ("B", "A") -> ((1L, 0.5)), ("B", "B") -> ((1L, 0.5))))
   }
 
+  // --- Relational.markovScore ---
+
+  test("markovScore: per-user mean -log10 transition probability " +
+    "under the population model (hand-computed)") {
+    import graft.operators.Relational
+    val ev = Seq(
+      (1L, 1L, "A", "2026-01-01 00:00:01"),
+      (2L, 1L, "B", "2026-01-01 00:00:02"),
+      (3L, 1L, "A", "2026-01-01 00:00:02"),
+      (4L, 1L, "C", "2026-01-01 00:00:03"),
+      (5L, 2L, "A", "2026-01-01 00:00:01"),
+      (6L, 2L, "B", "2026-01-01 00:00:02"),
+      (7L, 2L, "B", "2026-01-01 00:00:03"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+    val out = Relational.markovScore(ev)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_transitions"), r.getAs[Double]("avg_nll"))))
+      .toMap
+    // model: A→B 2/3, A→C 1/3, B→A 1/2, B→B 1/2
+    // user 1: -(lg(2/3)+lg(1/2)+lg(1/3))/3 = 0.3181 → 0.32
+    // user 2: -(lg(2/3)+lg(1/2))/2 = 0.2386 → 0.24
+    assert(out === Map(1L -> ((3L, 0.32)), 2L -> ((2L, 0.24))))
+  }
+
   // --- CompatIo.manifestWrite / readSnapshot ---
 
   test("readSnapshot: rows appended after the manifest pin are " +
