@@ -583,6 +583,10 @@ object SparkEntry {
     "text_corpus_card" -> ((s, dir) =>
       TextStats.corpusCard(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
+    // winnowing (MOSS) sparse local fingerprints: per-frame rightmost
+    // minimum of the 5-token shingle hashes — any shared passage of
+    // >= 8 tokens contributes a common fingerprint
+    "text_winnow" -> ((s, dir) => TextStats.winnow(docs(s, dir))),
     // Hash-gated against a full DuckDB twin: the bucketing basis is md5
     // (engine-portable), so the sparse integer bucket sums value-match
     // exactly. Gate surface = those sparse sums, NOT the dense float
@@ -1156,6 +1160,11 @@ object SparkEntry {
     // every double one correctly-rounded IEEE op, flag on rounded z
     "rel_rate_anomaly" -> ((s, dir) =>
       Relational.rateAnomaly(tbl(s, dir, "events"))),
+    // CUSUM level-shift change-point per event_type: the day where
+    // the integer-scaled cumulative deviation from the global mean
+    // peaks — the regime-change detector beside the spike z-scores
+    "rel_cusum" -> ((s, dir) =>
+      Relational.cusumChangepoint(tbl(s, dir, "events"))),
     // daily active/new/cumulative-distinct users — the linear
     // first-seen rewrite of the inexpressible running-distinct window
     "rel_cumulative_users" -> ((s, dir) =>
@@ -1368,6 +1377,12 @@ object SparkEntry {
       Sampling.weightedBottomK(docs(s, dir), 137,
           org.apache.spark.sql.functions.greatest(col("n_chars"), lit(1L)))
         .select("doc_id", "n_chars")),
+    // ...and per stratum: the domain cap + token weighting in one pass
+    // (10 per source, long docs favored by the same exponential race)
+    "samp_weighted_cap" -> ((s, dir) =>
+      Sampling.weightedCapPerStratum(docs(s, dir), 10,
+          org.apache.spark.sql.functions.greatest(col("n_chars"), lit(1L)))
+        .select("doc_id", "source", "n_chars")),
     // deterministic global shuffle into 8 shards (training-order write)
     "samp_shard" -> ((s, dir) => Sampling.shardAssign(docs(s, dir), 8)),
     "samp_split" -> ((s, dir) =>
@@ -4541,6 +4556,33 @@ object SparkEntry {
         |    i -> md5(array_to_string(tk[i:i+4], ' ')))) AS fp_shingle
         |FROM t""".stripMargin,
 
+    // winnowing twin: identical 60-bit md5-slice shingle hashes, the
+    // same per-frame rightmost-minimum selection, distinct (pos, fp)
+    "text_winnow" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text,
+        |      '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS tk
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 4),
+        |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')),
+        |        1, 15))::BIGINT) AS hs
+        |  FROM n WHERE len(tk) >= 5
+        |), w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, greatest(len(hs) - 3, 1)),
+        |      p -> {'pos': p + list_max(list_filter(
+        |              generate_series(1, len(hs[p:p+3])),
+        |              j -> hs[p:p+3][j] = list_min(hs[p:p+3]))) - 1,
+        |            'fp': list_min(hs[p:p+3])})) AS s
+        |  FROM h
+        |)
+        |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
+        |FROM w""".stripMargin,
+
     // Sentence twin: same RE2 extraction, index via the repo's
     // unnest(generate_series)/t[i] idiom, non-empty-token count
     "text_sentences" ->
@@ -5382,6 +5424,22 @@ object SparkEntry {
         |      * 1000000000.0) AS BIGINT) AS ekey
         |  FROM documents WHERE doc_id IS NOT NULL
         |  ORDER BY ekey ASC, doc_id ASC LIMIT 137
+        |)""".stripMargin,
+
+    // weighted per-stratum cap: the same race clock ranked WITHIN each
+    // source via QUALIFY
+    "samp_weighted_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(floor(-ln(
+        |        ((('0x' || substr(md5('graft-wkc' || '|' ||
+        |            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |          / 4294967296.0))
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT) AS ekey
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY source
+        |    ORDER BY ekey ASC, doc_id ASC) <= 10
         |)""".stripMargin,
 
     // one fixed md5-random permutation, bucketed into 8 shards; total
@@ -6631,6 +6689,29 @@ object SparkEntry {
         |SELECT hour, event_type, n_events, base_n, z,
         |  coalesce(abs(z) >= 3.0, FALSE) AS anomaly
         |FROM z""".stripMargin,
+
+    // CUSUM twin: identical integer-scaled statistic over the per-type
+    // day spine; earliest-day tie pin via the same ranked window
+    "rel_cusum" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(cnt) AS total, count(*) AS n_days
+        |  FROM d GROUP BY 1
+        |), s AS (
+        |  SELECT d.event_type, d.day, t.n_days,
+        |    CAST(abs(t.n_days * sum(d.cnt) OVER (
+        |        PARTITION BY d.event_type ORDER BY d.day ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (row_number() OVER (PARTITION BY d.event_type
+        |          ORDER BY d.day ASC)) * t.total) AS BIGINT) AS s
+        |  FROM d JOIN t USING (event_type)
+        |)
+        |SELECT event_type, day AS cp_day, s AS max_cusum, n_days
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY s DESC, day ASC) = 1""".stripMargin,
 
     // cumulative-users twin: the same linear first-seen rewrite — a
     // per-user min day, new-user counts, prefix sum over the day rows

@@ -1636,6 +1636,41 @@ object Relational {
     * × type domain, not by N. Output: (hour, event_type, n_events,
     * base_n, z, anomaly).
     */
+  /** CUSUM change-point detection over the daily volume series — the
+    * LEVEL-SHIFT detector next to [[rateAnomaly]]'s spike detector
+    * (a gradual regime change never trips a z-score against its own
+    * recent baseline; the cumulative deviation from the global mean
+    * peaks AT the shift): per event_type, the day d maximizing
+    * |Σ_{i≤d} c_i − rank_d · mean|. All arithmetic is INTEGER-exact —
+    * the statistic is scaled by n_days (S*_d = n·Σ_{i≤d} c_i −
+    * rank_d·total, an integer), so no double prefix sum ever
+    * accumulates and both engines agree bit-for-bit; ties pin to the
+    * earliest day. The windows run over the per-type DAY spine
+    * (bounded cardinality), not the event table; the day aggregation
+    * is one map-side-combined pass over the corpus.
+    * Output: (event_type, cp_day, max_cusum, n_days) — max_cusum the
+    * scaled integer statistic, one row per event_type. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val ow = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val cum = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_days"))
+    val scored = daily.join(broadcast(tot), "event_type")
+      .withColumn("rk", row_number().over(ow))
+      .withColumn("csum", sum(col("cnt")).over(cum))
+      .withColumn("s",
+        abs(col("n_days") * col("csum") - col("rk") * col("total")))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("s").desc, col("day").asc)
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("s").as("max_cusum"), col("n_days"))
+  }
+
   def rateAnomaly(events: DataFrame, trailingHours: Int = 24,
                   minBaseline: Int = 8,
                   zThreshold: Double = 3.0): DataFrame = {

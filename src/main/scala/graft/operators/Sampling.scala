@@ -267,19 +267,55 @@ object Sampling {
                       keyCol: String = "doc_id",
                       salt: String = "graft-wk"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    // (h + 1) / 2^32 ∈ (2^-32, 1] — never 0, so ln(u) is finite
-    val u = (hashValue(col(keyCol), salt) + lit(1L)) / lit(HashRange)
-    val w = when(weight.isNull, lit(null).cast("double"))
-      .otherwise(when(weight.cast("double") <= 0.0,
-          raise_error(concat(lit("weightedBottomK: weight must be > 0, got "),
-            weight.cast("string"), lit(" for key "), col(keyCol).cast("string"))))
-        .otherwise(weight.cast("double")))
     df.filter(col(keyCol).isNotNull)
-      .withColumn("_ekey", floor(-log(u) / w * lit(1.0e9)).cast("long"))
+      .withColumn("_ekey", esKey(keyCol, salt, weight))
       .filter(col("_ekey").isNotNull) // NULL weight → NULL key → drop
       .orderBy(col("_ekey").asc, col(keyCol).asc)
       .limit(k)
       .drop("_ekey")
+  }
+
+  /** The Efraimidis-Spirakis race clock shared by [[weightedBottomK]]
+    * and [[weightedCapPerStratum]]: −ln(u)/w on the 1e-9 floor grid,
+    * u the row's md5-uniform in (0, 1], NULL weight → NULL clock
+    * (drop), weight ≤ 0 raises in-plan. */
+  private def esKey(keyCol: String, salt: String,
+                    weight: Column): Column = {
+    // (h + 1) / 2^32 ∈ (2^-32, 1] — never 0, so ln(u) is finite
+    val u = (hashValue(col(keyCol), salt) + lit(1L)) / lit(HashRange)
+    val w = when(weight.isNull, lit(null).cast("double"))
+      .otherwise(when(weight.cast("double") <= 0.0,
+          raise_error(concat(lit("weighted sample: weight must be > 0, got "),
+            weight.cast("string"), lit(" for key "), col(keyCol).cast("string"))))
+        .otherwise(weight.cast("double")))
+    floor(-log(u) / w * lit(1.0e9)).cast("long")
+  }
+
+  /** WEIGHTED per-stratum cap — [[capPerStratum]] with the
+    * [[weightedBottomK]] race inside each stratum: at most
+    * `maxPerStratum` rows per stratum, drawn weighted-without-
+    * replacement by the row weight ("100 docs per source, long docs
+    * counting by their tokens" — the domain cap and the token
+    * weighting in one pass). Same per-stratum window shape as the
+    * uniform cap (boundary-bucket rewrite applies if a stratum
+    * outgrows a partition sort); same NULL/guard contract as the
+    * global race. */
+  def weightedCapPerStratum(df: DataFrame, maxPerStratum: Int,
+                            weight: Column,
+                            stratumCol: String = "source",
+                            keyCol: String = "doc_id",
+                            salt: String = "graft-wkc"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerStratum >= 1,
+      s"maxPerStratum must be >= 1: $maxPerStratum")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col("_ekey").asc, col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_ekey", esKey(keyCol, salt, weight))
+      .filter(col("_ekey").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerStratum)
+      .drop("_ekey", "_rn")
   }
 
   /** Per-stratum cap — the "domain cap" of corpus mixing: keeps at most

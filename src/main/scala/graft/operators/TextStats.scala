@@ -1217,6 +1217,55 @@ object TextStats {
         i => md5(concat_ws(" ", slice(t, i, lit(5)))))).as("fp_shingle"))
   }
 
+  /** WINNOWING fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm) — the SPARSE local-fingerprint layer between
+    * [[fingerprint]]'s one-hash-per-doc and
+    * [[graft.operators.Dedup.duplicatedSpans]]' every-shingle
+    * coverage: hash every k-token shingle, slide a `window`-position
+    * frame over the hash sequence, and keep each frame's MINIMUM
+    * (rightmost on ties — the standard winnowing tie rule, so
+    * consecutive frames usually re-select the same hash and the kept
+    * set stays ~2/(window+1) of the shingles). The guarantee that
+    * makes the sparsity safe: any substring of ≥ window + k − 1
+    * tokens shared by two documents contributes at least one COMMON
+    * fingerprint — no shared passage of that length can hide. Pure
+    * per-row array expressions (no shuffle except the final
+    * distinct); the 60-bit hash is an md5 slice, so the twin replays
+    * it exactly. Documents with < k tokens emit nothing; shingle
+    * tails shorter than a full window still select (the last frames
+    * clamp to the array end).
+    * Output: (doc_id, pos, fp) — pos the 1-based shingle index of the
+    * selected hash, distinct per document. */
+  def winnow(docs: DataFrame, k: Int = 5, window: Int = 4,
+             idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    require(k >= 1 && window >= 1,
+      s"need k >= 1 and window >= 1: $k/$window")
+    val t = split(normalized(col(textCol)), " ")
+    docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => conv(substring(md5(
+              concat_ws(" ", slice(col("t"), i, lit(k)))), 1, 15),
+            16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (window - 1),
+            lit(1))),
+          p => {
+            val ws = slice(col("hs"), p, lit(window))
+            val mn = array_min(ws)
+            // rightmost in-frame position of the minimum (ties break
+            // toward the most recent shingle — the winnowing rule)
+            val jm = array_max(filter(sequence(lit(1), size(ws)),
+              j => element_at(ws, j) === mn))
+            struct((p + jm - 1).cast("long").as("pos"), mn.as("fp"))
+          })).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .distinct()
+  }
+
   /** Dense token-id vocabulary — the dictionary artifact of a training
     * tokenizer: the `maxVocab` most frequent normalized tokens (the
     * [[WikiText.tokens]] tokenizer) get ids 1..V by (count desc, word

@@ -87,6 +87,76 @@ class Round24Spec extends SparkSpec {
       ("B", "A") -> ((1L, 0.5)), ("B", "B") -> ((1L, 0.5))))
   }
 
+  // --- Sampling.weightedCapPerStratum ---
+
+  test("weightedCapPerStratum: per-stratum quota, deterministic, " +
+    "heavy weights dominate within each stratum") {
+    val df = (1L to 400L).toDF("doc_id")
+      .withColumn("source", concat(lit("s"), col("doc_id") % 2))
+      .withColumn("w", when(col("doc_id") <= 200, lit(1000.0))
+        .otherwise(lit(1.0)))
+    val s1 = Sampling.weightedCapPerStratum(df, 20, col("w"))
+    val perSrc = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc === Map("s0" -> 20L, "s1" -> 20L))
+    assert(rows(s1) === rows(Sampling.weightedCapPerStratum(df, 20,
+      col("w"))))
+    val heavy = s1.filter(col("doc_id") <= 200).count()
+    assert(heavy >= 36, s"heavy rows in 40 winners: $heavy")
+  }
+
+  // --- Relational.cusumChangepoint ---
+
+  test("cusumChangepoint: the scaled cumulative deviation peaks at " +
+    "the level shift (hand-computed)") {
+    import graft.operators.Relational
+    // 10 days at 1/day then 10 days at 3/day: total 40, n_days 20;
+    // S*_d = 20*csum_d - rk_d*40 peaks in magnitude at day 10
+    // (|S*| = 200; days 9 and 11 give 180)
+    val rows0 = for {
+      d <- 1 to 20
+      i <- 1 to (if (d <= 10) 1 else 3)
+    } yield ((d * 10 + i).toLong, 1L, "X", f"2026-01-$d%02d 00:00:01")
+    val ev = rows0.toDF("event_id", "user_id", "event_type", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+    val out = Relational.cusumChangepoint(ev).collect().head
+    assert(out.getAs[java.sql.Date]("cp_day").toString === "2026-01-10")
+    assert(out.getAs[Long]("max_cusum") === 200L)
+    assert(out.getAs[Long]("n_days") === 20L)
+  }
+
+  // --- TextStats.winnow ---
+
+  test("winnow: any shared run of >= window+k-1 tokens yields a " +
+    "common fingerprint; ties select the rightmost position; the " +
+    "kept set is sparser than the shingle set") {
+    import graft.operators.TextStats
+    // two docs share the 8-token run at different offsets
+    val shared = "q w e r t y u i"
+    val docs = Seq(
+      (1L, s"a b c d $shared x y z"),
+      (2L, s"m n $shared o p"))
+      .toDF("doc_id", "text")
+    val fp = TextStats.winnow(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty,
+      "shared 8-token run produced no common fingerprint")
+    // rightmost-tie rule: all-identical tokens → one fp at positions
+    // frame_start + window - 1
+    val mono = Seq((3L, Seq.fill(10)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sel = TextStats.winnow(mono).collect()
+      .map(r => r.getAs[Long]("pos")).sorted.toSeq
+    assert(sel === Seq(4L, 5L, 6L))
+    // sparsity: far fewer selections than shingles on a long doc
+    val long = Seq((4L, (1 to 300).map(i => s"t${i % 97}")
+      .mkString(" "))).toDF("doc_id", "text")
+    val nSel = TextStats.winnow(long).count()
+    assert(nSel < 296 / 2, s"winnowing kept $nSel of 296 shingles")
+  }
+
   // --- Relational.markovScore ---
 
   test("markovScore: per-user mean -log10 transition probability " +
