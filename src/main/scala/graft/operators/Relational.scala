@@ -1649,7 +1649,10 @@ object Relational {
     * (bounded cardinality), not the event table; the day aggregation
     * is one map-side-combined pass over the corpus.
     * Output: (event_type, cp_day, max_cusum, n_days) — max_cusum the
-    * scaled integer statistic, one row per event_type. */
+    * scaled integer statistic, one row per event_type. Overflow
+    * bound: |S*| ≤ n_days·total, so a 10-year daily series stays
+    * exact up to ~2.5e15 events per type — far past the BIGINT edge
+    * any realistic log reaches. */
   def cusumChangepoint(events: DataFrame): DataFrame = {
     val daily = events
       .select(col("event_type"), to_date(col("ts")).as("day"))

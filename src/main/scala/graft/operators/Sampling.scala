@@ -278,16 +278,19 @@ object Sampling {
   /** The Efraimidis-Spirakis race clock shared by [[weightedBottomK]]
     * and [[weightedCapPerStratum]]: −ln(u)/w on the 1e-9 floor grid,
     * u the row's md5-uniform in (0, 1], NULL weight → NULL clock
-    * (drop), weight ≤ 0 raises in-plan. */
+    * (drop), weight ≤ 0 OR NaN raises in-plan (NaN fails the ≤ 0
+    * comparison, would ride into the clock as NaN, and die as an
+    * opaque ANSI long-cast error — raise the clean message instead). */
   private def esKey(keyCol: String, salt: String,
                     weight: Column): Column = {
     // (h + 1) / 2^32 ∈ (2^-32, 1] — never 0, so ln(u) is finite
     val u = (hashValue(col(keyCol), salt) + lit(1L)) / lit(HashRange)
+    val wd = weight.cast("double")
     val w = when(weight.isNull, lit(null).cast("double"))
-      .otherwise(when(weight.cast("double") <= 0.0,
+      .otherwise(when(wd <= 0.0 || isnan(wd),
           raise_error(concat(lit("weighted sample: weight must be > 0, got "),
             weight.cast("string"), lit(" for key "), col(keyCol).cast("string"))))
-        .otherwise(weight.cast("double")))
+        .otherwise(wd))
     floor(-log(u) / w * lit(1.0e9)).cast("long")
   }
 

@@ -57,6 +57,12 @@ class Round24Spec extends SparkSpec {
       Sampling.weightedBottomK(bad, 10, col("w")).collect()
     }
     assert(e.getMessage.contains("weight must be > 0"))
+    // NaN weight: the clean guard, not an opaque ANSI cast error
+    val nan = Seq((1L, 2.0), (2L, Double.NaN)).toDF("doc_id", "w")
+    val e2 = intercept[Exception] {
+      Sampling.weightedBottomK(nan, 10, col("w")).collect()
+    }
+    assert(e2.getMessage.contains("weight must be > 0"))
   }
 
   // --- Relational.markovTransitions ---
