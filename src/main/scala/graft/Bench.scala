@@ -54,7 +54,7 @@ object Bench {
     "rel_approx_users" -> 0.79, "rel_asof_forward" -> 0.72,
     "rel_asof_join" -> 0.86, "rel_attribution" -> 0.37, "rel_auc" -> 1.19,
     "rel_markov" -> 0.45, "rel_markov_score" -> 0.7,
-    "io_snapshot_read" -> 0.9,
+    "io_snapshot_read" -> 1.6,
     "rel_bfs_frontier" -> 3.75, "rel_bfs_hops" -> 3.9,
     "rel_cms_artifact" -> 0.96, "rel_cohort" -> 0.34,
     "rel_compact_latest" -> 0.28, "rel_compact_latest_scalable" -> 0.25,
@@ -97,6 +97,7 @@ object Bench {
     "samp_token_budget" -> 0.22, "samp_token_budget_scalable" -> 0.54,
     "samp_weighted" -> 0.14, "samp_weighted_k" -> 0.2,
     "samp_weighted_cap" -> 0.32, "rel_cusum" -> 0.4, "text_winnow" -> 0.95,
+    "dedup_winnow_pairs" -> 1.75,
     "sim_docs_tfidf" -> 3.84,
     "sim_docs_tfidf_pruned" -> 3.73, "sim_embed_report" -> 0.72,
     "sim_hard_negatives" -> 0.43, "sim_knn_components" -> 5.15,

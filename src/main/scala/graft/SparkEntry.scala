@@ -587,6 +587,11 @@ object SparkEntry {
     // minimum of the 5-token shingle hashes — any shared passage of
     // >= 8 tokens contributes a common fingerprint
     "text_winnow" -> ((s, dir) => TextStats.winnow(docs(s, dir))),
+    // ...and its consumer (the MOSS match step): pairs sharing >= 2
+    // winnowing fingerprints, hot buckets (> 50 docs) capped before
+    // pairing — local-overlap candidates at sparse-fingerprint cost
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      TextStats.winnowPairs(docs(s, dir))),
     // Hash-gated against a full DuckDB twin: the bucketing basis is md5
     // (engine-portable), so the sparse integer bucket sums value-match
     // exactly. Gate surface = those sparse sums, NOT the dense float
@@ -3160,6 +3165,32 @@ object SparkEntry {
   // levels, first-unsaturated boundary (k, λ*). Serves the report
   // twin, the apply twin, and (over the curated survivor set) the
   // pipe_budget_prep twin.
+  // Winnowing CTE chain shared by text_winnow and dedup_winnow_pairs:
+  // normalized 5-token shingle hashes (60-bit md5 slices), 4-frame
+  // rightmost-minimum selection
+  private val winnowCtes: String =
+    """n AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text,
+      |      '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS tk
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(tk) - 4),
+      |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')),
+      |        1, 15))::BIGINT) AS hs
+      |  FROM n WHERE len(tk) >= 5
+      |), w AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      generate_series(1, greatest(len(hs) - 3, 1)),
+      |      p -> {'pos': p + list_max(list_filter(
+      |              generate_series(1, len(hs[p:p+3])),
+      |              j -> hs[p:p+3][j] = list_min(hs[p:p+3]))) - 1,
+      |            'fp': list_min(hs[p:p+3])})) AS s
+      |  FROM h
+      |)""".stripMargin
+
   private def mixFitCtes(from: String = "documents"): String =
     s"""s AS (
       |  SELECT source,
@@ -4559,29 +4590,27 @@ object SparkEntry {
     // winnowing twin: identical 60-bit md5-slice shingle hashes, the
     // same per-frame rightmost-minimum selection, distinct (pos, fp)
     "text_winnow" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(text,
-        |      '[ \t\n\f\r]+', ' ', 'g'))), ' ') AS tk
-        |  FROM documents
-        |), h AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, len(tk) - 4),
-        |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')),
-        |        1, 15))::BIGINT) AS hs
-        |  FROM n WHERE len(tk) >= 5
-        |), w AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(
-        |      generate_series(1, greatest(len(hs) - 3, 1)),
-        |      p -> {'pos': p + list_max(list_filter(
-        |              generate_series(1, len(hs[p:p+3])),
-        |              j -> hs[p:p+3][j] = list_min(hs[p:p+3]))) - 1,
-        |            'fp': list_min(hs[p:p+3])})) AS s
-        |  FROM h
-        |)
-        |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
-        |FROM w""".stripMargin,
+      s"""WITH $winnowCtes
+         |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos,
+         |  s.fp AS fp
+         |FROM w""".stripMargin,
+
+    // winnow-pair twin: distinct (doc, fp), the same ≤50-doc bucket
+    // cap, pair smaller-id-first, count shared fingerprints
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowCtes, df AS (
+         |  SELECT DISTINCT doc_id, s.fp AS fp FROM w
+         |), fb AS (
+         |  SELECT fp FROM df GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND 50
+         |), p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM df a JOIN fb USING (fp) JOIN df b USING (fp)
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, count(*) AS n_shared
+         |FROM p GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
 
     // Sentence twin: same RE2 extraction, index via the repo's
     // unnest(generate_series)/t[i] idiom, non-empty-token count

@@ -1266,6 +1266,41 @@ object TextStats {
       .distinct()
   }
 
+  /** Shared-fingerprint candidate pairs — [[winnow]]'s consumer (the
+    * MOSS match step): documents sharing ≥ `minShared` winnowing
+    * fingerprints are local-overlap candidates, at a fraction of
+    * [[graft.operators.Dedup.duplicatedSpans]]' every-shingle cost.
+    * Fingerprints selected by more than `maxBucket` documents are
+    * dropped BEFORE pairing — a corpus-wide fingerprint is template
+    * text whose bucket would pair quadratically (the hot-posting-list
+    * cap of sparse similarity, and at these parameters the same
+    * boilerplate [[graft.operators.Dedup.boilerplateRewrite]] cuts);
+    * the cap is the scale contract that bounds every bucket's pair
+    * fan-out at maxBucket². Candidates, not verdicts: a downstream
+    * exact verify (the candidates-then-verify discipline) confirms —
+    * here n_shared ≥ minShared IS the winnowing guarantee that a
+    * shared passage exists.
+    * Output: (doc_a, doc_b, n_shared), smaller id first. */
+  def winnowPairs(docs: DataFrame, k: Int = 5, window: Int = 4,
+                  minShared: Int = 2, maxBucket: Int = 50,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxBucket >= 2,
+      s"need minShared >= 1, maxBucket >= 2: $minShared/$maxBucket")
+    val fps = winnow(docs, k, window, idCol, textCol)
+      .select("doc_id", "fp").distinct().persist() // pair both sides
+    val buckets = fps.groupBy("fp").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") >= 2 && col("bs") <= maxBucket)
+      .select("fp")
+    val keyed = fps.join(buckets, "fp")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Dense token-id vocabulary — the dictionary artifact of a training
     * tokenizer: the `maxVocab` most frequent normalized tokens (the
     * [[WikiText.tokens]] tokenizer) get ids 1..V by (count desc, word

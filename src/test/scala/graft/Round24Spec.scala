@@ -163,6 +163,29 @@ class Round24Spec extends SparkSpec {
     assert(nSel < 296 / 2, s"winnowing kept $nSel of 296 shingles")
   }
 
+  // --- TextStats.winnowPairs ---
+
+  test("winnowPairs: docs sharing a long passage pair up; a " +
+    "fingerprint in more docs than the bucket cap never pairs") {
+    import graft.operators.TextStats
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $passage"),
+      (2L, s"$passage epsilon zeta eta theta"),
+      (3L, "unrelated words entirely different content here today"))
+      .toDF("doc_id", "text")
+    val pairs = TextStats.winnowPairs(docs, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // bucket cap: the same passage in MORE docs than maxBucket drops
+    // its fingerprints before pairing — no quadratic template blow-up
+    val many = (1L to 6L).map(i => (i, s"filler$i $passage end$i"))
+      .toDF("doc_id", "text")
+    assert(TextStats.winnowPairs(many, minShared = 1, maxBucket = 5)
+      .count() === 0L)
+  }
+
   // --- Relational.markovScore ---
 
   test("markovScore: per-user mean -log10 transition probability " +
