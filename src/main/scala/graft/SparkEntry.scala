@@ -457,6 +457,21 @@ object SparkEntry {
     // (min, max, rows) manifest artifact → key-range read through the
     // PLANNED file subset only (Round20Spec pins that files were
     // actually skipped); the result must equal the plain range filter
+    // BLOOM-skipping point lookup: per-file membership index (the
+    // equality sibling of the min/max stats index) — only files whose
+    // filter holds all k probe bits are opened; the exact filter trims
+    // false positives, so the result is the full-scan filter's rows
+    "io_bloom_skipping" -> ((s, dir) => {
+      val out = scratchDir("bloomskip")
+      tbl(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/data")
+      graft.io.CompatIo.bloomIndexWrite(s, s"$out/data", s"$out/idx",
+        "l_orderkey")
+      graft.io.CompatIo.readWithBloomSkipping(s, s"$out/data",
+        s"$out/idx", "l_orderkey", 577L)
+    }),
     "io_stats_skipping" -> ((s, dir) => {
       val out = scratchDir("statsskip")
       graft.io.CompatIo.writeSortedRange(
@@ -4216,6 +4231,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_orderkey % 3 = 0""".stripMargin,
+
+    // bloom-skipping twin: file pruning must never change the ROWS —
+    // the plain equality filter (the physical skip is spec-pinned)
+    "io_bloom_skipping" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey = 577""".stripMargin,
 
     // snapshot-read twin: the pre-append table — rows landed after the
     // manifest pin must be invisible to the snapshot reader

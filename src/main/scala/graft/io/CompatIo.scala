@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference-compatible output formats.
@@ -576,6 +576,78 @@ object CompatIo {
           count(lit(1)).as("n_rows"))
         .write.mode(SaveMode.Append).parquet(idxDir)
     }
+  }
+
+  /** Bloom-skipping geometry: bits per file / hash count. 2^16 bits
+    * and k=4 put the per-file false-positive rate under ~1% up to
+    * ~5k distinct keys per file; a production lake stores the bitmap
+    * packed (8 KiB/file) in the catalog — the sparse (file, bitpos)
+    * rows here keep every membership decision oracle-replayable. */
+  val BloomBits = 65536
+  val BloomK = 4
+
+  /** The Bloom bit position of `key` under hash row `d` — a 60-bit md5
+    * slice of the salted rendering mod [[BloomBits]] (the
+    * [[graft.operators.Relational.cmsBucket]] device: md5 is the one
+    * cross-engine-stable hash, so skip decisions replay exactly). */
+  private def bloomPos(key: Column, d: Int): Column =
+    conv(substring(md5(concat_ws("#", key.cast("string"), lit(d))),
+      1, 15), 16, 10).cast("long") % BloomBits
+
+  /** Build the per-file BLOOM skipping index — the POINT-LOOKUP
+    * sibling of [[statsIndexWrite]] (min/max stats prune range scans;
+    * a high-cardinality equality probe like "this one doc_id /
+    * order id" needs membership, not ranges — the Delta/Iceberg
+    * bloom-filter-index story): for every file, the distinct Bloom
+    * bit positions its keys set, as sparse (file, bitpos) rows. One
+    * scan, one map-side-combined distinct; ≤ [[BloomBits]] rows per
+    * file regardless of row count. */
+  def bloomIndexWrite(spark: SparkSession, dataDir: String,
+                      idxDir: String, keyCol: String): Unit =
+    spark.read.parquet(dataDir)
+      .select(relFileKey(spark, dataDir).as("file"),
+        explode(array((1 to BloomK).map(d =>
+          bloomPos(col(keyCol), d)): _*)).as("bitpos"))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(idxDir)
+
+  /** Execute a point lookup through the Bloom index: a file MAY
+    * contain the key iff all [[BloomK]] of the key's bit positions are
+    * set in its filter — only those files are opened, then the exact
+    * equality filter trims false positives' rows, so the result is
+    * bit-identical to the full-scan filter by construction (the gate).
+    * The probe's positions and the qualifying file list are
+    * metadata-bounded driver work (k values; ≤ #files rows — the
+    * [[readWithSkipping]] argument). An empty plan short-circuits
+    * without touching the data dir. */
+  def readWithBloomSkipping(spark: SparkSession, dataDir: String,
+                            idxDir: String, keyCol: String,
+                            value: Long): DataFrame = {
+    val planned = bloomPlannedFiles(spark, idxDir, value)
+    val full = spark.read.parquet(dataDir)
+    if (planned.isEmpty) full.filter(lit(false))
+    else spark.read.schema(full.schema)
+      .option("basePath", dataDir)
+      .parquet(planned.map(f => s"$dataDir/$f").toIndexedSeq: _*)
+      .filter(col(keyCol) === value)
+  }
+
+  /** The files the Bloom index qualifies for `value` — the plan under
+    * [[readWithBloomSkipping]], exposed for the skip-effectiveness
+    * spec. Probe positions and the file list are metadata-bounded
+    * driver work (k values; ≤ #files rows). */
+  private[graft] def bloomPlannedFiles(spark: SparkSession,
+                                       idxDir: String,
+                                       value: Long): Seq[String] = {
+    import spark.implicits._
+    val pos = Seq(value).toDF("v")
+      .select(array((1 to BloomK).map(d => bloomPos(col("v"), d)): _*))
+      .collect().head.getSeq[Long](0).distinct
+    spark.read.parquet(idxDir)
+      .filter(col("bitpos").isin(pos: _*))
+      .groupBy("file").agg(countDistinct(col("bitpos")).as("nb"))
+      .filter(col("nb") === pos.size)
+      .select("file").collect().map(_.getString(0)).toSeq
   }
 
   /** Pin a SNAPSHOT of the lake: record the current file list as a

@@ -212,6 +212,31 @@ class Round24Spec extends SparkSpec {
     assert(out === Map(1L -> ((3L, 0.32)), 2L -> ((2L, 0.24))))
   }
 
+  // --- CompatIo.bloomIndexWrite / readWithBloomSkipping ---
+
+  test("bloom skipping: the point lookup opens strictly fewer files " +
+    "than the lake holds, returns exactly the full-scan filter's " +
+    "rows, and a missing key returns nothing") {
+    import graft.io.CompatIo
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_spec_bloom").toString
+    // 1000 distinct keys scattered over 16 files: any one key lives
+    // in at most a few files, the rest must be bloom-skipped
+    (1L to 5000L).toDF("id").withColumn("k", col("id") % 1000)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$lake/data")
+    CompatIo.bloomIndexWrite(spark, s"$lake/data", s"$lake/idx", "k")
+    val planned = CompatIo.bloomPlannedFiles(spark, s"$lake/idx", 37L)
+    assert(planned.nonEmpty && planned.size < 16,
+      s"bloom plan did not skip: ${planned.size} of 16 files")
+    val got = CompatIo.readWithBloomSkipping(spark, s"$lake/data",
+      s"$lake/idx", "k", 37L).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === (1L to 5000L).filter(_ % 1000 == 37).toSet)
+    assert(CompatIo.readWithBloomSkipping(spark, s"$lake/data",
+      s"$lake/idx", "k", 5555L).count() === 0L)
+  }
+
   // --- CompatIo.manifestWrite / readSnapshot ---
 
   test("readSnapshot: rows appended after the manifest pin are " +
