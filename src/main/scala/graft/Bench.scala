@@ -98,6 +98,7 @@ object Bench {
     "samp_weighted" -> 0.14, "samp_weighted_k" -> 0.2,
     "samp_weighted_cap" -> 0.32, "rel_cusum" -> 0.4, "text_winnow" -> 0.95,
     "dedup_winnow_pairs" -> 1.75, "io_bloom_skipping" -> 2.2,
+    "io_bloom_append" -> 4.9,
     "sim_docs_tfidf" -> 3.84,
     "sim_docs_tfidf_pruned" -> 3.73, "sim_embed_report" -> 0.72,
     "sim_hard_negatives" -> 0.43, "sim_knn_components" -> 5.15,

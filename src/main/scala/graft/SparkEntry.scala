@@ -472,6 +472,29 @@ object SparkEntry {
       graft.io.CompatIo.readWithBloomSkipping(s, s"$out/data",
         s"$out/idx", "l_orderkey", 577L)
     }),
+    // ...and its incremental maintenance: index the initial files,
+    // land a delta, bloomIndexAppend scans ONLY the new files; the
+    // served lookup must equal the full-filter rows (append ≡ rebuild
+    // because a file's bit set is a pure function of its own rows)
+    "io_bloom_append" -> ((s, dir) => {
+      val out = scratchDir("bloomapp")
+      val li = tbl(s, dir, "lineitem").select("l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice")
+      li.filter(col("l_orderkey") % 3 =!= 0).repartition(8)
+        .write.mode("overwrite").parquet(s"$out/data")
+      graft.io.CompatIo.bloomIndexWrite(s, s"$out/data", s"$out/idx",
+        "l_orderkey")
+      li.filter(col("l_orderkey") % 3 === 0).repartition(4)
+        .write.mode("append").parquet(s"$out/data")
+      graft.io.CompatIo.bloomIndexAppend(s, s"$out/data", s"$out/idx",
+        "l_orderkey")
+      // 577 % 3 == 1: rows live in the ORIGINAL files; 579 % 3 == 0
+      // would live in the delta — probe both partitions of history
+      graft.io.CompatIo.readWithBloomSkipping(s, s"$out/data",
+          s"$out/idx", "l_orderkey", 577L)
+        .unionByName(graft.io.CompatIo.readWithBloomSkipping(s,
+          s"$out/data", s"$out/idx", "l_orderkey", 579L))
+    }),
     "io_stats_skipping" -> ((s, dir) => {
       val out = scratchDir("statsskip")
       graft.io.CompatIo.writeSortedRange(
@@ -4238,6 +4261,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_orderkey = 577""".stripMargin,
+
+    // bloom-append twin: append ≡ rebuild, so the two probed lookups
+    // are just the plain filters over the whole table
+    "io_bloom_append" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN (577, 579)""".stripMargin,
 
     // snapshot-read twin: the pre-append table — rows landed after the
     // manifest pin must be invisible to the snapshot reader

@@ -611,6 +611,31 @@ object CompatIo {
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(idxDir)
 
+  /** Incremental Bloom-index maintenance — the [[statsIndexAppend]]
+    * pattern for membership: compute bit rows for files NOT yet in
+    * the index (scanning only those files) and append them. Because a
+    * file's bit set is a pure function of its own rows and the index
+    * is a union of per-file sets, append-then-serve is BIT-IDENTICAL
+    * to rebuild-then-serve (the gate pins it) — the nightly delta
+    * never rescans the lake. */
+  def bloomIndexAppend(spark: SparkSession, dataDir: String,
+                       idxDir: String, keyCol: String): Unit = {
+    val known = spark.read.parquet(idxDir)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val nf = listParquet(spark, dataDir).filterNot(known)
+    if (nf.nonEmpty) {
+      val full = spark.read.parquet(dataDir)
+      spark.read.schema(full.schema)
+        .option("basePath", dataDir)
+        .parquet(nf.map(f => s"$dataDir/$f"): _*)
+        .select(relFileKey(spark, dataDir).as("file"),
+          explode(array((1 to BloomK).map(d =>
+            bloomPos(col(keyCol), d)): _*)).as("bitpos"))
+        .distinct()
+        .write.mode(SaveMode.Append).parquet(idxDir)
+    }
+  }
+
   /** Execute a point lookup through the Bloom index: a file MAY
     * contain the key iff all [[BloomK]] of the key's bit positions are
     * set in its filter — only those files are opened, then the exact

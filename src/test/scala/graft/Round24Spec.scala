@@ -235,6 +235,21 @@ class Round24Spec extends SparkSpec {
     assert(got === (1L to 5000L).filter(_ % 1000 == 37).toSet)
     assert(CompatIo.readWithBloomSkipping(spark, s"$lake/data",
       s"$lake/idx", "k", 5555L).count() === 0L)
+    // incremental maintenance: land a delta with NEW keys, append —
+    // the served lookup equals a fresh rebuild's, bit-for-bit
+    (5001L to 6000L).toDF("id").withColumn("k", col("id") % 1000 + 2000)
+      .repartition(4)
+      .write.mode("append").parquet(s"$lake/data")
+    CompatIo.bloomIndexAppend(spark, s"$lake/data", s"$lake/idx", "k")
+    CompatIo.bloomIndexWrite(spark, s"$lake/data", s"$lake/idx2", "k")
+    for (probe <- Seq(37L, 2042L)) {
+      assert(rows(CompatIo.readWithBloomSkipping(spark, s"$lake/data",
+        s"$lake/idx", "k", probe)) ===
+        rows(CompatIo.readWithBloomSkipping(spark, s"$lake/data",
+          s"$lake/idx2", "k", probe)))
+    }
+    assert(CompatIo.readWithBloomSkipping(spark, s"$lake/data",
+      s"$lake/idx", "k", 2042L).count() > 0L)
   }
 
   // --- CompatIo.manifestWrite / readSnapshot ---
