@@ -113,7 +113,7 @@ object Bench {
     "sim_topk_pq" -> 2.05, "sim_topk_pq_persisted" -> 2.95,
     "sim_trunc_eval" -> 0.98, "stream_append_final" -> 2.05,
     "stream_card_maintain" -> 2.53, "stream_cms_maintain" -> 2.47,
-    "stream_mix_refit" -> 3.0,
+    "stream_mix_refit" -> 3.0, "stream_cusum_maintain" -> 2.8,
     "stream_decontam" -> 3.94, "stream_dedup_bounded" -> 0.92,
     "stream_dedup_pairs" -> 0.61, "stream_events_by_segment" -> 0.79,
     "stream_events_hourly" -> 0.84, "stream_events_sliding" -> 0.84,

@@ -288,6 +288,15 @@ object SparkEntry {
       graft.streaming.EventsStream.mixRefit(
         s, dir, scratchDir("mixstage"), scratchDir("mixart"))),
 
+    // streaming CUSUM monitor: per-batch daily-counter merge + full
+    // change-point re-detection on the merged counters, versioned
+    // (the mixRefit controller pattern on the level-shift detector);
+    // exact counters + pure solve ⇒ final verdict ≡ the one-shot
+    // batch detector (rel_cusum's twin verbatim)
+    "stream_cusum_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.cusumMaintain(
+        s, dir, scratchDir("cusumstage"), scratchDir("cusumart"))),
+
     // streaming-maintained CMS: 3-batch replay, each foreachBatch
     // full-outer-sums its sparse sketch into the versioned artifact;
     // final sketch serves the SAME top-20 audit as rel_cms_artifact
@@ -6774,6 +6783,30 @@ object SparkEntry {
     // CUSUM twin: identical integer-scaled statistic over the per-type
     // day spine; earliest-day tie pin via the same ranked window
     "rel_cusum" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(cnt) AS total, count(*) AS n_days
+        |  FROM d GROUP BY 1
+        |), s AS (
+        |  SELECT d.event_type, d.day, t.n_days,
+        |    CAST(abs(t.n_days * sum(d.cnt) OVER (
+        |        PARTITION BY d.event_type ORDER BY d.day ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (row_number() OVER (PARTITION BY d.event_type
+        |          ORDER BY d.day ASC)) * t.total) AS BIGINT) AS s
+        |  FROM d JOIN t USING (event_type)
+        |)
+        |SELECT event_type, day AS cp_day, s AS max_cusum, n_days
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY s DESC, day ASC) = 1""".stripMargin,
+
+    // streaming CUSUM-maintain twin: exact integer counters over
+    // disjoint batches + a pure solve ⇒ the final maintained verdict
+    // IS the one-shot batch detector — rel_cusum's SQL verbatim
+    "stream_cusum_maintain" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
         |  FROM events GROUP BY 1, 2

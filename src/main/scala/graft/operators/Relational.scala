@@ -1653,10 +1653,17 @@ object Relational {
     * bound: |S*| ≤ n_days·total, so a 10-year daily series stays
     * exact up to ~2.5e15 events per type — far past the BIGINT edge
     * any realistic log reaches. */
-  def cusumChangepoint(events: DataFrame): DataFrame = {
-    val daily = events
+  def cusumChangepoint(events: DataFrame): DataFrame =
+    cusumFromDaily(events
       .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
+
+  /** The CUSUM solve over an already-aggregated (event_type, day, cnt)
+    * table — the share point between the batch [[cusumChangepoint]]
+    * and the streaming maintainer (daily counters are exact integer
+    * sums over disjoint batches, so a maintained counter table feeds
+    * the identical solve). */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
     val ow = Window.partitionBy("event_type").orderBy(col("day").asc)
     val cum = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.groupBy("event_type")

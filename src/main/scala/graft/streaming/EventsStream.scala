@@ -1156,6 +1156,70 @@ object EventsStream {
     spark.read.parquet(s"$artDir/v${versions.max}/fit")
   }
 
+  /** Streaming CUSUM monitor — the [[mixRefit]] controller pattern on
+    * the change-point detector: per micro-batch, sum the delta's
+    * (event_type, day) counts into the stored counters (exact integer
+    * merge over disjoint batches) and re-run
+    * [[graft.operators.Relational.cusumFromDaily]] on the merged
+    * table, versioning the detected change-points next to the
+    * counters (v<N>/counts + v<N>/cp, v<N−2> reaped). This is how a
+    * monitoring pipeline keeps "where did the volume regime shift"
+    * current as data lands — counters are day-spine-sized, per-batch
+    * work is delta-sized, and because the counters are exact and the
+    * solve pure, the final version's verdict is BIT-IDENTICAL to the
+    * one-shot batch detector (rel_cusum's twin gates it).
+    * Output: the final version's change-point table. */
+  def cusumMaintain(spark: SparkSession, dir: String, stageDir: String,
+                    artDir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+    stageBatches(stageDir,
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val part = batch
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        val prevDir = new java.io.File(s"$artDir/v${batchId - 1}/counts")
+        val merged =
+          if (!prevDir.isDirectory) part
+          else s2.read.parquet(prevDir.getPath).unionByName(part)
+            .groupBy("event_type", "day")
+            .agg(sum(col("cnt")).as("cnt"))
+        merged.write.mode("overwrite")
+          .parquet(s"$artDir/v$batchId/counts")
+        graft.operators.Relational.cusumFromDaily(
+            s2.read.parquet(s"$artDir/v$batchId/counts"))
+          .write.mode("overwrite").parquet(s"$artDir/v$batchId/cp")
+        val stale = new java.io.File(s"$artDir/v${batchId - 2}")
+        if (stale.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val versions = Option(new java.io.File(artDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    spark.read.parquet(s"$artDir/v${versions.max}/cp")
+  }
+
   def decontamIngest(spark: SparkSession, dir: String,
                      idxDir: String): DataFrame = {
     val d = graft.Tables.load(spark, dir, "documents")

@@ -186,6 +186,34 @@ class Round24Spec extends SparkSpec {
       .count() === 0L)
   }
 
+  // --- EventsStream.cusumMaintain ---
+
+  test("cusumMaintain: the final maintained verdict equals the " +
+    "one-shot detector, and the surviving intermediate version " +
+    "detects on exactly its batch prefix") {
+    import graft.operators.Relational
+    def scratch(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_spec_$tag").toString
+    val dir = scratch("cmcorpus")
+    val rows0 = for {
+      d <- 1 to 12
+      i <- 1 to (if (d <= 6) 2 else 5)
+    } yield ((d * 100 + i).toLong, 1L, "X", f"2026-02-$d%02d 00:00:01", 1.0)
+    val ev = rows0.toDF("event_id", "user_id", "event_type", "s", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"), col("value"))
+    ev.coalesce(1).write.parquet(s"$dir/events.parquet")
+    val artDir = scratch("cmart")
+    val fin = graft.streaming.EventsStream.cusumMaintain(
+      spark, dir, scratch("cmstage"), artDir)
+    assert(rows(fin) === rows(Relational.cusumChangepoint(ev)))
+    assert(rows(spark.read.parquet(s"$artDir/v1/cp")) ===
+      rows(Relational.cusumChangepoint(
+        ev.filter(col("event_id") % 3 =!= 2))))
+    assert(!new java.io.File(s"$artDir/v0").isDirectory)
+    Housekeeping.release(spark)
+  }
+
   // --- Relational.markovScore ---
 
   test("markovScore: per-user mean -log10 transition probability " +
