@@ -54,7 +54,7 @@ object Bench {
     "rel_approx_users" -> 0.79, "rel_asof_forward" -> 0.72,
     "rel_asof_join" -> 0.86, "rel_attribution" -> 0.37, "rel_auc" -> 1.19,
     "rel_markov" -> 0.45, "rel_markov_score" -> 0.7,
-    "io_snapshot_read" -> 1.6,
+    "io_snapshot_read" -> 1.6, "io_vacuum" -> 1.7,
     "rel_bfs_frontier" -> 3.75, "rel_bfs_hops" -> 3.9,
     "rel_cms_artifact" -> 0.96, "rel_cohort" -> 0.34,
     "rel_compact_latest" -> 0.28, "rel_compact_latest_scalable" -> 0.25,

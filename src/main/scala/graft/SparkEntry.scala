@@ -579,6 +579,21 @@ object SparkEntry {
         .write.mode("append").parquet(s"$out/data")
       graft.io.CompatIo.readSnapshot(s, s"$out/data", s"$out/manifest")
     }),
+    // VACUUM to manifest: land a lake, pin it, let a failed write
+    // leave orphan files, vacuum — the directory must again equal the
+    // pinned state (a pinned file can never be deleted by design)
+    "io_vacuum" -> ((s, dir) => {
+      val out = scratchDir("vac")
+      val li = tbl(s, dir, "lineitem").select("l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice")
+      li.filter(col("l_orderkey") % 3 =!= 0).repartition(4)
+        .write.mode("overwrite").parquet(s"$out/data")
+      graft.io.CompatIo.manifestWrite(s, s"$out/data", s"$out/manifest")
+      li.filter(col("l_orderkey") % 3 === 0).repartition(2)
+        .write.mode("append").parquet(s"$out/data")
+      graft.io.CompatIo.vacuumToManifest(s, s"$out/data",
+        s"$out/manifest")
+    }),
     // retention PLAN: keep-last-14-days TTL labels over the day
     // partitions, cutoff anchored on the lake's own newest partition —
     // pure partition-directory metadata, no data file opened
@@ -4277,6 +4292,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_orderkey IN (577, 579)""".stripMargin,
+
+    // vacuum twin: the post-vacuum directory IS the pinned table —
+    // identical rows to the snapshot read, via the physical delete
+    "io_vacuum" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey % 3 != 0""".stripMargin,
 
     // snapshot-read twin: the pre-append table — rows landed after the
     // manifest pin must be invisible to the snapshot reader

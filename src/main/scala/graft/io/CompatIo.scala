@@ -707,6 +707,28 @@ object CompatIo {
       .parquet(files.map(f => s"$dataDir/$f").toIndexedSeq: _*)
   }
 
+  /** VACUUM to a manifest — the complement of [[readSnapshot]] and
+    * the other half of the table-format transaction story: delete
+    * every data file NOT listed in the manifest (orphans from failed
+    * or superseded writes — the debris a real lake accumulates), so
+    * the directory again equals the pinned table state. The orphan
+    * list is the [[listParquet]] diff (metadata-bounded); deletes are
+    * per-file and idempotent — a re-run finds no orphans and touches
+    * nothing. The inverse hazard of [[readSnapshot]]'s loud-vacuum
+    * contract holds by construction: vacuuming to manifest M can
+    * never delete a file M pins. Returns the surviving lake. */
+  def vacuumToManifest(spark: SparkSession, dataDir: String,
+                       manifestDir: String): DataFrame = {
+    val pinned = spark.read.parquet(manifestDir)
+      .select("file").collect().map(_.getString(0)).toSet // |files|
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listParquet(spark, dataDir).filterNot(pinned)
+      .foreach(f => fs.delete(new Path(root, f), false))
+    spark.read.parquet(dataDir)
+  }
+
   /** Execute a key-range read through the stats index: read ONLY the
     * planned files, then apply the exact range filter (stats prune
     * whole files; the residual predicate trims the survivors' rows) —

@@ -309,6 +309,26 @@ class Round24Spec extends SparkSpec {
     }
   }
 
+  test("vacuumToManifest: orphans go, pinned files stay, re-run is " +
+    "a no-op") {
+    import graft.io.CompatIo
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_spec_vac").toString
+    (1L to 40L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(s"$lake/data")
+    CompatIo.manifestWrite(spark, s"$lake/data", s"$lake/m0")
+    (41L to 60L).toDF("id").repartition(2)
+      .write.mode("append").parquet(s"$lake/data")
+    val kept = CompatIo.vacuumToManifest(spark, s"$lake/data",
+      s"$lake/m0").collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 40L).toSet)
+    // the directory itself is clean: a plain read sees only the
+    // pinned table, and a second vacuum changes nothing
+    assert(spark.read.parquet(s"$lake/data").count() === 40L)
+    assert(CompatIo.vacuumToManifest(spark, s"$lake/data", s"$lake/m0")
+      .count() === 40L)
+  }
+
   // --- CompatIo.retentionPlan / retentionExec ---
 
   test("retention: the cutoff is calendar days off the newest " +
