@@ -97,7 +97,8 @@ object Bench {
     "samp_token_budget" -> 0.22, "samp_token_budget_scalable" -> 0.54,
     "samp_weighted" -> 0.14, "samp_weighted_k" -> 0.2,
     "samp_weighted_cap" -> 0.32, "rel_cusum" -> 0.4, "text_winnow" -> 0.95,
-    "dedup_winnow_pairs" -> 1.75, "io_bloom_skipping" -> 2.2,
+    "dedup_winnow_pairs" -> 1.75, "dedup_winnow_verified" -> 2.8,
+    "io_bloom_skipping" -> 2.2,
     "io_bloom_append" -> 4.9,
     "sim_docs_tfidf" -> 3.84,
     "sim_docs_tfidf_pruned" -> 3.73, "sim_embed_report" -> 0.72,

@@ -654,6 +654,11 @@ object SparkEntry {
     // pairing — local-overlap candidates at sparse-fingerprint cost
     "dedup_winnow_pairs" -> ((s, dir) =>
       TextStats.winnowPairs(docs(s, dir))),
+    // ...and the exact VERIFY tail: per candidate pair, the exact
+    // count of shared distinct 5-grams — candidate-bounded (only
+    // paired docs re-tokenize), the candidates-then-verify discipline
+    "dedup_winnow_verified" -> ((s, dir) =>
+      TextStats.winnowPairsVerified(docs(s, dir))),
     // Hash-gated against a full DuckDB twin: the bucketing basis is md5
     // (engine-portable), so the sparse integer bucket sums value-match
     // exactly. Gate surface = those sparse sums, NOT the dense float
@@ -4694,6 +4699,37 @@ object SparkEntry {
          |SELECT doc_a, doc_b, count(*) AS n_shared
          |FROM p GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
+
+    // winnow-verify twin: the pair chain + an exact distinct-5-gram
+    // intersection count per pair
+    "dedup_winnow_verified" ->
+      s"""WITH $winnowCtes, df AS (
+         |  SELECT DISTINCT doc_id, s.fp AS fp FROM w
+         |), fb AS (
+         |  SELECT fp FROM df GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND 50
+         |), p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM df a JOIN fb USING (fp) JOIN df b USING (fp)
+         |  WHERE a.doc_id < b.doc_id
+         |), wp AS (
+         |  SELECT doc_a, doc_b, count(*) AS n_shared
+         |  FROM p GROUP BY 1, 2
+         |  HAVING count(*) >= 2
+         |), g AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM n, unnest(generate_series(1, len(tk) - 4)) AS u(i)
+         |  WHERE len(tk) >= 5
+         |), c AS (
+         |  SELECT wp.doc_a, wp.doc_b, count(*) AS n_common
+         |  FROM wp
+         |  JOIN g ga ON ga.doc_id = wp.doc_a
+         |  JOIN g gb ON gb.doc_id = wp.doc_b AND gb.g = ga.g
+         |  GROUP BY 1, 2
+         |)
+         |SELECT wp.doc_a, wp.doc_b, wp.n_shared,
+         |  coalesce(c.n_common, 0) AS n_common_kgrams
+         |FROM wp LEFT JOIN c USING (doc_a, doc_b)""".stripMargin,
 
     // Sentence twin: same RE2 extraction, index via the repo's
     // unnest(generate_series)/t[i] idiom, non-empty-token count

@@ -1301,6 +1301,43 @@ object TextStats {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Exact VERIFY tail for [[winnowPairs]] — the candidates-then-
+    * verify discipline applied to the winnow family: every candidate
+    * pair gets its exact count of shared distinct k-grams (the
+    * fingerprints are md5 slices of exactly these k-grams, so a
+    * shared fingerprint implies ≥ 1 shared k-gram up to a 2^-60
+    * collision — the verified count MEASURES the overlap the sparse
+    * fingerprints only signaled). Work is candidate-bounded end to
+    * end: only documents appearing in a candidate pair re-tokenize
+    * (one semi join), and the intersection join touches those docs'
+    * distinct k-grams only — the corpus never re-pairs.
+    * Output: (doc_a, doc_b, n_shared, n_common_kgrams). */
+  def winnowPairsVerified(docs: DataFrame, k: Int = 5, window: Int = 4,
+                          minShared: Int = 2, maxBucket: Int = 50,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val pairs = winnowPairs(docs, k, window, minShared, maxBucket,
+      idCol, textCol).persist() // members spine + two pair joins
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val t = split(normalized(col(textCol)), " ")
+    val grams = docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .join(members, Seq("doc_id"), "left_semi") // candidate-bounded
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("g"))
+      .distinct().persist() // both sides of the intersection join
+    val common = pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    pairs.join(common, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        coalesce(col("n_common"), lit(0L)).as("n_common_kgrams"))
+  }
+
   /** Dense token-id vocabulary — the dictionary artifact of a training
     * tokenizer: the `maxVocab` most frequent normalized tokens (the
     * [[WikiText.tokens]] tokenizer) get ids 1..V by (count desc, word

@@ -214,6 +214,28 @@ class Round24Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  // --- TextStats.winnowPairsVerified ---
+
+  test("winnowPairsVerified: shared-k-gram counts are exact, and " +
+    "every fingerprint-candidate pair verifies with >= 1 common " +
+    "k-gram (the md5-slice faithfulness)") {
+    import graft.operators.TextStats
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $passage"),
+      (2L, s"$passage epsilon zeta eta theta"),
+      (3L, "unrelated words entirely different content here today"))
+      .toDF("doc_id", "text")
+    val out = TextStats.winnowPairsVerified(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) === ((1L, 2L)))
+    // the 20-token shared passage has exactly 16 distinct 5-grams,
+    // and nothing else is shared
+    assert(r.getAs[Long]("n_common_kgrams") === 16L)
+    assert(r.getAs[Long]("n_shared") >= 2L)
+  }
+
   // --- Relational.markovScore ---
 
   test("markovScore: per-user mean -log10 transition probability " +
