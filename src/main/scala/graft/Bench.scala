@@ -159,6 +159,23 @@ object Bench {
     * exactly where jitter dominates. */
   val MedianBelowSec: Double = 1.0
 
+  /** Self-adjudication cadence: a calibration probe every this many
+    * queries (≈10 probes over the 255-gate tree, ~2 s each on a quiet
+    * box — probe time is NOT charged to any query or to `total`), plus
+    * one fired IMMEDIATELY after any query that trips the regression
+    * thresholds, so every flag carries the load measured seconds after
+    * the slow sample instead of a start-of-run number an hour stale.
+    * Six rounds running, the driver's final bench landed in an
+    * external-tenant burst and emitted 10-40 false flags that needed
+    * manual OneQuery adjudication; with per-flag local load the bench
+    * adjudicates itself (VERDICT r11 task 1). */
+  val ProbeEveryQueries: Int = 25
+
+  /** A flag's local window counts as QUIET when the max of the probes
+    * bracketing the query is at/below this. Quiet runs historically
+    * read 0.65-0.85; adjudicated contention bursts read 1.3-10+. */
+  val QuietLoadRatio: Double = 1.1
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -217,12 +234,26 @@ object Bench {
     calibrate()
     val calSec = math.min(calibrate(), calibrate())
 
+    // CalibrationRefSec scaling is needed before the loop for the
+    // interleaved probes (full derivation at the emission site below)
+    val refSec = CalibrationRefSec * 32.0 / cpus.toInt
+
+    // Interleaved load ledger: (index of the last completed query, load
+    // ratio). Probe -1 is the start-of-run calibration; further probes
+    // land every ProbeEveryQueries queries and immediately after any
+    // query tripping the regression thresholds.
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    probes += ((-1, calSec / refSec))
+    def trips(name: String, sec: Double): Boolean =
+      BaselinePerQuery.get(name).exists(b =>
+        sec / b > RegressionRatio && sec - b > RegressionAbsSec)
+
     // best-of-2 absorbs residual JIT/page-cache variance; sub-second
     // queries (where scheduler jitter can exceed the query itself) take
     // a third sample and report the MEDIAN — best-of-N on a 0.2 s query
     // selects the luckiest scheduling, median tracks the typical run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
         val a = run(name, fn)
         val b = run(name, fn)
         val subSecond = math.min(a, b) < MedianBelowSec ||
@@ -230,8 +261,20 @@ object Bench {
         val sec =
           if (subSecond) Seq(a, b, run(name, fn)).sorted.apply(1)
           else math.min(a, b)
+        if (trips(name, sec) || (i + 1) % ProbeEveryQueries == 0)
+          probes += ((i, calibrate() / refSec))
         name -> sec
     }
+
+    // Local load per query = max of the probes bracketing it (both
+    // sides loud-checked: a burst on either edge disqualifies "quiet")
+    def localLoad(i: Int): Double = {
+      val before = probes.filter(_._1 < i).map(_._2).lastOption
+      val after = probes.filter(_._1 >= i).map(_._2).headOption
+      math.max(before.getOrElse(0.0), after.getOrElse(before.getOrElse(0.0)))
+    }
+    val idxByName = SparkEntry.queries.toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
     // millisecond precision keeps the one-line JSON short: the driver's
     // log capture truncated the full-double form in rounds 4 and 5,
     // costing the judge the per-query absolutes ("parsed": null)
@@ -242,8 +285,7 @@ object Bench {
     // at 32 cores; the job is CPU-bound and embarrassingly parallel, so
     // the expected time scales as 32/cores when SPARK_GRAFT_CPUS
     // overrides the default. load_ratio ≈ 1 on an idle box, >> 1 under
-    // external contention.
-    val refSec = CalibrationRefSec * 32.0 / cpus.toInt
+    // external contention (refSec computed above the measurement loop).
     val loadRatio = calSec / refSec
     // per-query baseline ratios + regression flags (>1.3×); drifts
     // self-identify in the bench JSON instead of waiting for a human
@@ -255,14 +297,29 @@ object Bench {
       .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val secByName = results.toMap
-    val regressions = ratios
-      .filter { case (k, r) =>
-        r > RegressionRatio &&
-          secByName(k) - BaselinePerQuery(k) > RegressionAbsSec
-      }
+    val flagged = ratios.filter { case (k, r) =>
+      r > RegressionRatio &&
+        secByName(k) - BaselinePerQuery(k) > RegressionAbsSec
+    }
+    val regressions = flagged
       .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f"$calSec%.3f"},"calibration_ref_sec":$refSec,"load_ratio":${f"$loadRatio%.3f"},"baseline_ratio":$ratioJson,"regressions":$regressions}"""
+    // self-adjudication: every flag annotated with the load measured in
+    // its local window; `quiet_regressions` keeps only flags whose
+    // window the interleaved probes measured quiet — the list OneQuery
+    // adjudication should reproduce
+    val regLoad = flagged
+      .map { case (k, _) => s"\"" + k + "\":" + f"${localLoad(idxByName(k))}%.2f" }
+      .mkString("{", ",", "}")
+    val quietFlags = flagged.filter { case (k, _) =>
+      localLoad(idxByName(k)) <= QuietLoadRatio }
+    val quietJson = quietFlags
+      .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val probesJson = probes
+      .map { case (i, l) => s"[$i," + f"$l%.2f" + "]" }
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":${f"$calSec%.3f"},"calibration_ref_sec":$refSec,"load_ratio":${f"$loadRatio%.3f"},"load_probes":$probesJson,"baseline_ratio":$ratioJson,"regressions":$regressions,"regression_load":$regLoad,"quiet_regressions":$quietJson,"quiet_flag_count":${quietFlags.size}}"""
     // belt-and-braces against log-capture truncation: the full JSON also
     // lands in a file next to the repo (same line, survives any tail cut)
     try java.nio.file.Files.writeString(

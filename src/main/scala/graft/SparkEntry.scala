@@ -974,6 +974,16 @@ object SparkEntry {
     // cosine top-20 fused by reciprocal-rank (rrf = Σ 1/(60+rank))
     "text_hybrid_rrf" -> ((s, dir) =>
       Search.hybridRrf(docs(s, dir), TestProbeWords)),
+    // the same fusion served ENTIRELY from the persisted two-tower
+    // artifact (stored BM25 postings + stored dense vectors): the
+    // corpus text is touched once at build, never at query time —
+    // bit-identical to the in-plan fusion (shared rrfFuse tail; the
+    // dense embedding is per-doc pure), pinned by the shared twin
+    "text_hybrid_rrf_from_index" -> ((s, dir) => {
+      val out = scratchDir("hybrididx")
+      Search.hybridIndexWrite(docs(s, dir), out)
+      Search.hybridRrfFromIndex(s, out, TestProbeWords)
+    }),
 
     // --- composed retrieval index (the pipe_curate pattern for RAG) ---
     // chunk → hashing-trick sparse embedding → exact integer-cosine
@@ -2614,6 +2624,94 @@ object SparkEntry {
   // BM25 twin (probe terms, k=10) — shared by text_bm25 (in-plan) and
   // text_bm25_from_index (served from the persisted postings/wordstats/
   // stats artifact, which must be the identity on the ranking).
+  /** Hybrid-RRF twin shared by text_hybrid_rrf and
+    * text_hybrid_rrf_from_index (the textBm25Sql precedent: the
+    * persisted artifact must be the identity on the ranking). */
+  private lazy val textHybridRrfSql: String = {
+      val terms = TestProbeWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH $tokenCtes, dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
+         |  FROM dl
+         |), q AS (
+         |  SELECT doc_id, word, count(*) AS cnt FROM tokens
+         |  WHERE word IN ($terms) GROUP BY doc_id, word
+         |), dfq AS (
+         |  SELECT word, count(*) AS dfreq FROM q GROUP BY word
+         |), idf AS (
+         |  SELECT word,
+         |    floor(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+         |      * 100 + 0.5) / 100 AS idf
+         |  FROM dfq, stats
+         |), contribs AS (
+         |  SELECT q.doc_id,
+         |    (floor(q.cnt * ${Search.K1 + 1} /
+         |       (q.cnt + ${Search.K1} *
+         |         (1.0 - ${Search.B} + ${Search.B} * dl.dl / stats.avgdl))
+         |       * 100 + 0.5) / 100) * idf.idf AS contrib
+         |  FROM q
+         |  JOIN dl ON q.doc_id = dl.doc_id
+         |  CROSS JOIN stats
+         |  JOIN idf ON q.word = idf.word
+         |), bms AS (
+         |  SELECT doc_id,
+         |    floor(CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+         |      * 100 + 0.5) / 100 AS score
+         |  FROM contribs GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id ASC LIMIT 20
+         |), bmr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm_rank
+         |  FROM bms
+         |), qtok AS (
+         |  SELECT CAST(-1 AS BIGINT) AS doc_id,
+         |    unnest([$terms]) AS word
+         |), alltok AS (
+         |  SELECT doc_id, word FROM tokens
+         |  UNION ALL SELECT doc_id, word FROM qtok
+         |), hx AS (
+         |  SELECT doc_id, md5(word) AS h FROM alltok
+         |), bkt AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(h, 29, 4))::BIGINT % 64 AS INTEGER) AS j,
+         |    CASE WHEN ('0x' || substr(h, 1, 1))::BIGINT % 2 = 1
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM hx
+         |), emb AS (
+         |  SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS w
+         |  FROM bkt GROUP BY doc_id, j
+         |), nsq AS (
+         |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq
+         |  FROM emb GROUP BY doc_id
+         |), dd AS (
+         |  SELECT bb.doc_id AS nk, CAST(sum(a.w * bb.w) AS BIGINT) AS dot
+         |  FROM emb a JOIN emb bb ON a.j = bb.j AND bb.doc_id != -1
+         |  WHERE a.doc_id = -1
+         |  GROUP BY bb.doc_id
+         |), sden AS (
+         |  SELECT nk, CAST(dot AS DOUBLE) /
+         |    nullif(sqrt(CAST(x.nsq AS DOUBLE)) *
+         |      sqrt(CAST(y.nsq AS DOUBLE)), 0) AS cos
+         |  FROM dd
+         |  JOIN nsq x ON x.doc_id = -1
+         |  JOIN nsq y ON nk = y.doc_id
+         |), dr AS (
+         |  SELECT nk AS doc_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, nk ASC) AS BIGINT) AS dense_rank
+         |  FROM sden WHERE cos IS NOT NULL
+         |  QUALIFY dense_rank <= 20
+         |)
+         |SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+         |  b.bm_rank, d.dense_rank,
+         |  floor((coalesce(1.0 / (60 + b.bm_rank), 0) +
+         |         coalesce(1.0 / (60 + d.dense_rank), 0)) * 1000000
+         |    + 0.5) / 1000000 AS rrf_score
+         |FROM bmr b FULL OUTER JOIN dr d ON b.doc_id = d.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin
+    }
+
   private lazy val textBm25Sql: String = {
     val terms = TestProbeWords.map(w => s"'$w'").mkString(", ")
     s"""WITH $tokenCtes, dl AS (
@@ -4081,12 +4179,14 @@ object SparkEntry {
 
     // Markov twin: per-user lead() with the same (ts, event_id) tie
     // pin, (from, to) counts, probability = count over the from-state
-    // outgoing total
+    // outgoing total. Ordering uses epoch_us(ts) — DuckDB reads the
+    // parquet as TIMESTAMP_NS while Spark truncates to micros, so raw
+    // ts would tie-break at nano precision and diverge (ADVICE r11).
     "rel_markov" ->
       """WITH seq AS (
         |  SELECT event_type,
         |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
         |  FROM events
         |), pr AS (
         |  SELECT event_type, next_type, count(*) AS n
@@ -4105,7 +4205,7 @@ object SparkEntry {
       """WITH seq AS (
         |  SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
         |  FROM events
         |), s AS (
         |  SELECT user_id, event_type, next_type FROM seq
@@ -7712,91 +7812,11 @@ object SparkEntry {
     // hybrid-RRF twin: the text_bm25 chain at LIMIT 20 + the
     // hash-embed chain over documents ∪ the (-1, query-words)
     // pseudo-doc, each ranked (score/cos DESC, doc_id ASC), full-outer
-    // fused by Σ 1/(60+rank) rounded to 6 dp, doc_id tie pin
-    "text_hybrid_rrf" -> {
-      val terms = TestProbeWords.map(w => s"'$w'").mkString(", ")
-      s"""WITH $tokenCtes, dl AS (
-         |  SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
-         |), stats AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(dl) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
-         |  FROM dl
-         |), q AS (
-         |  SELECT doc_id, word, count(*) AS cnt FROM tokens
-         |  WHERE word IN ($terms) GROUP BY doc_id, word
-         |), dfq AS (
-         |  SELECT word, count(*) AS dfreq FROM q GROUP BY word
-         |), idf AS (
-         |  SELECT word,
-         |    floor(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
-         |      * 100 + 0.5) / 100 AS idf
-         |  FROM dfq, stats
-         |), contribs AS (
-         |  SELECT q.doc_id,
-         |    (floor(q.cnt * ${Search.K1 + 1} /
-         |       (q.cnt + ${Search.K1} *
-         |         (1.0 - ${Search.B} + ${Search.B} * dl.dl / stats.avgdl))
-         |       * 100 + 0.5) / 100) * idf.idf AS contrib
-         |  FROM q
-         |  JOIN dl ON q.doc_id = dl.doc_id
-         |  CROSS JOIN stats
-         |  JOIN idf ON q.word = idf.word
-         |), bms AS (
-         |  SELECT doc_id,
-         |    floor(CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
-         |      * 100 + 0.5) / 100 AS score
-         |  FROM contribs GROUP BY doc_id
-         |  ORDER BY score DESC, doc_id ASC LIMIT 20
-         |), bmr AS (
-         |  SELECT doc_id, CAST(row_number() OVER (
-         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm_rank
-         |  FROM bms
-         |), qtok AS (
-         |  SELECT CAST(-1 AS BIGINT) AS doc_id,
-         |    unnest([$terms]) AS word
-         |), alltok AS (
-         |  SELECT doc_id, word FROM tokens
-         |  UNION ALL SELECT doc_id, word FROM qtok
-         |), hx AS (
-         |  SELECT doc_id, md5(word) AS h FROM alltok
-         |), bkt AS (
-         |  SELECT doc_id,
-         |    CAST(('0x' || substr(h, 29, 4))::BIGINT % 64 AS INTEGER) AS j,
-         |    CASE WHEN ('0x' || substr(h, 1, 1))::BIGINT % 2 = 1
-         |         THEN 1 ELSE -1 END AS sgn
-         |  FROM hx
-         |), emb AS (
-         |  SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS w
-         |  FROM bkt GROUP BY doc_id, j
-         |), nsq AS (
-         |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq
-         |  FROM emb GROUP BY doc_id
-         |), dd AS (
-         |  SELECT bb.doc_id AS nk, CAST(sum(a.w * bb.w) AS BIGINT) AS dot
-         |  FROM emb a JOIN emb bb ON a.j = bb.j AND bb.doc_id != -1
-         |  WHERE a.doc_id = -1
-         |  GROUP BY bb.doc_id
-         |), sden AS (
-         |  SELECT nk, CAST(dot AS DOUBLE) /
-         |    nullif(sqrt(CAST(x.nsq AS DOUBLE)) *
-         |      sqrt(CAST(y.nsq AS DOUBLE)), 0) AS cos
-         |  FROM dd
-         |  JOIN nsq x ON x.doc_id = -1
-         |  JOIN nsq y ON nk = y.doc_id
-         |), dr AS (
-         |  SELECT nk AS doc_id, CAST(row_number() OVER (
-         |    ORDER BY cos DESC, nk ASC) AS BIGINT) AS dense_rank
-         |  FROM sden WHERE cos IS NOT NULL
-         |  QUALIFY dense_rank <= 20
-         |)
-         |SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
-         |  b.bm_rank, d.dense_rank,
-         |  floor((coalesce(1.0 / (60 + b.bm_rank), 0) +
-         |         coalesce(1.0 / (60 + d.dense_rank), 0)) * 1000000
-         |    + 0.5) / 1000000 AS rrf_score
-         |FROM bmr b FULL OUTER JOIN dr d ON b.doc_id = d.doc_id
-         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin
-    },
+    // fused by Σ 1/(60+rank) rounded to 6 dp, doc_id tie pin. The SAME
+    // twin serves text_hybrid_rrf_from_index — the persisted two-tower
+    // artifact must be the identity on the fused ranking.
+    "text_hybrid_rrf" -> textHybridRrfSql,
+    "text_hybrid_rrf_from_index" -> textHybridRrfSql,
 
     // funnel twin: iterated per-stage min over qualifying epoch-µs
     // timestamps (the stage list is fixed, so three CTE steps — no

@@ -589,9 +589,14 @@ object CompatIo {
   /** The Bloom bit position of `key` under hash row `d` — a 60-bit md5
     * slice of the salted rendering mod [[BloomBits]] (the
     * [[graft.operators.Relational.cmsBucket]] device: md5 is the one
-    * cross-engine-stable hash, so skip decisions replay exactly). */
+    * cross-engine-stable hash, so skip decisions replay exactly).
+    * Null-strict `concat` (not concat_ws) so a NULL key yields a NULL
+    * position — dropped by the writers' isNotNull and inert under the
+    * probe's `isin` — matching the repo-wide NULL-hash contract
+    * (Sampling.hashValue) instead of aliasing every NULL onto the
+    * salt-only bits (ADVICE r11). */
   private def bloomPos(key: Column, d: Int): Column =
-    conv(substring(md5(concat_ws("#", key.cast("string"), lit(d))),
+    conv(substring(md5(concat(key.cast("string"), lit("#"), lit(d))),
       1, 15), 16, 10).cast("long") % BloomBits
 
   /** Build the per-file BLOOM skipping index — the POINT-LOOKUP
@@ -608,6 +613,7 @@ object CompatIo {
       .select(relFileKey(spark, dataDir).as("file"),
         explode(array((1 to BloomK).map(d =>
           bloomPos(col(keyCol), d)): _*)).as("bitpos"))
+      .filter(col("bitpos").isNotNull)
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(idxDir)
 
@@ -631,6 +637,7 @@ object CompatIo {
         .select(relFileKey(spark, dataDir).as("file"),
           explode(array((1 to BloomK).map(d =>
             bloomPos(col(keyCol), d)): _*)).as("bitpos"))
+        .filter(col("bitpos").isNotNull)
         .distinct()
         .write.mode(SaveMode.Append).parquet(idxDir)
     }

@@ -278,21 +278,31 @@ object Sampling {
   /** The Efraimidis-Spirakis race clock shared by [[weightedBottomK]]
     * and [[weightedCapPerStratum]]: −ln(u)/w on the 1e-9 floor grid,
     * u the row's md5-uniform in (0, 1], NULL weight → NULL clock
-    * (drop), weight ≤ 0 OR NaN raises in-plan (NaN fails the ≤ 0
-    * comparison, would ride into the clock as NaN, and die as an
-    * opaque ANSI long-cast error — raise the clean message instead). */
+    * (drop), weight ≤ 0, NaN, OR below [[MinWeight]] raises in-plan
+    * (NaN fails the ≤ 0 comparison and would ride into the clock as
+    * NaN; a sub-1e-8 weight scales the grid key past Long.MaxValue —
+    * both would die as an opaque ANSI long-cast overflow, so raise
+    * the clean message instead; ADVICE r11). At w = 1e-8 the worst
+    * clock is −ln(2^-32)/1e-8·1e9 ≈ 2.2e18 < Long.MaxValue. */
   private def esKey(keyCol: String, salt: String,
                     weight: Column): Column = {
     // (h + 1) / 2^32 ∈ (2^-32, 1] — never 0, so ln(u) is finite
     val u = (hashValue(col(keyCol), salt) + lit(1L)) / lit(HashRange)
     val wd = weight.cast("double")
     val w = when(weight.isNull, lit(null).cast("double"))
-      .otherwise(when(wd <= 0.0 || isnan(wd),
-          raise_error(concat(lit("weighted sample: weight must be > 0, got "),
+      .otherwise(when(wd <= 0.0 || isnan(wd) || wd < MinWeight,
+          raise_error(concat(
+            lit(s"weighted sample: weight must be >= $MinWeight, got "),
             weight.cast("string"), lit(" for key "), col(keyCol).cast("string"))))
         .otherwise(wd))
     floor(-log(u) / w * lit(1.0e9)).cast("long")
   }
+
+  /** Smallest weight [[esKey]] accepts: keeps the 1e-9-grid race key
+    * inside Long (see the esKey bound). Rescale tiny rates upstream —
+    * the race only depends on weight RATIOS, so multiplying every
+    * weight by a constant leaves the sample unchanged. */
+  val MinWeight: Double = 1.0e-8
 
   /** WEIGHTED per-stratum cap — [[capPerStratum]] with the
     * [[weightedBottomK]] race inside each stratum: at most

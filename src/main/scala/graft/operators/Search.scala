@@ -199,6 +199,15 @@ object Search {
         qdoc.select("doc_id"), r)
       .select(col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
+    rrfFuse(bm, dense, k, rrfK)
+  }
+
+  /** The RRF fusion tail shared VERBATIM by [[hybridRrf]] and the
+    * artifact-served [[hybridRrfFromIndex]] (the bm25Tail discipline:
+    * shared code makes build-then-serve ≡ build-and-serve by
+    * construction). Both inputs are ≤r-row rank lists. */
+  private def rrfFuse(bm: DataFrame, dense: DataFrame, k: Int,
+                      rrfK: Int): DataFrame = {
     val term = (rk: org.apache.spark.sql.Column) =>
       coalesce(lit(1.0) / (lit(rrfK) + rk), lit(0.0))
     bm.join(dense, Seq("doc_id"), "full_outer")
@@ -207,5 +216,62 @@ object Search {
           1000000 + lit(0.5)) / 1000000).as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Persist the TWO-TOWER hybrid retrieval index in one pass: the
+    * [[bm25IndexWrite]] lexical artifact under `dir/bm25` plus the
+    * hashing-trick dense vectors (doc_id, j, w) under `dir/dense` —
+    * the missing composition from VERDICT r10/r11: both towers already
+    * persisted individually (text_bm25_from_index,
+    * sim_topk_ivf_persisted) but fusion always re-embedded the corpus
+    * in-plan. The dense tower stores the SAME hashEmbedBuckets space
+    * the in-plan fusion uses, and that embedding is a pure per-doc
+    * function (md5 of each token — no corpus statistics), so a query
+    * pseudo-doc embedded at serve time lands in the identical space:
+    * served fusion is bit-identical to in-plan fusion (the gate pins
+    * it). Like the BM25 stats, the dense table is a pure function of
+    * the corpus and appends merge per-doc (new rows only) — but dfreq/
+    * avgdl in the lexical tower refresh globally, so the composite
+    * artifact inherits BM25's periodic-rebuild contract. */
+  def hybridIndexWrite(docs: DataFrame, dir: String, dims: Int = 64,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): Unit = {
+    bm25IndexWrite(docs, s"$dir/bm25", idCol, textCol)
+    TextStats.hashEmbedBuckets(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        dims)
+      .write.mode("overwrite").parquet(s"$dir/dense")
+  }
+
+  /** Serve hybrid RRF from a persisted [[hybridIndexWrite]] artifact —
+    * per-QUERY cost only: the BM25 arm reads |terms| posting lists off
+    * the word-sorted postings (row-group seek), the dense arm embeds
+    * the ≤|terms|-token pseudo-doc (driver-trivial) and brute-forces
+    * cosine against the stored vectors (one scan of a dims·|docs|
+    * sparse table — the corpus text is never re-tokenized). Ranks,
+    * fusion, rounding and tie pins are [[rrfFuse]] verbatim, so the
+    * output is bit-identical to [[hybridRrf]] on the same corpus. */
+  def hybridRrfFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, terms: Seq[String], k: Int = 10,
+                         r: Int = 20, rrfK: Int = 60,
+                         dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "hybridRrfFromIndex needs a query term")
+    val bm = bm25TopKFromIndex(spark, s"$dir/bm25", terms, r)
+      .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long").as("bm_rank"))
+    val qdoc = spark.range(1)
+      .select(lit(-1L).as("doc_id"),
+        lit(terms.mkString(" ")).as("text"))
+    // per-doc-pure embedding: embedding the pseudo-doc alone equals
+    // its row set inside the in-plan joint embedding (dims must match
+    // the write-side value — both default 64)
+    val emb = spark.read.parquet(s"$dir/dense")
+      .unionByName(TextStats.hashEmbedBuckets(qdoc, dims))
+    val dense = Similarity.sparseIntTopK(emb, qdoc.select("doc_id"), r)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    rrfFuse(bm, dense, k, rrfK)
   }
 }

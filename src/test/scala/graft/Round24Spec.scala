@@ -56,13 +56,25 @@ class Round24Spec extends SparkSpec {
     val e = intercept[Exception] {
       Sampling.weightedBottomK(bad, 10, col("w")).collect()
     }
-    assert(e.getMessage.contains("weight must be > 0"))
+    assert(e.getMessage.contains("weight must be >="))
     // NaN weight: the clean guard, not an opaque ANSI cast error
     val nan = Seq((1L, 2.0), (2L, Double.NaN)).toDF("doc_id", "w")
     val e2 = intercept[Exception] {
       Sampling.weightedBottomK(nan, 10, col("w")).collect()
     }
-    assert(e2.getMessage.contains("weight must be > 0"))
+    assert(e2.getMessage.contains("weight must be >="))
+    // sub-MinWeight weight: the same clean guard, not a Long overflow
+    // in the 1e-9-grid race key (ADVICE r11: w < ~3e-9 scaled the key
+    // past Long.MaxValue and died as an opaque ANSI cast error)
+    val tiny = Seq((1L, 2.0), (2L, 1.0e-9)).toDF("doc_id", "w")
+    val e3 = intercept[Exception] {
+      Sampling.weightedBottomK(tiny, 10, col("w")).collect()
+    }
+    assert(e3.getMessage.contains("weight must be >="))
+    // at exactly MinWeight the race key stays in Long and the row lives
+    val edge = Seq((1L, 2.0), (2L, Sampling.MinWeight)).toDF("doc_id", "w")
+    assert(Sampling.weightedBottomK(edge, 10, col("w"))
+      .collect().length === 2)
   }
 
   // --- Relational.markovTransitions ---
@@ -300,6 +312,27 @@ class Round24Spec extends SparkSpec {
     }
     assert(CompatIo.readWithBloomSkipping(spark, s"$lake/data",
       s"$lake/idx", "k", 2042L).count() > 0L)
+  }
+
+  test("bloom skipping: NULL keys contribute no bit positions — an " +
+    "all-NULL file is skipped by every probe (ADVICE r11: concat_ws " +
+    "aliased NULLs onto the salt-only bits, opening NULL-bearing " +
+    "files on every lookup)") {
+    import graft.io.CompatIo
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_spec_bloom_null").toString
+    Seq(Some(1L), Some(2L), Some(3L)).toDF("k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$lake/data")
+    Seq(None, None, None).asInstanceOf[Seq[Option[Long]]].toDF("k")
+      .coalesce(1).write.mode("append").parquet(s"$lake/data")
+    CompatIo.bloomIndexWrite(spark, s"$lake/data", s"$lake/idx", "k")
+    // the NULL-only file sets zero bits → exactly one file in the index
+    assert(spark.read.parquet(s"$lake/idx")
+      .select("file").distinct().count() === 1L)
+    // and no probe ever opens it
+    assert(CompatIo.bloomPlannedFiles(spark, s"$lake/idx", 1L).size === 1)
+    assert(CompatIo.readWithBloomSkipping(spark, s"$lake/data",
+      s"$lake/idx", "k", 2L).count() === 1L)
   }
 
   // --- CompatIo.manifestWrite / readSnapshot ---
