@@ -260,6 +260,16 @@ object SparkEntry {
         s, dir, scratchDir("ndstage"), scratchDir("ndindex"),
         scratchDir("ndres"))),
 
+    // streaming-maintained Bloom skipping index (the neardup cycle on
+    // the lakehouse membership index): each micro-batch lands its rows
+    // in the lake then bloomIndexAppend scans ONLY the new files; the
+    // maintained index ≡ a cold rebuild (spec-pinned), and the gate
+    // serves three point lookups through it — one key per landed batch
+    "stream_bloom_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.bloomMaintain(
+        s, dir, scratchDir("bmstage"), scratchDir("bmlake"),
+        scratchDir("bmidx"))),
+
     // streaming-maintained fixed-size sample: each micro-batch merges
     // its own bottom-k sketch into the versioned artifact; the
     // mergeability identity makes the final sketch bit-identical to
@@ -659,6 +669,12 @@ object SparkEntry {
     // paired docs re-tokenize), the candidates-then-verify discipline
     "dedup_winnow_verified" -> ((s, dir) =>
       TextStats.winnowPairsVerified(docs(s, dir))),
+    // ...and the ACTED-ON artifact closing the winnow family: every
+    // verified pair's later doc has its shared 5-token spans CUT
+    // (keep-first — the earlier partner stays canonical); candidate-
+    // bounded end to end (only pair members re-tokenize)
+    "dedup_winnow_rewrite" -> ((s, dir) =>
+      Dedup.winnowRewrite(docs(s, dir))),
     // Hash-gated against a full DuckDB twin: the bucketing basis is md5
     // (engine-portable), so the sparse integer bucket sums value-match
     // exactly. Gate surface = those sparse sums, NOT the dense float
@@ -4398,6 +4414,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (577, 579)""".stripMargin,
 
+    // streaming bloom-maintain twin: the maintained index must serve
+    // exactly the full-scan filter for a key from each landed batch
+    "stream_bloom_maintain" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN (577, 578, 579)""".stripMargin,
+
     // vacuum twin: the post-vacuum directory IS the pinned table —
     // identical rows to the snapshot read, via the physical delete
     "io_vacuum" ->
@@ -4830,6 +4853,63 @@ object SparkEntry {
          |SELECT wp.doc_a, wp.doc_b, wp.n_shared,
          |  coalesce(c.n_common, 0) AS n_common_kgrams
          |FROM wp LEFT JOIN c USING (doc_a, doc_b)""".stripMargin,
+
+    // winnow-rewrite twin: the verified-pair chain, then per affected
+    // doc_b the positioned 5-grams shared with any paired donor mark
+    // covered token spans i..i+4; uncovered tokens reassemble via the
+    // ORDER BY string_agg device (boilerplate twin precedent)
+    "dedup_winnow_rewrite" ->
+      s"""WITH $winnowCtes, df AS (
+         |  SELECT DISTINCT doc_id, s.fp AS fp FROM w
+         |), fb AS (
+         |  SELECT fp FROM df GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND 50
+         |), p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM df a JOIN fb USING (fp) JOIN df b USING (fp)
+         |  WHERE a.doc_id < b.doc_id
+         |), wp AS (
+         |  SELECT doc_a, doc_b FROM p GROUP BY 1, 2
+         |  HAVING count(*) >= 2
+         |), g AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM n, unnest(generate_series(1, len(tk) - 4)) AS u(i)
+         |  WHERE len(tk) >= 5
+         |), vp AS (
+         |  SELECT DISTINCT wp.doc_a, wp.doc_b
+         |  FROM wp
+         |  JOIN g ga ON ga.doc_id = wp.doc_a
+         |  JOIN g gb ON gb.doc_id = wp.doc_b AND gb.g = ga.g
+         |), bd AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM vp
+         |), bg AS (
+         |  SELECT n.doc_id, i, array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM n JOIN bd USING (doc_id),
+         |    unnest(generate_series(1, len(tk) - 4)) AS u(i)
+         |  WHERE len(tk) >= 5
+         |), ss AS (
+         |  SELECT DISTINCT bg.doc_id, bg.i
+         |  FROM bg JOIN vp ON bg.doc_id = vp.doc_b
+         |  JOIN g ga ON ga.doc_id = vp.doc_a AND ga.g = bg.g
+         |), cov AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
+         |    FROM ss)
+         |), bt AS (
+         |  SELECT n.doc_id, u.p, n.tk[u.p] AS tok
+         |  FROM n JOIN bd USING (doc_id),
+         |    unnest(generate_series(1, len(tk))) AS u(p)
+         |)
+         |SELECT bt.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cut,
+         |  floor(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*) * 100 + 0.5) / 100 AS cut_frac,
+         |  coalesce(string_agg(CASE WHEN cov.p IS NULL THEN bt.tok END,
+         |    ' ' ORDER BY bt.p), '') AS text_clean
+         |FROM bt LEFT JOIN cov
+         |  ON bt.doc_id = cov.doc_id AND bt.p = cov.p
+         |GROUP BY bt.doc_id""".stripMargin,
 
     // Sentence twin: same RE2 extraction, index via the repo's
     // unnest(generate_series)/t[i] idiom, non-empty-token count

@@ -626,6 +626,16 @@ object CompatIo {
     * never rescans the lake. */
   def bloomIndexAppend(spark: SparkSession, dataDir: String,
                        idxDir: String, keyCol: String): Unit = {
+    // self-initializing: the first delta of a maintained lake finds no
+    // index yet — a full build over the current files IS the correct
+    // append from the empty index (lets a streaming foreachBatch
+    // maintainer call append unconditionally)
+    val idxFile = new java.io.File(idxDir)
+    if (!idxFile.isDirectory || Option(idxFile.listFiles()).toSeq
+        .flatten.forall(!_.getName.endsWith(".parquet"))) {
+      bloomIndexWrite(spark, dataDir, idxDir, keyCol)
+      return
+    }
     val known = spark.read.parquet(idxDir)
       .select("file").distinct().collect().map(_.getString(0)).toSet
     val nf = listParquet(spark, dataDir).filterNot(known)

@@ -1464,6 +1464,91 @@ object Dedup {
         col("text_clean"))
   }
 
+  /** WINNOW-driven span REWRITE — the acted-on artifact the winnow
+    * family feeds (VERDICT r11 task 6; the MOSS pipeline's "now do
+    * something about the match"): take the VERIFIED winnow candidate
+    * pairs ([[TextStats.winnowPairsVerified]], n_common_kgrams ≥ 1),
+    * and for each pair CUT from the LATER document (doc_b — keep-first
+    * by id, the [[exact]]/[[chunkDedupRewrite]] convention) every
+    * k-token span it shares verbatim with any of its earlier partners.
+    * A token of doc_b survives iff NO shared k-gram occurrence covers
+    * it; the earlier partner keeps its full text (it is the canonical
+    * carrier of the shared passage). Donors contribute their ORIGINAL
+    * grams even when they are themselves rewritten against still
+    * earlier docs — single-pass parallel semantics, no sequential
+    * chain (documented trade vs an iterate-to-fixpoint variant).
+    *
+    * Candidate-bounded cost contract (the winnowPairsVerified
+    * discipline carried to the rewrite): only documents appearing in a
+    * verified pair re-tokenize (two semi joins); the shared-span
+    * search joins b's positioned grams against its PARTNERS' distinct
+    * gram sets only — |pairs| × per-doc grams, never corpus×corpus;
+    * coverage explode is k rows per shared occurrence; reassembly
+    * sorts only within a document. The corpus-sized input is touched
+    * once, inside winnowPairsVerified's capped pairing.
+    *
+    * Tokens are the winnow normalization ([[TextStats.normalized]] —
+    * the spans being cut are exactly the spans the fingerprints
+    * signaled). Output: one row per REWRITTEN document (a doc_b of ≥ 1
+    * verified pair): (doc_id, n_tokens, n_cut, cut_frac, text_clean),
+    * cut_frac round2, text_clean '' when everything was shared. */
+  def winnowRewrite(docs: DataFrame, k: Int = 5, window: Int = 4,
+                    minShared: Int = 2, maxBucket: Int = 50,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val pairs = TextStats.winnowPairsVerified(docs, k, window,
+        minShared, maxBucket, idCol, textCol)
+      .filter(col("n_common_kgrams") >= 1)
+      .select("doc_a", "doc_b").persist() // spine of 3 joins below
+    val t = split(TextStats.normalized(col(textCol)), " ")
+    val toks = docs.select(col(idCol).as("doc_id"), t.as("t"))
+    val bDocs = pairs.select(col("doc_b").as("doc_id")).distinct()
+    // positioned k-grams of the affected (rewritten) docs only
+    val bGrams = toks.join(bDocs, Seq("doc_id"), "left_semi")
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => struct(i.cast("long").as("i"),
+            concat_ws(" ", slice(col("t"), i, lit(k))).as("g"))))
+          .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+    // distinct k-grams of the donor docs only
+    val aGrams = toks
+      .join(pairs.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id").as("doc_a"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("g"))
+      .distinct()
+    // shared shingle starts in b: b's gram occurs in a paired donor
+    val starts = bGrams
+      .join(pairs, bGrams("doc_id") === pairs("doc_b"))
+      .join(aGrams, Seq("doc_a", "g"))
+      .select(col("doc_id"), col("i")).distinct()
+    // each shared start covers tokens i..i+k-1
+    val covered = starts.select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct().withColumn("cut", lit(true))
+    toks.join(bDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("tok"))
+      .join(covered, Seq("doc_id", "p"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        // p is unique within a doc → total deterministic order
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("cut").isNull, struct(col("p"), col("tok"))))),
+          x => x("tok")), " ").as("text_clean"))
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"),
+        graft.functions.Fns.round2(col("n_cut") / col("n_tokens"))
+          .as("cut_frac"),
+        col("text_clean"))
+  }
+
   /** Sentence-level dedup REWRITE — the fine-grained layer real
     * curation stacks run between exact-document and token-chunk dedup
     * (round-9 verdict #6; the Lee-et-al substring argument at a

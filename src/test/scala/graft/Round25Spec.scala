@@ -50,6 +50,71 @@ class Round25Spec extends SparkSpec {
       s"served plan re-scans the corpus dir:\n$plan")
   }
 
+  test("winnowRewrite: the later doc of a verified pair loses exactly " +
+    "its shared-span tokens; the earlier partner is not rewritten; " +
+    "unpaired docs are untouched") {
+    import graft.operators.Dedup
+    // 16 shared tokens = two disjoint runs of window + k - 1 = 8, so
+    // the winnowing guarantee yields >= 2 common fingerprints (the
+    // pairing threshold), not just one
+    val shared = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    val d = Seq(
+      (1L, s"unique prefix one two $shared"),
+      (2L, s"$shared different suffix here now"),
+      (3L, "totally unrelated text with nothing shared at all okay"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowRewrite(d)
+    val rowsById = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    // only doc 2 (the later of the verified pair) is rewritten
+    assert(rowsById.keySet === Set(2L))
+    val r2 = rowsById(2L)
+    assert(r2.getAs[Long]("n_tokens") === 20)
+    // doc 2's pure-shared 5-grams (starts 1..12, all in doc 1's gram
+    // set) cover positions 1..16; "different suffix here now" survives
+    assert(r2.getAs[Long]("n_cut") === 16)
+    assert(r2.getAs[String]("text_clean") ===
+      "different suffix here now")
+  }
+
+  test("bloomMaintain: the streaming-maintained index is bit-identical " +
+    "to a cold rebuild over the final lake, and serves exact lookups") {
+    import graft.io.CompatIo
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spec_bloommaint").toString
+    val got = graft.streaming.EventsStream.bloomMaintain(spark,
+      "/root/testdata/sf0.001", s"$root/stage", s"$root/lake",
+      s"$root/idx")
+    // served lookups == the plain filters over the whole lake
+    assert(rows(got.orderBy("l_orderkey", "l_linenumber")) ===
+      rows(spark.read.parquet(s"$root/lake")
+        .filter(col("l_orderkey").isin(577L, 578L, 579L))
+        .orderBy("l_orderkey", "l_linenumber")))
+    // maintained index ≡ cold rebuild: same (file, bitpos) set
+    CompatIo.bloomIndexWrite(spark, s"$root/lake", s"$root/idx2",
+      "l_orderkey")
+    assert(rows(spark.read.parquet(s"$root/idx")
+        .orderBy("file", "bitpos")) ===
+      rows(spark.read.parquet(s"$root/idx2")
+        .orderBy("file", "bitpos")))
+  }
+
+  test("bloomIndexAppend: self-initializes on a missing index dir " +
+    "(a streaming maintainer can call append unconditionally)") {
+    import graft.io.CompatIo
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spec_bloominit").toString
+    (1L to 100L).toDF("k").repartition(2)
+      .write.mode("overwrite").parquet(s"$root/data")
+    CompatIo.bloomIndexAppend(spark, s"$root/data", s"$root/idx", "k")
+    CompatIo.bloomIndexWrite(spark, s"$root/data", s"$root/idx2", "k")
+    assert(rows(spark.read.parquet(s"$root/idx")
+        .orderBy("file", "bitpos")) ===
+      rows(spark.read.parquet(s"$root/idx2")
+        .orderBy("file", "bitpos")))
+  }
+
   test("hybridIndexWrite: the dense tower stores the per-doc-pure " +
     "hash-embedding space (stored rows == in-plan hashEmbedBuckets)") {
     val dir = java.nio.file.Files
