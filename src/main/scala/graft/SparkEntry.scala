@@ -589,6 +589,33 @@ object SparkEntry {
         .write.mode("append").parquet(s"$out/data")
       graft.io.CompatIo.readSnapshot(s, s"$out/data", s"$out/manifest")
     }),
+    // ADDITIVE SCHEMA EVOLUTION under the manifest lake (io_merge_schema
+    // composed with io_snapshot_read): v1 files land and pin as m1, v2
+    // files with an ADDED column append and pin as m2. The m1 snapshot
+    // must stay bit-identical to pre-evolution history (old rows, OLD
+    // schema — spec-pinned), while the m2 snapshot null-fills the new
+    // column on v1 rows. Gate surface = both snapshots union'd with a
+    // generation tag (the explicit null-extension makes the m1 arm's
+    // narrower schema visible to the one oracle)
+    "io_snapshot_evolve" -> ((s, dir) => {
+      val out = scratchDir("snapevo")
+      val li = tbl(s, dir, "lineitem")
+      li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(col("l_orderkey") % 3 =!= 0).repartition(4)
+        .write.mode("overwrite").parquet(s"$out/data")
+      graft.io.CompatIo.manifestWrite(s, s"$out/data", s"$out/m1")
+      li.select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+        .filter(col("l_orderkey") % 3 === 0).repartition(2)
+        .write.mode("append").parquet(s"$out/data")
+      graft.io.CompatIo.manifestWrite(s, s"$out/data", s"$out/m2")
+      graft.io.CompatIo.readSnapshot(s, s"$out/data", s"$out/m2")
+        .withColumn("snap", lit("m2"))
+        .unionByName(
+          graft.io.CompatIo.readSnapshot(s, s"$out/data", s"$out/m1")
+            .withColumn("snap", lit("m1")),
+          allowMissingColumns = true)
+    }),
     // VACUUM to manifest: land a lake, pin it, let a failed write
     // leave orphan files, vacuum — the directory must again equal the
     // pinned state (a pinned file can never be deleted by design)
@@ -4420,6 +4447,20 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_orderkey IN (577, 578, 579)""".stripMargin,
+
+    // snapshot-evolution twin: the m2 snapshot is the whole table with
+    // the added column null on pre-evolution rows; the m1 snapshot is
+    // pre-evolution history with the column null by UNION extension
+    "io_snapshot_evolve" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_orderkey % 3 = 0 THEN l_extendedprice END
+        |    AS l_extendedprice,
+        |  'm2' AS snap
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(NULL AS DOUBLE) AS l_extendedprice, 'm1' AS snap
+        |FROM lineitem WHERE l_orderkey % 3 != 0""".stripMargin,
 
     // vacuum twin: the post-vacuum directory IS the pinned table —
     // identical rows to the snapshot read, via the physical delete

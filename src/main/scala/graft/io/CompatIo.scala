@@ -712,14 +712,21 @@ object CompatIo {
     * A listed file that has been DELETED since the pin fails the read
     * loudly (the snapshot contract is broken by a premature vacuum;
     * serving partial history silently would be worse). An empty
-    * manifest short-circuits to an empty frame. */
+    * manifest short-circuits to an empty frame.
+    *
+    * The snapshot pins its SCHEMA too: the read schema is the
+    * mergeSchema union of the LISTED files' footers, never the live
+    * directory's — so a later additive schema evolution (v2 files with
+    * an added column) cannot leak a null-filled column into an old
+    * snapshot, and an old-schema footer racing into the dir cannot
+    * drop one from a new snapshot (the [[readMergedParquet]] additive
+    * contract composed with the pin — io_snapshot_evolve). */
   def readSnapshot(spark: SparkSession, dataDir: String,
                    manifestDir: String): DataFrame = {
     val files = spark.read.parquet(manifestDir)
       .select("file").collect().map(_.getString(0)) // |files| metadata
-    val full = spark.read.parquet(dataDir)
-    if (files.isEmpty) full.filter(lit(false))
-    else spark.read.schema(full.schema)
+    if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+    else spark.read.option("mergeSchema", "true")
       .option("basePath", dataDir)
       .parquet(files.map(f => s"$dataDir/$f").toIndexedSeq: _*)
   }

@@ -115,6 +115,31 @@ class Round25Spec extends SparkSpec {
         .orderBy("file", "bitpos")))
   }
 
+  test("readSnapshot: additive schema evolution cannot leak into a " +
+    "pinned snapshot — the m1 read keeps the OLD schema and its rows " +
+    "bit-identical, while the m2 read null-fills v1 rows") {
+    import graft.io.CompatIo
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spec_snapevo").toString
+    val v1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    v1.coalesce(1).write.mode("overwrite").parquet(s"$root/data")
+    CompatIo.manifestWrite(spark, s"$root/data", s"$root/m1")
+    val before = rows(CompatIo.readSnapshot(spark, s"$root/data",
+      s"$root/m1").orderBy("k"))
+    // v2 files carry an ADDED column
+    Seq((3L, 30L, "x")).toDF("k", "v", "tag")
+      .coalesce(1).write.mode("append").parquet(s"$root/data")
+    CompatIo.manifestWrite(spark, s"$root/data", s"$root/m2")
+    val m1 = CompatIo.readSnapshot(spark, s"$root/data", s"$root/m1")
+    assert(m1.schema.fieldNames.toSet === Set("k", "v"),
+      s"m1 snapshot leaked the evolved column: ${m1.schema}")
+    assert(rows(m1.orderBy("k")) === before)
+    val m2 = CompatIo.readSnapshot(spark, s"$root/data", s"$root/m2")
+    assert(m2.schema.fieldNames.toSet === Set("k", "v", "tag"))
+    assert(m2.filter(col("k") < 3L && col("tag").isNull).count() === 2L)
+    assert(m2.filter(col("tag") === "x").count() === 1L)
+  }
+
   test("hybridIndexWrite: the dense tower stores the per-doc-pure " +
     "hash-embedding space (stored rows == in-plan hashEmbedBuckets)") {
     val dir = java.nio.file.Files
