@@ -5371,13 +5371,23 @@ object SparkEntry {
     // quality-aware SemDeDup twin: the same codebook assignment with a
     // (quality, lower-id) duel predicate — a vector drops iff a
     // same-cluster neighbor above the cosine threshold strictly beats
-    // it on quality (document length), ties to the lower id
+    // it on quality (document length), ties to the lower id. The
+    // codebook size replays the scale-safe derivation (r12): k =
+    // greatest(16, ceil(N / 64)) — constant mean cluster population,
+    // so the duel's expansion is linear in N, not quadratic
     "dedup_semantic_best" ->
       s"""WITH $vecCtes, nz AS (
          |  SELECT vec_id, v, norm FROM normed WHERE norm > 0
+         |), kk AS (
+         |  SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT))
+         |    AS k
+         |  FROM nz
          |), cent AS (
-         |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nz
-         |  ORDER BY vec_id ASC LIMIT 16
+         |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM (
+         |    SELECT vec_id, v, norm,
+         |      row_number() OVER (ORDER BY vec_id ASC) AS rn
+         |    FROM nz) s, kk
+         |  WHERE s.rn <= kk.k
          |), assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT z.vec_id, c.cid,

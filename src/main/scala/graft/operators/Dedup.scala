@@ -1083,11 +1083,34 @@ object Dedup {
     * aggregation against the broadcast codebook — no window over the
     * N×C rows. Returned frame is persisted (both pair-join sides + the
     * output join consume it). */
+  /** Codebook size for a corpus of `n` vectors at a constant target
+    * cluster population: max(floor, ⌈n / targetPop⌉). This is the
+    * SemDeDup scaling rule (k ∝ N — web-scale runs use k ≈ 100k): it
+    * pins the MEAN cluster population at ≤ targetPop whatever the
+    * corpus size, so the within-cluster duel's Σ sz² expansion grows
+    * LINEARLY in N (≈ N·targetPop at balance) instead of quadratically
+    * (N²/k at fixed k) — the round-11 verdict's cost-cliff fix. */
+  def derivedClusters(n: Long, targetPop: Int = 64,
+                      floor: Int = 16): Int = {
+    require(targetPop >= 1 && floor >= 1,
+      s"need targetPop >= 1 and floor >= 1: $targetPop/$floor")
+    math.max(floor,
+      math.ceil(n.toDouble / targetPop).toInt)
+  }
+
   private def semanticAssign(emb: DataFrame, nClusters: Int,
-                             idCol: String, vecCol: String): DataFrame = {
+                             idCol: String, vecCol: String,
+                             targetPop: Int = 0): DataFrame = {
     val cand = Similarity.withNorm(emb, idCol, vecCol)
       .filter(col("norm") > 0)
-    val cent = cand.orderBy(col("vec_id").asc).limit(nClusters)
+    // targetPop > 0 derives the codebook size from the corpus (one
+    // exact count job — an 8-byte driver scalar, needed because
+    // limit() takes a literal; the TakeOrdered codebook pick stays
+    // sort-free). 0 keeps the caller's fixed nClusters.
+    val k = if (targetPop > 0)
+      derivedClusters(cand.count(), targetPop, nClusters)
+    else nClusters
+    val cent = cand.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cid"), col("vec").as("cvec"),
         col("norm").as("cnorm"))
     cand.crossJoin(broadcast(cent))
@@ -1145,15 +1168,23 @@ object Dedup {
     * ([[TextStats.lmScore]] / gopher flags). Vectors with no quality
     * row rank at q = 0 (worst, dropped first on any duel they lose).
     *
-    * Scale posture: identical to [[semanticDedup]] — one broadcast
-    * codebook assignment, one cid-keyed pair join bounded by cluster
-    * balance, plus ONE extra broadcast-sized quality join. Output:
-    * (vec_id, cid, keep). */
+    * Scale posture: one broadcast codebook assignment, one cid-keyed
+    * pair join, plus ONE extra broadcast-sized quality join — and
+    * unlike [[semanticDedup]]'s fixed 16-cluster gate arm, the
+    * codebook size here DERIVES from the corpus by default
+    * ([[derivedClusters]]: k = max(nClusters, ⌈N/targetClusterPop⌉),
+    * the round-11 verdict's cost-cliff fix), so the duel's Σ sz²
+    * expansion stays linear in N at a constant mean population
+    * instead of quadratic at fixed k. `targetClusterPop = 0` restores
+    * the legacy fixed-k arm; [[semanticDedupKnn]] remains the
+    * component-bounded alternative whose blocks are independent of
+    * cluster balance. Output: (vec_id, cid, keep). */
   def semanticDedupBest(emb: DataFrame, quality: DataFrame,
                         threshold: Double = 0.5, nClusters: Int = 16,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        qCol: String = "q"): DataFrame = {
+                        qCol: String = "q",
+                        targetClusterPop: Int = 64): DataFrame = {
     // The quality column is named, never positional (ADVICE r10: a
     // caller passing (vec_id, label, q) would silently duel on label
     // under columns(1)); a missing column fails in analysis, loudly.
@@ -1162,7 +1193,14 @@ object Dedup {
         s"(columns: ${quality.columns.mkString(", ")})")
     val q = quality.select(col(idCol).as("vec_id"),
       col(qCol).cast("double").as("q"))
-    val assigned = semanticAssign(emb, nClusters, idCol, vecCol)
+    // scale-safe DEFAULT (VERDICT r11 task 3): the codebook size
+    // derives from the corpus at a constant target population —
+    // nClusters is the floor, so small gate corpora keep their
+    // historical 16-cluster behavior while the duel's quadratic term
+    // stays corpus-size-independent per cluster. Pass
+    // targetClusterPop = 0 for the legacy fixed-k arm.
+    val assigned = semanticAssign(emb, nClusters, idCol, vecCol,
+        targetClusterPop)
       .join(q, Seq("vec_id"), "left")
       .select(col("vec_id"), col("vec"), col("norm"), col("cid"),
         coalesce(col("q"), lit(0.0)).as("q"))

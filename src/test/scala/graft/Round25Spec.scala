@@ -115,6 +115,52 @@ class Round25Spec extends SparkSpec {
         .orderBy("file", "bitpos")))
   }
 
+  test("derivedClusters: the mean cluster population is capped by " +
+    "targetPop for EVERY corpus size — the duel bound is corpus-size-" +
+    "independent") {
+    import graft.operators.Dedup
+    for (n <- Seq(100L, 1024L, 100000L, 10000000L)) {
+      val k = Dedup.derivedClusters(n, targetPop = 64, floor = 16)
+      assert(n.toDouble / k <= 64.0,
+        s"n=$n k=$k mean=${n.toDouble / k}")
+    }
+    assert(Dedup.derivedClusters(500, 64, 16) === 16) // floor wins
+    assert(Dedup.derivedClusters(2000, 64, 16) === 32)
+    assert(Dedup.derivedClusters(10000000L, 64, 16) === 156250)
+  }
+
+  test("semanticDedupBest: the default arm derives its codebook from " +
+    "the corpus (>16 clusters appear once N/64 beats the floor) and " +
+    "keep-best semantics are unchanged") {
+    import graft.operators.Dedup
+    // 1500 vectors over 32 orthogonal directions (i % 32): ids 0..23
+    // are the derived codebook and cover 24 DISTINCT directions, so
+    // every direction d < 24 assigns to cid = d exactly
+    val emb = (0L until 1500L).map { i =>
+      val v = Array.fill(32)(0.0f)
+      v((i % 32).toInt) = 1.0f
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val quality = (0L until 1500L).map(i => (i, i % 7)).toDF("vec_id", "q")
+    val out = Dedup.semanticDedupBest(emb, quality, threshold = 0.99)
+      .persist()
+    // derivation: k = max(16, ceil(1500/64)) = 24 codebook entries —
+    // the assigned cid set must stay within the 24 lowest ids and use
+    // MORE than the legacy 16 (the derivation actually engaged)
+    val cids = out.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cids.forall(_ < 24L), s"cid outside codebook: $cids")
+    assert(cids.count(_ >= 16L) === 8,
+      s"derivation never engaged (expected cids 16..23 assigned): $cids")
+    // keep-best still holds: within every cluster the kept set is
+    // exactly the per-(cluster, duel) winners — spot-check that every
+    // cluster keeps >= 1 member and drops dominated ones
+    val byCid = out.collect().groupBy(_.getAs[Long]("cid"))
+    assert(byCid.values.forall(_.exists(_.getAs[Boolean]("keep"))))
+    out.unpersist()
+    Housekeeping.release(spark)
+  }
+
   test("readSnapshot: additive schema evolution cannot leak into a " +
     "pinned snapshot — the m1 read keeps the OLD schema and its rows " +
     "bit-identical, while the m2 read null-fills v1 rows") {
