@@ -759,6 +759,18 @@ object SparkEntry {
     // aggregates (class-word counts, priors, vocab size) derive and
     // broadcast inside the same Catalyst plan that scores every doc
     "text_nb_classify" -> ((s, dir) => Classify.nbLang(docs(s, dir))),
+    // trained LINEAR classifier (fastText-style quality filter): 3
+    // full-batch GD steps on length-normalized hashed-BoW features
+    // against the lang='en' label, rational fast-sigmoid link (no
+    // transcendentals → the twin replays TRAINING bit-for-bit); the
+    // weight vector, per-doc scores, and the confusion summary are
+    // three gates over one shared machinery
+    "text_lr_train" -> ((s, dir) =>
+      Classify.lrTrain(docs(s, dir), steps = LrSteps, lr = LrRate)),
+    "text_lr_score" -> ((s, dir) =>
+      Classify.lrScore(docs(s, dir), steps = LrSteps, lr = LrRate)),
+    "text_lr_eval" -> ((s, dir) =>
+      Classify.lrEval(docs(s, dir), steps = LrSteps, lr = LrRate)),
     // per-class precision/recall/F1 report of the NB classifier
     // against the true labels (exact-integer F1 identity)
     "text_nb_eval" -> ((s, dir) => Classify.nbEval(docs(s, dir))),
@@ -2663,6 +2675,77 @@ object SparkEntry {
       |    FROM toks)
       |  WHERE length(word) > 0
       |)""".stripMargin
+
+  /** Linear-classifier training replay (Classify.lrTrain/lrScore/
+    * lrEval): features = bias + length-normalized hash-embed buckets
+    * on the 1e-12 decimal grid, then `steps` unrolled GD step CTEs —
+    * m{t} (doc-keyed decimal-summed margin), e{t} (fast-sigmoid error
+    * — rational, so IEEE-bit-exact cross-engine), g{t} (feature-keyed
+    * decimal-summed gradient / N), w{t} (re-quantized update; a
+    * never-hit bucket keeps its weight via the LEFT JOIN coalesce). */
+  /** LR hyperparameters — ONE definition feeding both the Spark gates
+    * and the generated twin SQL, so the two sides cannot drift. */
+  private[graft] val LrSteps = 3
+  private[graft] val LrRate = 1.0
+
+  private def lrSqlCtes(steps: Int): String = {
+    val base =
+      s"""$tokenCtes, dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
+         |), hx AS (
+         |  SELECT doc_id, md5(word) AS h FROM tokens
+         |), bkt AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(h, 29, 4))::BIGINT % 64 AS INTEGER) AS j,
+         |    CASE WHEN ('0x' || substr(h, 1, 1))::BIGINT % 2 = 1
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM hx
+         |), emb AS (
+         |  SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS w
+         |  FROM bkt GROUP BY doc_id, j
+         |), f AS (
+         |  SELECT doc_id, -1 AS j, CAST(1.0 AS DOUBLE) AS x
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT e.doc_id, e.j,
+         |    floor(e.w / sqrt(dl.dl) * 1000000000000 + 0.5)
+         |      / 1000000000000 AS x
+         |  FROM emb e JOIN dl USING (doc_id)
+         |), yy AS (
+         |  SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents
+         |), nn AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+         |), w0 AS (
+         |  SELECT unnest(generate_series(-1, 63)) AS j,
+         |    CAST(0.0 AS DOUBLE) AS w
+         |)""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      s"""m$t AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
+         |  FROM f JOIN w${t - 1} w USING (j) GROUP BY f.doc_id
+         |), e$t AS (
+         |  SELECT yy.doc_id,
+         |    0.5 * (1 + m.m / (1 + abs(m.m))) - yy.y AS e
+         |  FROM yy JOIN m$t m USING (doc_id)
+         |), g$t AS (
+         |  SELECT f.j,
+         |    CAST(sum(CAST(floor(f.x * e.e * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE)
+         |      / (SELECT n FROM nn) AS g
+         |  FROM f JOIN e$t e USING (doc_id) GROUP BY f.j
+         |), w$t AS (
+         |  SELECT w.j,
+         |    floor((w.w - $LrRate * coalesce(g.g, 0.0))
+         |      * 1000000000000 + 0.5) / 1000000000000 AS w
+         |  FROM w${t - 1} w LEFT JOIN g$t g USING (j)
+         |)""".stripMargin
+    }
+    (base +: stepCtes).mkString(", ")
+  }
 
   // BM25 twin (probe terms, k=10) — shared by text_bm25 (in-plan) and
   // text_bm25_from_index (served from the persisted postings/wordstats/
@@ -7360,6 +7443,55 @@ object SparkEntry {
         |)
         |SELECT k.doc_id, k.pos, coalesce(v.tid, 0) AS tid
         |FROM kept k LEFT JOIN voc v USING (word)""".stripMargin,
+
+    // Linear-classifier twins: the full 3-step GD training replays in
+    // SQL (per-step margin/error/gradient/update CTEs generated by
+    // lrSqlCtes) — possible because the link is rational (no exp) and
+    // every order-dependent sum quantizes to DECIMAL(20,12), so the
+    // weight vector is BIT-IDENTICAL across engines after every step
+    "text_lr_train" ->
+      s"""WITH ${lrSqlCtes(LrSteps)}
+         |SELECT CAST(j AS BIGINT) AS j, w
+         |FROM w$LrSteps""".stripMargin,
+    "text_lr_score" ->
+      s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
+         |  FROM f JOIN w$LrSteps w USING (j) GROUP BY f.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+         |    AS y,
+         |  floor((0.5 * (1 + m.m / (1 + abs(m.m)))) * 1000000 + 0.5)
+         |    / 1000000 AS p,
+         |  0.5 * (1 + m.m / (1 + abs(m.m))) >= 0.5 AS pred
+         |FROM documents d JOIN mf m USING (doc_id)""".stripMargin,
+    "text_lr_eval" ->
+      s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
+         |  FROM f JOIN w$LrSteps w USING (j) GROUP BY f.doc_id
+         |), sc AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    0.5 * (1 + m.m / (1 + abs(m.m))) >= 0.5 AS pred
+         |  FROM documents d JOIN mf m USING (doc_id)
+         |)
+         |SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn,
+         |  floor((sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END)
+         |    + sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END))
+         |    / count(*) * 100 + 0.5) / 100 AS accuracy
+         |FROM sc""".stripMargin,
 
     // Naive-Bayes twin: model CTEs (class-word counts, class totals,
     // priors, vocab size) + scoring replay. Discipline mirrors BM25:

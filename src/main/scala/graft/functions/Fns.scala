@@ -18,6 +18,21 @@ object Fns {
     */
   def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
 
+  /** 1e-12-grid quantization by the same floor device as [[round2]] —
+    * the cross-engine-safe alternative to CAST(x AS DECIMAL(20,12)):
+    * Spark's double→decimal cast expands the binary double EXACTLY
+    * before rounding (java BigDecimal) while DuckDB scales in double
+    * space, so the two can disagree by one grid ulp on the ~1e-5
+    * fraction of values whose scaled form sits at a rounding boundary
+    * (observed live: one lr weight in 65 at sf0.1). The floor form is
+    * the same IEEE multiply/floor/divide in both engines — bit-exact
+    * always. Safe for |x| < ~9e3 (x·1e12 must stay under 2^53). After
+    * quantizing, a decimal CAST of the result is unambiguous (the
+    * nearest 1e-12 decimal is the grid point itself), so decimal
+    * order-free summation composes on top. */
+  def quant12(c: Column): Column =
+    floor(c * 1000000000000L + lit(0.5)) / 1000000000000L
+
   /** Raw token count of the reference's TF denominator: the length of the
     * single-space split of the TRIMMED text, BEFORE normalization /
     * empty-filtering (reference Code/DocInfo.java:26,89 —

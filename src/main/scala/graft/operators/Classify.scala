@@ -121,4 +121,149 @@ object Classify {
         round2((col("tp") * 2) /
           (coalesce(col("n_pred"), lit(0L)) + col("n_true"))).as("f1"))
   }
+
+  // --------------------------------------------------------------
+  // Trained LINEAR classifier (fastText-style quality/label filter):
+  // full-batch gradient descent on hashed bag-of-words features, with
+  // a RATIONAL squashing link ("fast sigmoid" f(m) = ½(1 + m/(1+|m|)))
+  // instead of the logistic exp — IEEE +,·,/ are bit-exact across
+  // engines while exp/ln are only ~1-ulp reproducible, so the DuckDB
+  // twin replays TRAINING bit-for-bit, not ulp-for-ulp (the same
+  // motive as the repo-wide round2/md5 conventions). Every
+  // order-dependent sum (per-doc margins, per-feature gradients)
+  // quantizes its terms to DECIMAL(20,12) and sums exactly; weight
+  // updates re-quantize to the same grid, so the parameter vector is
+  // identical in both engines after every step.
+  // --------------------------------------------------------------
+
+  /** Feature rows shared by [[lrTrain]] / [[lrScore]] / [[lrEval]]:
+    * j = -1 is the bias (x = 1, every document), j ∈ [0, dims) the
+    * [[TextStats.hashEmbedBuckets]] signed hashing-trick buckets
+    * VARIANCE-STABILIZED by the document's token count (x = w/√dl —
+    * random-hash bucket sums grow as √dl, so this puts every bucket
+    * at O(1) alongside the unit bias whatever the document length;
+    * √ is IEEE-correctly-rounded, hence bit-exact cross-engine), each
+    * x landed on the 1e-12 decimal grid so
+    * both engines consume identical feature values. Pure per-doc
+    * expressions + one keyed agg; token-less documents carry only
+    * their bias row. */
+  private def lrFeatures(docs: DataFrame, dims: Int): DataFrame = {
+    val toks = WikiText.tokens(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val buckets = TextStats
+      .hashEmbedBuckets(docs.select(col("doc_id"), col("text")), dims)
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("j").cast("int").as("j"),
+        graft.functions.Fns.quant12(col("w") / sqrt(col("dl"))).as("x"))
+    docs.select(col("doc_id"), lit(-1).as("j"), lit(1.0).as("x"))
+      .unionByName(buckets)
+  }
+
+  /** The trained weight vector after `steps` full-batch GD steps at
+    * rate `lr` against the binary label `lang = 'en'` (the gate's
+    * stand-in for any quality label — production feeds human/LM
+    * judgments through the same plan). Measured caveat on the gate
+    * data (tools/LrProbe): the driver testdata draws every language
+    * from ONE shared vocabulary, so no lexical model can beat the
+    * majority response on this label (nb_eval's non-en F1 ≤ 0.23 is
+    * the same finding) — the gates pin the machinery and the
+    * bit-exact replay; on separable data the same loop reaches
+    * accuracy 1.0 by step 2 (LrProbe + Round25Spec). Weights start
+    * at 0 and update
+    * as w ← quantize(w − lr·Σᵢ xᵢⱼ·(f(mᵢ) − yᵢ)/N); each step is two
+    * keyed aggregations (doc-keyed margin, feature-keyed gradient) +
+    * one 65-row driver collect that feeds the next step's broadcast
+    * literals — the [[graft.operators.Similarity]] trainCodebook
+    * per-round-collect pattern (dims+1 doubles, never data-sized).
+    * Output: (j, w) — dims+1 rows, w on the 1e-12 grid. */
+  private def lrWeights(docs: DataFrame, dims: Int, steps: Int,
+                        lr: Double): Seq[(Int, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(steps >= 1 && dims >= 1,
+      s"need steps >= 1 and dims >= 1: $steps/$dims")
+    val f = lrFeatures(docs, dims).persist()
+    val y = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val n = docs.count().toDouble // one 8-byte driver scalar
+    var w: Seq[(Int, Double)] = (-1 until dims).map(j => j -> 0.0)
+    for (_ <- 1 to steps) {
+      val wDf = w.toDF("j", "wj")
+      val m = f.join(broadcast(wDf), Seq("j"))
+        .groupBy("doc_id")
+        .agg(sum(graft.functions.Fns.quant12(col("x") * col("wj"))
+          .cast("decimal(20,12)")).cast("double").as("m"))
+      val e = y.join(m, Seq("doc_id"))
+        .select(col("doc_id"),
+          (lit(0.5) * (lit(1.0) + col("m") / (lit(1.0) + abs(col("m"))))
+            - col("y")).as("e"))
+      val g = f.join(e, Seq("doc_id"))
+        .groupBy("j")
+        .agg((sum(graft.functions.Fns.quant12(col("x") * col("e"))
+          .cast("decimal(20,12)")).cast("double") / lit(n)).as("g"))
+      // the update re-quantizes by the floor device (Fns.quant12 —
+      // the decimal CAST diverges by a grid ulp cross-engine; see the
+      // helper's doc), then collects dims+1 rows
+      w = wDf.join(g, Seq("j"), "left")
+        .select(col("j"),
+          graft.functions.Fns.quant12(
+            col("wj") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toSeq
+        .sortBy(_._1)
+    }
+    f.unpersist()
+    w
+  }
+
+  /** Gate surface for the trained weights: (j, w), dims+1 rows. */
+  def lrTrain(docs: DataFrame, dims: Int = 64, steps: Int = 3,
+              lr: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    lrWeights(docs, dims, steps, lr).toDF("j", "w")
+      .select(col("j").cast("long").as("j"), col("w"))
+  }
+
+  /** Score every document under the trained model: p = f(m) on the
+    * final weights, prediction at the 0.5 threshold. p is floored to
+    * the 1e-6 grid for the gate hash; the prediction compares the
+    * UNfloored p (bit-identical cross-engine — the link is rational).
+    * Output: (doc_id, y, p, pred). */
+  def lrScore(docs: DataFrame, dims: Int = 64, steps: Int = 3,
+              lr: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = lrWeights(docs, dims, steps, lr).toDF("j", "wj")
+    val p = lrFeatures(docs, dims).join(broadcast(wDf), Seq("j"))
+      .groupBy("doc_id")
+      .agg(sum(graft.functions.Fns.quant12(col("x") * col("wj"))
+        .cast("decimal(20,12)")).cast("double").as("m"))
+      .select(col("doc_id"),
+        (lit(0.5) * (lit(1.0) + col("m") / (lit(1.0) + abs(col("m")))))
+          .as("praw"))
+    docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .join(p, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        (floor(col("praw") * 1000000 + lit(0.5)) / 1000000).as("p"),
+        (col("praw") >= 0.5).as("pred"))
+  }
+
+  /** One-row confusion summary of [[lrScore]]: exact integer counts +
+    * round2 accuracy — the robust (transcendental-free, count-valued)
+    * eval surface. Output: (n, tp, tn, fp, fn, accuracy). */
+  def lrEval(docs: DataFrame, dims: Int = 64, steps: Int = 3,
+             lr: Double = 1.0): DataFrame =
+    lrScore(docs, dims, steps, lr)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L))
+          .as("fn"))
+      .select(col("n"), col("tp"), col("tn"), col("fp"), col("fn"),
+        round2((col("tp") + col("tn")) / col("n")).as("accuracy"))
 }

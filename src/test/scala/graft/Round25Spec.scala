@@ -115,6 +115,31 @@ class Round25Spec extends SparkSpec {
         .orderBy("file", "bitpos")))
   }
 
+  test("lrTrain/lrScore/lrEval: on a separable corpus the GD loop " +
+    "reaches accuracy 1.0, and training is deterministic run-to-run") {
+    import graft.operators.Classify
+    val sep = (0L until 200L).map { i =>
+      val en = i % 2 == 0
+      val text = if (en) "alpha beta gamma delta epsilon " * 6
+                 else "uno dos tres cuatro cinco " * 6
+      (i, text.trim, if (en) "en" else "es")
+    }.toDF("doc_id", "text", "lang")
+    val ev = Classify.lrEval(sep).collect().head
+    assert(ev.getAs[Double]("accuracy") === 1.0)
+    assert(ev.getAs[Long]("fp") === 0L && ev.getAs[Long]("fn") === 0L)
+    // deterministic: two trainings yield the identical weight vector
+    assert(rows(Classify.lrTrain(sep).orderBy("j")) ===
+      rows(Classify.lrTrain(sep).orderBy("j")))
+    // every weight sits on the 1e-12 grid (the quant12 contract that
+    // makes the DuckDB twin replay training bit-for-bit)
+    Classify.lrTrain(sep).collect().foreach { r =>
+      val w = r.getDouble(1)
+      val k = math.floor(w * 1e12 + 0.5) / 1e12
+      assert(w === k, s"weight off the 1e-12 grid: $w")
+    }
+    Housekeeping.release(spark)
+  }
+
   test("derivedClusters: the mean cluster population is capped by " +
     "targetPop for EVERY corpus size — the duel bound is corpus-size-" +
     "independent") {
