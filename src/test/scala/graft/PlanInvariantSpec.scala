@@ -124,7 +124,10 @@ class PlanInvariantSpec extends SparkSpec {
     // serving plan's scan node — the in-plan twins of these same
     // queries pass the structural check above.
     Set("sim_topk_ivf_persisted", "sim_topk_ivf_updated",
-      "text_bm25_from_index")
+      "text_bm25_from_index",
+      // the two-tower artifact serves the same re-read 1-row BM25
+      // stats (Search.hybridIndexWrite scaladoc)
+      "text_hybrid_rrf_from_index")
 
   test("registry plans contain no CartesianProduct and no non-scalar " +
     "BroadcastNestedLoopJoin") {
@@ -160,6 +163,7 @@ class PlanInvariantSpec extends SparkSpec {
       "text_bpe_pairs", // rank AFTER .limit(k) (TextStats.bpePairs)
       "text_token_ids", // vocab rank AFTER .limit(maxVocab)
       "text_hybrid_rrf", // rank over the r-row BM25 list (Search.hybridRrf)
+      "text_hybrid_rrf_from_index", // same r-row rank, artifact-served
       "sim_topk_pq", "sim_topk_ivfpq", // pqCent codebook, <= ksub rows
       // the water-level solves: windows over the enum-sized source
       // table (mixtureFit family scaladoc; floors = 2·|sources| events)
