@@ -749,6 +749,12 @@ object SparkEntry {
     // chunk-level duplication profile over CDC chunks: share of each
     // doc made of chunks that also appear in other docs
     "dedup_chunks" -> ((s, dir) => Dedup.chunkDupStats(docs(s, dir))),
+    // keep-first dedup rewrite on CONTENT-DEFINED boundaries: an edit
+    // shifts only the chunk it lands in (fixed tiles re-phase every
+    // chunk after it), so shared passages keep deduping across
+    // lightly-edited near-copies
+    "dedup_cdc_rewrite" -> ((s, dir) =>
+      Dedup.cdcDedupRewrite(docs(s, dir))),
     // tokenize-to-ids over a 25-word vocabulary (small enough that the
     // OOV=0 branch actually fires on the 31-word synthetic corpus)
     "text_token_ids" -> ((s, dir) => {
@@ -771,6 +777,10 @@ object SparkEntry {
       Classify.lrScore(docs(s, dir), steps = LrSteps, lr = LrRate)),
     "text_lr_eval" -> ((s, dir) =>
       Classify.lrEval(docs(s, dir), steps = LrSteps, lr = LrRate)),
+    // ...and the threshold-free ranking eval: ROC AUC by the rank-sum
+    // identity over the 1e-6-grid score histogram (the rel_auc device)
+    "text_lr_auc" -> ((s, dir) =>
+      Classify.lrAuc(docs(s, dir), steps = LrSteps, lr = LrRate)),
     // per-class precision/recall/F1 report of the NB classifier
     // against the true labels (exact-integer F1 identity)
     "text_nb_eval" -> ((s, dir) => Classify.nbEval(docs(s, dir))),
@@ -7492,6 +7502,67 @@ object SparkEntry {
          |    + sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END))
          |    / count(*) * 100 + 0.5) / 100 AS accuracy
          |FROM sc""".stripMargin,
+
+    // LR-AUC twin: the shared training CTEs + final margins, then the
+    // rel_auc rank-sum chain over the 1e-6-grid score histogram
+    "text_lr_auc" ->
+      s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
+         |  FROM f JOIN w$LrSteps w USING (j) GROUP BY f.doc_id
+         |), sc AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    floor((0.5 * (1 + m.m / (1 + abs(m.m)))) * 1000000 + 0.5)
+         |      / 1000000 AS p
+         |  FROM documents d JOIN mf m USING (doc_id)
+         |), g AS (
+         |  SELECT p, y, count(*) AS cnt_sc FROM sc GROUP BY 1, 2
+         |), hist AS (
+         |  SELECT p, sum(cnt_sc) AS cnt_s FROM g GROUP BY p
+         |), below AS (
+         |  SELECT p, cnt_s,
+         |    sum(cnt_s) OVER (ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt_s
+         |      AS below
+         |  FROM hist
+         |), pcl AS (
+         |  SELECT y, sum(cnt_sc * (below * 2 + cnt_s + 1)) AS s2,
+         |    sum(cnt_sc) AS pc
+         |  FROM g JOIN below USING (p) GROUP BY y
+         |), nn2 AS (SELECT sum(pc) AS n FROM pcl)
+         |SELECT CAST(pc AS BIGINT) AS pos_cnt,
+         |  CAST(n - pc AS BIGINT) AS neg_cnt,
+         |  floor(CAST(s2 - pc * (pc + 1) AS DOUBLE) /
+         |    nullif(CAST(pc * (n - pc) * 2 AS DOUBLE), 0)
+         |    * 1000000 + 0.5) / 1000000 AS auc
+         |FROM pcl, nn2 WHERE y = 1""".stripMargin,
+
+    // CDC-rewrite twin: the cdc chunk CTEs with chunk TEXT kept, the
+    // sentence-rewrite first-occurrence device (min doc, then min
+    // chunk within it), ORDER BY string_agg reassembly
+    "dedup_cdc_rewrite" ->
+      s"""WITH $cdcChunkCtes, cdct AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    string_agg(tok, ' ' ORDER BY p ASC) AS ctext
+         |  FROM cdcid GROUP BY doc_id, chunk_id
+         |), fd AS (
+         |  SELECT ctext, min(doc_id) AS fdoc FROM cdct GROUP BY ctext
+         |), fo AS (
+         |  SELECT c.ctext, f.fdoc, min(c.chunk_id) AS fci
+         |  FROM cdct c JOIN fd f ON c.ctext = f.ctext
+         |    AND c.doc_id = f.fdoc
+         |  GROUP BY c.ctext, f.fdoc
+         |)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN c.doc_id = o.fdoc AND c.chunk_id = o.fci
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN c.doc_id = o.fdoc
+         |      AND c.chunk_id = o.fci THEN c.ctext END,
+         |    ' ' ORDER BY c.chunk_id), '') AS text_clean
+         |FROM cdct c JOIN fo o ON c.ctext = o.ctext
+         |GROUP BY c.doc_id""".stripMargin,
 
     // Naive-Bayes twin: model CTEs (class-word counts, class totals,
     // priors, vocab size) + scoring replay. Discipline mirrors BM25:

@@ -249,6 +249,38 @@ object Classify {
         (col("praw") >= 0.5).as("pred"))
   }
 
+  /** Threshold-free ranking eval of [[lrScore]]: ROC AUC by the
+    * rank-sum identity over the SCORE HISTOGRAM (the
+    * [[Relational.aucByType]] device — the only window runs over
+    * distinct 1e-6-grid scores, never rows; all sums exact integers;
+    * one IEEE division, floored to 1e-6). NULL auc on a single-class
+    * corpus (0 pairs). Output 1 row: (pos_cnt, neg_cnt, auc). */
+  def lrAuc(docs: DataFrame, dims: Int = 64, steps: Int = 3,
+            lr: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = lrScore(docs, dims, steps, lr).select("p", "y")
+    val g = sc.groupBy("p", "y").agg(count(lit(1)).as("cnt_sc"))
+      .persist() // histogram + per-class rollup both consume it
+    val hist = g.groupBy("p").agg(sum("cnt_sc").as("cnt_s"))
+    val wBelow = Window.orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = hist.select(col("p"), col("cnt_s"),
+      (sum("cnt_s").over(wBelow) - col("cnt_s")).as("below"))
+    val perClass = g.join(below, "p")
+      .groupBy("y")
+      .agg(sum(col("cnt_sc") * (col("below") * 2 + col("cnt_s") + 1))
+          .as("s2"),
+        sum("cnt_sc").as("pc"))
+    val n = perClass.agg(sum("pc").as("n"))
+    perClass.filter(col("y") === 1L)
+      .crossJoin(broadcast(n))
+      .select(col("pc").as("pos_cnt"), (col("n") - col("pc")).as("neg_cnt"),
+        (floor((col("s2") - col("pc") * (col("pc") + 1)).cast("double") /
+          nullif((col("pc") * (col("n") - col("pc")) * 2).cast("double"),
+            lit(0.0))
+          * 1000000 + lit(0.5)) / 1000000).as("auc"))
+  }
+
   /** One-row confusion summary of [[lrScore]]: exact integer counts +
     * round2 accuracy — the robust (transcendental-free, count-valued)
     * eval surface. Output: (n, tp, tn, fp, fn, accuracy). */

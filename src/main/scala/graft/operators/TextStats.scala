@@ -1402,7 +1402,21 @@ object TextStats {
     */
   def cdcChunk(docs: DataFrame, avgTokens: Int = 16,
                idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text"): DataFrame =
+    cdcTiles(docs, avgTokens, idCol, textCol)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        md5(col("ctext")).as("chunk_md5"))
+
+  /** The content-defined tiling under [[cdcChunk]] and
+    * [[graft.operators.Dedup.cdcDedupRewrite]]: per (doc, chunk) the
+    * token count AND the reassembled chunk text (the rewrite needs the
+    * text; the fingerprint gate hashes it). Boundary rule and window
+    * shape are [[cdcChunk]]'s verbatim — one per-doc cumulative-count
+    * window over token rows, one keyed agg.
+    * Output: (doc_id, chunk_id, n_chunk_tokens, ctext). */
+  private[operators] def cdcTiles(docs: DataFrame, avgTokens: Int,
+                                  idCol: String,
+                                  textCol: String): DataFrame = {
     require(avgTokens >= 2, s"avgTokens must be >= 2: $avgTokens")
     val w = org.apache.spark.sql.expressions.Window
     val byPos = w.partitionBy("doc_id").orderBy(col("pos").asc)
@@ -1417,9 +1431,9 @@ object TextStats {
           .as("chunk_id"))
       .groupBy("doc_id", "chunk_id")
       .agg(count(lit(1)).as("n_chunk_tokens"),
-        md5(concat_ws(" ", transform(
+        concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x("tok")))).as("chunk_md5"))
+          x => x("tok"))).as("ctext"))
   }
 
   /** Unigram distribution drift between two corpus splits — the

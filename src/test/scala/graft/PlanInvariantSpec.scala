@@ -171,6 +171,7 @@ class PlanInvariantSpec extends SparkSpec {
       "samp_mix_fit_floors_apply", "pipe_budget_prep") ++
     // 2. bounded by cardinality (distinct-score histogram / day spine)
     Set("rel_auc", // ROC prefix sums over the score histogram
+      "text_lr_auc", // same device over the 1e-6-grid p histogram
       "samp_curriculum_scalable", "samp_token_budget_scalable",
       "rel_cumulative_users", "rel_rolling_stats") ++ // day spine
     // 3. exact-total-order contracts with documented hazard + twin

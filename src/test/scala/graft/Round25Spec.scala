@@ -140,6 +140,56 @@ class Round25Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("lrAuc: perfect separation scores auc 1.0; a single-class " +
+    "corpus yields NULL (0 pairs)") {
+    import graft.operators.Classify
+    val sep = (0L until 100L).map { i =>
+      val en = i % 2 == 0
+      val text = if (en) "alpha beta gamma delta epsilon " * 6
+                 else "uno dos tres cuatro cinco " * 6
+      (i, text.trim, if (en) "en" else "es")
+    }.toDF("doc_id", "text", "lang")
+    val r = Classify.lrAuc(sep).collect().head
+    assert(r.getAs[Long]("pos_cnt") === 50L)
+    assert(r.getAs[Long]("neg_cnt") === 50L)
+    assert(r.getAs[Double]("auc") === 1.0)
+    val mono = (0L until 20L).map(i => (i, "alpha beta " * 5, "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Classify.lrAuc(mono).collect().head.isNullAt(2))
+    Housekeeping.release(spark)
+  }
+
+  test("cdcDedupRewrite: an exact clone loses every chunk to the " +
+    "earlier doc; the first occurrence reassembles unchanged; an " +
+    "insertion-carrying near-copy still drops the shared tail chunks") {
+    import graft.operators.Dedup
+    // tok74/tok80/tok85 are CDC boundary tokens (md5 15-hex slice ≡ 0
+    // mod 16 — verified by hand), so the base splits into ≥ 3 chunks
+    // and the post-insertion tail re-synchronizes at tok74
+    val base = ((60 to 73) ++ Seq(74, 80, 85) ++ (86 to 120))
+      .map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base),
+      (2L, base), // exact clone — every chunk already seen
+      (3L, s"inserted words here $base")) // shifted near-copy
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcDedupRewrite(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_dropped") === 0L)
+    assert(out(1L).getAs[String]("text_clean") === base)
+    assert(out(2L).getAs[Long]("n_dropped") ===
+      out(2L).getAs[Long]("n_chunks"))
+    assert(out(2L).getAs[String]("text_clean") === "")
+    // content-defined boundaries re-synchronize after the insertion:
+    // every chunk of doc 3 that starts at a boundary past the insert
+    // is byte-identical to a doc-1 chunk and drops; only the head
+    // (carrying the insertion) can survive
+    assert(out(3L).getAs[Long]("n_dropped") >= 1L,
+      s"no chunk of the shifted near-copy deduped: ${out(3L)}")
+    assert(out(3L).getAs[String]("text_clean").contains("inserted"))
+    Housekeeping.release(spark)
+  }
+
   test("derivedClusters: the mean cluster population is capped by " +
     "targetPop for EVERY corpus size — the duel bound is corpus-size-" +
     "independent") {
