@@ -781,6 +781,15 @@ object SparkEntry {
     // identity over the 1e-6-grid score histogram (the rel_auc device)
     "text_lr_auc" -> ((s, dir) =>
       Classify.lrAuc(docs(s, dir), steps = LrSteps, lr = LrRate)),
+    // classifier-as-artifact: train once, persist the weight vector,
+    // score from the RE-READ parquet (grid-aligned doubles round-trip
+    // bit-exactly) — shares text_lr_score's twin, the identity pin
+    "text_lr_from_artifact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = scratchDir("lrart")
+      Classify.lrArtifactWrite(d, out, steps = LrSteps, lr = LrRate)
+      Classify.lrScoreFromArtifact(d, out)
+    }),
     // per-class precision/recall/F1 report of the NB classifier
     // against the true labels (exact-integer F1 identity)
     "text_nb_eval" -> ((s, dir) => Classify.nbEval(docs(s, dir))),
@@ -2693,6 +2702,21 @@ object SparkEntry {
     * — rational, so IEEE-bit-exact cross-engine), g{t} (feature-keyed
     * decimal-summed gradient / N), w{t} (re-quantized update; a
     * never-hit bucket keeps its weight via the LEFT JOIN coalesce). */
+  private lazy val textLrScoreSql: String =
+      s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
+         |  FROM f JOIN w$LrSteps w USING (j) GROUP BY f.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+         |    AS y,
+         |  floor((0.5 * (1 + m.m / (1 + abs(m.m)))) * 1000000 + 0.5)
+         |    / 1000000 AS p,
+         |  0.5 * (1 + m.m / (1 + abs(m.m))) >= 0.5 AS pred
+         |FROM documents d JOIN mf m USING (doc_id)""".stripMargin
+
   /** LR hyperparameters — ONE definition feeding both the Spark gates
     * and the generated twin SQL, so the two sides cannot drift. */
   private[graft] val LrSteps = 3
@@ -7463,20 +7487,9 @@ object SparkEntry {
       s"""WITH ${lrSqlCtes(LrSteps)}
          |SELECT CAST(j AS BIGINT) AS j, w
          |FROM w$LrSteps""".stripMargin,
-    "text_lr_score" ->
-      s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
-         |  SELECT f.doc_id,
-         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
-         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
-         |  FROM f JOIN w$LrSteps w USING (j) GROUP BY f.doc_id
-         |)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
-         |    AS y,
-         |  floor((0.5 * (1 + m.m / (1 + abs(m.m)))) * 1000000 + 0.5)
-         |    / 1000000 AS p,
-         |  0.5 * (1 + m.m / (1 + abs(m.m))) >= 0.5 AS pred
-         |FROM documents d JOIN mf m USING (doc_id)""".stripMargin,
+    // artifact-served scoring shares the in-plan twin (identity pin)
+    "text_lr_from_artifact" -> textLrScoreSql,
+    "text_lr_score" -> textLrScoreSql,
     "text_lr_eval" ->
       s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
          |  SELECT f.doc_id,

@@ -249,6 +249,42 @@ object Classify {
         (col("praw") >= 0.5).as("pred"))
   }
 
+  /** Persist the trained weight vector as a parquet artifact — the
+    * persist-once/serve-many member of the LR family (the
+    * bm25IndexWrite/lmArtifactWrite precedent): train on the labeled
+    * corpus once, score any stream/batch from the stored dims+1 rows
+    * without retraining. Weights are on the 1e-12 grid and doubles
+    * round-trip parquet bit-exactly, so served scores are identical
+    * to in-plan ones (the gate pins it via the shared twin). */
+  def lrArtifactWrite(docs: DataFrame, dir: String, dims: Int = 64,
+                      steps: Int = 3, lr: Double = 1.0): Unit =
+    lrTrain(docs, dims, steps, lr)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Score documents from a persisted [[lrArtifactWrite]] weight
+    * vector — the [[lrScore]] tail verbatim over the re-read
+    * broadcast-sized artifact; the corpus never retrains at serve
+    * time. Output: (doc_id, y, p, pred) — bit-identical to
+    * [[lrScore]] on the training corpus. */
+  def lrScoreFromArtifact(docs: DataFrame, dir: String,
+                          dims: Int = 64): DataFrame = {
+    val wDf = docs.sparkSession.read.parquet(dir)
+      .select(col("j").cast("int").as("j"), col("w").as("wj"))
+    val p = lrFeatures(docs, dims).join(broadcast(wDf), Seq("j"))
+      .groupBy("doc_id")
+      .agg(sum(graft.functions.Fns.quant12(col("x") * col("wj"))
+        .cast("decimal(20,12)")).cast("double").as("m"))
+      .select(col("doc_id"),
+        (lit(0.5) * (lit(1.0) + col("m") / (lit(1.0) + abs(col("m")))))
+          .as("praw"))
+    docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .join(p, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        (floor(col("praw") * 1000000 + lit(0.5)) / 1000000).as("p"),
+        (col("praw") >= 0.5).as("pred"))
+  }
+
   /** Threshold-free ranking eval of [[lrScore]]: ROC AUC by the
     * rank-sum identity over the SCORE HISTOGRAM (the
     * [[Relational.aucByType]] device — the only window runs over

@@ -159,6 +159,24 @@ class Round25Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("lrScoreFromArtifact: scores served from the persisted weight " +
+    "vector are bit-identical to in-plan lrScore") {
+    import graft.operators.Classify
+    val sep = (0L until 120L).map { i =>
+      val en = i % 2 == 0
+      val text = if (en) "alpha beta gamma delta epsilon " * 5
+                 else "uno dos tres cuatro cinco " * 5
+      (i, text.trim, if (en) "en" else "es")
+    }.toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spec_lrart").toString
+    Classify.lrArtifactWrite(sep, dir)
+    assert(rows(Classify.lrScoreFromArtifact(sep, dir)
+        .orderBy("doc_id")) ===
+      rows(Classify.lrScore(sep).orderBy("doc_id")))
+    Housekeeping.release(spark)
+  }
+
   test("cdcDedupRewrite: an exact clone loses every chunk to the " +
     "earlier doc; the first occurrence reassembles unchanged; an " +
     "insertion-carrying near-copy still drops the shared tail chunks") {
