@@ -790,6 +790,14 @@ object SparkEntry {
       Classify.lrArtifactWrite(d, out, steps = LrSteps, lr = LrRate)
       Classify.lrScoreFromArtifact(d, out)
     }),
+    // ...and the streaming quality-filter ingest: train + persist once,
+    // each document micro-batch scores from the stored weights — the
+    // per-batch union ≡ one-shot batch scoring (per-row purity), so it
+    // too shares text_lr_score's twin
+    "stream_lr_score" -> ((s, dir) =>
+      graft.streaming.EventsStream.lrScoreIngest(
+        s, dir, scratchDir("lrsstage"), scratchDir("lrsart"),
+        scratchDir("lrsres"), LrSteps, LrRate)),
     // per-class precision/recall/F1 report of the NB classifier
     // against the true labels (exact-integer F1 identity)
     "text_nb_eval" -> ((s, dir) => Classify.nbEval(docs(s, dir))),
@@ -1187,6 +1195,12 @@ object SparkEntry {
     // undirected customer-supplier purchase graph (3 unrolled iters)
     "rel_pagerank" -> ((s, dir) =>
       Graph.pageRank(tbl(s, dir, "orders"), tbl(s, dir, "lineitem"))),
+    // HITS hubs/authorities over the DIRECTED customer→supplier
+    // bipartite purchase graph: integer micro-mass with an exact
+    // div-rescale in place of L2 normalization (ranking-preserving,
+    // bit-replayable) — 3 unrolled rounds
+    "rel_hits" -> ((s, dir) =>
+      Graph.hits(tbl(s, dir, "orders"), tbl(s, dir, "lineitem"))),
     // run-to-convergence PageRank (round-7 verdict #5): relative-
     // residual stop (Δ ≤ Δ1 div 3, cap 12 — 8 rounds at every test
     // SF), rounds_executed in the output, twin unrolls + early-exits
@@ -2093,6 +2107,42 @@ object SparkEntry {
        |            ELSE 'supplier' END AS node_type,
        |  node // 2 AS key, "rank"
        |FROM r$iters""".stripMargin
+  }
+
+  // HITS twin: the same all-BIGINT `//` arithmetic as PageRankSql —
+  // per round the authority sums, the 1-row Σ, the exact div-rescale,
+  // then hubs symmetrically; final hubs ∪ authorities
+  private def HitsSql(iters: Int): String = {
+    val m = operators.Graph.TotalMass
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.s, sum(h.h) AS ar
+         |  FROM e0 e JOIN h${i - 1} h USING (c) GROUP BY e.s
+         |), sa$i AS (SELECT sum(ar) AS sa FROM ar$i),
+         |a$i AS (
+         |  SELECT s, CAST(ar // greatest(sa // $m, 1) AS BIGINT) AS a
+         |  FROM ar$i, sa$i
+         |), hr$i AS (
+         |  SELECT e.c, sum(a.a) AS hr
+         |  FROM e0 e JOIN a$i a USING (s) GROUP BY e.c
+         |), sh$i AS (SELECT sum(hr) AS sh FROM hr$i),
+         |h$i AS (
+         |  SELECT c, CAST(hr // greatest(sh // $m, 1) AS BIGINT) AS h
+         |  FROM hr$i, sh$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), cs AS (SELECT DISTINCT c FROM e0),
+       |ncc AS (SELECT count(*) AS nc FROM cs),
+       |h0 AS (SELECT c, CAST($m // nc AS BIGINT) AS h FROM cs, ncc),
+       |$steps
+       |SELECT 'customer' AS node_type, c AS key, h AS score
+       |FROM h$iters
+       |UNION ALL
+       |SELECT 'supplier' AS node_type, s AS key, a AS score
+       |FROM a$iters""".stripMargin
   }
 
   // Personalized-PageRank twin: the PageRankSql scaffolding with the
@@ -7489,6 +7539,9 @@ object SparkEntry {
          |FROM w$LrSteps""".stripMargin,
     // artifact-served scoring shares the in-plan twin (identity pin)
     "text_lr_from_artifact" -> textLrScoreSql,
+    // streaming artifact-served scoring: per-batch union ≡ one-shot
+    // batch scoring (per-row purity under frozen weights)
+    "stream_lr_score" -> textLrScoreSql,
     "text_lr_score" -> textLrScoreSql,
     "text_lr_eval" ->
       s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
@@ -7838,6 +7891,7 @@ object SparkEntry {
     // pairs — every quantity is BIGINT fixed-point, so `//` replays
     // Spark's `div` bit-identically (positive operands: both truncate)
     "rel_pagerank" -> PageRankSql(3),
+    "rel_hits" -> HitsSql(3),
     "rel_pagerank_converged" -> PageRankConvergedSql(3, 12),
     "rel_ppr" -> PprSql(3),
     "rel_bfs_hops" -> BfsHopsSql(3),

@@ -131,6 +131,60 @@ object Graph {
     decodeNode(ranks, col("rank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * customer→supplier purchase graph — the natural bipartite case:
+    * hubs are customers (a good buyer points at good suppliers),
+    * authorities are suppliers. Complements [[pageRank]]'s undirected
+    * global centrality with the mutually-reinforcing two-score view.
+    *
+    * Same integer micro-mass fixed point as the PageRank family:
+    * h₀(c) = M div n_C; each round a_raw(s) = Σ_{c→s} h(c) then the
+    * EXACT-INTEGER rescale a = a_raw div max(Σa_raw div M, 1) (one
+    * 1-row agg + one division — replaces the usual L2 normalization,
+    * whose sqrt would be fine cross-engine but whose double sums would
+    * not; the rescale preserves the ranking exactly and keeps every
+    * intermediate a bounded long), then h symmetrically from a.
+    * Overflow headroom: raw sums ≤ M · maxDeg ≪ 2⁶³. `iters` rounds,
+    * twin unrolls them. Scale shape: per round two edge-keyed joins +
+    * keyed sums + two 1-row aggs — the [[PrState.step]] plan doubled.
+    * Output: (node_type, key, score) — hub score per customer,
+    * authority score per supplier, micro-units of mass. */
+  def hits(orders: DataFrame, lineitem: DataFrame,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10] (twin unrolls them): $iters")
+    val m = Graph.TotalMass
+    val e0 = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().persist()
+    val nC = e0.select("c").distinct().agg(count(lit(1)).as("nc"))
+    var h = e0.select("c").distinct()
+      .crossJoin(broadcast(nC))
+      .select(col("c"), expr(s"$m div nc").as("h")).persist()
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e0.join(h, "c").groupBy("s").agg(sum("h").as("ar"))
+      val sa = aRaw.agg(sum("ar").as("sa"))
+      val aNext = aRaw.crossJoin(broadcast(sa))
+        .select(col("s"),
+          expr(s"ar div greatest(sa div $m, 1)").as("a")).persist()
+      if (a != null) a.unpersist()
+      a = aNext
+      val hRaw = e0.join(a, "s").groupBy("c").agg(sum("a").as("hr"))
+      val sh = hRaw.agg(sum("hr").as("sh"))
+      val hNext = hRaw.crossJoin(broadcast(sh))
+        .select(col("c"),
+          expr(s"hr div greatest(sh div $m, 1)").as("h")).persist()
+      h.unpersist()
+      h = hNext
+    }
+    h.select(lit("customer").as("node_type"), col("c").as("key"),
+        col("h").as("score"))
+      .unionByName(a.select(lit("supplier").as("node_type"),
+        col("s").as("key"), col("a").as("score")))
+  }
+
   /** Personalized PageRank — the recommendation-engine workhorse:
     * identical transition to [[pageRank]], but ALL teleport mass
     * returns to a source set instead of spreading uniformly, so ranks

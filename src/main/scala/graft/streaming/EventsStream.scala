@@ -1016,6 +1016,52 @@ object EventsStream {
       .reduce(_ unionByName _)
   }
 
+  /** Streaming CLASSIFIER-SCORED ingest — the quality-filter shape of
+    * a continuous crawl: the linear classifier trains ONCE in batch
+    * and persists its weight vector
+    * ([[graft.operators.Classify.lrArtifactWrite]]); documents then
+    * arrive as micro-batches and each foreachBatch scores the delta
+    * from the STORED artifact
+    * ([[graft.operators.Classify.lrScoreFromArtifact]] UNCHANGED
+    * inside the batch closure — the neardupIngest discipline) and
+    * lands per-batch verdicts. Because scoring is per-row pure given
+    * frozen weights, the union of per-batch outputs is BIT-IDENTICAL
+    * to one-shot batch scoring of the whole corpus — which is exactly
+    * [[graft.operators.Classify.lrScore]]'s output, so the gate shares
+    * text_lr_score's twin (the strongest identity available). Scale
+    * shape: per batch one delta-sized feature build + a dims+1
+    * broadcast join; the training corpus is never re-touched.
+    * Output: (doc_id, y, p, pred) across all batches. */
+  def lrScoreIngest(spark: SparkSession, dir: String, stageDir: String,
+                    artDir: String, resDir: String, steps: Int,
+                    lr: Double): DataFrame = {
+    import graft.operators.Classify
+    val d = graft.Tables.load(spark, dir, "documents")
+    Classify.lrArtifactWrite(d, artDir, steps = steps, lr = lr)
+    stageBatches(stageDir,
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 === 1),
+      d.filter(col("doc_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Classify.lrScoreFromArtifact(batch, artDir)
+          .write.mode("overwrite").parquet(s"$resDir/b$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$resDir/b*")
+  }
+
   /** Streaming-maintained uniform fixed-size sample — the
     * [[rollupMaintain]] versioned-artifact pattern carrying
     * [[graft.operators.Sampling.bottomK]]'s mergeable sketch: each

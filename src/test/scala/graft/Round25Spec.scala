@@ -177,6 +177,48 @@ class Round25Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("lrScoreIngest: per-batch streamed scoring from the persisted " +
+    "weights equals one-shot batch scoring of the whole corpus") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spec_lrstream").toString
+    val got = graft.streaming.EventsStream.lrScoreIngest(spark,
+      "/root/testdata/sf0.001", s"$root/stage", s"$root/art",
+      s"$root/res", 3, 1.0)
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    assert(rows(got.orderBy("doc_id")) ===
+      rows(graft.operators.Classify.lrScore(d).orderBy("doc_id")))
+    Housekeeping.release(spark)
+  }
+
+  test("hits: in a bipartite star, the supplier bought by every " +
+    "customer out-ranks niche suppliers, and the customer with the " +
+    "widest basket is the top hub") {
+    import graft.operators.Graph
+    // orders o1..o4 by customers 1..4; customer k buys suppliers
+    // {100} ∪ {100+k} — supplier 100 is the universal authority,
+    // customer 4 additionally buys 105 (widest basket → top hub)
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (10L, 100L), (10L, 101L),
+      (20L, 100L), (20L, 102L),
+      (30L, 100L), (30L, 103L),
+      (40L, 100L), (40L, 104L), (40L, 105L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = Graph.hits(orders, li).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val authUniversal = out(("supplier", 100L))
+    val authNiche = Seq(101L, 102L, 103L, 104L, 105L)
+      .map(s => out(("supplier", s)))
+    assert(authNiche.forall(_ < authUniversal),
+      s"universal supplier not top authority: $out")
+    val hubs = Seq(1L, 2L, 3L, 4L).map(c => out(("customer", c)))
+    assert(hubs.take(3).forall(_ < hubs(3)),
+      s"widest-basket customer not top hub: $out")
+    Housekeeping.release(spark)
+  }
+
   test("cdcDedupRewrite: an exact clone loses every chunk to the " +
     "earlier doc; the first occurrence reassembles unchanged; an " +
     "insertion-carrying near-copy still drops the shared tail chunks") {
