@@ -139,7 +139,14 @@ object Bench {
     "text_repetition" -> 1.22, "text_sentences" -> 0.22, "text_stats" -> 0.63,
     "text_textrank" -> 5.72, "text_token_ids" -> 1.24, "text_winnow" -> 1.33,
     "wiki_parse" -> 0.03, "wiki_parse_scale" -> 0.67, "wiki_tfidf" -> 0.33,
-    "wiki_tokens" -> 0.05)
+    "wiki_tokens" -> 0.05,
+    // landed between/after the round-12 triple: text_lr_from_artifact
+    // stamps from its two in-triple runs; rel_hits / stream_lr_score
+    // from landing-day OneQuery steady state (post-JIT runs 2-3;
+    // rel_hits measured AFTER its localCheckpoint fix — 109-190 s
+    // before, NOTES.md round-12 ledger)
+    "text_lr_from_artifact" -> 5.38,
+    "rel_hits" -> 6.3, "stream_lr_score" -> 9.0)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

@@ -159,24 +159,34 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct().persist()
     val nC = e0.select("c").distinct().agg(count(lit(1)).as("nc"))
+    // each round's frame feeds TWO consumers (the 1-row Σ for the
+    // rescale AND the next join) and the next round builds on it —
+    // with lazy persists that DAG re-evaluates with per-round doubling
+    // at the final action (measured: 109-190 s at sf0.1 before the
+    // fix). Eager localCheckpoint per round (the pageRankConverged
+    // pattern) materializes each score table once and truncates
+    // lineage; superseded checkpoints are released (round-8 ADVICE).
     var h = e0.select("c").distinct()
       .crossJoin(broadcast(nC))
-      .select(col("c"), expr(s"$m div nc").as("h")).persist()
+      .select(col("c"), expr(s"$m div nc").as("h"))
+      .localCheckpoint(true)
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = e0.join(h, "c").groupBy("s").agg(sum("h").as("ar"))
       val sa = aRaw.agg(sum("ar").as("sa"))
       val aNext = aRaw.crossJoin(broadcast(sa))
         .select(col("s"),
-          expr(s"ar div greatest(sa div $m, 1)").as("a")).persist()
-      if (a != null) a.unpersist()
+          expr(s"ar div greatest(sa div $m, 1)").as("a"))
+        .localCheckpoint(true)
+      if (a != null) Graph.releaseCheckpoint(a)
       a = aNext
       val hRaw = e0.join(a, "s").groupBy("c").agg(sum("a").as("hr"))
       val sh = hRaw.agg(sum("hr").as("sh"))
       val hNext = hRaw.crossJoin(broadcast(sh))
         .select(col("c"),
-          expr(s"hr div greatest(sh div $m, 1)").as("h")).persist()
-      h.unpersist()
+          expr(s"hr div greatest(sh div $m, 1)").as("h"))
+        .localCheckpoint(true)
+      Graph.releaseCheckpoint(h)
       h = hNext
     }
     h.select(lit("customer").as("node_type"), col("c").as("key"),
