@@ -1250,6 +1250,15 @@ object SparkEntry {
     // dense per-user date spine with zero-filled idle days
     "rel_activity_spine" -> ((s, dir) =>
       Relational.activitySpine(tbl(s, dir, "events"))),
+    // seasonal-naive forecast (the zero-parameter baseline every
+    // forecasting system is measured against): 7 days past the last
+    // day, ŷ(t) = y(t-7) off the dense zero-filled per-type spine
+    "rel_forecast" -> ((s, dir) =>
+      Relational.seasonalForecast(tbl(s, dir, "events"))),
+    // ...and its backtest: per-type MAE of the same rule over the
+    // last 14 in-sample days — exact integer errors, one division
+    "rel_forecast_eval" -> ((s, dir) =>
+      Relational.seasonalBacktest(tbl(s, dir, "events"))),
     "rel_asof_join" -> ((s, dir) =>
       Relational.eventsAsofOrders(tbl(s, dir, "events"),
         tbl(s, dir, "orders"))),
@@ -2731,6 +2740,27 @@ object SparkEntry {
        |FROM l$iters l JOIN vocab v ON l.node = v.key
        |GROUP BY 1""".stripMargin
   }
+
+  /** Zero-filled per-type epoch-day spine shared by the forecast
+    * twins (Relational.dailySpine's replay). */
+  private val forecastSpineCtes: String =
+    """daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), range AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM daily
+      |), types AS (SELECT DISTINCT event_type FROM daily),
+      |spine0 AS (
+      |  SELECT t.event_type, u.day
+      |  FROM types t, range r,
+      |    unnest(generate_series(r.d0, r.d1)) AS u(day)
+      |), spine AS (
+      |  SELECT s.event_type, s.day, coalesce(d.n, 0) AS n
+      |  FROM spine0 s LEFT JOIN daily d
+      |    ON d.event_type = s.event_type AND d.day = s.day
+      |), bounds AS (SELECT d0, d1 FROM range)
+      |""".stripMargin
 
   private val tokenCtes: String =
     """toks AS (
@@ -8072,6 +8102,29 @@ object SparkEntry {
         |  coalesce(d.cnt, 0) AS n_events
         |FROM spine s LEFT JOIN daily d
         |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+
+    // Forecast twins: the shared zero-filled per-type epoch-day spine
+    // (global range), then the shift-by-period lookup — exact integer
+    // counts end to end, nothing to round in the forecast itself
+    "rel_forecast" ->
+      s"""WITH $forecastSpineCtes
+         |SELECT event_type, day + 7 AS day, n AS yhat
+         |FROM spine, bounds
+         |WHERE day + 7 > d1 AND day + 7 <= d1 + 7""".stripMargin,
+    "rel_forecast_eval" ->
+      s"""WITH $forecastSpineCtes, preds AS (
+         |  SELECT event_type, day + 7 AS day, n AS yhat
+         |  FROM spine, bounds
+         |  WHERE day + 7 > d1 - 14 AND day + 7 <= d1
+         |), act AS (
+         |  SELECT event_type, day, n FROM spine, bounds
+         |  WHERE day > d1 - 14
+         |)
+         |SELECT a.event_type, count(*) AS n_backtest,
+         |  floor(CAST(sum(abs(a.n - p.yhat)) AS DOUBLE) / count(*)
+         |    * 100 + 0.5) / 100 AS mae
+         |FROM act a JOIN preds p USING (event_type, day)
+         |GROUP BY a.event_type""".stripMargin,
 
     // Fuzzy-join twin: same deletion-neighborhood candidates (lateral
     // range over 0..len, i=0 keeps the key) + exact levenshtein verify

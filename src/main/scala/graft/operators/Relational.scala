@@ -982,6 +982,81 @@ object Relational {
         coalesce(col("cnt"), lit(0L)).as("n_events"))
   }
 
+  /** SEASONAL-NAIVE forecast over the per-type daily event counts —
+    * the zero-parameter baseline every forecasting system is measured
+    * against (ŷ(t) = y(t − period)): project `horizon` days past the
+    * corpus's last day, reading each forecast off the dense zero-filled
+    * per-type day spine (the [[activitySpine]] device over the GLOBAL
+    * day range, so a day with no events forecasts from an explicit 0,
+    * not a missing row). `horizon ≤ period` keeps every lookup inside
+    * observed history (no recursive forecasting-from-forecasts).
+    * Exact integer counts end to end — nothing to round, bit-exact
+    * cross-engine. Scale shape: one keyed daily aggregation, one
+    * enum×days spine explode, one self-join on (type, day−period).
+    * Output: (event_type, day, yhat) — horizon rows per type, day as
+    * epoch days. */
+  def seasonalForecast(events: DataFrame, horizon: Int = 7,
+                       period: Int = 7): DataFrame = {
+    require(horizon >= 1 && horizon <= period,
+      s"need 1 <= horizon <= period (lookups stay in history): " +
+        s"$horizon/$period")
+    val spine = dailySpine(events).persist()
+    val maxd = spine.agg(max("day").as("d1"))
+    spine.crossJoin(broadcast(maxd))
+      .select(col("event_type"), (col("day") + period).as("day"),
+        col("n").as("yhat"), col("d1"))
+      .filter(col("day") > col("d1") &&
+        col("day") <= col("d1") + horizon)
+      .select("event_type", "day", "yhat")
+  }
+
+  /** Backtest of [[seasonalForecast]] on the last `window` in-sample
+    * days: per type, MAE of ŷ(t) = y(t − period) against the actual
+    * count — the one-number check that the seasonal-naive baseline is
+    * (or is not) beatable on this stream. Absolute errors are exact
+    * BIGINT differences; MAE is their sum over ONE IEEE division,
+    * round2. Days whose lookback falls before the spine are excluded
+    * (n_backtest reports how many scored). Output 1 row per type:
+    * (event_type, n_backtest, mae). */
+  def seasonalBacktest(events: DataFrame, window: Int = 14,
+                       period: Int = 7): DataFrame = {
+    require(window >= 1 && period >= 1,
+      s"need window >= 1 and period >= 1: $window/$period")
+    val spine = dailySpine(events).persist()
+    val bounds = spine.agg(min("day").as("d0"), max("day").as("d1"))
+    val base = spine.crossJoin(broadcast(bounds))
+    val preds = base
+      .select(col("event_type"), (col("day") + period).as("day"),
+        col("n").as("yhat"), col("d0"), col("d1"))
+      .filter(col("day") > col("d1") - window && col("day") <= col("d1"))
+    base.filter(col("day") > col("d1") - window)
+      .join(preds.select("event_type", "day", "yhat"),
+        Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_backtest"),
+        graft.functions.Fns.round2(
+          sum(abs(col("n") - col("yhat"))) / count(lit(1))).as("mae"))
+  }
+
+  /** The dense zero-filled per-type day spine shared by the forecast
+    * pair: every (event_type, day) over the GLOBAL day range with its
+    * exact event count, 0 where the type was silent. Day = epoch days
+    * from the µs timestamp (UTC — the normalizeTs contract). */
+  private def dailySpine(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val range = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    daily.select("event_type").distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Snapshot diff (the SCD/CDC change feed): classify every key of
     * two same-schema snapshots as `insert` (new only), `delete` (old
     * only), or `update` (both present, any payload column differs —

@@ -191,6 +191,39 @@ class Round25Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("seasonalForecast/seasonalBacktest: y(t-7) projects exactly " +
+    "one week past history off the zero-filled spine (hand-computed)") {
+    import graft.operators.Relational
+    // 21 days of history for type A: count = day index (0-based);
+    // type B fires only on day 3 (zero-fill must supply its silence)
+    val rows0 = (0 until 21).flatMap { d =>
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T12:00:00Z")
+          .plusSeconds(d * 86400L))
+      Seq.fill(d + 1)(("A", ts)) ++
+        (if (d == 3) Seq(("B", ts)) else Nil)
+    }.zipWithIndex.map { case ((t, ts), i) => (i.toLong, t, ts) }
+    val ev = rows0.toDF("event_id", "event_type", "ts")
+    val fc = Relational.seasonalForecast(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d0 = java.time.Instant.parse("2024-01-01T12:00:00Z")
+      .getEpochSecond / 86400
+    // forecast days d0+21..d0+27 for A = counts of days 14..20
+    for (k <- 0 until 7)
+      assert(fc(("A", d0 + 21 + k)) === (14 + k + 1).toLong)
+    // B forecasts its zero-filled silence everywhere
+    assert((0 until 7).forall(k => fc(("B", d0 + 21 + k)) === 0L))
+    // backtest: for A, |y(t) - y(t-7)| = 7 on every scored day → MAE 7
+    val bt = Relational.seasonalBacktest(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bt("A") === ((14L, 7.0)))
+    // B: its single spike (day 3) sits BEFORE the 14-day backtest
+    // window, so only the lookback hit at t = day 10 errs (|0-1|)
+    // → MAE 1/14, round2 = 0.07
+    assert(bt("B") === ((14L, 0.07)))
+    Housekeeping.release(spark)
+  }
+
   test("hits: in a bipartite star, the supplier bought by every " +
     "customer out-ranks niche suppliers, and the customer with the " +
     "widest basket is the top hub") {
