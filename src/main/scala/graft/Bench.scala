@@ -146,7 +146,8 @@ object Bench {
     // rel_hits measured AFTER its localCheckpoint fix — 109-190 s
     // before, NOTES.md round-12 ledger)
     "text_lr_from_artifact" -> 5.38,
-    "rel_hits" -> 6.3, "stream_lr_score" -> 9.0)
+    "rel_hits" -> 6.3, "stream_lr_score" -> 9.0,
+    "rel_forecast" -> 1.4, "rel_forecast_eval" -> 1.7)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
