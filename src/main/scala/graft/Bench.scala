@@ -147,7 +147,8 @@ object Bench {
     // before, NOTES.md round-12 ledger)
     "text_lr_from_artifact" -> 5.38,
     "rel_hits" -> 6.3, "stream_lr_score" -> 9.0,
-    "rel_forecast" -> 1.4, "rel_forecast_eval" -> 1.7)
+    "rel_forecast" -> 1.4, "rel_forecast_eval" -> 1.7,
+    "stream_forecast_maintain" -> 5.7)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

@@ -270,6 +270,14 @@ object SparkEntry {
         s, dir, scratchDir("bmstage"), scratchDir("bmlake"),
         scratchDir("bmidx"))),
 
+    // streaming-maintained seasonal-naive forecast: per micro-batch
+    // the delta's (type, day) counts merge into the stored daily table
+    // (exact integer sums) and the forecast re-derives — final version
+    // ≡ the one-shot batch rel_forecast (shared twin)
+    "stream_forecast_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.forecastMaintain(
+        s, dir, scratchDir("fcstage"), scratchDir("fcart"))),
+
     // streaming-maintained fixed-size sample: each micro-batch merges
     // its own bottom-k sketch into the versioned artifact; the
     // mergeability identity makes the final sketch bit-identical to
@@ -8107,6 +8115,13 @@ object SparkEntry {
     // (global range), then the shift-by-period lookup — exact integer
     // counts end to end, nothing to round in the forecast itself
     "rel_forecast" ->
+      s"""WITH $forecastSpineCtes
+         |SELECT event_type, day + 7 AS day, n AS yhat
+         |FROM spine, bounds
+         |WHERE day + 7 > d1 AND day + 7 <= d1 + 7""".stripMargin,
+    // maintained forecast ≡ one-shot batch (mergeable daily counts +
+    // pure derivation) — the same twin pins both
+    "stream_forecast_maintain" ->
       s"""WITH $forecastSpineCtes
          |SELECT event_type, day + 7 AS day, n AS yhat
          |FROM spine, bounds

@@ -996,11 +996,20 @@ object Relational {
     * Output: (event_type, day, yhat) — horizon rows per type, day as
     * epoch days. */
   def seasonalForecast(events: DataFrame, horizon: Int = 7,
-                       period: Int = 7): DataFrame = {
+                       period: Int = 7): DataFrame =
+    seasonalForecastFromDaily(dailyCounts(events), horizon, period)
+
+  /** [[seasonalForecast]] from an already-aggregated (event_type, day,
+    * n) table — the entry point the STREAMING maintainer serves from
+    * (daily counts are exact integer sums over disjoint batches, so a
+    * foreachBatch-merged table feeds the identical forecast —
+    * stream_forecast_maintain's ≡-batch argument). */
+  def seasonalForecastFromDaily(daily: DataFrame, horizon: Int = 7,
+                                period: Int = 7): DataFrame = {
     require(horizon >= 1 && horizon <= period,
       s"need 1 <= horizon <= period (lookups stay in history): " +
         s"$horizon/$period")
-    val spine = dailySpine(events).persist()
+    val spine = spineFromDaily(daily).persist()
     val maxd = spine.agg(max("day").as("d1"))
     spine.crossJoin(broadcast(maxd))
       .select(col("event_type"), (col("day") + period).as("day"),
@@ -1042,11 +1051,19 @@ object Relational {
     * pair: every (event_type, day) over the GLOBAL day range with its
     * exact event count, 0 where the type was silent. Day = epoch days
     * from the µs timestamp (UTC — the normalizeTs contract). */
-  private def dailySpine(events: DataFrame): DataFrame = {
-    val daily = events
+  private def dailySpine(events: DataFrame): DataFrame =
+    spineFromDaily(dailyCounts(events))
+
+  /** Per-type daily event counts: (event_type, day, n), day = epoch
+    * days (UTC µs, exact BIGINT floor-div). Mergeable across disjoint
+    * batches by integer sum — the streaming maintainer's state. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+
+  private def spineFromDaily(daily: DataFrame): DataFrame = {
     val range = daily.agg(min("day").as("d0"), max("day").as("d1"))
     daily.select("event_type").distinct()
       .crossJoin(broadcast(range))

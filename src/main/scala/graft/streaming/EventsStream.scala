@@ -1328,6 +1328,69 @@ object EventsStream {
     spark.read.parquet(s"$artDir/v${versions.max}/cp")
   }
 
+  /** Streaming-maintained seasonal-naive FORECAST — the
+    * [[cusumMaintain]] controller pattern on the forecasting state:
+    * per micro-batch, merge the delta's (event_type, epoch-day) counts
+    * into the stored daily table (exact integer sums — the mergeable
+    * state) and re-derive the forecast
+    * ([[graft.operators.Relational.seasonalForecastFromDaily]]) into
+    * the next artifact version. Count mergeability + a pure derivation
+    * make the final maintained forecast BIT-IDENTICAL to the one-shot
+    * batch [[graft.operators.Relational.seasonalForecast]] — the gate
+    * shares rel_forecast's twin. This is the production shape of a
+    * live ops dashboard: per batch one delta-sized agg + a
+    * days×types-bounded refresh, the raw event history never rescanned.
+    * Output: (event_type, day, yhat) from the final version. */
+  def forecastMaintain(spark: SparkSession, dir: String,
+                       stageDir: String, artDir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+    stageBatches(stageDir,
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val part = graft.operators.Relational.dailyCounts(
+          graft.Tables.normalizeTs(batch))
+        val prevDir = new java.io.File(s"$artDir/v${batchId - 1}/daily")
+        val merged =
+          if (!prevDir.isDirectory) part
+          else s2.read.parquet(prevDir.getPath).unionByName(part)
+            .groupBy("event_type", "day")
+            .agg(sum(col("n")).as("n"))
+        merged.write.mode("overwrite")
+          .parquet(s"$artDir/v$batchId/daily")
+        graft.operators.Relational.seasonalForecastFromDaily(
+            s2.read.parquet(s"$artDir/v$batchId/daily"))
+          .write.mode("overwrite").parquet(s"$artDir/v$batchId/fc")
+        val stale = new java.io.File(s"$artDir/v${batchId - 2}")
+        if (stale.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val versions = Option(new java.io.File(artDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    spark.read.parquet(s"$artDir/v${versions.max}/fc")
+  }
+
   def decontamIngest(spark: SparkSession, dir: String,
                      idxDir: String): DataFrame = {
     val d = graft.Tables.load(spark, dir, "documents")

@@ -224,6 +224,28 @@ class Round25Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("forecastMaintain: the streaming-maintained forecast equals " +
+    "the one-shot batch seasonalForecast, and the intermediate " +
+    "version forecasts exactly its batch prefix") {
+    import graft.operators.Relational
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spec_fcmaint").toString
+    val got = graft.streaming.EventsStream.forecastMaintain(spark,
+      "/root/testdata/sf0.001", s"$root/stage", s"$root/art")
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    assert(rows(got.orderBy("event_type", "day")) ===
+      rows(Relational.seasonalForecast(ev)
+        .orderBy("event_type", "day")))
+    // the surviving v1 artifact is the forecast of batches 0+1 only
+    val v1 = spark.read.parquet(s"$root/art/v1/fc")
+    assert(rows(v1.orderBy("event_type", "day")) ===
+      rows(Relational.seasonalForecast(
+          ev.filter(col("event_id") % 3 =!= 2))
+        .orderBy("event_type", "day")))
+    Housekeeping.release(spark)
+  }
+
   test("hits: in a bipartite star, the supplier bought by every " +
     "customer out-ranks niche suppliers, and the customer with the " +
     "widest basket is the top hub") {
