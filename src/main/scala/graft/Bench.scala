@@ -148,7 +148,7 @@ object Bench {
     "text_lr_from_artifact" -> 5.38,
     "rel_hits" -> 6.3, "stream_lr_score" -> 9.0,
     "rel_forecast" -> 1.4, "rel_forecast_eval" -> 1.7,
-    "stream_forecast_maintain" -> 5.7)
+    "stream_forecast_maintain" -> 5.7, "samp_bootstrap" -> 2.4)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

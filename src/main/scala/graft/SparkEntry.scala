@@ -832,6 +832,11 @@ object SparkEntry {
       Dedup.semanticDedupBest(tbl(s, dir, "embeddings"),
         docs(s, dir).select(col("doc_id").as("vec_id"),
           col("n_chars")), qCol = "n_chars")),
+    // one-pass Poisson bootstrap CI for the corpus mean doc length:
+    // deterministic md5 inverse-CDF replicate weights, exact-BIGINT
+    // replicate means, rank-selected percentile endpoints
+    "samp_bootstrap" -> ((s, dir) =>
+      Sampling.bootstrapMeanCI(docs(s, dir), "n_chars")),
     // leakage-safe split: hash-split keyed on the CANONICAL id, so every
     // exact/near-dup cluster lands whole in one split (no train/test
     // contamination through duplicates)
@@ -5485,6 +5490,49 @@ object SparkEntry {
     "dedup_assign" ->
       s"""WITH RECURSIVE $assignCtes
          |SELECT doc_id, canonical_id FROM assign""".stripMargin,
+
+    // bootstrap twin: same md5 inverse-CDF Poisson(1) weights per
+    // (doc, rep), exact-BIGINT replicate means, rank-selected 2.5/97.5
+    // percentile endpoints (literals round-trip Scala's alpha/2 repr)
+    "samp_bootstrap" ->
+      """WITH reps AS (
+        |  SELECT unnest(generate_series(1, 200)) AS rep
+        |), base AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), wts AS (
+        |  SELECT rep, x,
+        |    CASE WHEN u < 0.3679 THEN 0 WHEN u < 0.7358 THEN 1
+        |         WHEN u < 0.9197 THEN 2 WHEN u < 0.9810 THEN 3
+        |         ELSE 4 END AS w
+        |  FROM (
+        |    SELECT r.rep, b.x,
+        |      (('0x' || substr(md5('graft-boot|' || b.doc_id || '#'
+        |        || r.rep), 1, 8))::BIGINT + 1) / 4294967296.0 AS u
+        |    FROM base b, reps r)
+        |), m AS (
+        |  SELECT rep, CAST(sum(w * x) AS DOUBLE)
+        |    / nullif(CAST(sum(w) AS DOUBLE), 0) AS mn
+        |  FROM wts GROUP BY rep
+        |), mm AS (SELECT rep, mn FROM m WHERE mn IS NOT NULL),
+        |rk AS (
+        |  SELECT mn, row_number() OVER (ORDER BY mn ASC, rep ASC) AS r
+        |  FROM mm
+        |), nrr AS (SELECT count(*) AS nr FROM mm),
+        |ov AS (
+        |  SELECT CAST(sum(x) AS DOUBLE)
+        |    / nullif(CAST(count(*) AS DOUBLE), 0) AS m
+        |  FROM base
+        |)
+        |SELECT nrr.nr AS n_reps,
+        |  floor(ov.m * 100 + 0.5) / 100 AS mean,
+        |  (SELECT floor(mn * 100 + 0.5) / 100 FROM rk, nrr
+        |   WHERE r = CAST(floor(0.025 * (nr - 1)) AS BIGINT) + 1)
+        |    AS ci_lo,
+        |  (SELECT floor(mn * 100 + 0.5) / 100 FROM rk, nrr
+        |   WHERE r = CAST(floor(0.975 * (nr - 1)) AS BIGINT) + 1)
+        |    AS ci_hi
+        |FROM nrr, ov""".stripMargin,
 
     // leakage-safe split twin: the SAME canonical-assignment CTE chain,
     // then the shared splitCaseSql bucket expression keyed on

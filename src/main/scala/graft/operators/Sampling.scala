@@ -29,6 +29,81 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))),
       1, 8), 16, 10).cast("long")
 
+  /** Cumulative Poisson(1) thresholds (4 dp) for the bootstrap's
+    * deterministic replicate weights: P(0)=P(1)=e⁻¹, P(2)=e⁻¹/2,
+    * P(3)=e⁻¹/6, tail mass to 4. Quantized constants so both engines
+    * compare the same literals. */
+  private val PoisCdf = Seq(0.3679, 0.7358, 0.9197, 0.9810)
+
+  /** POISSON BOOTSTRAP confidence interval for a mean — the
+    * one-pass distributed bootstrap (Chamandy et al., the standard
+    * replacement for m-out-of-n resampling when rows can't be
+    * enumerated centrally): each of `reps` replicates weighs every row
+    * by an independent Poisson(1) count, here DETERMINISTIC — the
+    * count is the inverse-CDF lookup of the md5-uniform of
+    * (salt, key, rep) against [[PoisCdf]] — so the interval is a pure
+    * function of the data and replays bit-exactly in the twin.
+    * Replicate means are exact-BIGINT Σw·x / Σw (ONE IEEE division
+    * each; a theoretically-empty replicate nulls out and drops); the
+    * CI endpoints are RANK-SELECTED order statistics of the ≤reps
+    * means (the rel_order_stats convention — no interpolation
+    * arithmetic), ties pinned by rep asc.
+    *
+    * Scale shape: one rows×reps explode (the controlled multiplier —
+    * reps·N rows, each a pure expression), one rep-keyed aggregation,
+    * one window over ≤reps rows (bounded by the literal).
+    * Output 1 row: (n_reps, mean, ci_lo, ci_hi), round2. */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String,
+                      reps: Int = 200, alpha: Double = 0.05,
+                      keyCol: String = "doc_id",
+                      salt: String = "graft-boot"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 10 && alpha > 0 && alpha < 0.5,
+      s"need reps >= 10 and 0 < alpha < 0.5: $reps/$alpha")
+    val u = (hashValue(concat(col(keyCol).cast("string"), lit("#"),
+      col("rep").cast("string")), salt) + lit(1L)) / lit(HashRange)
+    val w = PoisCdf.zipWithIndex.foldRight(lit(PoisCdf.size)) {
+      case ((thr, k), rest) => when(u < thr, lit(k)).otherwise(rest)
+    }
+    val weighted = df
+      .select(col(keyCol), col(valueCol).cast("long").as("x"))
+      .filter(col(keyCol).isNotNull && col("x").isNotNull)
+      .crossJoin(explodeReps(df, reps))
+      .select(col("rep"), w.cast("long").as("w"), col("x"))
+    val means = weighted.groupBy("rep")
+      .agg((sum(col("w") * col("x")).cast("double") /
+        nullif(sum("w").cast("double"), lit(0.0))).as("mn"))
+      .filter(col("mn").isNotNull)
+    val byMean = Window.orderBy(col("mn").asc, col("rep").asc)
+    val ranked = means
+      .select(col("rep"), col("mn"),
+        row_number().over(byMean).cast("long").as("r"))
+      .crossJoin(broadcast(means.agg(count(lit(1)).as("nr"))))
+      .persist() // three rank lookups below
+    def atQuantile(q: Double) =
+      ranked.filter(col("r") ===
+          (floor(lit(q) * (col("nr") - 1)) + 1).cast("long"))
+        .select(graft.functions.Fns.round2(col("mn")).as("v"))
+    val overall = df
+      .select(col(valueCol).cast("long").as("x"), col(keyCol))
+      .filter(col(keyCol).isNotNull && col("x").isNotNull)
+      .agg((sum("x").cast("double") /
+        nullif(count(lit(1)).cast("double"), lit(0.0))).as("m"))
+    ranked.select(col("nr").as("n_reps")).limit(1)
+      .crossJoin(broadcast(overall
+        .select(graft.functions.Fns.round2(col("m")).as("mean"))))
+      .crossJoin(broadcast(atQuantile(alpha / 2)
+        .withColumnRenamed("v", "ci_lo")))
+      .crossJoin(broadcast(atQuantile(1 - alpha / 2)
+        .withColumnRenamed("v", "ci_hi")))
+  }
+
+  /** The 1..reps spine for [[bootstrapMeanCI]] (a literal Range — the
+    * sanctioned bounded broadcast class). */
+  private def explodeReps(df: DataFrame, reps: Int): DataFrame =
+    df.sparkSession.range(1, reps + 1)
+      .select(col("id").cast("int").as("rep"))
+
   /** Recency-decayed sampling — the "keep everything fresh, an
     * exponentially thinning sample of history" retention policy a
     * rolling training corpus runs on its event log: rows are banded

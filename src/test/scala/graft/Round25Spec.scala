@@ -224,6 +224,27 @@ class Round25Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("bootstrapMeanCI: the interval brackets the mean, is " +
+    "deterministic, and degenerates to a point on a constant column") {
+    import graft.operators.Sampling
+    val d = (1L to 400L).map(i => (i, (i % 100) + 1)).toDF("doc_id", "v")
+    val r = Sampling.bootstrapMeanCI(d, "v").collect().head
+    assert(r.getAs[Long]("n_reps") === 200L)
+    val (mean, lo, hi) = (r.getAs[Double]("mean"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo <= mean && mean <= hi, s"CI does not bracket: $r")
+    assert(hi - lo < 20.0, s"implausibly wide CI: $r")
+    assert(rows(Sampling.bootstrapMeanCI(d, "v")) ===
+      rows(Sampling.bootstrapMeanCI(d, "v")))
+    // constant column: every replicate mean is the constant
+    val c = (1L to 100L).map(i => (i, 7L)).toDF("doc_id", "v")
+    val rc = Sampling.bootstrapMeanCI(c, "v").collect().head
+    assert(rc.getAs[Double]("ci_lo") === 7.0 &&
+      rc.getAs[Double]("ci_hi") === 7.0 &&
+      rc.getAs[Double]("mean") === 7.0)
+    Housekeeping.release(spark)
+  }
+
   test("forecastMaintain: the streaming-maintained forecast equals " +
     "the one-shot batch seasonalForecast, and the intermediate " +
     "version forecasts exactly its batch prefix") {
