@@ -609,13 +609,32 @@ object CompatIo {
     * file regardless of row count. */
   def bloomIndexWrite(spark: SparkSession, dataDir: String,
                       idxDir: String, keyCol: String): Unit =
-    spark.read.parquet(dataDir)
+    bloomBitRows(spark, dataDir,
+        spark.read.parquet(dataDir), listParquet(spark, dataDir),
+        keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(idxDir)
+
+  /** The index rows for a scanned file set: the distinct (file,
+    * bitpos) membership rows PLUS one `bitpos = -1` SENTINEL row per
+    * scanned file. The sentinel marks "this file is indexed" even
+    * when the file contributes zero real bit rows (an all-NULL key
+    * column — ADVICE r12: inferring `known` from non-empty output
+    * made such files re-scan on every append). Probe positions are
+    * always ≥ 0, so sentinels can never qualify a lookup. The
+    * sentinel derives from the FILE LIST, not the data rows. */
+  private def bloomBitRows(spark: SparkSession, dataDir: String,
+                           data: DataFrame, files: Seq[String],
+                           keyCol: String): DataFrame = {
+    import spark.implicits._
+    data
       .select(relFileKey(spark, dataDir).as("file"),
         explode(array((1 to BloomK).map(d =>
           bloomPos(col(keyCol), d)): _*)).as("bitpos"))
       .filter(col("bitpos").isNotNull)
       .distinct()
-      .write.mode(SaveMode.Overwrite).parquet(idxDir)
+      .unionByName(files.toDF("file")
+        .select(col("file"), lit(-1L).as("bitpos")))
+  }
 
   /** Incremental Bloom-index maintenance — the [[statsIndexAppend]]
     * pattern for membership: compute bit rows for files NOT yet in
@@ -636,19 +655,19 @@ object CompatIo {
       bloomIndexWrite(spark, dataDir, idxDir, keyCol)
       return
     }
+    // the sentinel rows make `known` the EXPLICIT indexed-file set —
+    // a file whose key column is entirely NULL still counts as
+    // indexed and is never re-scanned (ADVICE r12)
     val known = spark.read.parquet(idxDir)
       .select("file").distinct().collect().map(_.getString(0)).toSet
     val nf = listParquet(spark, dataDir).filterNot(known)
     if (nf.nonEmpty) {
       val full = spark.read.parquet(dataDir)
-      spark.read.schema(full.schema)
-        .option("basePath", dataDir)
-        .parquet(nf.map(f => s"$dataDir/$f"): _*)
-        .select(relFileKey(spark, dataDir).as("file"),
-          explode(array((1 to BloomK).map(d =>
-            bloomPos(col(keyCol), d)): _*)).as("bitpos"))
-        .filter(col("bitpos").isNotNull)
-        .distinct()
+      bloomBitRows(spark, dataDir,
+          spark.read.schema(full.schema)
+            .option("basePath", dataDir)
+            .parquet(nf.map(f => s"$dataDir/$f"): _*),
+          nf, keyCol)
         .write.mode(SaveMode.Append).parquet(idxDir)
     }
   }
@@ -703,7 +722,20 @@ object CompatIo {
   def manifestWrite(spark: SparkSession, dataDir: String,
                     manifestDir: String): Unit = {
     import spark.implicits._
-    listParquet(spark, dataDir).toDF("file")
+    val files = listParquet(spark, dataDir)
+    // pin the SCHEMA alongside the file list (ADVICE r12: the empty-
+    // manifest read used to derive its schema from the LIVE dir, so a
+    // pre-evolution empty pin leaked the evolved schema): the pinned
+    // schema is the mergeSchema union of the LISTED files at pin time;
+    // an empty lake has nothing to derive — schema NULL, and the
+    // reader's live-dir fallback is the documented exception
+    val schemaJson =
+      if (files.isEmpty) null
+      else spark.read.option("mergeSchema", "true")
+        .option("basePath", dataDir)
+        .parquet(files.map(f => s"$dataDir/$f"): _*).schema.json
+    files.toDF("file")
+      .select(col("file"), lit(schemaJson).as("schema"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestDir)
   }
 
@@ -723,12 +755,37 @@ object CompatIo {
     * contract composed with the pin — io_snapshot_evolve). */
   def readSnapshot(spark: SparkSession, dataDir: String,
                    manifestDir: String): DataFrame = {
-    val files = spark.read.parquet(manifestDir)
-      .select("file").collect().map(_.getString(0)) // |files| metadata
-    if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .option("basePath", dataDir)
-      .parquet(files.map(f => s"$dataDir/$f").toIndexedSeq: _*)
+    val mf = spark.read.parquet(manifestDir)
+    val rows =
+      (if (mf.columns.contains("schema")) mf.select("file", "schema")
+       else mf.select(col("file"), lit(null).cast("string").as("schema")))
+        .collect() // |files| metadata
+    val files = rows.map(_.getString(0)).filter(_ != null).toIndexedSeq
+    val pinnedSchema = rows.iterator.map(_.getString(1))
+      .find(_ != null)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (files.isEmpty, pinnedSchema) match {
+      // a 0-file pin recorded no schema (an empty lake HAS none) —
+      // the live-dir fallback is the documented exception to the
+      // schema pin (ADVICE r12); pre-r13 manifests without the schema
+      // column land here too
+      case (true, None) =>
+        spark.read.parquet(dataDir).filter(lit(false))
+      case (true, Some(s)) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      // listed files read under the PINNED schema — identical to the
+      // mergeSchema union of exactly these footers (what manifestWrite
+      // recorded), without re-merging footers at read time
+      case (false, Some(s)) =>
+        spark.read.schema(s).option("basePath", dataDir)
+          .parquet(files.map(f => s"$dataDir/$f"): _*)
+      case (false, None) =>
+        spark.read.option("mergeSchema", "true")
+          .option("basePath", dataDir)
+          .parquet(files.map(f => s"$dataDir/$f"): _*)
+    }
   }
 
   /** VACUUM to a manifest — the complement of [[readSnapshot]] and

@@ -176,13 +176,18 @@ object Classify {
     * literals — the [[graft.operators.Similarity]] trainCodebook
     * per-round-collect pattern (dims+1 doubles, never data-sized).
     * Output: (j, w) — dims+1 rows, w on the 1e-12 grid. */
-  private def lrWeights(docs: DataFrame, dims: Int, steps: Int,
-                        lr: Double): Seq[(Int, Double)] = {
+  /** GD loop over an already-built (and caller-persisted) feature
+    * frame — the share point that lets one gate train AND score off a
+    * single tokenize/hash pass (the round-12 family re-built
+    * [[lrFeatures]] once for training and AGAIN for scoring, a
+    * redundant corpus scan per gate). Does not persist or unpersist
+    * `f`; the caller owns its lifecycle. */
+  private def lrWeightsOn(f: DataFrame, docs: DataFrame, dims: Int,
+                          steps: Int, lr: Double): Seq[(Int, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(steps >= 1 && dims >= 1,
       s"need steps >= 1 and dims >= 1: $steps/$dims")
-    val f = lrFeatures(docs, dims).persist()
     val y = docs.select(col("doc_id"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
     val n = docs.count().toDouble // one 8-byte driver scalar
@@ -211,8 +216,35 @@ object Classify {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toSeq
         .sortBy(_._1)
     }
+    w
+  }
+
+  private def lrWeights(docs: DataFrame, dims: Int, steps: Int,
+                        lr: Double): Seq[(Int, Double)] = {
+    val f = lrFeatures(docs, dims).persist()
+    val w = lrWeightsOn(f, docs, dims, steps, lr)
     f.unpersist()
     w
+  }
+
+  /** Scoring tail over a shared feature frame and a weight frame
+    * (in-plan or artifact-served — the two must be bit-identical, the
+    * family's identity pin). Output: (doc_id, y, p, pred). */
+  private def lrScoreOn(f: DataFrame, docs: DataFrame,
+                        wDf: DataFrame): DataFrame = {
+    val p = f.join(broadcast(wDf), Seq("j"))
+      .groupBy("doc_id")
+      .agg(sum(graft.functions.Fns.quant12(col("x") * col("wj"))
+        .cast("decimal(20,12)")).cast("double").as("m"))
+      .select(col("doc_id"),
+        (lit(0.5) * (lit(1.0) + col("m") / (lit(1.0) + abs(col("m")))))
+          .as("praw"))
+    docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .join(p, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        (floor(col("praw") * 1000000 + lit(0.5)) / 1000000).as("p"),
+        (col("praw") >= 0.5).as("pred"))
   }
 
   /** Gate surface for the trained weights: (j, w), dims+1 rows. */
@@ -233,20 +265,13 @@ object Classify {
               lr: Double = 1.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wDf = lrWeights(docs, dims, steps, lr).toDF("j", "wj")
-    val p = lrFeatures(docs, dims).join(broadcast(wDf), Seq("j"))
-      .groupBy("doc_id")
-      .agg(sum(graft.functions.Fns.quant12(col("x") * col("wj"))
-        .cast("decimal(20,12)")).cast("double").as("m"))
-      .select(col("doc_id"),
-        (lit(0.5) * (lit(1.0) + col("m") / (lit(1.0) + abs(col("m")))))
-          .as("praw"))
-    docs.select(col("doc_id"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      .join(p, Seq("doc_id"))
-      .select(col("doc_id"), col("y"),
-        (floor(col("praw") * 1000000 + lit(0.5)) / 1000000).as("p"),
-        (col("praw") >= 0.5).as("pred"))
+    // ONE feature build feeds training (materialized by the per-step
+    // collects) and the returned scoring plan; the cache outlives the
+    // call because the output depends on it (the cdcDedupRewrite
+    // convention — Housekeeping.release drains post-query)
+    val f = lrFeatures(docs, dims).persist()
+    val wDf = lrWeightsOn(f, docs, dims, steps, lr).toDF("j", "wj")
+    lrScoreOn(f, docs, wDf)
   }
 
   /** Persist the trained weight vector as a parquet artifact — the
@@ -270,52 +295,96 @@ object Classify {
                           dims: Int = 64): DataFrame = {
     val wDf = docs.sparkSession.read.parquet(dir)
       .select(col("j").cast("int").as("j"), col("w").as("wj"))
-    val p = lrFeatures(docs, dims).join(broadcast(wDf), Seq("j"))
-      .groupBy("doc_id")
-      .agg(sum(graft.functions.Fns.quant12(col("x") * col("wj"))
-        .cast("decimal(20,12)")).cast("double").as("m"))
-      .select(col("doc_id"),
-        (lit(0.5) * (lit(1.0) + col("m") / (lit(1.0) + abs(col("m")))))
-          .as("praw"))
-    docs.select(col("doc_id"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      .join(p, Seq("doc_id"))
-      .select(col("doc_id"), col("y"),
-        (floor(col("praw") * 1000000 + lit(0.5)) / 1000000).as("p"),
-        (col("praw") >= 0.5).as("pred"))
+    lrScoreOn(lrFeatures(docs, dims), docs, wDf)
+  }
+
+  /** The COMPOSED classifier gate (round-12 verdict task 2): ONE
+    * feature build + ONE training feed the artifact write, the
+    * artifact-SERVED scoring, the confusion summary AND the ROC AUC —
+    * the pipe_curate pattern applied to the LR family, collapsing what
+    * round 12 gated as four train-per-gate queries (score / eval /
+    * auc / from_artifact) into one plan that trains once. The scoring
+    * path deliberately reads the weights BACK from the parquet
+    * artifact, so the persist-once/serve-many identity stays on the
+    * gated path (grid-aligned doubles round-trip bit-exactly).
+    *
+    * AUC comes from the rank-sum identity over the 1e-6-grid score
+    * histogram computed as ONE ungrouped aggregation (no per-class
+    * filter), so the output is ALWAYS exactly one row: a single-class
+    * corpus — all-positive OR all-negative — yields NULL auc (0
+    * discordant-pair mass) instead of the round-12 lrAuc's 0-row
+    * all-negative surprise (ADVICE r12).
+    * Output 1 row: (n, tp, tn, fp, fn, accuracy, pos_cnt, neg_cnt,
+    * auc). */
+  def lrPipelineReport(docs: DataFrame, artDir: String, dims: Int = 64,
+                       steps: Int = 3, lr: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = lrFeatures(docs, dims).persist()
+    lrWeightsOn(f, docs, dims, steps, lr).toDF("j", "w")
+      .select(col("j").cast("long").as("j"), col("w"))
+      .coalesce(1).write.mode("overwrite").parquet(artDir)
+    val wServed = spark.read.parquet(artDir)
+      .select(col("j").cast("int").as("j"), col("w").as("wj"))
+    // scores feed the confusion rollup AND the AUC histogram
+    val sc = lrScoreOn(f, docs, wServed).persist()
+    val eval = sc
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L))
+          .as("fn"))
+      .select(col("n"), col("tp"), col("tn"), col("fp"), col("fn"),
+        round2((col("tp") + col("tn")) / col("n")).as("accuracy"))
+    eval.crossJoin(broadcast(lrAucFromScores(sc)))
+  }
+
+  /** Rank-sum AUC over already-scored (p, y) rows as ONE ungrouped
+    * aggregation — always exactly one row; NULL auc whenever either
+    * class is absent (the pos·neg pair mass is 0). */
+  private def lrAucFromScores(scored: DataFrame): DataFrame = {
+    val g = scored.groupBy("p", "y").agg(count(lit(1)).as("cnt_sc"))
+      .persist() // histogram + per-cell rank both consume it
+    val hist = g.groupBy("p").agg(sum("cnt_sc").as("cnt_s"))
+    // partition-less window over the DISTINCT 1e-6-grid score
+    // histogram (bounded by cardinality — the rel_auc sanction class)
+    val wBelow = Window.orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = g.join(
+      hist.select(col("p"), col("cnt_s"),
+        (sum("cnt_s").over(wBelow) - col("cnt_s")).as("below")),
+      "p")
+    below
+      .agg(
+        sum(when(col("y") === 1L, col("cnt_sc"))).as("posn"),
+        sum(when(col("y") === 0L, col("cnt_sc"))).as("negn"),
+        sum(when(col("y") === 1L,
+          col("cnt_sc") * (col("below") * 2 + col("cnt_s") + 1)))
+          .as("s2"))
+      .select(coalesce(col("posn"), lit(0L)).as("pos_cnt"),
+        coalesce(col("negn"), lit(0L)).as("neg_cnt"),
+        (floor((col("s2") - col("posn") * (col("posn") + 1))
+            .cast("double") /
+          nullif((col("posn") * col("negn") * 2).cast("double"),
+            lit(0.0))
+          * 1000000 + lit(0.5)) / 1000000).as("auc"))
   }
 
   /** Threshold-free ranking eval of [[lrScore]]: ROC AUC by the
     * rank-sum identity over the SCORE HISTOGRAM (the
-    * [[Relational.aucByType]] device — the only window runs over
-    * distinct 1e-6-grid scores, never rows; all sums exact integers;
-    * one IEEE division, floored to 1e-6). NULL auc on a single-class
-    * corpus (0 pairs). Output 1 row: (pos_cnt, neg_cnt, auc). */
+    * [[Relational.aucByType]] device — the only partition-less window
+    * runs over distinct 1e-6-grid scores, never rows; all sums exact
+    * integers; one IEEE division, floored to 1e-6). Always exactly ONE
+    * row: a single-class corpus — all-positive OR all-negative — gets
+    * NULL auc (the round-12 form dropped the all-negative case to 0
+    * rows, ADVICE r12). Output 1 row: (pos_cnt, neg_cnt, auc). */
   def lrAuc(docs: DataFrame, dims: Int = 64, steps: Int = 3,
-            lr: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sc = lrScore(docs, dims, steps, lr).select("p", "y")
-    val g = sc.groupBy("p", "y").agg(count(lit(1)).as("cnt_sc"))
-      .persist() // histogram + per-class rollup both consume it
-    val hist = g.groupBy("p").agg(sum("cnt_sc").as("cnt_s"))
-    val wBelow = Window.orderBy("p")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val below = hist.select(col("p"), col("cnt_s"),
-      (sum("cnt_s").over(wBelow) - col("cnt_s")).as("below"))
-    val perClass = g.join(below, "p")
-      .groupBy("y")
-      .agg(sum(col("cnt_sc") * (col("below") * 2 + col("cnt_s") + 1))
-          .as("s2"),
-        sum("cnt_sc").as("pc"))
-    val n = perClass.agg(sum("pc").as("n"))
-    perClass.filter(col("y") === 1L)
-      .crossJoin(broadcast(n))
-      .select(col("pc").as("pos_cnt"), (col("n") - col("pc")).as("neg_cnt"),
-        (floor((col("s2") - col("pc") * (col("pc") + 1)).cast("double") /
-          nullif((col("pc") * (col("n") - col("pc")) * 2).cast("double"),
-            lit(0.0))
-          * 1000000 + lit(0.5)) / 1000000).as("auc"))
-  }
+            lr: Double = 1.0): DataFrame =
+    lrAucFromScores(lrScore(docs, dims, steps, lr).select("p", "y"))
 
   /** One-row confusion summary of [[lrScore]]: exact integer counts +
     * round2 accuracy — the robust (transcendental-free, count-valued)
@@ -334,4 +403,134 @@ object Classify {
           .as("fn"))
       .select(col("n"), col("tp"), col("tn"), col("fp"), col("fn"),
         round2((col("tp") + col("tn")) / col("n")).as("accuracy"))
+
+  // --------------------------------------------------------------
+  // MULTICLASS linear classifier — one-vs-rest over [[lrWeights]]'s
+  // GD machinery, VECTORIZED: the class axis rides in the aggregation
+  // keys ((doc, class) margins, (class, feature) gradients), so C
+  // classes train in the SAME number of jobs as the binary model —
+  // one margin agg + one gradient agg + one (C·(dims+1))-row collect
+  // per step, never a per-class loop.
+  //
+  // The gate label is a SYNTHETIC TEACHER (round-12 verdict task 4):
+  // the corpus's own lang column carries no lexical signal (LrProbe /
+  // nb_eval — every language draws from one shared vocabulary), so a
+  // demonstrably-learnable, oracle-replayable target is derived from
+  // the text itself: label(d) = argmax_c Σ_{j ≡ c (mod C)} cnt_j over
+  // the same md5 hash buckets the features are built from (tie → the
+  // smallest class, token-less docs → class 0). Features here are the
+  // UNSIGNED bucket counts (x = cnt/√dl — the signed hashing trick
+  // would wash the bucket-mass signal out of its own sign), so an
+  // exact linear witness exists: w_cj = 1{j ≡ c} reproduces the label
+  // by construction. Measured learnability (LrProbe mc rows,
+  // BASELINE.md): on a class-separable corpus (four disjoint
+  // vocabularies in four distinct bucket classes) the shipped 3-step
+  // loop scores accuracy 1.0; on the near-uniform testdata the
+  // dominant-bucket argmax is a LOW-MARGIN target (every class's mass
+  // is ~dl/C ± √dl — the fluctuation IS the label) and few-step GD
+  // sits near the majority response (~0.42-0.47) — the binary
+  // LrProbe finding, one dimension up. The gate pins machinery +
+  // bit-exact replay; Round26Spec pins the separable accuracy.
+  // --------------------------------------------------------------
+
+  /** Unsigned hashed bag-of-words features: j = -1 the bias (x = 1),
+    * else x = quant12(cnt_j / √dl) over md5 buckets (the
+    * [[TextStats.hashEmbedBuckets]] bucket basis without the sign).
+    * Input `cnt` = (doc_id, j, cnt) per-doc bucket counts. */
+  private def lrMcFeatures(docs: DataFrame, cnt: DataFrame): DataFrame = {
+    val dl = cnt.groupBy("doc_id").agg(sum("cnt").as("dl"))
+    docs.select(col("doc_id"), lit(-1).as("j"), lit(1.0).as("x"))
+      .unionByName(cnt.join(dl, "doc_id")
+        .select(col("doc_id"), col("j"),
+          graft.functions.Fns.quant12(col("cnt") / sqrt(col("dl")))
+            .as("x")))
+  }
+
+  /** Per-doc md5 bucket counts shared by the multiclass features and
+    * the teacher label: (doc_id, j, cnt), j ∈ [0, dims). */
+  private def lrMcBucketCounts(docs: DataFrame, dims: Int): DataFrame =
+    WikiText.tokens(docs)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("word")), 29, 4), 16, 10).cast("long")
+          % dims).cast("int").as("j"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("cnt"))
+
+  /** The synthetic teacher label: dominant bucket-class by total token
+    * mass, tie → smallest class, token-less docs → class 0. */
+  private def lrMcLabels(docs: DataFrame, cnt: DataFrame,
+                         classes: Int): DataFrame = {
+    val byCls = cnt
+      .select(col("doc_id"), (col("j") % classes).as("c"), col("cnt"))
+      .groupBy("doc_id", "c").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("c").asc)
+    val lab = byCls.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("c").cast("long").as("y"))
+    docs.select(col("doc_id")).join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("y"), lit(0L)).as("y"))
+  }
+
+  /** One-vs-rest multiclass prediction under the synthetic teacher:
+    * per class the binary GD of [[lrWeightsOn]] (same rational link,
+    * same 1e-12 quantization — the twin replays all C trainings
+    * bit-for-bit), prediction = argmax_c f(m_c) with the (p desc, c
+    * asc) tie pin. Output: (doc_id, y, pred, p) — y the teacher
+    * class, p the winning score floored to the 1e-6 grid. */
+  def lrMulticlass(docs: DataFrame, classes: Int = 4, dims: Int = 64,
+                   steps: Int = 3, lr: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(classes >= 2 && steps >= 1 && dims >= classes,
+      s"need classes >= 2, steps >= 1, dims >= classes: " +
+        s"$classes/$steps/$dims")
+    val cnt = lrMcBucketCounts(docs, dims)
+    // features feed every step twice + final scoring; labels feed
+    // every step's error + the output join (cache outlives the call —
+    // output depends on it; Housekeeping.release drains)
+    val f = lrMcFeatures(docs, cnt).persist()
+    val lbl = lrMcLabels(docs, cnt, classes).persist()
+    val n = docs.count().toDouble
+    var w: Seq[(Int, Int, Double)] =
+      for (c <- 0 until classes; j <- -1 until dims)
+        yield (c, j, 0.0)
+    for (_ <- 1 to steps) {
+      val wDf = w.toDF("c", "j", "wj")
+      val m = f.join(broadcast(wDf), Seq("j"))
+        .groupBy("doc_id", "c")
+        .agg(sum(graft.functions.Fns.quant12(col("x") * col("wj"))
+          .cast("decimal(20,12)")).cast("double").as("m"))
+      val e = m.join(lbl, Seq("doc_id"))
+        .select(col("doc_id"), col("c"),
+          (lit(0.5) * (lit(1.0) + col("m") / (lit(1.0) + abs(col("m"))))
+            - when(col("y") === col("c").cast("long"), 1.0)
+              .otherwise(0.0)).as("e"))
+      val g = f.join(e, Seq("doc_id"))
+        .groupBy("c", "j")
+        .agg((sum(graft.functions.Fns.quant12(col("x") * col("e"))
+          .cast("decimal(20,12)")).cast("double") / lit(n)).as("g"))
+      w = wDf.join(g, Seq("c", "j"), "left")
+        .select(col("c"), col("j"),
+          graft.functions.Fns.quant12(
+            col("wj") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+        .sortBy(t => (t._1, t._2))
+    }
+    val wDf = w.toDF("c", "j", "wj")
+    val praw = lit(0.5) *
+      (lit(1.0) + col("m") / (lit(1.0) + abs(col("m"))))
+    val scored = f.join(broadcast(wDf), Seq("j"))
+      .groupBy("doc_id", "c")
+      .agg(sum(graft.functions.Fns.quant12(col("x") * col("wj"))
+        .cast("decimal(20,12)")).cast("double").as("m"))
+      .select(col("doc_id"), col("c"), praw.as("praw"))
+    val pick = Window.partitionBy("doc_id")
+      .orderBy(col("praw").desc, col("c").asc)
+    scored.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .join(lbl, Seq("doc_id"))
+      .select(col("doc_id"), col("y"), col("c").cast("long").as("pred"),
+        (floor(col("praw") * 1000000 + lit(0.5)) / 1000000).as("p"))
+  }
 }

@@ -189,6 +189,10 @@ object Graph {
       Graph.releaseCheckpoint(h)
       h = hNext
     }
+    // the returned frames are eager checkpoints — their lineage no
+    // longer references e0, so its cache can drop here (ADVICE r12,
+    // the lrWeights unpersist convention)
+    e0.unpersist()
     h.select(lit("customer").as("node_type"), col("c").as("key"),
         col("h").as("score"))
       .unionByName(a.select(lit("supplier").as("node_type"),

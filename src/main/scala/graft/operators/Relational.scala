@@ -1009,8 +1009,11 @@ object Relational {
     require(horizon >= 1 && horizon <= period,
       s"need 1 <= horizon <= period (lookups stay in history): " +
         s"$horizon/$period")
-    val spine = spineFromDaily(daily).persist()
-    val maxd = spine.agg(max("day").as("d1"))
+    // max spine day == max daily day by construction, so the 1-row
+    // bound comes straight off the pre-spine table and the spine has
+    // exactly one consumer — no persist to leak (ADVICE r12)
+    val spine = spineFromDaily(daily)
+    val maxd = daily.agg(max("day").as("d1"))
     spine.crossJoin(broadcast(maxd))
       .select(col("event_type"), (col("day") + period).as("day"),
         col("n").as("yhat"), col("d1"))
@@ -1031,8 +1034,13 @@ object Relational {
                        period: Int = 7): DataFrame = {
     require(window >= 1 && period >= 1,
       s"need window >= 1 and period >= 1: $window/$period")
-    val spine = dailySpine(events).persist()
-    val bounds = spine.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = dailyCounts(events)
+    // bounds off the pre-spine table (same min/max by construction);
+    // the spine cache stays live in the returned plan — its two
+    // consumers (preds + actuals) are both downstream, so the
+    // Housekeeping.release drain is the documented lifecycle
+    val spine = spineFromDaily(daily).persist()
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val base = spine.crossJoin(broadcast(bounds))
     val preds = base
       .select(col("event_type"), (col("day") + period).as("day"),
@@ -1045,6 +1053,133 @@ object Relational {
       .agg(count(lit(1)).as("n_backtest"),
         graft.functions.Fns.round2(
           sum(abs(col("n") - col("yhat"))) / count(lit(1))).as("mae"))
+  }
+
+  /** WEEKLY-SEASONAL MEAN forecast — the next rung above the
+    * seasonal-naive baseline (round-12 verdict task 5): ŷ(t) = mean of
+    * the last `k` same-weekday counts instead of the single y(t−7), so
+    * one noisy week no longer IS the forecast. Weekday = epoch-day mod
+    * `period` (pure integer arithmetic — no calendar/locale
+    * dependence), history read off the dense zero-filled spine so
+    * silent days average as explicit 0s. Exact integers until ONE
+    * division (Σ of ≤ k counts / count), round2 — bit-stable
+    * cross-engine. Scale shape: one keyed daily agg, the enum×days
+    * spine, one (type, weekday)-keyed top-k window over the spine
+    * (|types|·|days| rows, calendar-bounded), one broadcast join of
+    * horizon rows. Output: (event_type, day, n_hist, yhat). */
+  def seasonalMeanForecast(events: DataFrame, horizon: Int = 7,
+                           period: Int = 7, k: Int = 4): DataFrame =
+    seasonalMeanFromDaily(dailyCounts(events), horizon, period, k)
+
+  /** [[seasonalMeanForecast]] from an already-aggregated (event_type,
+    * day, n) table — the share point with the streaming maintainer
+    * (exact integer counters merge across batches, the
+    * seasonalForecastFromDaily argument). */
+  def seasonalMeanFromDaily(daily: DataFrame, horizon: Int = 7,
+                            period: Int = 7, k: Int = 4): DataFrame = {
+    require(horizon >= 1 && horizon <= period && k >= 1,
+      s"need 1 <= horizon <= period and k >= 1: $horizon/$period/$k")
+    val spine = spineFromDaily(daily)
+    val maxd = daily.agg(max("day").as("d1"))
+    // last k same-weekday history values per (type, weekday)
+    val w = Window.partitionBy(col("event_type"), col("wd"))
+      .orderBy(col("day").desc)
+    val hist = spine
+      .withColumn("wd", col("day") % period)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("n_hist"),
+        graft.functions.Fns.round2(
+          sum(col("n")) / count(lit(1))).as("yhat"))
+    daily.select("event_type").distinct()
+      .crossJoin(broadcast(maxd))
+      .select(col("event_type"),
+        explode(sequence(col("d1") + 1, col("d1") + horizon)).as("day"))
+      .withColumn("wd", col("day") % period)
+      .join(hist, Seq("event_type", "wd"))
+      .select("event_type", "day", "n_hist", "yhat")
+  }
+
+  /** Residual anomaly on the weekly-seasonal lattice — the
+    * [[rateAnomaly]] z-score device composed with the forecast
+    * family's day spine (round-12 verdict task 5): each (type, day)
+    * scores against the TRAILING `k` same-weekday counts (its own
+    * seasonal baseline — Mondays against Mondays, so weekly shape
+    * never reads as anomaly), z = (n − mean)/stdev over exact-integer
+    * trailing sums, round2, NULL below `minBaseline` history or at
+    * zero variance; anomaly = |z| ≥ `zThreshold`. One window over the
+    * calendar-bounded spine — no corpus-sized state.
+    * Output: (event_type, day, n, base_n, z, anomaly). */
+  def seasonalAnomaly(events: DataFrame, period: Int = 7, k: Int = 4,
+                      minBaseline: Int = 3,
+                      zThreshold: Double = 3.0): DataFrame =
+    seasonalAnomalyFromDaily(dailyCounts(events), period, k,
+      minBaseline, zThreshold)
+
+  /** [[seasonalAnomaly]] from an already-aggregated daily table — the
+    * streaming-maintainer share point. */
+  def seasonalAnomalyFromDaily(daily: DataFrame, period: Int = 7,
+                               k: Int = 4, minBaseline: Int = 3,
+                               zThreshold: Double = 3.0): DataFrame = {
+    require(k >= 2 && minBaseline >= 2 && minBaseline <= k,
+      s"need 2 <= minBaseline <= k: $k/$minBaseline")
+    val tw = Window.partitionBy(col("event_type"), col("wd"))
+      .orderBy(col("day").asc)
+      .rowsBetween(-k.toLong, -1L)
+    val withBase = spineFromDaily(daily)
+      .withColumn("wd", col("day") % period)
+      .withColumn("base_n", count(col("n")).over(tw))
+      .withColumn("sx", coalesce(sum(col("n")).over(tw), lit(0L)))
+      .withColumn("sxx",
+        coalesce(sum(col("n") * col("n")).over(tw), lit(0L)))
+    val varNum = col("base_n") * col("sxx") - col("sx") * col("sx")
+    val z = graft.functions.Fns.round2(
+      (col("n") - col("sx") / col("base_n")) /
+        sqrt(varNum / (col("base_n") * (col("base_n") - 1))))
+    withBase
+      .select(col("event_type"), col("day"), col("n"), col("base_n"),
+        when(col("base_n") >= minBaseline && varNum > 0, z).as("z"))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) >= zThreshold, lit(false)))
+  }
+
+  /** Bounded-lag PERIOD DETECTOR over the day spine — the drift-aware
+    * complement of the fixed period=7 forecasts (round-12 close's
+    * candidate list): per type, the raw-moment autocorrelation
+    * score(L) = mean of n(d)·n(d−L) over the zero-filled spine for L ∈
+    * [2, maxLag], detected period = argmax (score desc, lag asc — the
+    * tie pin). Products and sums are exact BIGINTs (counts); the mean
+    * is ONE IEEE division per (type, lag), round2 — so cross-engine
+    * determinism holds and a per-lag overlap difference (n_days − L
+    * pairs) is normalized away. Cost is calendar-bounded:
+    * |types|·|days|·|lags| joined rows, never event-sized.
+    * Output 1 row per type: (event_type, period, score). */
+  def periodDetect(events: DataFrame, maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 2, s"need maxLag >= 2: $maxLag")
+    val spark = events.sparkSession
+    val spine = spineFromDaily(dailyCounts(events))
+      .persist() // base + shifted arms of the lag join
+    val lags = spark.range(2, maxLag + 1)
+      .select(col("id").as("lag"))
+    val shifted = spine.crossJoin(broadcast(lags))
+      .select(col("event_type"), (col("day") + col("lag")).as("day"),
+        col("lag"), col("n").as("n_lag"))
+    // products route through DECIMAL(38,0): day counts at petabyte
+    // scale put n·n_lag past Long range (DuckDB sums in HUGEINT)
+    val scored = spine.join(shifted, Seq("event_type", "day"))
+      .groupBy("event_type", "lag")
+      .agg(sum(col("n").cast("decimal(19,0)") *
+          col("n_lag").cast("decimal(19,0)")).as("s"),
+        count(lit(1)).as("c"))
+      .select(col("event_type"), col("lag"),
+        graft.functions.Fns.round2(
+          col("s").cast("double") / col("c")).as("score"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("score").desc, col("lag").asc)
+    scored.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("event_type"), col("lag").as("period"), col("score"))
   }
 
   /** The dense zero-filled per-type day spine shared by the forecast

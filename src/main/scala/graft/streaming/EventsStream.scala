@@ -1342,7 +1342,32 @@ object EventsStream {
     * days×types-bounded refresh, the raw event history never rescanned.
     * Output: (event_type, day, yhat) from the final version. */
   def forecastMaintain(spark: SparkSession, dir: String,
-                       stageDir: String, artDir: String): DataFrame = {
+                       stageDir: String, artDir: String): DataFrame =
+    dailyDeriveMaintain(spark, dir, stageDir, artDir,
+      graft.operators.Relational.seasonalForecastFromDaily(_))
+
+  /** Streaming-maintained WEEKLY-SEASONAL-MEAN forecast — the
+    * [[forecastMaintain]] controller verbatim with the
+    * [[graft.operators.Relational.seasonalMeanFromDaily]] derivation:
+    * the maintained state is the SAME (event_type, epoch-day) integer
+    * counter table, so the final maintained forecast is bit-identical
+    * to the one-shot batch seasonalMeanForecast (shared twin).
+    * Output: (event_type, day, n_hist, yhat) from the final version. */
+  def seasonalMeanMaintain(spark: SparkSession, dir: String,
+                           stageDir: String, artDir: String): DataFrame =
+    dailyDeriveMaintain(spark, dir, stageDir, artDir,
+      graft.operators.Relational.seasonalMeanFromDaily(_))
+
+  /** The shared daily-counter controller: per micro-batch, merge the
+    * delta's (event_type, epoch-day) counts into the stored daily
+    * table (exact integer sums — the mergeable state) and re-run the
+    * pure `derive` into the next artifact version. Any derivation
+    * that is a pure function of the daily table rides this maintainer
+    * with a batch-≡ guarantee for free. */
+  private def dailyDeriveMaintain(spark: SparkSession, dir: String,
+                                  stageDir: String, artDir: String,
+                                  derive: DataFrame => DataFrame)
+      : DataFrame = {
     val ev = graft.Tables.load(spark, dir, "events")
     stageBatches(stageDir,
       ev.filter(col("event_id") % 3 === 0),
@@ -1370,8 +1395,7 @@ object EventsStream {
             .agg(sum(col("n")).as("n"))
         merged.write.mode("overwrite")
           .parquet(s"$artDir/v$batchId/daily")
-        graft.operators.Relational.seasonalForecastFromDaily(
-            s2.read.parquet(s"$artDir/v$batchId/daily"))
+        derive(s2.read.parquet(s"$artDir/v$batchId/daily"))
           .write.mode("overwrite").parquet(s"$artDir/v$batchId/fc")
         val stale = new java.io.File(s"$artDir/v${batchId - 2}")
         if (stale.isDirectory) {

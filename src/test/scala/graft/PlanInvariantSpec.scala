@@ -161,6 +161,8 @@ class PlanInvariantSpec extends SparkSpec {
     Set("q2_dictionary", "q3_task1", // rank over the TakeOrdered <=5000 dictionary
       "io_compaction_plan", // prefix-sum over |files| METADATA rows
       "text_bpe_pairs", // rank AFTER .limit(k) (TextStats.bpePairs)
+      "samp_bootstrap", // rank over <= reps(=200) replicate means
+      // (Sampling.bootstrapMeanCI scaladoc: bounded by the literal)
       "text_token_ids", // vocab rank AFTER .limit(maxVocab)
       "text_hybrid_rrf", // rank over the r-row BM25 list (Search.hybridRrf)
       "text_hybrid_rrf_from_index", // same r-row rank, artifact-served
@@ -171,7 +173,7 @@ class PlanInvariantSpec extends SparkSpec {
       "samp_mix_fit_floors_apply", "pipe_budget_prep") ++
     // 2. bounded by cardinality (distinct-score histogram / day spine)
     Set("rel_auc", // ROC prefix sums over the score histogram
-      "text_lr_auc", // same device over the 1e-6-grid p histogram
+      "text_lr_pipeline", // same device over the 1e-6-grid p histogram
       "samp_curriculum_scalable", "samp_token_budget_scalable",
       "rel_cumulative_users", "rel_rolling_stats") ++ // day spine
     // 3. exact-total-order contracts with documented hazard + twin

@@ -326,9 +326,15 @@ class Round24Spec extends SparkSpec {
     Seq(None, None, None).asInstanceOf[Seq[Option[Long]]].toDF("k")
       .coalesce(1).write.mode("append").parquet(s"$lake/data")
     CompatIo.bloomIndexWrite(spark, s"$lake/data", s"$lake/idx", "k")
-    // the NULL-only file sets zero bits → exactly one file in the index
+    // the NULL-only file sets zero REAL bits — it appears only via its
+    // bitpos = -1 indexed-file sentinel (round-13 ADVICE fix: `known`
+    // is explicit, so the file never re-scans on append), and probe
+    // positions are >= 0 so the sentinel can never qualify it
     assert(spark.read.parquet(s"$lake/idx")
+      .filter(org.apache.spark.sql.functions.col("bitpos") >= 0)
       .select("file").distinct().count() === 1L)
+    assert(spark.read.parquet(s"$lake/idx")
+      .select("file").distinct().count() === 2L)
     // and no probe ever opens it
     assert(CompatIo.bloomPlannedFiles(spark, s"$lake/idx", 1L).size === 1)
     assert(CompatIo.readWithBloomSkipping(spark, s"$lake/data",
