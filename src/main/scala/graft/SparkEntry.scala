@@ -331,6 +331,15 @@ object SparkEntry {
       graft.streaming.EventsStream.cmsMaintain(
         s, dir, scratchDir("cmsstage"), scratchDir("cmsmaintart"))),
 
+    // streaming-maintained HISTOGRAM (round-13, closing the mergeable-
+    // sketch maintainer matrix): each foreachBatch full-outer-sums its
+    // sparse (type, bucket) counters into the versioned artifact;
+    // final state serves the SAME quantile audit as rel_hist_artifact
+    // (count linearity ⇒ one oracle, two maintenance plans)
+    "stream_hist_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.histMaintain(
+        s, dir, scratchDir("histstage"), scratchDir("histmaintart"))),
+
     // streaming materialized view: 3-batch replay, each batch merges
     // its daily partials into a versioned rollup artifact; final
     // artifact == the one-shot batch recompute (see
@@ -820,6 +829,15 @@ object SparkEntry {
     "text_lr_multiclass" -> ((s, dir) =>
       Classify.lrMulticlass(docs(s, dir), classes = LrClasses,
         steps = LrSteps, lr = LrRate)),
+    // RELIABILITY report (round-13): the calibration-curve table of
+    // the trained scores — per probability bin, mean predicted p vs
+    // empirical positive rate; the check a pipeline runs before using
+    // p as a keep-probability. One bins-sized keyed agg over the
+    // scored corpus (the documented multi-job-gate class: the 3-step
+    // GD train runs in-plan like text_lr_train)
+    "text_lr_calibration" -> ((s, dir) =>
+      Classify.lrCalibration(docs(s, dir), steps = LrSteps,
+        lr = LrRate)),
     // ...and the streaming quality-filter ingest: train + persist once,
     // each document micro-batch scores from the stored weights — the
     // per-batch union ≡ one-shot batch scoring (per-row purity), so it
@@ -828,6 +846,14 @@ object SparkEntry {
       graft.streaming.EventsStream.lrScoreIngest(
         s, dir, scratchDir("lrsstage"), scratchDir("lrsart"),
         scratchDir("lrsres"), LrSteps, LrRate)),
+    // streaming DSIR target-scoring ingest (round-13): bucket-LM
+    // table derived once in batch, each document micro-batch scores
+    // from the frozen store — per-row purity makes the per-batch
+    // union ≡ one-shot batch scoring (samp_dsir's CTEs minus top-k)
+    "stream_dsir_score" -> ((s, dir) =>
+      graft.streaming.EventsStream.dsirScoreIngest(
+        s, dir, scratchDir("dsirstage"), scratchDir("dsirart"),
+        scratchDir("dsirres"))),
     // per-class precision/recall/F1 report of the NB classifier
     // against the true labels (exact-integer F1 identity)
     "text_nb_eval" -> ((s, dir) => Classify.nbEval(docs(s, dir))),
@@ -1236,6 +1262,19 @@ object SparkEntry {
     // bit-replayable) — 3 unrolled rounds
     "rel_hits" -> ((s, dir) =>
       Graph.hits(tbl(s, dir, "orders"), tbl(s, dir, "lineitem"))),
+    // deterministic random-walk corpus (round-13; DeepWalk sequence
+    // generation): every node walks 4 hops, hop s of walk `start`
+    // takes the neighbor at dst-sorted rank md5(start,s) mod outdeg —
+    // per hop TWO node-keyed joins (rank derived BEFORE touching the
+    // adjacency, so the join never fans out by degree)
+    "rel_random_walk" -> ((s, dir) =>
+      Graph.randomWalks(tbl(s, dir, "orders"), tbl(s, dir, "lineitem"))),
+    // ...and the skip-gram (center, context) pair materialization off
+    // the same walks — the word2vec-input step; walk-keyed self-join,
+    // fan-out bounded by the ±2 window GEOMETRY
+    "rel_walk_skipgram" -> ((s, dir) =>
+      Graph.walkSkipGrams(tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     // run-to-convergence PageRank (round-7 verdict #5): relative-
     // residual stop (Δ ≤ Δ1 div 3, cap 12 — 8 rounds at every test
     // SF), rounds_executed in the output, twin unrolls + early-exits
@@ -1612,6 +1651,13 @@ object SparkEntry {
       Sampling.weightedCapPerStratum(docs(s, dir), 10,
           org.apache.spark.sql.functions.greatest(col("n_chars"), lit(1L)))
         .select("doc_id", "source", "n_chars")),
+    // DSIR importance selection (round-13; Xie et al. 2023): hashed
+    // unigram+bigram bucket LMs over the corpus vs its en target
+    // slice, add-one smoothing, per-bucket log-ratios floored ONCE to
+    // the 1e-9 grid — every per-doc weight is then an exact BIGINT
+    // sum, and the 200-doc selection is a pure top-k race
+    // (TakeOrderedAndProject), ties pinned doc_id asc
+    "samp_dsir" -> ((s, dir) => Sampling.dsirSelect(docs(s, dir))),
     // deterministic global shuffle into 8 shards (training-order write)
     "samp_shard" -> ((s, dir) => Sampling.shardAssign(docs(s, dir), 8)),
     "samp_split" -> ((s, dir) =>
@@ -2132,6 +2178,44 @@ object SparkEntry {
        |  WHERE d <= (SELECT d FROM dl WHERE k = 1) // $residualDiv
        |)
        |$picks""".stripMargin
+  }
+
+  /** Shared random-walk CTE chain (rank-indexed adjacency, degree
+    * table, hop frames w1..w`steps`, and the `walks` union) for
+    * rel_random_walk and rel_walk_skipgram — identical md5 stream per
+    * walk, identical dst-sorted rank. */
+  private def walkSqlCtes(steps: Int): String = {
+    def hop(i: Int) =
+      s"""w$i AS (
+         |  SELECT p.start, a.dst AS node
+         |  FROM w${i - 1} p
+         |  JOIN deg d ON p.node = d.src
+         |  JOIN adj a ON a.src = p.node AND a.rk =
+         |    ('0x' || substr(md5('graft-walk' || '|' ||
+         |      CAST(p.start AS VARCHAR) || '|$i'), 1, 8))::BIGINT
+         |      % d.odeg + 1
+         |)""".stripMargin
+    val ss = 1 to steps
+    s"""e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), e AS (
+       |  SELECT c AS src, s AS dst FROM e0
+       |  UNION ALL SELECT s AS src, c AS dst FROM e0
+       |), adj AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+       |  FROM e
+       |), deg AS (
+       |  SELECT src, count(*) AS odeg FROM e GROUP BY 1
+       |), w0 AS (
+       |  SELECT src AS start, src AS node FROM deg
+       |), ${ss.map(hop).mkString(", ")}, walks AS (
+       |  SELECT start, CAST(0 AS INTEGER) AS step, node FROM w0
+       |${ss.map(i =>
+           s"  UNION ALL SELECT start, CAST($i AS INTEGER) AS step, " +
+             s"node FROM w$i").mkString("\n")}
+       |)""".stripMargin
   }
 
   private def PageRankSql(iters: Int): String = {
@@ -3842,6 +3926,78 @@ object SparkEntry {
     * and foreachBatch-maintained sketches are the same dense rebuild):
     * identical md5-salted bucket derivation over the full table,
     * min-over-depths point estimates for the top-20 users. */
+  /** DSIR replay CTEs shared by `samp_dsir` (top-k selection) and
+    * `stream_dsir_score` (score everything): identical tokenize →
+    * hashed unigram+bigram buckets, ONE-pass (raw, target) bucket
+    * counts, each bucket's log-ratio = four ln() calls on
+    * exactly-representable doubles floored ONCE to the 1e-9 grid
+    * (the samp_weighted_k device). */
+  private val dsirSqlCtes: String =
+    """n AS (
+      |  SELECT doc_id, lang,
+      |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))
+      |      AS norm
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(norm, ' '), x -> x <> '') AS t
+      |  FROM n
+      |), uni AS (
+      |  SELECT doc_id, lang, unnest(t) AS f FROM tk
+      |), bi AS (
+      |  SELECT doc_id, lang, unnest(list_transform(
+      |    generate_series(1, len(t) - 1),
+      |    i -> t[i] || '_' || t[i + 1])) AS f
+      |  FROM tk WHERE len(t) >= 2
+      |), feats AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('graft-dsir' || '|' || f), 1, 8))::BIGINT
+      |      % 256 AS b
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+      |), cnt AS (
+      |  SELECT b, count(*) AS rc,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+      |  FROM feats GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM cnt
+      |), lr AS (
+      |  SELECT b, CAST(floor((ln(CAST(tc + 1 AS DOUBLE))
+      |      - ln(CAST(rc + 1 AS DOUBLE))
+      |      + ln(CAST(rtot + 256 AS DOUBLE))
+      |      - ln(CAST(ttot + 256 AS DOUBLE)))
+      |      * 1000000000.0) AS BIGINT) AS lr
+      |  FROM cnt CROSS JOIN tot
+      |)""".stripMargin
+
+  /** Histogram-artifact replay shared by `rel_hist_artifact` and
+    * `stream_hist_maintain`: same power-of-two bucket floor, full
+    * rebuild (count linearity), cumulative window over ≤128 rows per
+    * type, exact integer cross-multiplied rank comparison. */
+  private val histAuditSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    least(CAST(floor(value / 8.0) AS BIGINT), 127) AS bucket,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), t AS (
+      |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+      |  FROM h GROUP BY 1
+      |), c AS (
+      |  SELECT event_type, bucket,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type
+      |      ORDER BY bucket) AS BIGINT) AS cum
+      |  FROM h
+      |), ps AS (
+      |  SELECT CAST(p AS DOUBLE) AS p, num, den
+      |  FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+      |    v(p, num, den)
+      |)
+      |SELECT c.event_type, ps.p, min(c.bucket) AS bucket,
+      |  CAST((min(c.bucket) + 1) * 8.0 AS DOUBLE) AS est_upper
+      |FROM c JOIN t USING (event_type) CROSS JOIN ps
+      |WHERE c.cum * ps.den >= t.total * ps.num
+      |GROUP BY 1, 2""".stripMargin
+
   private val cmsAuditSql: String =
     """WITH probes AS (
       |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n_exact
@@ -4614,30 +4770,11 @@ object SparkEntry {
     // Histogram-artifact replay: same power-of-two bucket floor, full
     // rebuild (count linearity), cumulative window over ≤128 rows per
     // type, exact integer cross-multiplied rank comparison
-    "rel_hist_artifact" ->
-      """WITH h AS (
-        |  SELECT event_type,
-        |    least(CAST(floor(value / 8.0) AS BIGINT), 127) AS bucket,
-        |    count(*) AS cnt
-        |  FROM events GROUP BY 1, 2
-        |), t AS (
-        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
-        |  FROM h GROUP BY 1
-        |), c AS (
-        |  SELECT event_type, bucket,
-        |    CAST(sum(cnt) OVER (PARTITION BY event_type
-        |      ORDER BY bucket) AS BIGINT) AS cum
-        |  FROM h
-        |), ps AS (
-        |  SELECT CAST(p AS DOUBLE) AS p, num, den
-        |  FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
-        |    v(p, num, den)
-        |)
-        |SELECT c.event_type, ps.p, min(c.bucket) AS bucket,
-        |  CAST((min(c.bucket) + 1) * 8.0 AS DOUBLE) AS est_upper
-        |FROM c JOIN t USING (event_type) CROSS JOIN ps
-        |WHERE c.cum * ps.den >= t.total * ps.num
-        |GROUP BY 1, 2""".stripMargin,
+    "rel_hist_artifact" -> histAuditSql,
+    // ...and the streaming-maintained histogram: the same count
+    // linearity, the same audit — ONE oracle, batch-merge and
+    // foreachBatch as two maintenance plans (the cmsAuditSql pattern)
+    "stream_hist_maintain" -> histAuditSql,
 
     // CMS-artifact replay: identical md5-salted bucket derivation,
     // dense rebuild over the FULL table (counters sum linearly, so
@@ -6188,6 +6325,20 @@ object SparkEntry {
         |  FROM documents WHERE doc_id IS NOT NULL
         |  ORDER BY ekey ASC, doc_id ASC LIMIT 137
         |)""".stripMargin,
+
+    // DSIR replay: identical tokenize → hashed unigram+bigram buckets,
+    // the same ONE-pass (raw, target) bucket counts, each bucket's
+    // log-ratio = four ln() calls on exactly-representable doubles
+    // floored ONCE to the 1e-9 grid (the samp_weighted_k device), then
+    // exact BIGINT per-doc sums and the top-200 race
+    "samp_dsir" ->
+      s"""WITH $dsirSqlCtes
+         |SELECT doc_id, n_feats, logw_q FROM (
+         |  SELECT f.doc_id, count(*) AS n_feats,
+         |    CAST(sum(l.lr) AS BIGINT) AS logw_q
+         |  FROM feats f JOIN lr l USING (b) GROUP BY 1
+         |  ORDER BY logw_q DESC, doc_id ASC LIMIT 200
+         |)""".stripMargin,
 
     // weighted per-stratum cap: the same race clock ranked WITHIN each
     // source via QUALIFY
@@ -7759,6 +7910,13 @@ object SparkEntry {
     // keeps the per-doc score surface hash-pinned after the round-13
     // documented-merge of text_lr_score into the pipeline gate
     "stream_lr_score" -> textLrScoreSql,
+    // streaming DSIR scoring: the samp_dsir CTEs with NO selection —
+    // every doc with features, scored against the same bucket LMs
+    "stream_dsir_score" ->
+      s"""WITH $dsirSqlCtes
+         |SELECT f.doc_id, count(*) AS n_feats,
+         |  CAST(sum(l.lr) AS BIGINT) AS logw_q
+         |FROM feats f JOIN lr l USING (b) GROUP BY 1""".stripMargin,
     // COMPOSED pipeline twin: the shared training CTEs + served
     // scores, then the confusion rollup and the rank-sum AUC joined
     // into ONE row. The AUC tail is a single ungrouped aggregation
@@ -7818,6 +7976,32 @@ object SparkEntry {
          |SELECT ev.n, ev.tp, ev.tn, ev.fp, ev.fn, ev.accuracy,
          |  auca.pos_cnt, auca.neg_cnt, auca.auc
          |FROM ev, auca""".stripMargin,
+
+    // CALIBRATION twin: the shared score CTE bucketed on the
+    // 1e-6-gridded p both engines already agree on; counts exact
+    // BIGINT, the p sum an exact DECIMAL over grid points, each ratio
+    // ONE IEEE division floored back to the 1e-6 grid
+    "text_lr_calibration" ->
+      s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
+         |  FROM f JOIN w$LrSteps w USING (j) GROUP BY f.doc_id
+         |), sc AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    floor((0.5 * (1 + m.m / (1 + abs(m.m)))) * 1000000 + 0.5)
+         |      / 1000000 AS p
+         |  FROM documents d JOIN mf m USING (doc_id)
+         |)
+         |SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bucket,
+         |  count(*) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  floor(CAST(sum(CAST(p AS DECIMAL(20,6))) AS DOUBLE)
+         |    / count(*) * 1000000 + 0.5) / 1000000 AS mean_p,
+         |  floor(CAST(sum(y) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         |    / 1000000 AS frac_pos
+         |FROM sc GROUP BY 1""".stripMargin,
 
     // MULTICLASS twin: the one-vs-rest training replays per class —
     // the class axis rides the CTE keys exactly as it rides the
@@ -8127,6 +8311,20 @@ object SparkEntry {
     // Spark's `div` bit-identically (positive operands: both truncate)
     "rel_pagerank" -> PageRankSql(3),
     "rel_hits" -> HitsSql(3),
+    // random-walk twin: rank-indexed adjacency + degree-derived hop
+    // choice, 4 unrolled hop CTEs — identical md5 stream per walk,
+    // identical dst-sorted rank, so the corpus replays bit-exactly
+    "rel_random_walk" ->
+      s"""WITH ${walkSqlCtes(4)}
+         |SELECT start, step, node FROM walks""".stripMargin,
+    // ...and the skip-gram pair materialization off the same walks:
+    // walk-keyed self-join, |offset| <= 2, offset <> 0
+    "rel_walk_skipgram" ->
+      s"""WITH ${walkSqlCtes(4)}
+         |SELECT a.start, a.step, a.node AS center, b.node AS context,
+         |  b.step - a.step AS "offset"
+         |FROM walks a JOIN walks b ON a.start = b.start
+         |WHERE b.step <> a.step AND abs(b.step - a.step) <= 2""".stripMargin,
     "rel_pagerank_converged" -> PageRankConvergedSql(3, 12),
     "rel_ppr" -> PprSql(3),
     "rel_bfs_hops" -> BfsHopsSql(3),

@@ -404,6 +404,38 @@ object Classify {
       .select(col("n"), col("tp"), col("tn"), col("fp"), col("fn"),
         round2((col("tp") + col("tn")) / col("n")).as("accuracy"))
 
+  /** RELIABILITY (calibration) report of [[lrScore]] — the third eval
+    * surface beside the confusion summary ([[lrEval]]) and the ranking
+    * AUC ([[lrAuc]]): scores bucketed into ten fixed-width probability
+    * bins; per non-empty bin the exact count, positive count, mean
+    * predicted p, and the empirical positive rate. Reading `mean_p` vs
+    * `frac_pos` per bin IS the calibration curve — the check a
+    * pipeline runs before treating a quality-classifier score as a
+    * keep-probability (e.g. for [[graft.operators.Sampling
+    * .weightedSample]] ∝ p), where mis-calibration silently reweights
+    * the corpus. Numeric determinism: the bin floor runs on the
+    * 1e-6-gridded p both engines already share (same device as
+    * [[lrScore]]'s `pred`); counts are exact BIGINTs, the p sum is an
+    * exact DECIMAL over grid points, and each emitted ratio is ONE
+    * IEEE division floored back to the 1e-6 grid (the [[lrAuc]]
+    * discipline). Scale: one bins-sized keyed aggregation over the
+    * scored corpus — nothing wider than (bucket) shuffles.
+    * Output: (bucket 0-9, n, n_pos, mean_p, frac_pos). */
+  def lrCalibration(docs: DataFrame, dims: Int = 64, steps: Int = 3,
+                    lr: Double = 1.0): DataFrame =
+    lrScore(docs, dims, steps, lr)
+      .select(least(floor(col("p") * 10), lit(9L)).cast("long")
+          .as("bucket"),
+        col("p"), col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p").cast("decimal(20,6)")).as("psum"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (floor(col("psum").cast("double") / col("n") * 1000000
+          + lit(0.5)) / 1000000).as("mean_p"),
+        (floor(col("n_pos").cast("double") / col("n") * 1000000
+          + lit(0.5)) / 1000000).as("frac_pos"))
+
   // --------------------------------------------------------------
   // MULTICLASS linear classifier — one-vs-rest over [[lrWeights]]'s
   // GD machinery, VECTORIZED: the class axis rides in the aggregation

@@ -1230,4 +1230,80 @@ object Graph {
         .otherwise(lit("supplier")).as("node_type"),
       expr("node div 2").as("key"), col("dist"))
   }
+
+  /** Deterministic RANDOM-WALK corpus over the purchase graph — the
+    * sequence-generation step of DeepWalk/node2vec-style graph
+    * embedding (Perozzi et al. 2014): every node starts one walk of
+    * `steps` hops, and the walk corpus (start, step, node) is what a
+    * skip-gram trainer consumes as "sentences". The walk is
+    * derandomized the way every sampler here is: hop `s` of the walk
+    * started at `start` takes the neighbor whose dst-sorted adjacency
+    * rank is `md5-uniform(start, s) mod outdeg + 1` — each walk owns
+    * an independent hash stream, so the corpus is a pure function of
+    * the graph and replays bit-identically in the twin.
+    *
+    * Scale posture: each hop is TWO node-keyed equi-joins — frontier ⋈
+    * degree (|V| rows out) to derive the chosen rank, then (node, rank)
+    * ⋈ the rank-indexed adjacency (|V| rows out, NOT |E|: the rank is
+    * derived BEFORE touching the adjacency, so the join never fans out
+    * by degree). The adjacency rank is a per-src window (bounded by
+    * max degree) built once; per-hop frontiers are |V|-sized and
+    * persisted so the step-union replays nothing. A 1000-executor
+    * 100 TB walk generation is exactly this plan with more partitions.
+    * Output: (start, step, node) — step 0 is the start itself. */
+  def randomWalks(orders: DataFrame, lineitem: DataFrame,
+                  steps: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = purchaseEdges(orders, lineitem).persist()
+    val adj = edges
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("src").orderBy("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    var cur = deg.select(col("src").as("start"), col("src").as("node"))
+      .persist()
+    val frames = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("start"), lit(0).as("step"), col("node")))
+    for (s <- 1 to steps) {
+      // rank first (node-keyed join against the degree table), THEN
+      // one (src, rk) lookup into the adjacency — never a fan-out
+      val ranked = cur
+        .join(deg, cur("node") === deg("src"))
+        .select(col("start"), col("node"),
+          (Sampling.hashValue(
+            concat(col("start").cast("string"), lit("|"), lit(s.toString)),
+            "graft-walk") % col("odeg") + 1).as("_rk"))
+      cur = ranked
+        .join(adj, ranked("node") === adj("src")
+          && ranked("_rk") === adj("rk"))
+        .select(col("start"), col("dst").as("node"))
+        .persist()
+      frames += cur.select(col("start"), lit(s).as("step"), col("node"))
+    }
+    frames.reduce(_ unionAll _)
+  }
+
+  /** Skip-gram pair extraction over the [[randomWalks]] corpus — the
+    * step that turns walk "sentences" into the (center, context)
+    * training pairs a word2vec-style embedding trainer consumes
+    * (DeepWalk's co-occurrence materialization): for every walk
+    * position, every other position within ±`window` steps. One
+    * walk-keyed self equi-join (each walk is `steps`+1 rows, so the
+    * fan-out is the fixed ≤ 2·window factor — bounded by GEOMETRY,
+    * not by degree or data volume); the window predicate rides the
+    * join as a residual filter.
+    * Output: (start, step, center, context, offset ∈ [−w, w] \ {0}). */
+  def walkSkipGrams(orders: DataFrame, lineitem: DataFrame,
+                    steps: Int = 4, window: Int = 2): DataFrame = {
+    val walks = randomWalks(orders, lineitem, steps)
+    val a = walks.select(col("start"), col("step"),
+      col("node").as("center"))
+    val b = walks.select(col("start").as("bstart"),
+      col("step").as("bstep"), col("node").as("context"))
+    a.join(b, col("start") === col("bstart")
+        && col("bstep") =!= col("step")
+        && abs(col("bstep") - col("step")) <= window)
+      .select(col("start"), col("step"), col("center"), col("context"),
+        (col("bstep") - col("step")).as("offset"))
+  }
 }

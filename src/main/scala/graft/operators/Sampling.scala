@@ -1079,4 +1079,132 @@ object Sampling {
       .filter(col("_rn") <= col("_cap"))
       .drop("_rn", "_cap")
   }
+
+  /** Hashed-feature bucket count for DSIR — the one hash both engines
+    * derive the feature space from. */
+  val DsirBuckets = 256
+
+  /** DSIR-style importance SELECTION (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): pick the raw-corpus documents whose
+    * hashed-n-gram distribution looks most like a TARGET distribution,
+    * by per-document importance log-weight
+    * `log w(d) = Σ_features log( p_target(b) / p_raw(b) )`
+    * over a bag of hashed unigram+bigram features (the paper's hashed
+    * n-gram parameterization — two smoothed multinomials over
+    * [[DsirBuckets]] buckets, add-one smoothing). Here the target is
+    * the `targetLang` slice of the corpus itself (the quality-proxy
+    * choice a pipeline makes when it has a trusted subset rather than
+    * an external corpus) and selection is deterministic top-k by log
+    * weight — the τ→0 limit of the paper's Gumbel resampling, which is
+    * the variant an oracle can replay exactly.
+    *
+    * Numeric determinism: every count is an exact BIGINT; each
+    * bucket's log-ratio unfolds into FOUR `ln` calls on
+    * exactly-representable (< 2^53) doubles and is floored ONCE onto
+    * the 1e-9 grid (the samp_weighted_k device — a last-ulp ln()
+    * disagreement cannot reorder the race beyond the grid), so the
+    * per-document sum is again exact BIGINT arithmetic and the top-k
+    * race has no float path at all.
+    *
+    * Scale posture: one tokenize pass feeds (a) the bucket-count
+    * aggregation — ≤ [[DsirBuckets]] rows whatever the corpus size,
+    * with the target slice counted by a conditional sum in the SAME
+    * pass, no second scan — and (b) the per-doc score, a broadcast
+    * join against the bucket-sized log-ratio table + one keyed sum;
+    * the final top-k is TakeOrderedAndProject. No shuffle touches
+    * anything wider than (doc_id, bucket). Documents with no features
+    * (empty after normalization) have no weight and cannot be
+    * selected.
+    * Output: (doc_id, n_feats, logw_q) — logw_q in 1e-9 log units —
+    * the k highest-weight docs, ties pinned doc_id asc. */
+  /** The hashed feature bag both DSIR halves share: one (doc, lang,
+    * bucket) row per unigram AND per adjacent bigram of the normalized
+    * text — the paper's hashed n-gram parameterization. */
+  private def dsirFeats(docs: DataFrame, idCol: String,
+                        textCol: String, langCol: String): DataFrame = {
+    val t = filter(split(TextStats.normalized(col(textCol)), " "),
+      x => x =!= "")
+    val bi = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit("_"), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(concat(t, bi)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        (hashValue(col("f"), "graft-dsir") % DsirBuckets).as("b"))
+  }
+
+  /** The ≤[[DsirBuckets]]-row gridded log-ratio table off a feature
+    * bag: raw + target bucket counts in ONE keyed pass (target slice
+    * via conditional sum — no second scan), add-one smoothing, each
+    * ratio = four ln() calls on exactly-representable doubles floored
+    * ONCE to the 1e-9 grid. `cnt` is persisted (two consumers: the
+    * totals row and the ratio projection) — bucket-sized, drained by
+    * Housekeeping.release. */
+  private def dsirLogRatiosOn(feats: DataFrame,
+                              targetLang: String): DataFrame = {
+    val dims = DsirBuckets
+    val cnt = feats.groupBy("b")
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L))
+          .as("tc"))
+      .persist()
+    val tot = cnt.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor((log(col("tc") + 1) - log(col("rc") + 1)
+          + log(col("rtot") + dims) - log(col("ttot") + dims))
+          * 1e9).cast("long").as("lr"))
+  }
+
+  /** Per-doc importance log-weights off a feature bag and a (b, lr)
+    * table: one broadcast join + one keyed BIGINT sum. Documents with
+    * no features have no weight and emit no row. */
+  private def dsirScoreOn(feats: DataFrame, lr: DataFrame): DataFrame =
+    feats
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw_q"))
+
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+                 k: Int = 200, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 langCol: String = "lang"): DataFrame = {
+    // one tokenize pass; cached because the bucket-count aggregation
+    // and the per-doc scoring sum both consume it and the output plan
+    // depends on the cache (the cdcDedupRewrite convention —
+    // Housekeeping.release drains post-query)
+    val feats = dsirFeats(docs, idCol, textCol, langCol).persist()
+    dsirScoreOn(feats, dsirLogRatiosOn(feats, targetLang))
+      .orderBy(col("logw_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Persist the DSIR bucket log-ratio table as a parquet artifact —
+    * the train-once/serve-many split of [[dsirSelect]] (the
+    * lrArtifactWrite precedent): derive the target-vs-raw bucket LMs
+    * on the reference corpus ONCE, ship the ≤[[DsirBuckets]]-row
+    * table, and score any batch or stream against it without ever
+    * re-deriving the LMs. Gridded BIGINTs round-trip parquet exactly,
+    * so served scores are bit-identical to in-plan ones. */
+  def dsirIndexWrite(docs: DataFrame, dir: String,
+                     targetLang: String = "en",
+                     idCol: String = "doc_id", textCol: String = "text",
+                     langCol: String = "lang"): Unit =
+    dsirLogRatiosOn(dsirFeats(docs, idCol, textCol, langCol), targetLang)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Score documents against a persisted [[dsirIndexWrite]] table —
+    * the [[dsirScoreOn]] tail verbatim over the re-read
+    * broadcast-sized artifact: a stateless projection + broadcast
+    * join + keyed sum, so it composes into streaming foreachBatch
+    * unchanged (per-row purity under a frozen table).
+    * Output: (doc_id, n_feats, logw_q) for every doc with features. */
+  def dsirScoreFromIndex(docs: DataFrame, dir: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         langCol: String = "lang"): DataFrame =
+    dsirScoreOn(dsirFeats(docs, idCol, textCol, langCol),
+      docs.sparkSession.read.parquet(dir))
 }

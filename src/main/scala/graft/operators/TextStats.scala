@@ -1148,42 +1148,42 @@ object TextStats {
 
   /** The per-word merge application: char-split `word`, then replay
     * every trained merge in round order with the IDENTICAL
-    * leftmost-first non-overlapping fold the trainer used — so for any
-    * word the training corpus contained, this reproduces the stored
-    * vocabulary repr exactly (same deterministic process), and for an
-    * UNSEEN word it produces what the trainer would have produced had
-    * the word been present with frequency 0 (the real BPE apply
-    * semantics every shipped tokenizer implements). */
+    * leftmost-first non-overlapping semantics the trainer's fold used
+    * — so for any word the training corpus contained, this reproduces
+    * the stored vocabulary repr exactly (same deterministic process),
+    * and for an UNSEEN word it produces what the trainer would have
+    * produced had the word been present with frequency 0 (the real BPE
+    * apply semantics every shipped tokenizer implements). One native
+    * Catalyst Expression ([[graft.functions.BpeApplyMergesExpr]],
+    * round-13) instead of the former `rounds`-deep chain of
+    * `aggregate()` folds, whose ~20 nested lambdas cost ~3-4 s of
+    * SF-INDEPENDENT analysis/codegen per query — the round-12
+    * text_bpe_encode_oov bench floor. */
   private def applyMerges(word: Column,
                           merges: Seq[(String, String)]): Column =
-    merges.foldLeft(
-      array_join(filter(split(word, ""), x => x =!= ""), " ")) {
-      case (repr, (a, b)) =>
-        aggregate(split(repr, " "), lit(""), (acc, x) =>
-          when(acc === "", x)
-            .when(x === lit(b) &&
-              (acc === lit(a) || acc.endsWith(lit(" " + a))),
-              concat(acc.substr(lit(1), length(acc) - lit(a.length)),
-                lit(a + b)))
-            .otherwise(concat(acc, lit(" "), x)))
-    }
+    graft.functions.BpeExpressions.bpeApply(word,
+      typedLit(merges.map(p => Seq(p._1, p._2))))
 
   /** ENCODE ANY corpus — including words the tokenizer never saw —
     * from a persisted [[bpeArtifactWrite]] merge table: the stored
     * (round, a, b) rows are the tokenizer model (≤ 20 rows by the
     * trainer's cap — a bounded driver artifact, the codebook
-    * discipline) and unfold into a chain of `rounds` in-plan merge
-    * folds applied to every word. No vocabulary join at all: the
-    * encode is a pure stateless projection + one keyed count — works
-    * in streaming, needs no broadcast, and bills OOV words correctly
-    * instead of dropping them. This is the apply path a production
-    * pipeline runs on NEW data with a FROZEN tokenizer; the vocab-join
-    * form ([[bpeEncodeFromArtifact]]) is its in-vocab fast path (the
-    * spec pins their agreement on in-vocab corpora).
+    * discipline) and ride into ONE native merge-replay expression
+    * ([[graft.functions.BpeApplyMergesExpr]], round-13 — formerly a
+    * `rounds`-deep chain of aggregate() folds whose nested lambdas
+    * cost ~3-4 s of SF-independent analysis/codegen, the round-12
+    * bench floor) applied to every word. No vocabulary join at all:
+    * the encode is a pure stateless projection + one keyed count —
+    * works in streaming, needs no broadcast, and bills OOV words
+    * correctly instead of dropping them. This is the apply path a
+    * production pipeline runs on NEW data with a FROZEN tokenizer;
+    * the vocab-join form ([[bpeEncodeFromArtifact]]) is its in-vocab
+    * fast path (the spec pins their agreement on in-vocab corpora).
     * Output: (doc_id, n_words, n_bpe_tokens). */
   def bpeEncodeOov(docs: DataFrame, dir: String,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    graft.functions.BpeExpressions.register(docs.sparkSession)
     val merges = docs.sparkSession.read.parquet(s"$dir/merges")
       .orderBy("round").select("a", "b").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq

@@ -877,6 +877,77 @@ object EventsStream {
         (col("est") - col("n_exact")).as("overcount"))
   }
 
+  /** Streaming-maintained equi-width HISTOGRAM — the last member of
+    * the mergeable-sketch maintainer matrix (bloom = membership, CMS =
+    * point frequency, HLL = distinct, histogram = DISTRIBUTION):
+    * [[cmsMaintain]]'s batch_id-versioned foreachBatch cycle applied
+    * to [[graft.operators.Relational.histBuild]]. Each micro-batch
+    * builds its own sparse (event_type, bucket) counter frame and
+    * full-outer SUMS it into the previous version — counters are
+    * linear, so the maintained histogram is bit-identical to a
+    * from-scratch build over everything seen, and the final artifact
+    * serves the SAME quantile-estimate audit as `rel_hist_artifact`
+    * (one oracle, batch and streaming maintenance as two physical
+    * plans). State is ≤ types×128 rows whatever the stream volume —
+    * the per-batch merge cost is bounded by the GEOMETRY, so this is
+    * the shape that lets a continuous ingest keep p50/p90/p99 value
+    * monitors current without ever rescanning history. Replays
+    * idempotently: a retried batch re-reads v(N−1) and overwrites vN;
+    * v(N−2) is reaped.
+    * Output: (event_type, p, bucket, est_upper) — histQuantiles off
+    * the final version. */
+  def histMaintain(spark: SparkSession, dir: String, stageDir: String,
+                   artDir: String): DataFrame = {
+    import graft.operators.Relational
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    stageBatches(stageDir,
+      raw.filter(col("event_id") % 3 === 0),
+      raw.filter(col("event_id") % 3 === 1),
+      raw.filter(col("event_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        val delta = Relational.histBuild(batch)
+          .withColumnsRenamed(Map("cnt" -> "bcnt"))
+        val prevDir = new java.io.File(s"$artDir/v${batchId - 1}")
+        val merged =
+          if (!prevDir.isDirectory)
+            delta.select(col("event_type"), col("bucket"),
+              col("bcnt").as("cnt"))
+          else s2.read.parquet(prevDir.getPath)
+            .join(delta, Seq("event_type", "bucket"), "full_outer")
+            .select(col("event_type"), col("bucket"),
+              (coalesce(col("cnt"), lit(0L))
+                + coalesce(col("bcnt"), lit(0L))).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$artDir/v$batchId")
+        val stale = new java.io.File(s"$artDir/v${batchId - 2}")
+        if (stale.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val versions = Option(new java.io.File(artDir).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    Relational.histQuantiles(
+      spark.read.parquet(s"$artDir/v${versions.max}"))
+  }
+
   /** Streaming decontamination against the persisted benchmark index —
     * the index-once/filter-forever ingestion shape: the frozen
     * benchmark's decontamination artifact
@@ -1032,6 +1103,48 @@ object EventsStream {
     * shape: per batch one delta-sized feature build + a dims+1
     * broadcast join; the training corpus is never re-touched.
     * Output: (doc_id, y, p, pred) across all batches. */
+  /** Streaming DSIR scoring against the persisted bucket-LM table —
+    * the [[lrScoreIngest]] shape applied to importance weighting: the
+    * target-vs-raw log-ratio table is derived ONCE in batch
+    * ([[graft.operators.Sampling.dsirIndexWrite]] on the reference
+    * corpus), documents then arrive as micro-batches and each batch
+    * runs [[graft.operators.Sampling.dsirScoreFromIndex]] UNCHANGED
+    * inside foreachBatch (stateless tokenize + broadcast join + keyed
+    * sum — per-row purity under the frozen table makes the per-batch
+    * union ≡ one-shot batch scoring, which is exactly what the oracle
+    * replays). This is how a continuous-crawl pipeline target-scores
+    * pages as they land instead of re-deriving corpus LMs nightly.
+    * Output: (doc_id, n_feats, logw_q) for every streamed doc with
+    * features. */
+  def dsirScoreIngest(spark: SparkSession, dir: String, stageDir: String,
+                      artDir: String, resDir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = graft.Tables.load(spark, dir, "documents")
+    Sampling.dsirIndexWrite(d, artDir)
+    stageBatches(stageDir,
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 === 1),
+      d.filter(col("doc_id") % 3 === 2))
+    val schema = spark.read.parquet(s"$stageDir/b00.parquet").schema
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(stageDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sampling.dsirScoreFromIndex(batch, artDir)
+          .write.mode("overwrite").parquet(s"$resDir/b$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$resDir/b*")
+  }
+
   def lrScoreIngest(spark: SparkSession, dir: String, stageDir: String,
                     artDir: String, resDir: String, steps: Int,
                     lr: Double): DataFrame = {
