@@ -285,6 +285,12 @@ object SparkEntry {
     "stream_seasonal_maintain" -> ((s, dir) =>
       graft.streaming.EventsStream.seasonalMeanMaintain(
         s, dir, scratchDir("smfstage"), scratchDir("smfart"))),
+    // streaming-maintained conformal interval (round-13): the same
+    // daily-counter controller with the conformalFromDaily derivation
+    // — maintained uncertainty ≡ one-shot batch (shared twin)
+    "stream_conformal_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.conformalMaintain(
+        s, dir, scratchDir("cfstage"), scratchDir("cfart"))),
 
     // streaming-maintained fixed-size sample: each micro-batch merges
     // its own bottom-k sketch into the versioned artifact; the
@@ -1333,6 +1339,18 @@ object SparkEntry {
     // last 14 in-sample days — exact integer errors, one division
     "rel_forecast_eval" -> ((s, dir) =>
       Relational.seasonalBacktest(tbl(s, dir, "events"))),
+    // split-conformal interval for the seasonal-naive forecast
+    // (round-13): half-width q = the exact ⌈(n+1)(1−α)⌉-th smallest
+    // calibration residual (α = 0.1), coverage audited on the
+    // DISJOINT most-recent window — distribution-free uncertainty
+    // next to the point forecast, all-integer until one round2
+    "rel_forecast_conformal" -> ((s, dir) =>
+      Relational.conformalForecast(tbl(s, dir, "events"))),
+    // deterministic A/B read-out (round-13): salted-hash arm
+    // assignment + per-type Welch z on exact DECIMAL sums in one
+    // keyed pass; z floored to 1e-6, verdict on the unfloored |z|
+    "rel_ab_test" -> ((s, dir) =>
+      Relational.abTest(tbl(s, dir, "events"))),
     // weekly-seasonal MEAN forecast (verdict task 5): ŷ = mean of the
     // last 4 same-weekday counts (weekday = epoch-day mod 7, pure
     // integer arithmetic), exact integers until one round2 division
@@ -1658,6 +1676,11 @@ object SparkEntry {
     // sum, and the 200-doc selection is a pure top-k race
     // (TakeOrderedAndProject), ties pinned doc_id asc
     "samp_dsir" -> ((s, dir) => Sampling.dsirSelect(docs(s, dir))),
+    // ...and the paper's ACTUAL selection step: Gumbel-top-k
+    // resampling without replacement ∝ e^logw, run entirely in log
+    // domain (key = −ln(−ln u) + logw — no exp() anywhere), key
+    // floored once to the 1e-9 grid, ties doc_id asc
+    "samp_dsir_gumbel" -> ((s, dir) => Sampling.dsirResample(docs(s, dir))),
     // deterministic global shuffle into 8 shards (training-order write)
     "samp_shard" -> ((s, dir) => Sampling.shardAssign(docs(s, dir), 8)),
     "samp_split" -> ((s, dir) =>
@@ -3968,6 +3991,45 @@ object SparkEntry {
       |      * 1000000000.0) AS BIGINT) AS lr
       |  FROM cnt CROSS JOIN tot
       |)""".stripMargin
+
+  /** Split-conformal replay shared by `rel_forecast_conformal` and
+    * `stream_conformal_maintain`: identical residual construction over
+    * the two disjoint windows, the exact integer-ceil rank pick via
+    * row_number, the same coverage division. */
+  private lazy val conformalSql: String =
+    s"""WITH $forecastSpineCtes, preds AS (
+       |  SELECT event_type, day + 7 AS day, n AS yhat
+       |  FROM spine
+       |), scored AS (
+       |  SELECT s.event_type, s.day, b.d1,
+       |    abs(s.n - p.yhat) AS resid
+       |  FROM spine s CROSS JOIN bounds b
+       |  JOIN preds p USING (event_type, day)
+       |  WHERE s.day > b.d1 - 28
+       |), cal AS (
+       |  SELECT * FROM scored WHERE day <= d1 - 14
+       |), ncal AS (
+       |  SELECT event_type, count(*) AS n_cal,
+       |    least(count(*), ((count(*) + 1) * 9 + 9) // 10) AS k
+       |  FROM cal GROUP BY 1
+       |), ranked AS (
+       |  SELECT event_type, resid,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY resid ASC, day ASC) AS rn
+       |  FROM cal
+       |), q AS (
+       |  SELECT r.event_type, n.n_cal, r.resid AS q
+       |  FROM ranked r JOIN ncal n
+       |    ON r.event_type = n.event_type AND r.rn = n.k
+       |)
+       |SELECT s.event_type, q.n_cal, q.q, count(*) AS n_test,
+       |  CAST(sum(CASE WHEN s.resid <= q.q THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_covered,
+       |  floor(CAST(sum(CASE WHEN s.resid <= q.q THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS coverage
+       |FROM scored s JOIN q USING (event_type)
+       |WHERE s.day > s.d1 - 14
+       |GROUP BY 1, 2, 3""".stripMargin
 
   /** Histogram-artifact replay shared by `rel_hist_artifact` and
     * `stream_hist_maintain`: same power-of-two bucket floor, full
@@ -6340,6 +6402,26 @@ object SparkEntry {
          |  ORDER BY logw_q DESC, doc_id ASC LIMIT 200
          |)""".stripMargin,
 
+    // Gumbel-resampling twin: the same score CTE, the same log-domain
+    // race key (u strictly inside (0,1) via h + 0.5), gridded at 1e-9
+    "samp_dsir_gumbel" ->
+      s"""WITH $dsirSqlCtes, sc AS (
+         |  SELECT f.doc_id, count(*) AS n_feats,
+         |    CAST(sum(l.lr) AS BIGINT) AS logw_q
+         |  FROM feats f JOIN lr l USING (b) GROUP BY 1
+         |)
+         |SELECT doc_id, n_feats, logw_q, gkey_q FROM (
+         |  SELECT doc_id, n_feats, logw_q,
+         |    CAST(floor((-ln(-ln(
+         |        (('0x' || substr(md5('graft-dsir-g' || '|' ||
+         |          CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+         |          / 4294967296.0))
+         |      + CAST(logw_q AS DOUBLE) / 1000000000.0)
+         |      * 1000000000.0) AS BIGINT) AS gkey_q
+         |  FROM sc
+         |  ORDER BY gkey_q DESC, doc_id ASC LIMIT 200
+         |)""".stripMargin,
+
     // weighted per-stratum cap: the same race clock ranked WITHIN each
     // source via QUALIFY
     "samp_weighted_cap" ->
@@ -8535,6 +8617,61 @@ object SparkEntry {
          |    * 100 + 0.5) / 100 AS mae
          |FROM act a JOIN preds p USING (event_type, day)
          |GROUP BY a.event_type""".stripMargin,
+
+    // split-conformal twin: identical residual construction over the
+    // two disjoint windows, the exact integer-ceil rank pick via
+    // row_number, the same coverage division
+    "rel_forecast_conformal" -> conformalSql,
+    // maintained conformal ≡ one-shot batch (mergeable daily counts +
+    // pure derivation) — the same twin pins both
+    "stream_conformal_maintain" -> conformalSql,
+
+    // A/B twin: identical md5 arm assignment, the same one-pass
+    // conditional DECIMAL sums, the same IEEE mean/variance/z chain
+    "rel_ab_test" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN arm = 0
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS sv_a,
+        |    sum(CASE WHEN arm <> 0
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS sv_b,
+        |    sum(CASE WHEN arm = 0
+        |      THEN CAST(floor(value * value * 1000000000000 + 0.5)
+        |        / 1000000000000 AS DECIMAL(20,12)) END) AS sq_a,
+        |    sum(CASE WHEN arm <> 0
+        |      THEN CAST(floor(value * value * 1000000000000 + 0.5)
+        |        / 1000000000000 AS DECIMAL(20,12)) END) AS sq_b
+        |  FROM (
+        |    SELECT event_type, value,
+        |      ('0x' || substr(md5('graft-ab' || '|' ||
+        |        CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+        |    FROM events
+        |  )
+        |  GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST(sv_a AS DOUBLE) / n_a AS ma,
+        |    CAST(sv_b AS DOUBLE) / n_b AS mb,
+        |    (CAST(sq_a AS DOUBLE) - n_a * (CAST(sv_a AS DOUBLE) / n_a)
+        |      * (CAST(sv_a AS DOUBLE) / n_a))
+        |      / nullif(CAST(n_a - 1 AS DOUBLE), 0.0) AS va,
+        |    (CAST(sq_b AS DOUBLE) - n_b * (CAST(sv_b AS DOUBLE) / n_b)
+        |      * (CAST(sv_b AS DOUBLE) / n_b))
+        |      / nullif(CAST(n_b - 1 AS DOUBLE), 0.0) AS vb
+        |  FROM g
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  floor(ma * 1000000 + 0.5) / 1000000 AS mean_a,
+        |  floor(mb * 1000000 + 0.5) / 1000000 AS mean_b,
+        |  floor((ma - mb) / sqrt(va / n_a + vb / n_b) * 1000000 + 0.5)
+        |    / 1000000 AS z_q,
+        |  abs((ma - mb) / sqrt(va / n_a + vb / n_b)) >= 1.96
+        |    AS significant
+        |FROM m""".stripMargin,
 
     // weekly-seasonal MEAN twin: rank the spine per (type, weekday =
     // epoch-day mod 7) newest-first, average the top 4, serve each

@@ -1207,4 +1207,37 @@ object Sampling {
                          langCol: String = "lang"): DataFrame =
     dsirScoreOn(dsirFeats(docs, idCol, textCol, langCol),
       docs.sparkSession.read.parquet(dir))
+
+  /** DSIR GUMBEL RESAMPLING — the paper's actual selection step
+    * (sampling without replacement ∝ importance weight w = e^logw),
+    * derandomized: by the Gumbel-top-k identity, drawing k docs
+    * without replacement ∝ w is EXACTLY taking the top k of
+    * `g_d + logw_d` where g_d = −ln(−ln u_d) is a per-doc Gumbel from
+    * its own md5-uniform — so the whole race runs in LOG domain and
+    * never evaluates exp() at all (the [[weightedBottomK]] exponential
+    * race, shifted to Gumbel keys). [[dsirSelect]] is this operator's
+    * τ→0 limit; at τ = 1 the tail of the weight distribution gets
+    * proportional representation instead of hard truncation — the
+    * diversity/purity knob the paper tunes. The race key is floored
+    * ONCE onto the 1e-9 grid (a last-ulp ln() disagreement cannot
+    * reorder the race beyond the grid); grid ties pin doc_id asc.
+    * Still one tokenize pass + a bucket join + TakeOrderedAndProject.
+    * Output: (doc_id, n_feats, logw_q, gkey_q) — the k sampled docs. */
+  def dsirResample(docs: DataFrame, targetLang: String = "en",
+                   k: Int = 200, idCol: String = "doc_id",
+                   textCol: String = "text", langCol: String = "lang",
+                   salt: String = "graft-dsir-g"): DataFrame = {
+    val feats = dsirFeats(docs, idCol, textCol, langCol).persist()
+    // u strictly inside (0, 1): h + 0.5 can reach neither 0 nor 2^32,
+    // so −ln(−ln u) never hits ±∞ (u = 1 would — the (h+1)/2^32 form
+    // of the E-S race is benign there but NOT under a Gumbel)
+    val u = (hashValue(col("doc_id"), salt) + 0.5) / lit(HashRange)
+    val gumbel = -log(-log(u))
+    dsirScoreOn(feats, dsirLogRatiosOn(feats, targetLang))
+      .select(col("doc_id"), col("n_feats"), col("logw_q"),
+        floor((gumbel + col("logw_q") / 1e9) * 1e9).cast("long")
+          .as("gkey_q"))
+      .orderBy(col("gkey_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

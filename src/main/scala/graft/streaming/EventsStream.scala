@@ -1471,6 +1471,21 @@ object EventsStream {
     dailyDeriveMaintain(spark, dir, stageDir, artDir,
       graft.operators.Relational.seasonalMeanFromDaily(_))
 
+  /** Streaming-maintained CONFORMAL interval — the same controller
+    * with the [[graft.operators.Relational.conformalFromDaily]]
+    * derivation: the maintained state is the SAME (event_type,
+    * epoch-day) integer counter table, so the final maintained
+    * interval + coverage audit are bit-identical to the one-shot
+    * batch conformalForecast (shared twin). A live dashboard keeps
+    * its forecast UNCERTAINTY current the same way it keeps the
+    * point forecast current — one delta-sized agg per batch, the
+    * event history never rescanned.
+    * Output: (event_type, n_cal, q, n_test, n_covered, coverage). */
+  def conformalMaintain(spark: SparkSession, dir: String,
+                        stageDir: String, artDir: String): DataFrame =
+    dailyDeriveMaintain(spark, dir, stageDir, artDir,
+      graft.operators.Relational.conformalFromDaily(_))
+
   /** The shared daily-counter controller: per micro-batch, merge the
     * delta's (event_type, epoch-day) counts into the stored daily
     * table (exact integer sums — the mergeable state) and re-run the

@@ -161,6 +161,96 @@ class Round27Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("dsirResample: deterministic Gumbel race; the Gumbel noise " +
+    "(±~3 log units) cannot flip the huge target/non-target gap") {
+    val a = rows(Sampling.dsirResample(dsirCorpus, k = 45))
+    Housekeeping.release(spark)
+    val b = rows(Sampling.dsirResample(dsirCorpus, k = 45))
+    Housekeeping.release(spark)
+    assert(a === b)
+    val sel = Sampling.dsirResample(dsirCorpus, k = 45).collect()
+    assert(sel.length === 45)
+    val byId = sel.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("gkey_q")).toMap
+    assert(byId.contains(999L))
+    byId.collect { case (id, g) if id >= 100 && id < 140 => g }
+      .foreach(g => assert(byId(999L) > g))
+    Housekeeping.release(spark)
+  }
+
+  // --- Relational.conformalForecast ---
+
+  test("conformalForecast: a perfectly periodic stream gets q = 0 and " +
+    "coverage 1.0; real data obeys the structural bounds") {
+    // one event per day, one type, 42 days — seasonal-naive residuals
+    // are all zero, so the conformal half-width must be 0 and every
+    // test day is covered
+    val periodic = (0 until 42).map { d =>
+      (d.toLong, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(d.toLong * 86400 + 3600)),
+        1L, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.conformalForecast(periodic).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("q") === 0L)
+    assert(out.head.getAs[Double]("coverage") === 1.0)
+    assert(out.head.getAs[Long]("n_test") === 14L)
+    Housekeeping.release(spark)
+    val real = Relational.conformalForecast(
+      Tables.load(spark, "/root/testdata/sf0.001", "events")).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("q") >= 0L)
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test"))
+      val c = r.getAs[Double]("coverage")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("n_cal") > 0L)
+    }
+    Housekeeping.release(spark)
+  }
+
+  test("conformalMaintain: the 3-batch maintained interval equals the " +
+    "one-shot batch conformalForecast") {
+    val dir = "/root/testdata/sf0.001"
+    val maintained = graft.streaming.EventsStream.conformalMaintain(
+      spark, dir, scratch("cfstage"), scratch("cfart"))
+    val batch = Relational.conformalForecast(
+      Tables.load(spark, dir, "events"))
+    assert(rows(maintained) === rows(batch))
+    assert(rows(maintained).nonEmpty)
+    Housekeeping.release(spark)
+  }
+
+  // --- Relational.abTest ---
+
+  /** The engine's md5 arm assignment, replayed driver-side. */
+  private def armOf(uid: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"graft-ab|$uid".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % 2
+  }
+
+  test("abTest: a constructed treatment effect is detected with the " +
+    "right sign; arm counts partition the events") {
+    val rows0 = (1L to 300L).map { u =>
+      val v = if (armOf(u) == 0L) 10.0 + (u % 3) else 1.0 + (u % 3)
+      (u, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(u * 3600)),
+        u, "click", v, "{}")
+    }
+    val ev = rows0.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val out = Relational.abTest(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 300L)
+    assert(r.getAs[Double]("mean_a") > r.getAs[Double]("mean_b"))
+    assert(r.getAs[Double]("z_q") > 0.0)
+    assert(r.getAs[Boolean]("significant"))
+    Housekeeping.release(spark)
+  }
+
   // --- Sampling.dsirIndexWrite / dsirScoreFromIndex ---
 
   test("dsirScoreFromIndex: served scores are bit-identical to the " +
