@@ -1351,6 +1351,12 @@ object SparkEntry {
     // keyed pass; z floored to 1e-6, verdict on the unfloored |z|
     "rel_ab_test" -> ((s, dir) =>
       Relational.abTest(tbl(s, dir, "events"))),
+    // ...and its CUPED-adjusted form (round-13): each user's
+    // pre-cutoff activity regressed out of the post-period metric
+    // (θ = pooled cov/var on quant12+DECIMAL moment sums) before the
+    // same Welch z — the experimentation platform's variance knob
+    "rel_ab_cuped" -> ((s, dir) =>
+      Relational.abTestCuped(tbl(s, dir, "events"))),
     // weekly-seasonal MEAN forecast (verdict task 5): ŷ = mean of the
     // last 4 same-weekday counts (weekday = epoch-day mod 7, pure
     // integer arithmetic), exact integers until one round2 division
@@ -8665,6 +8671,81 @@ object SparkEntry {
         |  FROM g
         |)
         |SELECT event_type, n_a, n_b,
+        |  floor(ma * 1000000 + 0.5) / 1000000 AS mean_a,
+        |  floor(mb * 1000000 + 0.5) / 1000000 AS mean_b,
+        |  floor((ma - mb) / sqrt(va / n_a + vb / n_b) * 1000000 + 0.5)
+        |    / 1000000 AS z_q,
+        |  abs((ma - mb) / sqrt(va / n_a + vb / n_b)) >= 1.96
+        |    AS significant
+        |FROM m""".stripMargin,
+
+    // CUPED twin: identical per-(type, user) pre/post DECIMAL sums,
+    // the same quant12-floored moment products, the same pooled-theta
+    // and adjusted-metric IEEE chains
+    "rel_ab_cuped" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |    CAST(coalesce(sum(CASE WHEN epoch_us(ts) < 1706616000000000
+        |      THEN CAST(value AS DECIMAL(18,6)) END),
+        |      CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS x,
+        |    CAST(coalesce(sum(CASE WHEN NOT (epoch_us(ts) <
+        |        1706616000000000)
+        |      THEN CAST(value AS DECIMAL(18,6)) END),
+        |      CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS y,
+        |    (('0x' || substr(md5('graft-ab' || '|' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2) = 0 AS isA
+        |  FROM events GROUP BY 1, 2
+        |), mom AS (
+        |  SELECT event_type, count(*) AS nu,
+        |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx_d,
+        |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy_d,
+        |    CAST(sum(CAST(floor(x * y * 1000000000000 + 0.5)
+        |      / 1000000000000 AS DECIMAL(24,12))) AS DOUBLE) AS sxy_d,
+        |    CAST(sum(CAST(floor(x * x * 1000000000000 + 0.5)
+        |      / 1000000000000 AS DECIMAL(24,12))) AS DOUBLE) AS sxx_d
+        |  FROM pu GROUP BY 1
+        |), th AS (
+        |  SELECT event_type, nu, sx_d / nu AS xbar,
+        |    (sxy_d - nu * (sx_d / nu) * (sy_d / nu))
+        |      / nullif(sxx_d - nu * (sx_d / nu) * (sx_d / nu), 0.0)
+        |      AS theta
+        |  FROM mom
+        |), adj AS (
+        |  SELECT p.event_type, p.isA, t.theta,
+        |    floor((p.y - t.theta * (p.x - t.xbar)) * 1000000000000
+        |      + 0.5) / 1000000000000 AS ya
+        |  FROM pu p JOIN th t USING (event_type)
+        |), g AS (
+        |  SELECT event_type, max(theta) AS theta,
+        |    CAST(sum(CASE WHEN isA THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN NOT isA THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN isA THEN CAST(ya AS DECIMAL(20,12)) END)
+        |      AS sv_a,
+        |    sum(CASE WHEN NOT isA THEN CAST(ya AS DECIMAL(20,12)) END)
+        |      AS sv_b,
+        |    sum(CASE WHEN isA
+        |      THEN CAST(floor(ya * ya * 1000000000000 + 0.5)
+        |        / 1000000000000 AS DECIMAL(24,12)) END) AS sq_a,
+        |    sum(CASE WHEN NOT isA
+        |      THEN CAST(floor(ya * ya * 1000000000000 + 0.5)
+        |        / 1000000000000 AS DECIMAL(24,12)) END) AS sq_b
+        |  FROM adj GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, theta, n_a, n_b,
+        |    CAST(sv_a AS DOUBLE) / n_a AS ma,
+        |    CAST(sv_b AS DOUBLE) / n_b AS mb,
+        |    (CAST(sq_a AS DOUBLE) - n_a * (CAST(sv_a AS DOUBLE) / n_a)
+        |      * (CAST(sv_a AS DOUBLE) / n_a))
+        |      / nullif(CAST(n_a - 1 AS DOUBLE), 0.0) AS va,
+        |    (CAST(sq_b AS DOUBLE) - n_b * (CAST(sv_b AS DOUBLE) / n_b)
+        |      * (CAST(sv_b AS DOUBLE) / n_b))
+        |      / nullif(CAST(n_b - 1 AS DOUBLE), 0.0) AS vb
+        |  FROM g
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  floor(theta * 1000000 + 0.5) / 1000000 AS theta_q,
         |  floor(ma * 1000000 + 0.5) / 1000000 AS mean_a,
         |  floor(mb * 1000000 + 0.5) / 1000000 AS mean_b,
         |  floor((ma - mb) / sqrt(va / n_a + vb / n_b) * 1000000 + 0.5)

@@ -1199,6 +1199,103 @@ object Relational {
     * emit NULL z (nullif guards — no 0-division).
     * Output 1 row per type: (event_type, n_a, n_b, mean_a, mean_b,
     * z_q, significant). */
+  /** CUPED-adjusted A/B read-out (Deng et al. 2013 — the variance
+    * reduction every experimentation platform runs): each user's
+    * PRE-period activity predicts their post-period metric, so
+    * regressing it out (y′ = y − θ(x − x̄), θ = cov(x,y)/var(x) pooled
+    * across arms — pre-period data is arm-independent by construction,
+    * so the adjustment is unbiased) shrinks the variance the z-test
+    * divides by without touching the treatment effect. Pre/post split
+    * at the fixed `cutoffMicros` (the artifact-gate cutoff); the unit
+    * of analysis is the USER (per-user value sums), users with no
+    * pre-period activity carry x = 0 (the additive-zero convention —
+    * documented, not imputed).
+    *
+    * Determinism discipline: per-user x/y are exact DECIMAL(18,6)
+    * sums; every user-level product that feeds a Σ (x·y, x², y′, y′²)
+    * is quant12-floored then DECIMAL-summed (the [[abTest]] sumsq
+    * device — doubles never sum in data order); θ, x̄ and the final
+    * mean/variance/z chain are fixed IEEE sequences on identical
+    * doubles, emitted floored to the 1e-6 grid with the verdict on
+    * the unfloored |z|. Types with zero pre-period variance get NULL
+    * θ → NULL z (nullif — no adjustment is estimable).
+    *
+    * Scale: three keyed aggregations — (type, user) metric sums, the
+    * types-sized moment row (broadcast back), the types-sized arm
+    * read-out — plus one broadcast join; nothing wider than
+    * (type, user) ever shuffles.
+    * Output 1 row per type: (event_type, n_a, n_b, theta_q, mean_a,
+    * mean_b, z_q, significant). */
+  def abTestCuped(events: DataFrame,
+                  cutoffMicros: Long = 1706616000000000L): DataFrame = {
+    val arm = graft.operators.Sampling
+      .hashValue(col("user_id"), "graft-ab") % 2
+    val pre = expr(s"unix_micros(ts) < ${cutoffMicros}L")
+    // per-(type, user): exact pre/post value sums; arm rides along
+    val pu = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        coalesce(sum(when(pre, col("value").cast("decimal(18,6)"))),
+          lit(0).cast("decimal(18,6)")).as("x"),
+        coalesce(sum(when(!pre, col("value").cast("decimal(18,6)"))),
+          lit(0).cast("decimal(18,6)")).as("y"))
+      .select(col("event_type"), col("user_id"),
+        col("x").cast("double").as("x"),
+        col("y").cast("double").as("y"),
+        (arm === 0).as("isA"))
+    // pooled per-type moments for theta and the covariate mean
+    val mom = pu.groupBy("event_type")
+      .agg(count(lit(1)).as("nu"),
+        sum(col("x").cast("decimal(18,6)")).as("sx"),
+        sum(col("y").cast("decimal(18,6)")).as("sy"),
+        sum(graft.functions.Fns.quant12(col("x") * col("y"))
+          .cast("decimal(24,12)")).as("sxy"),
+        sum(graft.functions.Fns.quant12(col("x") * col("x"))
+          .cast("decimal(24,12)")).as("sxx"))
+      .select(col("event_type"), col("nu"),
+        (col("sx").cast("double") / col("nu")).as("xbar"),
+        ((col("sxy").cast("double")
+          - col("nu") * (col("sx").cast("double") / col("nu"))
+            * (col("sy").cast("double") / col("nu")))
+          / nullif(col("sxx").cast("double")
+            - col("nu") * (col("sx").cast("double") / col("nu"))
+              * (col("sx").cast("double") / col("nu")), lit(0.0)))
+          .as("theta"))
+    // per-user adjusted metric, quant12-floored before the arm sums
+    val adj = pu.join(broadcast(mom), Seq("event_type"))
+      .select(col("event_type"), col("isA"), col("theta"),
+        graft.functions.Fns.quant12(
+          col("y") - col("theta") * (col("x") - col("xbar"))).as("ya"))
+    val g = adj.groupBy("event_type")
+      .agg(max(col("theta")).as("theta"),
+        sum(when(col("isA"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("isA"), col("ya").cast("decimal(20,12)")))
+          .as("sv_a"),
+        sum(when(!col("isA"), col("ya").cast("decimal(20,12)")))
+          .as("sv_b"),
+        sum(when(col("isA"),
+          graft.functions.Fns.quant12(col("ya") * col("ya"))
+            .cast("decimal(24,12)"))).as("sq_a"),
+        sum(when(!col("isA"),
+          graft.functions.Fns.quant12(col("ya") * col("ya"))
+            .cast("decimal(24,12)"))).as("sq_b"))
+    val ma = col("sv_a").cast("double") / col("n_a")
+    val mb = col("sv_b").cast("double") / col("n_b")
+    val va = (col("sq_a").cast("double") - col("n_a") * ma * ma) /
+      nullif((col("n_a") - 1).cast("double"), lit(0.0))
+    val vb = (col("sq_b").cast("double") - col("n_b") * mb * mb) /
+      nullif((col("n_b") - 1).cast("double"), lit(0.0))
+    val z = (ma - mb) / sqrt(va / col("n_a") + vb / col("n_b"))
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+      (floor(col("theta") * 1000000 + lit(0.5)) / 1000000)
+        .as("theta_q"),
+      (floor(ma * 1000000 + lit(0.5)) / 1000000).as("mean_a"),
+      (floor(mb * 1000000 + lit(0.5)) / 1000000).as("mean_b"),
+      (floor(z * 1000000 + lit(0.5)) / 1000000).as("z_q"),
+      (abs(z) >= 1.96).as("significant"))
+  }
+
   def abTest(events: DataFrame): DataFrame = {
     val arm = graft.operators.Sampling
       .hashValue(col("user_id"), "graft-ab") % 2

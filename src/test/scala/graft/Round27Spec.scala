@@ -251,6 +251,39 @@ class Round27Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("abTestCuped: regressing out a predictive pre-period covariate " +
+    "recovers theta ~ 1 and sharpens the z of a true effect") {
+    // per user: one PRE event at the user's base level, one POST event
+    // at base + 3 if arm A — the base varies across users (noise the
+    // covariate fully explains), the effect is arm-only
+    val cutoffSec = 1706616000L
+    val rows0 = (1L to 200L).flatMap { u =>
+      val base = (u % 7).toDouble * 2.0
+      val eff = if (armOf(u) == 0L) 3.0 else 0.0
+      Seq(
+        (u * 2, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(cutoffSec - 86400)),
+          u, "click", base, "{}"),
+        (u * 2 + 1, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(cutoffSec + 86400)),
+          u, "click", base + eff, "{}"))
+    }
+    val ev = rows0.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val cuped = Relational.abTestCuped(ev).collect().head
+    val plain = Relational.abTest(
+      ev.filter(expr(s"unix_micros(ts) >= ${cutoffSec}000000"))
+    ).collect().head
+    assert(cuped.getAs[Long]("n_a") + cuped.getAs[Long]("n_b") === 200L)
+    val theta = cuped.getAs[Double]("theta_q")
+    assert(math.abs(theta - 1.0) < 0.2, s"theta $theta should be ~1")
+    assert(cuped.getAs[Boolean]("significant"))
+    assert(math.abs(cuped.getAs[Double]("z_q")) >
+      math.abs(plain.getAs[Double]("z_q")),
+      "CUPED must sharpen the z of a covariate-noised effect")
+    Housekeeping.release(spark)
+  }
+
   // --- Sampling.dsirIndexWrite / dsirScoreFromIndex ---
 
   test("dsirScoreFromIndex: served scores are bit-identical to the " +
