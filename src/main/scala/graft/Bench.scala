@@ -153,7 +153,9 @@ object Bench {
     // load_ratio 0.95 - BENCH_RUNS.jsonl 2026-08-17T00:57)
     "samp_dsir" -> 1.63, "samp_dsir_gumbel" -> 1.44, "rel_random_walk" -> 6.43, "rel_walk_skipgram" -> 8.09, "stream_hist_maintain" -> 1.92, "stream_dsir_score" -> 12.89, "text_lr_calibration" -> 5.39, "rel_forecast_conformal" -> 1.19, "rel_ab_test" -> 0.41, "stream_conformal_maintain" -> 5.18,
     // landing-day OneQuery steady stamp (runs 2-3: 1.80/1.38)
-    "rel_ab_cuped" -> 1.6)
+    "rel_ab_cuped" -> 1.6,
+    // landing-day OneQuery steady stamp (runs 2-3: 4.05/4.68)
+    "samp_dsir_external" -> 4.4)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

@@ -1682,6 +1682,17 @@ object SparkEntry {
     // sum, and the 200-doc selection is a pure top-k race
     // (TakeOrderedAndProject), ties pinned doc_id asc
     "samp_dsir" -> ((s, dir) => Sampling.dsirSelect(docs(s, dir))),
+    // ...against an EXTERNAL target corpus (the paper's real setup:
+    // target = a trusted reference, raw = the crawl): target LM from
+    // the src0 slice, scored set = everything else; the bucket
+    // tables full-outer merge, add-one smoothing covers either side's
+    // zeros
+    "samp_dsir_external" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirSelectAgainst(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"))
+    }),
     // ...and the paper's ACTUAL selection step: Gumbel-top-k
     // resampling without replacement ∝ e^logw, run entirely in log
     // domain (key = −ln(−ln u) + logw — no exp() anywhere), key
@@ -6407,6 +6418,58 @@ object SparkEntry {
          |  FROM feats f JOIN lr l USING (b) GROUP BY 1
          |  ORDER BY logw_q DESC, doc_id ASC LIMIT 200
          |)""".stripMargin,
+
+    // external-target twin: the same tokenize/bucket chain with the
+    // source axis, full-outer bucket merge, the same gridded ratio
+    "samp_dsir_external" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))
+        |      AS norm
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(norm, ' '), x -> x <> '') AS t
+        |  FROM n
+        |), uni AS (
+        |  SELECT doc_id, source, unnest(t) AS f FROM tk
+        |), bi AS (
+        |  SELECT doc_id, source, unnest(list_transform(
+        |    generate_series(1, len(t) - 1),
+        |    i -> t[i] || '_' || t[i + 1])) AS f
+        |  FROM tk WHERE len(t) >= 2
+        |), feats AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('graft-dsir' || '|' || f), 1, 8))::BIGINT
+        |      % 256 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+        |), rfeats AS (
+        |  SELECT doc_id, b FROM feats WHERE source <> 'src0'
+        |), rc AS (
+        |  SELECT b, count(*) AS rc FROM rfeats GROUP BY 1
+        |), tcc AS (
+        |  SELECT b, count(*) AS tc FROM feats
+        |  WHERE source = 'src0' GROUP BY 1
+        |), cnt AS (
+        |  SELECT coalesce(r.b, t.b) AS b,
+        |    coalesce(r.rc, 0) AS rc, coalesce(t.tc, 0) AS tc
+        |  FROM rc r FULL OUTER JOIN tcc t ON r.b = t.b
+        |), tot AS (
+        |  SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM cnt
+        |), lr AS (
+        |  SELECT b, CAST(floor((ln(CAST(tc + 1 AS DOUBLE))
+        |      - ln(CAST(rc + 1 AS DOUBLE))
+        |      + ln(CAST(rtot + 256 AS DOUBLE))
+        |      - ln(CAST(ttot + 256 AS DOUBLE)))
+        |      * 1000000000.0) AS BIGINT) AS lr
+        |  FROM cnt CROSS JOIN tot
+        |)
+        |SELECT doc_id, n_feats, logw_q FROM (
+        |  SELECT f.doc_id, count(*) AS n_feats,
+        |    CAST(sum(l.lr) AS BIGINT) AS logw_q
+        |  FROM rfeats f JOIN lr l USING (b) GROUP BY 1
+        |  ORDER BY logw_q DESC, doc_id ASC LIMIT 200
+        |)""".stripMargin,
 
     // Gumbel-resampling twin: the same score CTE, the same log-domain
     // race key (u strictly inside (0,1) via h + 0.5), gridded at 1e-9

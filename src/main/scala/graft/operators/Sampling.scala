@@ -1208,6 +1208,46 @@ object Sampling {
     dsirScoreOn(dsirFeats(docs, idCol, textCol, langCol),
       docs.sparkSession.read.parquet(dir))
 
+  /** DSIR against an EXTERNAL target corpus — the paper's actual
+    * setup (target = a trusted reference corpus, raw = the crawl;
+    * [[dsirSelect]]'s target-is-a-slice-of-the-corpus form is the
+    * degenerate case): the target LM counts come from a SEPARATE
+    * frame, so buckets can exist on either side only — the bucket
+    * tables full-outer merge and add-one smoothing covers the zeros
+    * (an unseen-in-target bucket scores log(1/(rc+1)) + C, the
+    * correct penalty). Scored set = the raw corpus only. Same grid
+    * discipline and scale posture as [[dsirSelect]]: two tokenize
+    * passes (one per corpus), bucket-bounded counts, broadcast
+    * log-ratio join, TakeOrderedAndProject top-k.
+    * Output: (doc_id, n_feats, logw_q) — raw-corpus doc ids. */
+  def dsirSelectAgainst(corpus: DataFrame, target: DataFrame,
+                        k: Int = 200, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        langCol: String = "lang"): DataFrame = {
+    val dims = DsirBuckets
+    // raw-side feats feed both the bucket counts and the scoring sum
+    // (the dsirSelect cache convention)
+    val rf = dsirFeats(corpus, idCol, textCol, langCol).persist()
+    val rc = rf.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tc = dsirFeats(target, idCol, textCol, langCol)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val cnt = rc.join(tc, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .persist()
+    val tot = cnt.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
+    val lr = cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor((log(col("tc") + 1) - log(col("rc") + 1)
+          + log(col("rtot") + dims) - log(col("ttot") + dims))
+          * 1e9).cast("long").as("lr"))
+    rf.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw_q"))
+      .orderBy(col("logw_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** DSIR GUMBEL RESAMPLING — the paper's actual selection step
     * (sampling without replacement ∝ importance weight w = e^logw),
     * derandomized: by the Gumbel-top-k identity, drawing k docs

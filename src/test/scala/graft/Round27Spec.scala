@@ -161,6 +161,31 @@ class Round27Spec extends SparkSpec {
     Housekeeping.release(spark)
   }
 
+  test("dsirSelectAgainst: scores only the raw corpus, prefers the " +
+    "target-vocabulary ringer, deterministic") {
+    val target = (0L until 40L).map(i =>
+      (i, "alpha beta gamma delta epsilon " * 4, "en"))
+      .toDF("doc_id", "text", "lang")
+    val raw = ((100L until 140L).map(i =>
+      (i, "uno dos tres cuatro cinco " * 4, "es"))
+      :+ ((999L, "alpha beta gamma delta epsilon " * 4, "de")))
+      .toDF("doc_id", "text", "lang")
+    val sel = Sampling.dsirSelectAgainst(raw, target, k = 41).collect()
+    assert(sel.length === 41)
+    val ids = sel.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(id => id >= 100), "only raw-corpus ids selected")
+    val byId = sel.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_q")).toMap
+    assert(byId.contains(999L))
+    byId.collect { case (id, s) if id < 999 => s }
+      .foreach(s => assert(byId(999L) > s))
+    Housekeeping.release(spark)
+    val again = rows(Sampling.dsirSelectAgainst(raw, target, k = 41))
+    assert(again === rows(
+      Sampling.dsirSelectAgainst(raw, target, k = 41)))
+    Housekeeping.release(spark)
+  }
+
   test("dsirResample: deterministic Gumbel race; the Gumbel noise " +
     "(±~3 log units) cannot flip the huge target/non-target gap") {
     val a = rows(Sampling.dsirResample(dsirCorpus, k = 45))
