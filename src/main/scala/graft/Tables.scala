@@ -25,8 +25,17 @@ object Tables {
     * multi-split 100 TB input the partition count already exceeds the
     * threshold and this is a no-op.
     */
-  private def spreadSmallScan(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
+  private def spreadSmallScan(s: SparkSession, df: DataFrame): DataFrame =
+    spread(df)
+
+  /** Re-spread a frame whose scan arrived under-partitioned (single
+    * staged file, single-row-group parquet) across the cores, so
+    * CPU-heavy per-row chains (tokenize, shingle, md5-sketch) do not
+    * serialize onto one task — measured r13: each stream_dsir_score
+    * micro-batch scored on ONE 3.3 s task before. No-op whenever the
+    * input already splits (any real multi-file table at scale). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(target / 2, 2))
       df.repartition(target)
     else df

@@ -626,8 +626,13 @@ object CompatIo {
                            data: DataFrame, files: Seq[String],
                            keyCol: String): DataFrame = {
     import spark.implicits._
-    data
-      .select(relFileKey(spark, dataDir).as("file"),
+    // project (file, key) FIRST — input_file_name() must bind to the
+    // scan — then re-spread: a one-file delta arrives as ONE partition
+    // and the K-fold md5 hashing below would serialize onto one task
+    // (r13; no-op on multi-split inputs — Tables.spread)
+    graft.Tables.spread(
+        data.select(relFileKey(spark, dataDir).as("file"), col(keyCol)))
+      .select(col("file"),
         explode(array((1 to BloomK).map(d =>
           bloomPos(col(keyCol), d)): _*)).as("bitpos"))
       .filter(col("bitpos").isNotNull)

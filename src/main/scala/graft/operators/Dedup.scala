@@ -237,9 +237,15 @@ object Dedup {
 
   def minHashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                  numPerm: Int = 128, bands: Int = 32): DataFrame = {
-    // consumed 4× (signatures, sizes, verify ×2) — materialize once
+    // consumed 4× (signatures, sizes, verify ×2) — materialize once.
+    // NOT eagerly warmed (unlike the Graph iteration caches, r13):
+    // measured on dedup_incremental/dedup_index_artifact, the eager
+    // cache-fill jobs cost more than the concurrent-consumer
+    // redundancy they prevent at these frame sizes.
     val sh = shingles(docs, n).persist()
-    val bandSigs = bandSignatures(sh, numPerm, bands)
+    // persist: the band self-join reads this twice; unpersisted it
+    // would run the MinHash aggregation once per side
+    val bandSigs = bandSignatures(sh, numPerm, bands).persist()
     val l = bandSigs.as("l")
     val r = bandSigs.as("r")
     val candidates = l.join(r,
@@ -273,7 +279,8 @@ object Dedup {
                          n: Int = 3, numPerm: Int = 128, bands: Int = 32,
                          deltaMod: Int = 5): DataFrame = {
     val isDelta = pmod(col("doc_id"), lit(deltaMod)) === 0
-    // shingles feed signatures + two verifies — materialize once
+    // shingles feed signatures + two verifies — materialize once (not
+    // eagerly: the minHashLsh measurement, r13)
     val sh = shingles(docs, n).persist()
     val bandSigs = bandSignatures(sh, numPerm, bands).persist()
     incrementalTail(docs.filter(isDelta).select(col("doc_id")), sh,
@@ -336,6 +343,13 @@ object Dedup {
     val sh = shingles(corpus, n).persist()
     sh.write.mode("overwrite").parquet(s"$dir/shingles")
     bandSignatures(sh, numPerm, bands)
+      // cluster by the partition column before the partitioned write:
+      // without it every upstream task opens a file in every band dir
+      // (≈ tasks × bands tiny files — measured r13: the band-index
+      // write dominated dedup_index_artifact at 11.3 s); AQE rebalance
+      // keeps file sizing scale-adaptive instead of pinning 1 file per
+      // band (guide §6)
+      .hint("rebalance", col("band"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/bands")
     sh.unpersist()
@@ -351,6 +365,7 @@ object Dedup {
     val sh = shingles(keptDelta, n).persist()
     sh.write.mode("append").parquet(s"$dir/shingles")
     bandSignatures(sh, numPerm, bands)
+      .hint("rebalance", col("band")) // see dedupIndexWrite (guide §6)
       .write.mode("append").partitionBy("band")
       .parquet(s"$dir/bands")
     sh.unpersist()

@@ -49,6 +49,16 @@ object Graph {
       .distinct()
     e0.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+      // every consumer joins/aggregates this table BY src, most of them
+      // once per iteration round: land it hash-partitioned AND sorted
+      // on src once, so the cached blocks satisfy the join/agg
+      // distribution and SMJ ordering and the per-round edge-side
+      // Exchange+Sort drop out of every round (guide §2.4 — measured
+      // r13: one 64-task 10.7 MB exchange per PageRank/LPA round
+      // before). Same rows, same results: exact-integer aggregates are
+      // order-independent.
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
   }
 
   /** The shared PageRank machinery: degree/teleport setup over the
@@ -84,6 +94,11 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .persist()
+    // materialize deg NOW — the one count populates BOTH caches (deg's
+    // plan scans the persisted edges), so the per-round broadcast
+    // subqueries (nAgg) and edge joins read warm blocks instead of
+    // re-deriving orders⋈lineitem concurrently per consumer (see warm)
+    warm(deg)
     // N stays in-plan (a 1-row broadcast), not a driver count(): the
     // teleport constant is derived where it is used
     val nAgg = deg.agg(count(lit(1)).as("n"))
@@ -107,6 +122,18 @@ object Graph {
       case _ => ()
     }
 
+  /** Force a persisted frame to materialize NOW (one cheap count).
+    * A lazily-persisted frame that several plan branches reference —
+    * broadcast-exchange subtrees, union arms, per-round joins — is
+    * otherwise recomputed FROM BASE TABLES by every concurrent consumer
+    * racing the cold cache (broadcast exchanges run on their own thread
+    * pool, so "one action evaluates a linear chain once" does not hold
+    * for them). Measured r13: rel_label_prop 23 s wall / 157 s summed
+    * job time, rel_modularity 18 s / 105 s before this + the per-round
+    * checkpoint discipline — the round-12 hits fix (109→5 s)
+    * generalized to the whole iterative family. */
+  private[graft] def warm(df: DataFrame): DataFrame = { df.count(); df }
+
   private def decodeNode(df: DataFrame, valueCols: Column*): DataFrame =
     df.select(
       (when(col("node") % 2 === 0, lit("customer"))
@@ -118,14 +145,16 @@ object Graph {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (twin unrolls them): $iters")
     val st = prSetup(orders, lineitem)
-    var ranks = st.init.persist()
+    // eager per-round checkpoints (the hits/pageRankConverged pattern,
+    // r13): the former lazy persist chain materialized only at the
+    // final action, so any broadcast-exchange subtree referencing a
+    // mid-chain frame (inMass's left-join side, nAgg) recomputed the
+    // whole chain from base tables on its own thread — O(rounds²)
+    // redundant work the single-action argument cannot see
+    var ranks = st.init.localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // unpersist the superseded frame as soon as its successor is
-      // marked — a linear chain is evaluated once, so only the LAST
-      // persist can ever be re-read; keeping all iterations cached was
-      // pure storage leak (round-7 verdict item 3)
-      val next = st.step(ranks).persist()
-      ranks.unpersist()
+      val next = st.step(ranks).localCheckpoint(true)
+      releaseCheckpoint(ranks) // superseded once `next` materialized
       ranks = next
     }
     decodeNode(ranks, col("rank"))
@@ -154,10 +183,10 @@ object Graph {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (twin unrolls them): $iters")
     val m = Graph.TotalMass
-    val e0 = orders
+    val e0 = warm(orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct().persist()
+      .distinct().persist()) // 2 consumers/round + the nC broadcast
     val nC = e0.select("c").distinct().agg(count(lit(1)).as("nc"))
     // each round's frame feeds TWO consumers (the 1-row Σ for the
     // rescale AND the next join) and the next round builds on it —
@@ -223,10 +252,10 @@ object Graph {
     val thrAgg = st.edges.agg(count(lit(1)).as("ne"))
       .crossJoin(broadcast(st.deg.agg(count(lit(1)).as("nn"))))
       .select(expr("3 * (ne div nn)").as("thr"))
-    val degS = st.deg.crossJoin(broadcast(thrAgg))
+    val degS = warm(st.deg.crossJoin(broadcast(thrAgg))
       .select(col("node"), col("deg"),
         (col("deg") >= col("thr")).cast("long").as("is_src"))
-      .persist()
+      .persist()) // per-round consumer + nsAgg broadcast: warm it once
     val nsAgg = degS.agg(sum("is_src").as("ns"))
     val tele = Graph.TotalMass * 15 / 100
     def step(ranks: DataFrame): DataFrame = {
@@ -242,15 +271,15 @@ object Graph {
           (expr(s"is_src * coalesce(${tele}L div nullif(ns, 0), 0)")
             + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
     }
+    // eager per-round checkpoints — see [[pageRank]] (r13)
     var ranks = degS.crossJoin(broadcast(nsAgg))
       .select(col("node"), col("deg"), col("is_src"),
         expr(s"is_src * coalesce(${Graph.TotalMass}L div nullif(ns, 0), 0)")
           .as("rank"))
-      .persist()
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // same superseded-frame unpersist discipline as [[pageRank]]
-      val next = step(ranks).persist()
-      ranks.unpersist()
+      val next = step(ranks).localCheckpoint(true)
+      releaseCheckpoint(ranks) // superseded once `next` materialized
       ranks = next
     }
     decodeNode(ranks, col("rank"))
@@ -369,17 +398,23 @@ object Graph {
                         iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10,
       s"iters must be in [1, 10] (twin unrolls them): $iters")
-    val edges = edges0.persist()
-    var labels = labels0.persist()
+    val edges = warm(edges0.persist()) // per-round join + seed source
+    // eager per-round checkpoints — see [[pageRank]] (r13): each round
+    // references `labels` TWICE (nbr build + the left-join base), and
+    // the left-join's small side can plan as a broadcast whose thread
+    // would recompute the whole lazy chain from base tables per round
+    var labels = labels0.localCheckpoint(true)
     for (_ <- 1 to iters) {
       val nbr = labels
         .join(edges, col("node") === col("src"))
         .groupBy(col("dst")).agg(min("lbl").as("nl"))
-      labels = labels
+      val next = labels
         .join(nbr, col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
+      releaseCheckpoint(labels) // superseded once `next` materialized
+      labels = next
     }
     labels
   }
@@ -445,11 +480,17 @@ object Graph {
     * least one triangle.
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("key_a").as("a"), col("key_b").as("b"))
-      .persist()
-    val deg = e.select(col("a").as("n"))
+    // e feeds deg (twice, via broadcast subtrees) and the orientation
+    // join — warm it once so the upstream pair generator (the fuzzy-
+    // match graph for rel_triangles) is not recomputed per consumer
+    val e = warm(pairs.select(col("key_a").as("a"), col("key_b").as("b"))
+      .persist())
+    // two consumers (the da/db attach joins, typically broadcast
+    // sides) — warm so the degree agg runs once (r13)
+    val deg = warm(e.select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist())
     // orient low (d, id) -> high (d, id); carry the dst's degree for
     // the wedge ordering below
     val fwd = col("da") < col("db") ||
@@ -462,6 +503,7 @@ object Graph {
         when(fwd, col("b")).otherwise(col("a")).as("dst"),
         when(fwd, col("db")).otherwise(col("da")).as("dd"))
       .persist()
+    warm(oriented) // three consumers: e1, e2, the closing-edge join
     // wedges rooted at src: out-neighbor pairs ordered by (dd, dst) —
     // the same order the orientation used, so the closing edge of a
     // true triangle is stored exactly as x -> y
@@ -477,6 +519,7 @@ object Graph {
       .join(oriented.select(col("src").as("x"), col("dst").as("y")),
         Seq("x", "y"))
       .persist()
+    warm(tri) // the three union arms below each scan it concurrently
     tri.select(col("w").as("node"))
       .unionAll(tri.select(col("x").as("node")))
       .unionAll(tri.select(col("y").as("node")))
@@ -570,7 +613,7 @@ object Graph {
           coalesce(col("lbl").cast("string"), lit("NULL")),
           lit(" on node "), col("node").cast("string"))))
         .otherwise(col("lbl")).as("lbl"))
-    val edges = edges0.persist()
+    val edges = warm(edges0.persist()) // per-round join, warm once
     // The struct argmax is the MEASURED winner (tools/LpaProbe,
     // interleaved same-JVM reps on the sf0.1 purchase graph): struct
     // ~9.2 s, single-BIGINT packed key ~11.6 s, packed+broadcast-labels
@@ -579,7 +622,11 @@ object Graph {
     // aggregation itself, whose ~|E| distinct keys defeat map-side
     // partial aggregation in round 1 by construction (every neighbor
     // label distinct), an inherent property of mode-label counting.
-    var labels = labels0.persist()
+    // eager per-round checkpoints — see [[pageRank]] (r13): `labels` is
+    // referenced twice per round and `best` plans as a broadcast side,
+    // whose exchange thread recomputed the whole lazy chain per round
+    // (measured: 23 s wall / 157 s summed job time on rel_label_prop)
+    var labels = labels0.localCheckpoint(true)
     for (_ <- 1 to iters) {
       val cnt = labels
         .join(edges, col("node") === col("src"))
@@ -591,8 +638,8 @@ object Graph {
       val next = labels
         .join(best, col("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
-        .persist()
-      labels.unpersist()
+        .localCheckpoint(true)
+      releaseCheckpoint(labels) // superseded once `next` materialized
       labels = next
     }
     labels
@@ -635,8 +682,10 @@ object Graph {
     * Output: one row (n_communities, m_directed, q_modularity).
     */
   def modularity(labels: DataFrame, edges0: DataFrame): DataFrame = {
-    val edges = edges0.persist() // three consumers: E, in_c, d_c
-    val lbl = labels.persist()
+    // three consumers each (E/in_c/d_c, sl/dl×2) — warm both so the
+    // broadcast subtrees (eCnt, the label sides) scan warm cache (r13)
+    val edges = warm(edges0.persist())
+    val lbl = warm(labels.persist())
     val eCnt = edges.agg(count(lit(1)).as("e"))
     val sl = lbl.select(col("node").as("src"), col("lbl").as("sl"))
     val dl = lbl.select(col("node").as("dst"), col("lbl").as("dl"))
@@ -968,6 +1017,10 @@ object Graph {
     e0.select(col("c").as("src"), col("s").as("dst"), col("w"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst"),
         col("w")))
+      // src-partitioned+sorted once for the per-round src-keyed joins —
+      // the [[purchaseEdges]] r13 layout argument
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
   }
 
   /** Bounded-round single-source (multi-source) shortest path —
@@ -1051,15 +1104,20 @@ object Graph {
       s"iters must be in [1, 10] (twin unrolls them): $iters")
     val wedges = wedges0.persist()
     val sw = wedges.groupBy("src").agg(sum(col("w")).as("sw"))
-    val shares = wedges.join(sw, "src")
+    // warm shares (one count materializes wedges too) — per-round join
+    // consumer + the nAgg broadcast subtree all read warm cache (r13;
+    // see [[warm]]); shares lands hash(src)-partitioned off its join,
+    // so the per-round rank join's edge side needs no Exchange
+    val shares = warm(wedges.join(sw, "src")
       .select(col("src"), col("dst"),
         expr("(w * 1000000) div sw").as("ppm"))
-      .persist()
-    val nodes = sw.select(col("src").as("node")).persist()
+      .persist())
+    val nodes = warm(sw.select(col("src").as("node")).persist())
     val nAgg = nodes.agg(count(lit(1)).as("n"))
+    // eager per-round checkpoints — see [[pageRank]] (r13)
     var ranks = nodes.crossJoin(broadcast(nAgg))
       .select(col("node"), expr(s"$TotalMass div n").as("rank"))
-      .persist()
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val inMass = ranks.join(shares, col("node") === col("src"))
         .select(col("dst"),
@@ -1070,8 +1128,8 @@ object Graph {
         .select(col("node"),
           (expr(s"${TotalMass * 15 / 100} div n")
             + expr("(85 * coalesce(m, 0)) div 100")).as("rank"))
-        .persist()
-      ranks.unpersist()
+        .localCheckpoint(true)
+      releaseCheckpoint(ranks) // superseded once `next` materialized
       ranks = next
     }
     ranks
@@ -1255,13 +1313,21 @@ object Graph {
                   steps: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = purchaseEdges(orders, lineitem).persist()
-    val adj = edges
+    // warm adj (one count materializes edges too) and deg: both are
+    // referenced per hop, and the per-hop join's small side plans as a
+    // broadcast whose thread would otherwise recompute the cold chain
+    // from base tables (see [[warm]]; the pageRank r13 discipline)
+    val adj = warm(edges
       .withColumn("rk",
         row_number().over(Window.partitionBy("src").orderBy("dst")))
-      .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .persist())
+    val deg = warm(edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .persist())
+    // eager per-hop checkpoints: each hop frame is read twice (next
+    // hop's rank join + its union arm), so materialize it once; the
+    // union then scans `steps`+1 flat in-memory frames
     var cur = deg.select(col("src").as("start"), col("src").as("node"))
-      .persist()
+      .localCheckpoint(true)
     val frames = scala.collection.mutable.ArrayBuffer(
       cur.select(col("start"), lit(0).as("step"), col("node")))
     for (s <- 1 to steps) {
@@ -1277,7 +1343,7 @@ object Graph {
         .join(adj, ranked("node") === adj("src")
           && ranked("_rk") === adj("rk"))
         .select(col("start"), col("dst").as("node"))
-        .persist()
+        .localCheckpoint(true)
       frames += cur.select(col("start"), lit(s).as("step"), col("node"))
     }
     frames.reduce(_ unionAll _)
@@ -1295,7 +1361,9 @@ object Graph {
     * Output: (start, step, center, context, offset ∈ [−w, w] \ {0}). */
   def walkSkipGrams(orders: DataFrame, lineitem: DataFrame,
                     steps: Int = 4, window: Int = 2): DataFrame = {
-    val walks = randomWalks(orders, lineitem, steps)
+    // the self-join reads the walk corpus twice — materialize it once
+    // (flat (start, step, node) rows, |V|·(steps+1)-bounded)
+    val walks = randomWalks(orders, lineitem, steps).localCheckpoint(true)
     val a = walks.select(col("start"), col("step"),
       col("node").as("center"))
     val b = walks.select(col("start").as("bstart"),

@@ -579,6 +579,11 @@ object Similarity {
         col("cnorm").as("centroid_norm"))
       .write.mode("overwrite").parquet(s"$dir/codebook")
     ivfAssign(cand, cent)
+      // cluster by the partition column before the partitioned write —
+      // otherwise every upstream task opens a file per cid dir
+      // (tasks × centroids tiny files); AQE rebalance keeps file
+      // sizing scale-adaptive (guide §6; the dedupIndexWrite r13 fix)
+      .hint("rebalance", col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$dir/postings")
   }
@@ -606,6 +611,7 @@ object Similarity {
     val cand = withNorm(newVecs, idCol, vecCol)
       .filter(col("norm") > 0)
     ivfAssign(cand, cent)
+      .hint("rebalance", col("cid")) // see ivfIndexWrite (guide §6)
       .write.mode("append").partitionBy("cid")
       .parquet(s"$dir/postings")
   }
@@ -1261,7 +1267,11 @@ object Similarity {
     * to surviving pairs only — O(edges), not O(candidates). */
   private def mutualCosTail(knn0: DataFrame, emb: DataFrame,
                             idCol: String, vecCol: String): DataFrame = {
-    val knn = knn0.select(col("query_id"), col("neighbor_id")).persist()
+    // warm: the semi-join's build side would otherwise recompute the
+    // whole blocking/ranking chain on the broadcast-exchange thread
+    // against a cold cache (the Graph.warm r13 discipline)
+    val knn = Graph.warm(
+      knn0.select(col("query_id"), col("neighbor_id")).persist())
     val mutual = knn
       .join(knn.select(col("neighbor_id").as("query_id"),
         col("query_id").as("neighbor_id")),

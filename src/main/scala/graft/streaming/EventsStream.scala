@@ -838,7 +838,10 @@ object EventsStream {
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // single-file micro-batch → one partition; re-spread so the
+        // per-row md5 sketch hashing parallelizes (r13)
+        val batch = graft.Tables.spread(batch0)
         val s2 = batch.sparkSession
         val delta = Relational.cmsBuild(batch, "user_id")
           .withColumnsRenamed(Map("cnt" -> "bcnt"))
@@ -914,7 +917,8 @@ object EventsStream {
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = graft.Tables.spread(batch0) // see cmsMaintain (r13)
         val s2 = batch.sparkSession
         val delta = Relational.histBuild(batch)
           .withColumnsRenamed(Map("cnt" -> "bcnt"))
@@ -1011,6 +1015,10 @@ object EventsStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // NOT re-spread (unlike dsirScoreIngest, r13): a neardup
+        // micro-batch is ~1/15 of the corpus and its cost is job
+        // count, not per-row CPU — the extra repartition measured net
+        // negative here
         val res = Dedup.incrementalMinHashFromIndex(batch, idxDir)
           .persist() // two consumers: verdict write + survivor filter
         res.write.mode("overwrite").parquet(s"$resDir/b$batchId")
@@ -1136,7 +1144,10 @@ object EventsStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Sampling.dsirScoreFromIndex(batch, artDir)
+        // single-file micro-batch → one partition; re-spread so the
+        // tokenize+bigram+hash chain parallelizes (measured r13: one
+        // 3.3 s single-task job per batch before)
+        Sampling.dsirScoreFromIndex(graft.Tables.spread(batch), artDir)
           .write.mode("overwrite").parquet(s"$resDir/b$batchId")
         ()
       }
@@ -1166,7 +1177,10 @@ object EventsStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Classify.lrScoreFromArtifact(batch, artDir)
+        // single-file micro-batch → one partition; re-spread so the
+        // per-doc feature build parallelizes (the dsirScoreIngest r13
+        // finding)
+        Classify.lrScoreFromArtifact(graft.Tables.spread(batch), artDir)
           .write.mode("overwrite").parquet(s"$resDir/b$batchId")
         ()
       }
@@ -1270,7 +1284,10 @@ object EventsStream {
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // re-spread: the per-doc tokenize in cardState otherwise runs
+        // on the staged file's single partition (r13)
+        val batch = graft.Tables.spread(batch0)
         val s2 = batch.sparkSession
         val part = TextStats.cardState(batch)
         val prevDir = new java.io.File(s"$artDir/v${batchId - 1}")
