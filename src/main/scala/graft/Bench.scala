@@ -155,7 +155,12 @@ object Bench {
     // landing-day OneQuery steady stamp (runs 2-3: 1.80/1.38)
     "rel_ab_cuped" -> 1.6,
     // landing-day OneQuery steady stamp (runs 2-3: 4.05/4.68)
-    "samp_dsir_external" -> 4.4)
+    "samp_dsir_external" -> 4.4,
+    // the four text_lr_* gate names restored in round 14 (verdict
+    // item 1) carry their round-12 pre-merge stamps — the last quiet
+    // measurements of these names (Bench.scala @ 1e08798^)
+    "text_lr_score" -> 4.57, "text_lr_eval" -> 6.41,
+    "text_lr_auc" -> 7.87, "text_lr_from_artifact" -> 5.38)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run

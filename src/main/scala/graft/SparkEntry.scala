@@ -814,6 +814,27 @@ object SparkEntry {
     // three gates over one shared machinery
     "text_lr_train" -> ((s, dir) =>
       Classify.lrTrain(docs(s, dir), steps = LrSteps, lr = LrRate)),
+    // the four round-12 gate names restored as individually-addressable
+    // surfaces (round-13 verdict item 1: the documented-merge into
+    // text_lr_pipeline dropped them from the driver's ledger). Each is
+    // the pre-merge query verbatim — lrScore/lrEval/lrAuc share ONE
+    // persisted lrFeatures build per gate, so the marginal cost over
+    // the pipeline gate is the scoring tail, not a second corpus scan
+    "text_lr_score" -> ((s, dir) =>
+      Classify.lrScore(docs(s, dir), steps = LrSteps, lr = LrRate)),
+    "text_lr_eval" -> ((s, dir) =>
+      Classify.lrEval(docs(s, dir), steps = LrSteps, lr = LrRate)),
+    "text_lr_auc" -> ((s, dir) =>
+      Classify.lrAuc(docs(s, dir), steps = LrSteps, lr = LrRate)),
+    // classifier-as-artifact: train once, persist the weight vector,
+    // score from the RE-READ parquet (grid-aligned doubles round-trip
+    // bit-exactly) — shares text_lr_score's twin, the identity pin
+    "text_lr_from_artifact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = scratchDir("lrart")
+      Classify.lrArtifactWrite(d, out, steps = LrSteps, lr = LrRate)
+      Classify.lrScoreFromArtifact(d, out)
+    }),
     // the COMPOSED classifier pipeline (round-12 verdict task 2 —
     // pipe_curate applied to the LR family): ONE feature build + ONE
     // training feed the artifact write, the artifact-SERVED scoring,
@@ -8061,6 +8082,71 @@ object SparkEntry {
     // keeps the per-doc score surface hash-pinned after the round-13
     // documented-merge of text_lr_score into the pipeline gate
     "stream_lr_score" -> textLrScoreSql,
+    // the restored round-12 gate names (round-13 verdict item 1):
+    // per-doc scores (in-plan and artifact-served share the identity
+    // pin), the confusion summary, and the rank-sum AUC
+    "text_lr_score" -> textLrScoreSql,
+    "text_lr_from_artifact" -> textLrScoreSql,
+    "text_lr_eval" ->
+      s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
+         |  FROM f JOIN w$LrSteps w USING (j) GROUP BY f.doc_id
+         |), sc AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    0.5 * (1 + m.m / (1 + abs(m.m))) >= 0.5 AS pred
+         |  FROM documents d JOIN mf m USING (doc_id)
+         |)
+         |SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn,
+         |  floor((sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END)
+         |    + sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END))
+         |    / count(*) * 100 + 0.5) / 100 AS accuracy
+         |FROM sc""".stripMargin,
+    "text_lr_auc" ->
+      s"""WITH ${lrSqlCtes(LrSteps)}, mf AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(floor(f.x * w.w * 1000000000000 + 0.5)
+         |      / 1000000000000 AS DECIMAL(20,12))) AS DOUBLE) AS m
+         |  FROM f JOIN w$LrSteps w USING (j) GROUP BY f.doc_id
+         |), sc AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    floor((0.5 * (1 + m.m / (1 + abs(m.m)))) * 1000000 + 0.5)
+         |      / 1000000 AS p
+         |  FROM documents d JOIN mf m USING (doc_id)
+         |), g AS (
+         |  SELECT p, y, count(*) AS cnt_sc FROM sc GROUP BY 1, 2
+         |), hist AS (
+         |  SELECT p, sum(cnt_sc) AS cnt_s FROM g GROUP BY p
+         |), below AS (
+         |  SELECT p, cnt_s,
+         |    sum(cnt_s) OVER (ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt_s
+         |      AS below
+         |  FROM hist
+         |), aucx AS (
+         |  SELECT sum(CASE WHEN y = 1 THEN cnt_sc END) AS posn,
+         |    sum(CASE WHEN y = 0 THEN cnt_sc END) AS negn,
+         |    sum(CASE WHEN y = 1
+         |      THEN cnt_sc * (below * 2 + cnt_s + 1) END) AS s2
+         |  FROM g JOIN below USING (p)
+         |)
+         |SELECT CAST(coalesce(posn, 0) AS BIGINT) AS pos_cnt,
+         |  CAST(coalesce(negn, 0) AS BIGINT) AS neg_cnt,
+         |  floor(CAST(s2 - posn * (posn + 1) AS DOUBLE) /
+         |    nullif(CAST(posn * negn * 2 AS DOUBLE), 0)
+         |    * 1000000 + 0.5) / 1000000 AS auc
+         |FROM aucx""".stripMargin,
     // streaming DSIR scoring: the samp_dsir CTEs with NO selection —
     // every doc with features, scored against the same bucket LMs
     "stream_dsir_score" ->

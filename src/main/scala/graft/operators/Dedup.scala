@@ -380,7 +380,20 @@ object Dedup {
   def incrementalMinHashFromIndex(delta: DataFrame, dir: String,
                                   threshold: Double = 0.8, n: Int = 3,
                                   numPerm: Int = 128,
-                                  bands: Int = 32): DataFrame = {
+                                  bands: Int = 32): DataFrame =
+    incrementalMinHashFromIndexOpen(delta, dir, threshold, n, numPerm,
+      bands)._1
+
+  /** [[incrementalMinHashFromIndex]] with the batch's shingle and
+    * band-signature frames EXPOSED, so a streaming ingest can append
+    * the surviving subset back to the index without recomputing either
+    * (see [[dedupIndexAppendFrom]]). Both auxiliary frames arrive
+    * persisted; the caller owns their lifecycle.
+    * Returns (result, batchShingles, batchBandSigs). */
+  private[graft] def incrementalMinHashFromIndexOpen(
+      delta: DataFrame, dir: String, threshold: Double = 0.8,
+      n: Int = 3, numPerm: Int = 128,
+      bands: Int = 32): (DataFrame, DataFrame, DataFrame) = {
     val spark = delta.sparkSession
     val shDelta = shingles(delta, n).persist()
     val deltaB = bandSignatures(shDelta, numPerm, bands).persist()
@@ -389,8 +402,36 @@ object Dedup {
         col("sig"))
     val shAll = shDelta
       .unionByName(spark.read.parquet(s"$dir/shingles"))
-    incrementalTail(delta.select(col("doc_id")), shAll, deltaB, corpusB,
-      threshold)
+    (incrementalTail(delta.select(col("doc_id")), shAll, deltaB,
+      corpusB, threshold), shDelta, deltaB)
+  }
+
+  /** [[dedupIndexAppend]] served from the ALREADY-COMPUTED whole-batch
+    * shingle and band-signature frames, filtered to the kept ids:
+    * shingles and band signatures are per-doc functions (every
+    * aggregation key is doc-scoped), so filtering the batch frames to
+    * the survivors is bit-identical to recomputing both from the
+    * survivors' text — and the append skips a second shingle explode
+    * AND a second numPerm-permutation MinHash aggregation per
+    * micro-batch (round-14: stream_neardup_dedup's cost was per-batch
+    * job count, guide §1.2 "don't compute things twice"). */
+  private[graft] def dedupIndexAppendFrom(keptIds: DataFrame,
+                                          sh: DataFrame,
+                                          bandSigs: DataFrame,
+                                          dir: String): Unit = {
+    val ids = broadcast(keptIds.select("doc_id"))
+    sh.join(ids, "doc_id").write.mode("append").parquet(s"$dir/shingles")
+    bandSigs.join(ids, "doc_id")
+      // REBALANCE only resolves under AQE, and foreachBatch closures
+      // run on the micro-batch's CLONED session where AQE is forced
+      // off — the r13 hint was silently dropped here ("Unrecognized
+      // hint" in the logs), landing tasks × bands tiny files per
+      // append. A hash repartition by the partition column works
+      // without AQE and the frame is delta-sized, so the extra
+      // exchange is one tiny shuffle (guide §6 small-files)
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$dir/bands")
   }
 
   /** SimHash near-dup pairs. 64-bit signature: bit j is the sign of the

@@ -1019,13 +1019,18 @@ object EventsStream {
         // micro-batch is ~1/15 of the corpus and its cost is job
         // count, not per-row CPU — the extra repartition measured net
         // negative here
-        val res = Dedup.incrementalMinHashFromIndex(batch, idxDir)
+        val (res0, shDelta, deltaB) =
+          Dedup.incrementalMinHashFromIndexOpen(batch, idxDir)
+        val res = res0
           .persist() // two consumers: verdict write + survivor filter
         res.write.mode("overwrite").parquet(s"$resDir/b$batchId")
-        Dedup.dedupIndexAppend(
-          batch.join(res.filter(col("keep")).select("doc_id"),
-            "doc_id"), idxDir)
-        res.unpersist()
+        // the append re-serves the probe's own shingle/band frames
+        // filtered to the survivors (bit-identical per-doc functions)
+        // instead of re-shingling + re-MinHashing the kept docs from
+        // text — round-14, guide §1.2: halves the per-batch agg work
+        Dedup.dedupIndexAppendFrom(res.filter(col("keep")), shDelta,
+          deltaB, idxDir)
+        res.unpersist(); shDelta.unpersist(); deltaB.unpersist()
         ()
       }
       .start()
