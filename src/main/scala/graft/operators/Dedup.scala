@@ -172,19 +172,21 @@ object Dedup {
 
   /** Exact Jaccard for a given candidate-pair set, from shingle sets. */
   private[graft] def jaccardOnPairs(sh: DataFrame, pairs: DataFrame,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             carryCols: Seq[String] = Nil): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val keys = Seq("doc_a", "doc_b") ++ carryCols
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("common"))
     common
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
+      .select((keys.map(col) :+
         (col("common") / (col("za.n") + col("zb.n") - col("common")))
-          .as("jac"))
+          .as("jac")): _*)
       .filter(col("jac") >= threshold)
   }
 
@@ -308,22 +310,30 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val verCorpus = jaccardOnPairs(sh, candCorpus, threshold)
-    val verDelta = jaccardOnPairs(sh, candDelta, threshold)
-    val nCorpus = verCorpus.groupBy("doc_a")
-      .agg(count(lit(1)).as("n_corpus_dups"))
-      .select(col("doc_a").as("c_id"), col("n_corpus_dups"))
-    // a delta doc's in-batch dups are the pairs where it is the LARGER
-    // id (doc_b): the smaller-id member stays the batch canonical
-    val nDelta = verDelta.groupBy("doc_b")
-      .agg(count(lit(1)).as("n_delta_dups"))
-      .select(col("doc_b").as("d_id"), col("n_delta_dups"))
+    // ONE exact-Jaccard verify over the tagged union of both candidate
+    // sets (disjoint by construction: corpus ids never appear as a
+    // delta doc_b) — per-pair verification is pair-local, so verifying
+    // the union equals verifying each set, and the corpus-sized shingle
+    // `sizes` aggregation + the pairs⋈shingles join run ONCE instead of
+    // twice (round-14, guide §1.2/§2.3; the verify side is the only
+    // corpus-sized work in this tail)
+    val cand = candCorpus.withColumn("is_c", lit(true))
+      .unionByName(candDelta.withColumn("is_c", lit(false)))
+    val ver = jaccardOnPairs(sh, cand, threshold, carryCols = Seq("is_c"))
+    // a corpus dup counts against the delta member doc_a; an in-batch
+    // dup counts against the LARGER id (doc_b): the smaller-id member
+    // stays the batch canonical
+    val n = ver
+      .select(when(col("is_c"), col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"), col("is_c"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("is_c"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("is_c"), 0L).otherwise(1L)).as("nd"))
     deltaDocs
-      .join(nCorpus, col("doc_id") === col("c_id"), "left")
-      .join(nDelta, col("doc_id") === col("d_id"), "left")
+      .join(n, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
-        coalesce(col("n_delta_dups"), lit(0L)).as("n_delta_dups"))
+        coalesce(col("nc"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("nd"), lit(0L)).as("n_delta_dups"))
       .withColumn("keep",
         col("n_corpus_dups") === 0 && col("n_delta_dups") === 0)
   }
@@ -419,19 +429,32 @@ object Dedup {
                                           sh: DataFrame,
                                           bandSigs: DataFrame,
                                           dir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val ids = broadcast(keptIds.select("doc_id"))
-    sh.join(ids, "doc_id").write.mode("append").parquet(s"$dir/shingles")
-    bandSigs.join(ids, "doc_id")
-      // REBALANCE only resolves under AQE, and foreachBatch closures
-      // run on the micro-batch's CLONED session where AQE is forced
-      // off — the r13 hint was silently dropped here ("Unrecognized
-      // hint" in the logs), landing tasks × bands tiny files per
-      // append. A hash repartition by the partition column works
-      // without AQE and the frame is delta-sized, so the extra
-      // exchange is one tiny shuffle (guide §6 small-files)
-      .repartition(col("band"))
-      .write.mode("append").partitionBy("band")
-      .parquet(s"$dir/bands")
+    // the two appends read only cached frames and write disjoint dirs —
+    // run them as concurrent jobs so the second doesn't pay a full
+    // driver round-trip after the first's tail (guide §2.6)
+    val shF = Future {
+      sh.join(ids, "doc_id").write.mode("append")
+        .parquet(s"$dir/shingles")
+    }
+    val bandF = Future {
+      bandSigs.join(ids, "doc_id")
+        // REBALANCE only resolves under AQE, and foreachBatch closures
+        // run on the micro-batch's CLONED session where AQE is forced
+        // off — the r13 hint was silently dropped here ("Unrecognized
+        // hint" in the logs), landing tasks × bands tiny files per
+        // append. A hash repartition by the partition column works
+        // without AQE and the frame is delta-sized, so the extra
+        // exchange is one tiny shuffle (guide §6 small-files)
+        .repartition(col("band"))
+        .write.mode("append").partitionBy("band")
+        .parquet(s"$dir/bands")
+    }
+    Await.result(shF, Duration.Inf)
+    Await.result(bandF, Duration.Inf)
   }
 
   /** SimHash near-dup pairs. 64-bit signature: bit j is the sign of the

@@ -1021,6 +1021,15 @@ object EventsStream {
         // negative here
         val (res0, shDelta, deltaB) =
           Dedup.incrementalMinHashFromIndexOpen(batch, idxDir)
+        // force the two persisted probe frames NOW (the Graph.warm
+        // device, r13): the verdict action's many broadcast-exchange
+        // subtrees (the candidate joins, the jaccard verify, the
+        // verdict left-join) otherwise race to evaluate them cold,
+        // each re-scanning + re-MinHashing the batch on its own thread
+        // (profiled r14: 8 duplicate 33-task jobs per micro-batch).
+        // One count materializes BOTH caches — deltaB consumes every
+        // shDelta row on the way (the prSetup warm-deg device)
+        deltaB.count()
         val res = res0
           .persist() // two consumers: verdict write + survivor filter
         res.write.mode("overwrite").parquet(s"$resDir/b$batchId")
