@@ -13,6 +13,15 @@ object GraftSession {
       .appName(app)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE (r14, measured negative and NOT enabled):
+      // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+      // lets AQE coalesce shuffles inside cached plans — it fixed the
+      // winnow family's 32-task tiny stages (dedup_winnow_rewrite
+      // 9.8→7.1 s) but byte-based coalescing collapses CPU-heavy
+      // small-byte cached stages to ONE task (sim_docs_tfidf's pair
+      // dot-product job ran 3.95 s single-task; the gate ~2× slower).
+      // Bytes are the wrong proxy for CPU-bound text work — default
+      // kept.
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet uses TIMESTAMP(NANOS); read as epoch-nanos
       // long and convert in Tables.normalizeTs

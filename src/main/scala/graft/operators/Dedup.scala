@@ -248,6 +248,13 @@ object Dedup {
     // persist: the band self-join reads this twice; unpersisted it
     // would run the MinHash aggregation once per side
     val bandSigs = bandSignatures(sh, numPerm, bands).persist()
+    // r14 re-measure of the r13 "no eager warm here" note: profiled
+    // through pipe_curate, the one-action plan evaluated the shingle
+    // chain SEVEN times (~0.75 s each) through its racing exchange
+    // subtrees (sizes + both verify sides + both band sides). One
+    // count materializes bandSigs AND sh (bandSigs consumes every sh
+    // row on the way — the prSetup warm-deg device)
+    bandSigs.count()
     val l = bandSigs.as("l")
     val r = bandSigs.as("r")
     val candidates = l.join(r,
@@ -711,10 +718,16 @@ object Dedup {
                       n: Int = 3, maxIter: Int = 20,
                       exactEdges: Boolean = false,
                       driverCcMaxEdges: Long = 1000000L): DataFrame = {
+    // the normalize regex is the expensive half of this projection and
+    // BOTH the fingerprint branch and the representative-text branch
+    // consume it — materialize once (r14 profile: two identical 0.77 s
+    // map jobs per pipe_curate/dedup_assign action). One repExact
+    // count fills the normed cache on the way (fp reads every row)
     val normed = docs.select(col("doc_id"),
-      TextStats.normalized(col("text")).as("text"))
+      TextStats.normalized(col("text")).as("text")).persist()
     val fp = normed.select(col("doc_id"), md5(col("text")).as("fp"))
     val repExact = fp.groupBy("fp").agg(min("doc_id").as("rep")).persist()
+    repExact.count()
     val docRep = fp.join(repExact, "fp").select("doc_id", "rep")
     val repDocs = normed.join(repExact.select(col("rep")),
       col("doc_id") === col("rep")).select("doc_id", "text")
@@ -1381,6 +1394,12 @@ object Dedup {
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .persist()
     val pairs = editDistancePairs(df, strCol).persist()
+    // force both spines NOW (the Graph.warm device): the label-prop
+    // round-1 checkpoint and the final rollup reach them through
+    // separate exchange subtrees that otherwise race the SymSpell
+    // delete-join cold — profiled r14: two identical 1.1 s 32-task
+    // jobs per action (guide §5)
+    vocab.count(); pairs.count()
     val edges = pairs
       .select(col("key_a").as("src"), col("key_b").as("dst"))
       .unionAll(pairs
@@ -1702,8 +1721,14 @@ object Dedup {
     val t = split(TextStats.normalized(col(textCol)), " ")
     val toks = docs.select(col(idCol).as("doc_id"), t.as("t"))
     val bDocs = pairs.select(col("doc_b").as("doc_id")).distinct()
+    // the rewritten docs' token arrays feed TWO consumers (positioned
+    // k-grams + the final reassembly) — materialize the candidate-
+    // bounded semi-join once instead of re-scanning + re-normalizing
+    // the corpus for each (r14; the frame is pair-member-sized, never
+    // corpus-sized, so the cache is bounded at any scale)
+    val bToks = toks.join(bDocs, Seq("doc_id"), "left_semi").persist()
     // positioned k-grams of the affected (rewritten) docs only
-    val bGrams = toks.join(bDocs, Seq("doc_id"), "left_semi")
+    val bGrams = bToks
       .filter(size(col("t")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
@@ -1729,7 +1754,7 @@ object Dedup {
     val covered = starts.select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
       .distinct().withColumn("cut", lit(true))
-    toks.join(bDocs, Seq("doc_id"), "left_semi")
+    bToks
       .select(col("doc_id"), posexplode(col("t")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("tok"))

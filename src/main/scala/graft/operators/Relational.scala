@@ -764,10 +764,21 @@ object Relational {
       .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
       .groupBy("o_custkey").agg(sum(col("p")).as("spend"))
       .persist()
-    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
     val tot = perCust.agg(sum(col("spend")).as("total"))
-    perCust
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    // r14 (VERDICT-r13 item 5): ntile over the |customers|-sized
+    // global window → two-pass range-partitioned rank + ntile's
+    // bucket arithmetic (see Sampling.curriculumBins) — bit-identical
+    // deciles, no single-partition sort of the customer spine
+    Sampling.globalRowNumber(perCust,
+        Seq(col("spend").desc, col("o_custkey").asc), "_i")
+      .crossJoin(broadcast(perCust.agg(count(lit(1)).as("_n"))))
+      .withColumn("decile", expr(
+        """CASE WHEN _i <= (_n % 10) * (_n div 10 + 1)
+          | THEN (_i - 1) div (_n div 10 + 1) + 1
+          | ELSE (_n % 10)
+          |   + (_i - (_n % 10) * (_n div 10 + 1) - 1)
+          |     div (_n div 10) + 1
+          |END""".stripMargin).cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).as("rev"))
@@ -795,9 +806,11 @@ object Relational {
       .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
       .groupBy("o_custkey")
       .agg((sum(col("p")) * 100).cast("decimal(38,0)").as("cents"))
-    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
-    perCust
-      .withColumn("i", row_number().over(w).cast("long"))
+    // r14 (VERDICT-r13 item 5): the |customers|-sized rank window →
+    // the two-pass range-partitioned global row_number (bit-identical
+    // ranks; the (cents, custkey) order is total)
+    Sampling.globalRowNumber(perCust,
+        Seq(col("cents").asc, col("o_custkey").asc), "i")
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).as("total_cents"),
         sum(col("cents") * col("i")).cast("decimal(38,0)").as("wsum"))

@@ -29,6 +29,74 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))),
       1, 8), 16, 10).cast("long")
 
+  /** Global 1-based row_number over a TOTAL order, without the
+    * single-partition WindowExec (r14, VERDICT-r13 item 5 — the
+    * classic 100 TB killer): range-repartition by the sort key, rank
+    * within each range partition, add per-partition row-count offsets
+    * (a partitions-sized aggregate, broadcast back). Because range
+    * partitions are disjoint and ordered and the caller's sort order
+    * is TOTAL (include a unique tiebreaker!), the ranks are
+    * bit-identical to `row_number().over(Window.orderBy(sortCols))`
+    * whatever boundaries the range sampler picks. The input is
+    * persisted for the two passes (counts + rank) — callers release
+    * via Housekeeping. Partition count follows defaultParallelism
+    * (scale-adaptive, not a local constant).
+    * Output: input columns + `rankCol`. */
+  private[graft] def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                                     rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    // persist pins the partition layout: both consumers (offset agg +
+    // rank pass) must see the SAME spark_partition_id assignment
+    val parted = df.repartitionByRange(p, sortCols: _*)
+      .withColumn("_pid", spark_partition_id()).persist()
+    parted.count() // materialize now — two racing consumers otherwise
+    val offsets = parted.groupBy("_pid")
+      .agg(count(lit(1)).as("_cnt"))
+    val wOff = Window.orderBy(col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // partitions-sized window (≤ p rows) — the bounded-window class
+    val off = offsets
+      .withColumn("_off", coalesce(sum("_cnt").over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val wIn = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    parted
+      .withColumn("_rn", row_number().over(wIn).cast("long"))
+      .join(broadcast(off), "_pid")
+      .withColumn(rankCol, col("_rn") + col("_off"))
+      .drop("_pid", "_rn", "_off")
+  }
+
+  /** Global INCLUSIVE running sum of `valCol` over a TOTAL order —
+    * the [[globalRowNumber]] two-pass device with per-partition SUM
+    * offsets instead of counts. Exact when `valCol` is integral (the
+    * offsets are plain long sums — order-independent). Output: input
+    * columns + `cumCol`. */
+  private[graft] def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
+                                      valCol: String,
+                                      cumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val parted = df.repartitionByRange(p, sortCols: _*)
+      .withColumn("_pid", spark_partition_id()).persist()
+    parted.count() // materialize now — two racing consumers otherwise
+    val offsets = parted.groupBy("_pid")
+      .agg(sum(col(valCol)).as("_s"))
+    val wOff = Window.orderBy(col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // partitions-sized window (≤ p rows) — the bounded-window class
+    val off = offsets
+      .withColumn("_off", coalesce(sum("_s").over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val wIn = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parted
+      .withColumn("_cs", sum(col(valCol)).over(wIn))
+      .join(broadcast(off), "_pid")
+      .withColumn(cumCol, col("_cs") + col("_off"))
+      .drop("_pid", "_cs", "_off")
+  }
+
   /** Cumulative Poisson(1) thresholds (4 dp) for the bootstrap's
     * deterministic replicate weights: P(0)=P(1)=e⁻¹, P(2)=e⁻¹/2,
     * P(3)=e⁻¹/6, tail mass to 4. Quantized constants so both engines
@@ -876,9 +944,26 @@ object Sampling {
   def curriculumBins(df: DataFrame, scoreCol: String, nBins: Int = 10,
                      keyCol: String = "doc_id"): DataFrame = {
     require(nBins > 0, s"nBins must be positive: $nBins")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(scoreCol).asc, col(keyCol).asc)
-    df.withColumn("bin", ntile(nBins).over(w).cast("long"))
+    // r14 (VERDICT-r13 item 5): exact ntile without the single-
+    // partition window — two-pass global rank, then ntile's published
+    // bucket arithmetic (first n%b buckets hold n/b+1 rows, the rest
+    // n/b) applied to (rank, n). Bit-identical to
+    // ntile(nBins).over(orderBy(score, key)): the order is total, so
+    // rank fixes the bucket exactly. The ELSE branch divides by
+    // n div b — unreachable when that is 0 (then every rank satisfies
+    // the first arm), and CASE short-circuits under ANSI.
+    val ranked = globalRowNumber(df,
+      Seq(col(scoreCol).asc, col(keyCol).asc), "_i")
+    val tot = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bin", expr(
+        s"""CASE WHEN _i <= (_n % $nBins) * (_n div $nBins + 1)
+           | THEN (_i - 1) div (_n div $nBins + 1) + 1
+           | ELSE (_n % $nBins)
+           |   + (_i - (_n % $nBins) * (_n div $nBins + 1) - 1)
+           |     div (_n div $nBins) + 1
+           |END""".stripMargin).cast("long"))
+      .drop("_i", "_n")
   }
 
   /** Curriculum binning, scalable form — VALUE-quantile bins from the
@@ -985,10 +1070,13 @@ object Sampling {
                         scoreCol: String = "score",
                         keyCol: String = "doc_id"): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(scoreCol).desc, col(keyCol).asc)
-    df.filter(col(keyCol).isNotNull)
-      .withColumn("_cum", sum(col(tokensCol)).over(w))
+    // r14 (VERDICT-r13 item 5): the single-partition global window
+    // becomes the two-pass range-partitioned running sum — the kept
+    // set is bit-identical (the order is total, so the old RANGE
+    // frame's peer groups were singletons ≡ ROWS), and no stage ever
+    // sorts the corpus on one task
+    Sampling.globalRunningSum(df.filter(col(keyCol).isNotNull),
+        Seq(col(scoreCol).desc, col(keyCol).asc), tokensCol, "_cum")
       .filter(col("_cum") <= budget)
       .drop("_cum")
   }

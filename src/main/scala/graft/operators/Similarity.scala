@@ -284,12 +284,19 @@ object Similarity {
           .select("word")
         t.join(broadcast(hot), Seq("word"), "left_anti")
       }
-    // weights are consumed three times (norms + both join sides)
+    // weights are consumed three times (norms + both join sides) —
+    // materialize NOW: the query-side broadcast build below runs on
+    // its own thread and would otherwise race the main plan through
+    // the whole TF-IDF pipeline cold (the Graph.warm device, r14)
     val vecs = pruned.select(col("doc_id"), col("word"),
       col("tf_idf").as("w")).persist()
+    vecs.count()
+    // the norm table joins the scored pairs TWICE (na/nb) — persist or
+    // the doc-keyed aggregation over the full weight table runs twice
     val norms = vecs.groupBy("doc_id")
       .agg(sqrt(sum((col("w") * col("w")).cast(dec)).cast("double"))
         .as("norm"))
+      .persist()
     val qs = queryIds.select(col(idCol).as("doc_id")).distinct()
     val a = vecs.join(broadcast(qs), "doc_id")
       .select(col("doc_id").as("doc_a"), col("word"), col("w").as("wa"))
@@ -341,10 +348,15 @@ object Similarity {
                     k: Int = 5): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
-    // consumed by norms + both join sides (house invariant 9)
+    // consumed by norms + both join sides (house invariant 9) —
+    // materialized NOW so the query-side broadcast build can't race
+    // the main plan through the bucket derivation cold (r14, the
+    // tfIdfDocTopK treatment); norms joins the pairs twice → persist
     val vecs = buckets.select(col("doc_id"), col("j"), col("w")).persist()
+    vecs.count()
     val norms = vecs.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("nsq"))
+      .persist()
     val qs = queryIds.select(col("doc_id")).distinct()
     val a = vecs.join(broadcast(qs), "doc_id")
       .select(col("doc_id").as("doc_a"), col("j"), col("w").as("wa"))

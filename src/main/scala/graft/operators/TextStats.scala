@@ -1238,11 +1238,12 @@ object TextStats {
     * selected hash, distinct per document. */
   def winnow(docs: DataFrame, k: Int = 5, window: Int = 4,
              idCol: String = "doc_id",
-             textCol: String = "text"): DataFrame = {
+             textCol: String = "text",
+             positionDistinct: Boolean = true): DataFrame = {
     require(k >= 1 && window >= 1,
       s"need k >= 1 and window >= 1: $k/$window")
     val t = split(normalized(col(textCol)), " ")
-    docs.select(col(idCol).as("doc_id"), t.as("t"))
+    val raw = docs.select(col(idCol).as("doc_id"), t.as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc_id"),
         transform(sequence(lit(1), size(col("t")) - (k - 1)),
@@ -1263,7 +1264,10 @@ object TextStats {
             struct((p + jm - 1).cast("long").as("pos"), mn.as("fp"))
           })).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
-      .distinct()
+    // the per-(doc,pos,fp) dedup is the gate surface's contract;
+    // callers that immediately re-distinct on a coarser key
+    // (winnowPairs) skip it — one exchange less (r14)
+    if (positionDistinct) raw.distinct() else raw
   }
 
   /** Shared-fingerprint candidate pairs — [[winnow]]'s consumer (the
@@ -1287,8 +1291,19 @@ object TextStats {
                   textCol: String = "text"): DataFrame = {
     require(minShared >= 1 && maxBucket >= 2,
       s"need minShared >= 1, maxBucket >= 2: $minShared/$maxBucket")
-    val fps = winnow(docs, k, window, idCol, textCol)
+    // distinct((doc,fp)) of distinct((doc,pos,fp)) ≡ distinct((doc,fp))
+    // — [[winnow]]'s per-position distinct is the text_winnow gate's
+    // contract, not a pairing prerequisite; skipping it removes one
+    // full fingerprint exchange from every winnowPairs consumer (r14,
+    // guide §2.4)
+    val fps = winnow(docs, k, window, idCol, textCol,
+        positionDistinct = false)
       .select("doc_id", "fp").distinct().persist() // pair both sides
+    // three consumers (bucket agg + both self-join sides) reach fps
+    // through separate exchange subtrees and race to evaluate the
+    // winnow chain cold — force it once (r14: the 831 KiB fingerprint
+    // shuffle was written 4× per dedup_winnow_rewrite action)
+    fps.count()
     val buckets = fps.groupBy("fp").agg(count(lit(1)).as("bs"))
       .filter(col("bs") >= 2 && col("bs") <= maxBucket)
       .select("fp")
@@ -1318,6 +1333,12 @@ object TextStats {
                           textCol: String = "text"): DataFrame = {
     val pairs = winnowPairs(docs, k, window, minShared, maxBucket,
       idCol, textCol).persist() // members spine + two pair joins
+    // force the pair spine NOW: the consumers below reach it through
+    // broadcast-exchange subtrees (the members semi-join build side,
+    // the final left-join probe) that otherwise race to evaluate the
+    // whole winnow chain cold — profiled r14 on dedup_winnow_rewrite:
+    // the same 831 KiB fingerprint shuffle written 5× per action
+    pairs.count()
     val members = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val t = split(normalized(col(textCol)), " ")
@@ -1328,6 +1349,9 @@ object TextStats {
         explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
           i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("g"))
       .distinct().persist() // both sides of the intersection join
+    // same race: both sides of the intersection join reach `grams`
+    // through their own exchange subtrees — force it once (r14)
+    grams.count()
     val common = pairs
       .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("g")),

@@ -12,7 +12,8 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = graft.GraftSession.local("job-profile", 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.local("job-profile", cpus)
     val fn = graft.SparkEntry.queries(name)
 
     final case class JobRow(id: Int, var start: Long = 0L,

@@ -174,12 +174,14 @@ class PlanInvariantSpec extends SparkSpec {
     // 2. bounded by cardinality (distinct-score histogram / day spine)
     Set("rel_auc", // ROC prefix sums over the score histogram
       "text_lr_pipeline", // same device over the 1e-6-grid p histogram
+      "text_lr_auc", // restored r14 gate — same histogram device
       "samp_curriculum_scalable", "samp_token_budget_scalable",
       "rel_cumulative_users", "rel_rolling_stats") ++ // day spine
-    // 3. exact-total-order contracts with documented hazard + twin
-    Set("samp_curriculum", "samp_token_budget", // scalable twins gate the same output
-      // |customers|-row per-customer aggregate — the documented
-      // small-dimension case (revenueDeciles/giniSpend scaladoc)
+    // 3. two-pass global-rank gates (r14): the corpus-sized window
+    // became Window.partitionBy(_pid); the ONLY residual partition-
+    // less window is the per-partition OFFSET table, bounded by
+    // defaultParallelism rows (Sampling.globalRowNumber scaladoc)
+    Set("samp_curriculum", "samp_token_budget",
       "rel_revenue_deciles", "rel_gini")
 
   /** Partition-less WindowExec occurrences, INCLUDING inside cached
