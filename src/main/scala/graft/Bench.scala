@@ -160,7 +160,16 @@ object Bench {
     // item 1) carry their round-12 pre-merge stamps — the last quiet
     // measurements of these names (Bench.scala @ 1e08798^)
     "text_lr_score" -> 4.57, "text_lr_eval" -> 6.41,
-    "text_lr_auc" -> 7.87, "text_lr_from_artifact" -> 5.38)
+    "text_lr_auc" -> 7.87, "text_lr_from_artifact" -> 5.38,
+    // r14 DELIBERATE re-stamps: these four replaced their single-
+    // partition global window (the 100 TB one-reducer hazard) with the
+    // two-pass range-partitioned rank — bit-identical output, 2 extra
+    // tiny-local shuffles, so the LOCAL cost rose by design
+    // (0.33→0.69, 0.46→1.61, 0.24→1.17, 0.25→0.90 on the 2026-08-19
+    // run, start load_ratio 0.68). OPTIMIZATION_r14.md Task 5 records
+    // the trade; stamps track the new plan's honest local cost
+    "rel_gini" -> 0.69, "rel_revenue_deciles" -> 1.61,
+    "samp_curriculum" -> 1.17, "samp_token_budget" -> 0.9)
 
   /** Regression flag thresholds: BOTH must trip — ratio > 1.3 AND an
     * absolute delta > 0.5 s. Sub-second queries jitter ±50% run-to-run
