@@ -348,12 +348,15 @@ object Similarity {
                     k: Int = 5): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
-    // consumed by norms + both join sides (house invariant 9) —
-    // materialized NOW so the query-side broadcast build can't race
-    // the main plan through the bucket derivation cold (r14, the
-    // tfIdfDocTopK treatment); norms joins the pairs twice → persist
+    // consumed by norms + both join sides (house invariant 9).
+    // NOT eagerly warmed: measured on text_hybrid_rrf (r14 OneQuery
+    // A/B, 5.0-5.5 s without vs 6.2-6.4 s with, the no-warm run under
+    // HIGHER load) — the racing evaluations overlap on idle cores
+    // locally, while the warm count serializes a full bucket pass
+    // ahead of the action. norms still persists: it joins the scored
+    // pairs twice, and a second full-vecs aggregation is a pure loss
+    // at any scale
     val vecs = buckets.select(col("doc_id"), col("j"), col("w")).persist()
-    vecs.count()
     val norms = vecs.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("nsq"))
       .persist()
